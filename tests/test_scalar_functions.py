@@ -1,0 +1,146 @@
+"""Golden tests for the scalar-function surface.
+
+Golden values transcribed from the reference's sqllogictest corpus
+(test/sql/exondb-release-with-deb-info/test_scalar_functions.test,
+test_sam_flags.test, test/sql/exondb-align/test_align.test) via FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import exon_duckdb_spark.functions as fx
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def seq_vals(spark, expr_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    return [r["v"] for r in df.select(expr_fn(F.col("s")).alias("v")).collect()]
+
+
+class TestSequence:
+    def test_gc_content(self, spark):
+        vals = seq_vals(spark, fx.gc_content, ["ATGC", "ATGCGC", ""])
+        assert vals[0] == pytest.approx(0.5)
+        assert vals[1] == pytest.approx(2 / 3, abs=1e-6)
+        assert vals[2] == 0.0
+        df = spark.createDataFrame([(None,)], "s string")
+        assert df.select(fx.gc_content("s").alias("v")).collect()[0]["v"] is None
+
+    def test_complement(self, spark):
+        assert seq_vals(spark, fx.complement, ["ATGC"]) == ["TACG"]
+        with pytest.raises(Exception, match="invalid character"):
+            seq_vals(spark, fx.complement, ["ATCGQ"])
+
+    def test_reverse_complement_quirk(self, spark):
+        # The reference's enshrined quirk: translate ATCG→CGAT, no reversal.
+        assert seq_vals(spark, fx.reverse_complement, ["ATCG", "GGGG"]) == ["CGAT", "TTTT"]
+        # The strict variant is the real reverse complement.
+        assert seq_vals(spark, fx.reverse_complement_strict, ["GGGG", "ATCG"]) == ["CCCC", "CGAT"]
+
+    def test_transcribe(self, spark):
+        assert seq_vals(spark, fx.transcribe, ["ATCG"]) == ["AUCG"]
+        with pytest.raises(Exception, match="invalid character"):
+            seq_vals(spark, fx.transcribe, ["ATNN"])
+
+    def test_reverse_transcribe(self, spark):
+        assert seq_vals(spark, fx.reverse_transcribe, ["AUCG"]) == ["ATCG"]
+        with pytest.raises(Exception, match="invalid character"):
+            seq_vals(spark, fx.reverse_transcribe, ["AUNN"])
+
+    def test_translate_dna_to_aa(self, spark):
+        assert seq_vals(spark, fx.translate_dna_to_aa, ["ATGCGC"]) == ["MR"]
+        with pytest.raises(Exception, match="unknown codon"):
+            seq_vals(spark, fx.translate_dna_to_aa, ["NNN"])
+        with pytest.raises(Exception, match="divisible by 3"):
+            seq_vals(spark, fx.translate_dna_to_aa, ["ATGC"])
+
+    def test_codon_sweep(self, spark):
+        # Full 64-codon sweep in A,T,C,G enumeration order — golden string
+        # from test_scalar_functions.test:71-74.
+        bases = "ATCG"
+        codons = [a + b + c for a in bases for b in bases for c in bases]
+        sweep = "".join(codons)
+        expected = "KNNKIIIMTTTTRSSR*YY*LFFLSSSS*CCWQHHQLLLLPPPPRRRREDDEVVVVAAAAGGGG"
+        assert seq_vals(spark, fx.translate_dna_to_aa, [sweep]) == [expected]
+
+
+class TestFastqGff:
+    def test_quality_score_string_to_list(self, spark):
+        assert seq_vals(spark, fx.quality_score_string_to_list, ["!#"]) == [[0, 2]]
+
+    def test_gff_parse_attributes(self, spark):
+        vals = seq_vals(spark, fx.gff_parse_attributes, ["ID=x;locus_tag=y;"])
+        assert vals == [{"ID": "x", "locus_tag": "y"}]
+        with pytest.raises(Exception, match="invalid attribute"):
+            seq_vals(spark, fx.gff_parse_attributes, ["ID"])
+
+    def test_gtf_attributes_to_map(self, spark):
+        vals = seq_vals(spark, fx.gtf_attributes_to_map, ['gene_id "g1"; transcript_id "t1";'])
+        assert vals == [{"gene_id": ["g1"], "transcript_id": ["t1"]}]
+
+
+class TestSam:
+    def test_parse_cigar(self, spark):
+        vals = seq_vals(spark, fx.parse_cigar, ["1M2M123S"])
+        assert [(r["op"], r["len"]) for r in vals[0]] == [("M", 1), ("M", 2), ("S", 123)]
+        with pytest.raises(Exception, match="invalid CIGAR"):
+            seq_vals(spark, fx.parse_cigar, ["MMM"])
+
+    def test_extract_from_cigar(self, spark):
+        df = spark.createDataFrame(
+            [("AACCAA", "2I2M2I"), ("AACCAAC", "2I2M2I1M")], ["seq", "cigar"]
+        )
+        rows = df.select(fx.extract_from_cigar("seq", "cigar").alias("v")).collect()
+        assert (rows[0]["v"]["sequence_start"], rows[0]["v"]["sequence_end"], rows[0]["v"]["sequence"]) == (2, 4, "CC")
+        assert (rows[1]["v"]["sequence_start"], rows[1]["v"]["sequence_end"], rows[1]["v"]["sequence"]) == (2, 7, "CCAAC")
+
+    def test_cigar_reference_length(self, spark):
+        df = spark.createDataFrame([("10M",), ("55M13394N21M",), ("2I2M2I",)], ["c"])
+        vals = [r["v"] for r in df.select(fx.cigar_reference_length("c").alias("v")).collect()]
+        assert vals == [10, 55 + 13394 + 21, 2]
+
+    def test_flags(self, spark):
+        # Golden pattern from test_sam_flags.test: each flag value with all
+        # lower bits set flips the next predicate true; is_secondary(255)=False.
+        df = spark.createDataFrame([(255,), (4095,), (1,)], ["flag"])
+        rows = df.select(
+            fx.is_segmented("flag").alias("seg"),
+            fx.is_secondary("flag").alias("sec"),
+            fx.is_supplementary("flag").alias("sup"),
+            fx.is_duplicate("flag").alias("dup"),
+        ).collect()
+        assert (rows[0]["seg"], rows[0]["sec"], rows[0]["sup"]) == (True, False, False)
+        assert (rows[1]["sec"], rows[1]["dup"], rows[1]["sup"]) == (True, True, True)
+        assert (rows[2]["seg"], rows[2]["sec"]) == (True, False)
+
+    def test_flag_masks_exhaustive(self, spark):
+        for name, mask in fx.SAM_FLAGS.items():
+            fn = getattr(fx, name)
+            df = spark.createDataFrame([(mask,), (0,), (0xFFF ^ mask,)], ["flag"])
+            vals = [r["v"] for r in df.select(fn("flag").alias("v")).collect()]
+            assert vals == [True, False, False], name
+
+
+class TestAlignment:
+    def test_alignment_string(self, spark):
+        df = spark.createDataFrame([("AACC", "AAACC")], ["t", "p"])
+        v = df.select(fx.alignment_string_wfa_gap_affine("t", "p").alias("v")).collect()[0]["v"]
+        assert v == "2M1D2M"
+
+    def test_alignment_score(self, spark):
+        df = spark.createDataFrame([("AACC", "AACC")], ["t", "p"])
+        v = df.select(fx.alignment_score_wfa_gap_affine("t", "p").alias("v")).collect()[0]["v"]
+        assert v == 0.0
+
+    def test_match_must_be_nonpositive(self, spark):
+        with pytest.raises(ValueError, match="match"):
+            fx.alignment_string_wfa_gap_affine(F.lit("A"), F.lit("A"), 1, 1, 1, match=1)
+
+
+def test_exondb_version(spark):
+    assert one(spark, fx.exondb_version()) == "0.3.9"
