@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). First a warmup query amortizes JVM/session startup so the
+numbers measure the engine, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from exon_duckdb_spark.session import get_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_orders_per_customer",
+    "q03_revenue_by_nation",
+    "q06_revenue_filter_agg",
+    "q07_events_hourly",
+    "q10_sessionize",
+    "q12_sequence_ops",
+    "q16_translate_aa",
+    "q20_exact_dedup",
+    "q21_minhash_signature",
+    "q22_minhash_lsh_pairs",
+    "q23_simhash",
+    "q24_text_stats",
+    "q26_doc_fingerprint",
+    "q27_cosine_topk",
+    "q28_ngram_jaccard_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(app_name="bench")
+
+    queries = entrymod.queries()
+    # warmup: JVM, parquet footer cache, python workers
+    queries["q01_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,21 +45,24 @@ def _validated(seq: Column, allowed_re: str, fname: str, result: Column) -> Colu
     )
 
 
-def gc_content(seq: Column | str) -> Column:
+def gc_content(seq: Column | str, as_double: bool = False) -> Column:
     """(#G + #C) / length(seq) as FLOAT; '' → 0.0; NULL → NULL.
 
     Reference: sequence_functions/module.cpp:131-166. Counts uppercase G/C
     only, as the reference does. Pure codegen expression:
     length(s) - length(translate(s, 'GC', '')) counts G+C without a UDF.
+
+    ``as_double=True`` keeps full double precision (for oracle comparison
+    against engines whose division is double; the reference type is FLOAT).
     """
     s = _as_col(seq)
     frac = (F.length(s) - F.length(F.translate(s, "GC", ""))) / F.length(s)
-    return (
+    out = (
         F.when(s.isNull(), F.lit(None))
         .when(F.length(s) == 0, F.lit(0.0))
         .otherwise(frac)
-        .cast("float")
     )
+    return out.cast("double") if as_double else out.cast("float")
 
 
 def complement(seq: Column | str) -> Column:

@@ -1,0 +1,22 @@
+"""Large-scale data-pipeline operators: dedup, similarity, text analysis,
+relational helpers. See each module's docstring for the scale design."""
+
+from exon_duckdb_spark.operators.dedup import (  # noqa: F401
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_hash, seeded_hash_sql  # noqa: F401
+from exon_duckdb_spark.operators.relational import sessionize, top_k_per_group  # noqa: F401
+from exon_duckdb_spark.operators.similarity import ann_topk, cosine, cosine_topk, dot, hyperplane_bucket  # noqa: F401
+from exon_duckdb_spark.operators.text import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    text_stats,
+    token_count,
+    tokens,
+)

@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Scale design (the point of this module):
+
+- **Exact dedup** — hash-groupBy on a 60-bit content hash, one shuffle keyed
+  by the hash. At 100 TB the shuffle carries (hash, id), never the text.
+- **MinHash** — signatures are computed PER ROW with higher-order functions
+  (``array_min`` over ``transform``) — no explode, no shuffle, pure codegen.
+  The classic explode+groupBy formulation shuffles |doc|×|words| rows;
+  this one shuffles nothing.
+- **LSH banding** — one shuffle keyed by (band_id, band_hash); candidate
+  pairs come from an equi-join on the band key, so Spark distributes the
+  work; exact Jaccard verification is again per-row (array_intersect sizes),
+  no re-explosion.
+- **SimHash** — per-row bit-vote aggregation, zero shuffle.
+
+Hashes are md5-derived (operators/hashing.py) so a DuckDB oracle can
+reproduce every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark.operators.hashing import (
+    MERSENNE31,
+    md5_int,
+    md5_int32,
+    minhash_coeffs,
+)
+from exon_duckdb_spark.operators.text import tokens
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_stats",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text. Shuffles only
+    (hash, id) pairs."""
+    h = md5_int(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("kept_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group stats: one row per duplicated content hash."""
+    return exact_dedup(df, text_col, id_col).filter(F.col("dup_count") > 1)
+
+
+def _shingles_of(toks: Column, n: int) -> Column:
+    """Word n-gram shingles from a token-array COLUMN (not a raw expression).
+
+    The lambda references ``toks`` via element_at, which is outside the
+    transform's input array — if ``toks`` were an inline split() expression
+    Spark would re-evaluate it per element (O(len²) per row). Callers must
+    materialize the token array as its own projection column first.
+    """
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle: int = 1,
+) -> DataFrame:
+    """MinHash signature columns mh_0..mh_{k-1}, computed per-row (no shuffle).
+
+    mh_i = min over shingles s of md5_int(i || ':' || s).
+    """
+    # Staged projections: tokens → shingle hashes → k affine minima.
+    # Catalyst's CollapseProject keeps projections separate when a non-cheap
+    # expression is referenced more than once, so the split runs once per
+    # row and the md5 pass once per shingle, not k times (lambda expressions
+    # are excluded from subexpression elimination).
+    toksed = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    sh = _shingles_of(F.col("_toks"), shingle)
+    base = toksed.select(
+        F.col(id_col), F.transform(sh, lambda w: md5_int32(w)).alias("_h")
+    )
+    sel: list[Column] = [F.col(id_col)]
+    for i, (a, b) in enumerate(minhash_coeffs(num_hashes)):
+
+        def affine_min(a: int = a, b: int = b) -> Column:
+            return F.array_min(
+                F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+            )
+
+        sel.append(affine_min().alias(f"mh_{i}"))
+    return base.select(*sel)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
+
+    1. per-row signatures (no shuffle)
+    2. per-row band keys: band_hash_b = md5_int of the band's signature slice
+    3. self-equi-join on (band, band_hash) → candidates (ONE shuffle)
+    4. per-row exact word-set Jaccard on candidates; keep >= threshold
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            md5_int(F.concat_ws(",", *[p.cast("string") for p in parts])).alias(f"band_{b}")
+        )
+    sig = sig.select(F.col(id_col), *band_cols)
+    # long-format band keys → candidates by equi-join
+    bands_long = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
+        ).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a = bands_long.alias("a")
+    bb = bands_long.alias("b")
+    cand = (
+        a.join(bb, on=["band", "bh"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    # Verify on the same shingle sets the signatures estimate.
+    words = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), F.array_distinct(_shingles_of(F.col("_toks"), shingle)).alias("wordset")
+    )
+    j = (
+        cand.join(words.withColumnRenamed(id_col, "id_a").withColumnRenamed("wordset", "ws_a"), "id_a")
+        .join(words.withColumnRenamed(id_col, "id_b").withColumnRenamed("wordset", "ws_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-document SimHash over word hashes — per-row bit votes, no shuffle.
+
+    bit_i = 1 iff sum over words of (2*((h(w) >> i) & 1) - 1) >= 0.
+    """
+    toks = tokens(text_col)
+    # Two-step projection (same rationale as minhash_signature): hash pass
+    # materializes once, the per-bit votes reference the array column.
+    base = df.select(
+        F.col(id_col), F.transform(toks, lambda w: md5_int(w)).alias("_h")
+    )
+
+    def bit_vote(i: int) -> Column:
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(bit_vote(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return base.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    prefix_chars: int = 12,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs, bucketed by text prefix.
+
+    The prefix bucket is the blocking key (ONE shuffle); exact char-n-gram
+    Jaccard verifies candidates per-row. Good for catching boilerplate-heavy
+    near-dups that word MinHash misses.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(0))),
+            lambda i: F.col(text_col).substr(i, F.lit(n)),
+        )
+    )
+    keyed = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("bucket"),
+        grams.alias("grams"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    inter = F.size(F.array_intersect("a.grams", "b.grams"))
+    union = F.size("a.grams") + F.size("b.grams") - inter
+    return (
+        a.join(b, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH bucket (one shuffle) then
+    exact cosine within bucket. See similarity.py for the primitives."""
+    from exon_duckdb_spark.operators.similarity import cosine, hyperplane_bucket
+
+    keyed = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a, bb = keyed.alias("a"), keyed.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(bb, "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine` / :func:`dot` — native higher-order expressions (zip_with +
+  aggregate), double precision, deterministic left-to-right summation so a
+  SQL oracle reproduces values exactly.
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, per-row cosine, per-query window top-k. At 100 TB
+  the corpus side stays partitioned; the only shuffle is the final top-k by
+  query_id (tiny).
+- :func:`hyperplane_bucket` / :func:`ann_topk` — the scale path: deterministic
+  random-hyperplane LSH code per vector (map-only), bucket equi-join instead
+  of a cross join. Recall < 1 by construction; increase ``planes`` tables or
+  probe multiple buckets for higher recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+import hashlib
+
+__all__ = ["dot", "cosine", "cosine_topk", "hyperplane_bucket", "ann_topk", "plane_signs"]
+
+
+def plane_signs(plane: int, dims: int) -> list[int]:
+    """Deterministic ±1 hyperplane normal, computed on the driver.
+
+    Derived from md5 so any engine (or a SQL oracle) can reproduce it;
+    materialized as literals so executors do zero hashing per row.
+    """
+    out = []
+    for i in range(dims):
+        h = int(hashlib.md5(f"{1000 + plane}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(1 if (h & 1) else -1)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns, summed in index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vector.
+
+    Broadcast the query set (dimension-table sized) against the corpus so the
+    corpus never shuffles; rank per query with a window (shuffle keyed by
+    query id only).
+    Returns (query_id, neighbor_id, cosine_sim, rank), self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    sim = cosine(F.col("query_vec"), F.col("nvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
+    """Deterministic random-hyperplane LSH code (int in [0, 2^planes)).
+
+    Plane normals are ±1 vectors fixed by :func:`plane_signs`, computed on
+    the driver and embedded as literal arrays — executors do one
+    multiply-add pass per plane, zero hashing per row. Map-only; the bucket
+    becomes an equi-join key downstream.
+    """
+
+    def plane_proj(p: int) -> Column:
+        signs = F.array(*[F.lit(float(s)) for s in plane_signs(p, dims)])
+        return F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    code = F.lit(0)
+    for p in range(planes):
+        code = code + F.when(plane_proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return code
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's LSH bucket.
+
+    One equi-join shuffle on the bucket code instead of a cross join — the
+    100 TB path. Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = cosine(F.col("query_vec"), F.col("nvec"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,102 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a per-row native Column expression (whole-stage codegen,
+zero shuffle) — at 100 TB these run as a map-only stage over the corpus.
+Tokenization is single-space split to match the corpus format; swap the
+delimiter regex for messier corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark.operators.hashing import md5_int
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "text_stats",
+    "language_id",
+    "doc_fingerprint",
+    "LANG_MARKERS",
+    "STOPWORDS",
+]
+
+# Small deterministic English-ish stopword list used for quality scoring.
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Marker-word lists for the n-gram/marker language-ID heuristic. The corpus
+# is synthetic, so these are chosen to be deterministic rather than
+# linguistically deep; the operator shape (score per language from marker
+# hits, argmax with a fixed tie order) is the real deliverable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "with", "fast", "key"],
+    "de": ["der", "die", "und", "nicht", "mit"],
+    "es": ["el", "la", "los", "con", "por"],
+    "zh": ["shi", "bu", "wo", "de", "le"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish proxy: add punctuation splits for
+    real corpora)."""
+    return F.size(tokens(text))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality stats: token count, char count, average token
+    length, stopword ratio, alpha ratio. Map-only; no shuffle."""
+    toks = tokens(text_col)
+    t = F.col(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    total_tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(total_tok_chars / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.length(t), 6
+        ).alias("alpha_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: score each language by marker hits, take the
+    argmax (fixed tie order en > de > es > zh). Deterministic and map-only."""
+    toks = tokens(text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(w) for w in markers])
+        scores[lang] = F.size(F.filter(toks, lambda w: F.array_contains(marr, w)))
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    sel = [F.col(id_col), best.alias("predicted_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return df.select(*sel)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive 64-bit document fingerprint: sum of per-token
+    60-bit hashes reduced mod 1e9+7 (keeps the sum overflow-free in engines
+    that trap on bigint overflow, unlike Java's wrapping semantics)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + md5_int(w) % 1000000007,
+    )

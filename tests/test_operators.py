@@ -1,0 +1,112 @@
+"""Unit tests for the pipeline operators (dedup / similarity / text /
+relational) on small hand-checked inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark import operators as ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),        # exact dup of 1
+        (3, "the quick brown fox jumps"),  # near dup of 1
+        (4, "completely different words here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["kept_doc_id"]: r["dup_count"] for r in ops.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_identical_sigs(docs):
+    sig = ops.minhash_signature(docs, num_hashes=4).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(4)) for r in sig}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    assert by_id[1] != by_id[4]
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ops.minhash_lsh_pairs(docs, num_hashes=4, bands=2, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # 4 common words of 5 union → 0.8
+    assert pairs[(1, 3)] == pytest.approx(0.8)
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_similarity(docs):
+    out = {r["doc_id"]: r["simhash"] for r in ops.simhash(docs, bits=16).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**16
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_text_stats(docs):
+    r = {x["doc_id"]: x for x in ops.text_stats(docs).collect()}
+    assert r[1]["n_tokens"] == 4
+    assert r[1]["stopword_ratio"] == pytest.approx(0.25)  # 'the'
+    assert r[4]["stopword_ratio"] == 0.0
+
+
+def test_language_id_deterministic(docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in ops.language_id(docs).collect()}
+    assert out[1] == "en"  # 'the' is an en marker
+    assert out[4] == "en"  # zero scores everywhere → tie → first lang
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ops.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_ann_topk_same_bucket_recall(spark):
+    # identical vectors always share a bucket → ANN must find them
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ops.ann_topk(emb, emb.where(F.col("vec_id") == 0), k=3, planes=4)
+    assert {r["neighbor_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_sessionize(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + datetime.timedelta(minutes=10)),
+        (1, t0 + datetime.timedelta(minutes=70)),  # gap > 30 → new session
+        (2, t0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = ops.sessionize(ev, gap_minutes=30).collect()
+    sess = {(r["user_id"], r["ts"]): r["session_id"] for r in out}
+    assert sess[(1, t0)] == 1
+    assert sess[(1, t0 + datetime.timedelta(minutes=10))] == 1
+    assert sess[(1, t0 + datetime.timedelta(minutes=70))] == 2
+    assert sess[(2, t0)] == 1
+
+
+def test_doc_fingerprint_deterministic(docs):
+    a = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", ops.doc_fingerprint("text").alias("fp")).collect()}
+    assert a[1] == a[2]
+    assert a[1] != a[4]

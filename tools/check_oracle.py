@@ -1,0 +1,126 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+twin on DuckDB over the same parquet tables, then compares:
+  - row count
+  - column names (sorted)
+  - order-insensitive values (columns sorted by name, rows sorted, cells
+    normalized: floats rounded to 9 significant digits, timestamps to ISO)
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from exon_duckdb_spark.session import get_session
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_session(app_name="check_oracle")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+            failures.append(name)
+            continue
+        spark_t = time.time() - t0
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle ({len(srows)} rows, {spark_t:.1f}s) [rows-only]")
+            continue
+        t0 = time.time()
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            failures.append(name)
+            continue
+        duck_t = time.time() - t0
+
+        ok = True
+        msgs = []
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if ok:
+            ns, no = norm_rows(scols, srows), norm_rows(ocols, orows)
+            if ns != no:
+                ok = False
+                ndiff = sum(1 for a, b in zip(ns, no) if a != b)
+                msgs.append(f"values differ ({ndiff} rows)")
+                for a, b in zip(ns, no):
+                    if a != b:
+                        msgs.append(f"  spark : {a}")
+                        msgs.append(f"  duckdb: {b}")
+                        break
+        status = "OK  " if ok else "FAIL"
+        print(f"{status} {name}: {len(srows)} rows (spark {spark_t:.1f}s, duckdb {duck_t:.2f}s)"
+              + ("" if ok else " | " + " | ".join(msgs)))
+        if not ok:
+            failures.append(name)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
