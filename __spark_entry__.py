@@ -348,6 +348,57 @@ def q28_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.6, prefix_chars=12)
 
 
+def q30_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end file-format exercise: documents → FASTA (distributed
+    writer) → read_fasta (split-parallel reader) → summarize. The oracle
+    reproduces the same values straight from the documents table, so the
+    whole writer+parser round trip is hash-checked."""
+    import hashlib as _hl
+
+    from exon_duckdb_spark.sources.fasta import read_fasta
+    from exon_duckdb_spark.sources.writers import to_fasta
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("lang").alias("description"),
+        _seq_spark().alias("sequence"),
+    ).where(F.length("sequence") > 0)
+    out = f"/tmp/spark_graft_scratch/fasta_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    to_fasta(d, out)
+    rf = read_fasta(spark, out)
+    return rf.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("description").alias("lang"),
+        F.length("sequence").cast("bigint").alias("seq_len"),
+        F.round(fx.gc_content("sequence", as_double=True), 6).alias("gc"),
+    )
+
+
+def q31_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: file stream → stateful
+    sessionization (applyInPandasWithState) → memory sink. Emits CLOSED
+    sessions; the oracle derives the same set (all sessions except each
+    user's last) with window functions."""
+    import uuid
+
+    from exon_duckdb_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        sessionize_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(sessionize_stream(stream, 30), name)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -385,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_doc_fingerprint": q26_doc_fingerprint,
         "q27_cosine_topk": q27_cosine_topk,
         "q28_ngram_jaccard_pairs": q28_ngram_jaccard_pairs,
+        "q30_fasta_roundtrip": q30_fasta_roundtrip,
+        "q31_stream_sessionize": q31_stream_sessionize,
     }
 
 
@@ -692,6 +745,41 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q30_fasta_roundtrip": f"""
+            SELECT doc_id, lang,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(round(CASE WHEN length(seq) = 0 THEN 0.0
+                        ELSE (length(seq) - length(replace(replace(seq, 'G', ''), 'C', ''))) * 1.0
+                             / length(seq) END, 6) AS DOUBLE) AS gc
+            FROM (SELECT doc_id, lang, {_SEQ_SQL} AS seq FROM documents)
+            WHERE length(seq) > 0
+        """,
+        "q31_stream_sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM gaps
+            ),
+            agg AS (
+              SELECT user_id, sid,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                     count(*) AS n_events
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events
+            FROM agg
+            WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
         """,
         "q28_ngram_jaccard_pairs": """
             WITH g AS (

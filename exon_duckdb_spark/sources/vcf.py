@@ -1,0 +1,140 @@
+"""VCF source with header-driven INFO struct.
+
+Parity: reference ``read_vcf_file_records`` — the one file-dependent schema
+in the reference: INFO struct fields come from the file's ``##INFO`` header
+lines, resolved at bind time (SURVEY §1.1; arrow_table_function/
+module.cpp:110-119). We mirror that with a driver-side header peek at plan
+time, then parse entirely with native expressions (text scan → split —
+Catalyst prunes and pushes down as usual).
+
+``vcf_query(path, region)`` reproduces the tabix-region TVF semantics
+(rust/src/vcf_query_reader.rs:31-86): region 'chr' or 'chr:start-end',
+1-based inclusive. Here it is a filter over the scan — at scale, split
+pruning via the .tbi index is the planned upgrade; semantics are identical.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark.sources.splits import detect_compression, expand_paths
+
+__all__ = ["read_vcf", "vcf_query", "parse_region"]
+
+_INFO_RE = re.compile(r"##INFO=<ID=([^,>]+),Number=([^,>]+),Type=([^,>]+)")
+
+
+@dataclass(frozen=True)
+class InfoField:
+    id: str
+    number: str  # '0', '1', 'A', 'R', 'G', '.', or an int string
+    type: str  # Integer | Float | Flag | Character | String
+
+
+def _peek_info_fields(path: str) -> list[InfoField]:
+    """Bind-time header read (first file only — the reference never scans
+    multi-file VCF with differing headers; match single-file behavior)."""
+    f0 = expand_paths(path)[0]
+    comp = detect_compression(f0, "auto_detect")
+    opener = gzip.open if comp == "gzip" else open
+    fields: list[InfoField] = []
+    with opener(f0, "rt") as fh:
+        for line in fh:
+            if not line.startswith("##"):
+                break
+            m = _INFO_RE.match(line)
+            if m:
+                fields.append(InfoField(m.group(1), m.group(2), m.group(3)))
+    return fields
+
+
+def _scalar_type(vcf_type: str) -> str:
+    return {
+        "Integer": "int",
+        "Float": "float",
+        "Character": "string",
+        "String": "string",
+    }.get(vcf_type, "string")
+
+
+def _info_col(info: Column, f: InfoField) -> Column:
+    key = re.escape(f.id)
+    if f.type == "Flag" or f.number == "0":
+        return info.rlike(f"(^|;){key}(;|=|$)")
+    raw = F.regexp_extract(info, f"(^|;){key}=([^;]*)", 2)
+    raw = F.when(raw == "", F.lit(None)).otherwise(raw)
+    if f.number == "1":
+        return raw.cast(_scalar_type(f.type))
+    st = _scalar_type(f.type)
+    return F.transform(F.split(raw, ","), lambda v: v.cast(st))
+
+
+def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+    """VCF records: (chrom, pos, id, ref, alt, qual, filter, info, formats,
+    genotypes) with info struct fields from the ##INFO header."""
+    info_fields = _peek_info_fields(path)
+    lines = spark.read.text(path).where(~F.col("value").startswith("#"))
+    p = F.split(F.col("value"), "\t")
+    dot_null = lambda c: F.when(c == ".", F.lit(None)).otherwise(c)  # noqa: E731
+    info_raw = p.getItem(7)
+    info_struct = F.struct(
+        *[_info_col(info_raw, f).alias(f.id) for f in info_fields]
+    ) if info_fields else F.lit(None).cast("struct<>")
+    return lines.select(
+        p.getItem(0).alias("chrom"),
+        p.getItem(1).cast("long").alias("pos"),
+        dot_null(p.getItem(2)).alias("id"),
+        p.getItem(3).alias("ref"),
+        F.when(p.getItem(4) == ".", F.lit(None))
+        .otherwise(F.split(p.getItem(4), ","))
+        .alias("alt"),
+        dot_null(p.getItem(5)).cast("float").alias("qual"),
+        dot_null(p.getItem(6)).alias("filter"),
+        info_struct.alias("info"),
+        F.when(F.size(p) > 8, p.getItem(8)).alias("formats"),
+        F.when(F.size(p) > 9, F.slice(p, 10, F.greatest(F.size(p) - 9, F.lit(0))))
+        .alias("genotypes"),
+    )
+
+
+def parse_region(region: str) -> tuple[str, int | None, int | None]:
+    """'chr' | 'chr:start-end' | 'chr:start' → (chrom, start, end), 1-based
+    inclusive (reference region grammar, vcf_query_function/module.cpp)."""
+    if ":" not in region:
+        return region, None, None
+    chrom, _, rng = region.partition(":")
+    if "-" in rng:
+        s, _, e = rng.partition("-")
+        return chrom, int(s.replace(",", "")), int(e.replace(",", ""))
+    return chrom, int(rng.replace(",", "")), None
+
+
+def region_filter(chrom_col: Column, start_col: Column, end_col: Column, region: str) -> Column:
+    """Interval-overlap predicate for a region string (1-based inclusive).
+
+    ``end_col`` is the feature's last covered position; records overlap the
+    region if start <= r_end and end >= r_start.
+    """
+    chrom, r_start, r_end = parse_region(region)
+    cond = chrom_col == chrom
+    if r_start is not None:
+        cond = cond & (end_col >= r_start)
+    if r_end is not None:
+        cond = cond & (start_col <= r_end)
+    return cond
+
+
+def vcf_query(spark: SparkSession, path: str, region: str) -> DataFrame:
+    """Region query over VCF — reference ``vcf_query(path, region)``.
+
+    A VCF record covers pos..pos+len(ref)-1; the reference's tabix query
+    returns records overlapping the region.
+    """
+    df = read_vcf(spark, path)
+    end = df.pos + F.length(df.ref) - 1
+    return df.where(region_filter(df.chrom, df.pos, end, region))

@@ -1,0 +1,189 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §2.5: absent), but a
+large-scale pipeline needs one; these are the Spark-idiomatic shapes:
+file/rate source → watermarked event-time windows → sinks, and custom
+stateful sessionization via ``applyInPandasWithState``.
+
+Every operator takes/returns DataFrames so batch DataFrames can be passed
+for testing (the window/agg expressions are identical in both modes).
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "read_events_stream",
+    "windowed_counts",
+    "sessionize_stream",
+    "SESSION_SCHEMA",
+    "run_to_memory_sink",
+]
+
+
+def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1) -> DataFrame:
+    """File-based stream of the events table (nanos → timestamp, like the
+    batch reader). ``events_dir`` is a DIRECTORY (Spark's file stream
+    contract); only files named events*.parquet are picked up."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation. Late events beyond
+    the watermark are dropped; state is bounded — the 100 TB/day shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int = 1800,
+    close_idle: bool = False,
+):
+    """Emit closed sessions; keep the open session in state with a timeout.
+
+    Timestamps travel through state as epoch-micros longs (GroupState rows
+    are plain tuples).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value // 1000) for t in pdf["ts"])
+    ts_list.sort()
+
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = None, None, 0
+
+    out_rows = []
+    for t in ts_list:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_seconds * 1_000_000:
+            out_rows.append((user_id, start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last = t
+            n += 1
+    state.update((start, last, n))
+    if close_idle:
+        state.setTimeoutDuration(gap_seconds * 1000)
+    if out_rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out_rows],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in out_rows],
+                "n_events": [r[3] for r in out_rows],
+            }
+        )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, close_idle: bool = False
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState``. State per user is O(1); shuffles only on
+    user_id. Sessions close when a later event arrives past the gap.
+
+    ``close_idle=True`` adds a processing-time timeout that also closes
+    sessions idle in wall-clock time — for always-on streams only: with
+    ``availableNow`` drains the query would keep scheduling micro-batches
+    until every pending timeout fires, so the default leaves open sessions
+    in state (exactly-once semantics across restarts via the checkpoint).
+    """
+    gap_seconds = gap_minutes * 60
+
+    def fn(key, pdfs, state):
+        yield from _session_fn(key, pdfs, state, gap_seconds, close_idle)
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if close_idle
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table; returns the
+    batch DataFrame of results (test/inspection helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

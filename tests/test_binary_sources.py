@@ -1,0 +1,215 @@
+"""BAM / BCF / GenBank / mzML reader tests over synthesized binary fixtures
+(built from the public format specs; golden values mirror FIXTURES.md)."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import struct
+
+import pytest
+
+from exon_duckdb_spark.sources import read_bio
+from exon_duckdb_spark.sources.bam import bam_query, read_bam
+from exon_duckdb_spark.sources.bcf import read_bcf, bcf_query
+from exon_duckdb_spark.sources.genbank import read_genbank
+from exon_duckdb_spark.sources.mzml import read_mzml
+
+_SEQ_CODES = "=ACMGRSVTWYHKDBN"
+
+
+def _bam_record(name: str, flag: int, ref_id: int, pos0: int, mapq: int,
+                cigar: list[tuple[int, int]], seq: str, quals: list[int],
+                next_ref: int = 0, next_pos: int = 0) -> bytes:
+    nb = name.encode() + b"\x00"
+    body = struct.pack(
+        "<iiBBHHHiiii", ref_id, pos0, len(nb), mapq, 0, len(cigar), flag,
+        len(seq), next_ref, next_pos, 0,
+    )
+    body += nb
+    for oplen, op in cigar:
+        body += struct.pack("<I", (oplen << 4) | op)
+    packed = bytearray()
+    for i, ch in enumerate(seq):
+        code = _SEQ_CODES.index(ch)
+        if i % 2 == 0:
+            packed.append(code << 4)
+        else:
+            packed[-1] |= code
+    body += bytes(packed)
+    body += bytes(quals)
+    return struct.pack("<i", len(body)) + body
+
+
+@pytest.fixture(scope="module")
+def bam_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bam")
+    p = d / "example.bam"
+    header = b"BAM\x01" + struct.pack("<i", 0)
+    header += struct.pack("<i", 2)  # two references
+    for rname, rlen in ((b"ref1", 1000), (b"chr1", 2_000_000)):
+        header += struct.pack("<i", len(rname) + 1) + rname + b"\x00"
+        header += struct.pack("<i", rlen)
+    recs = _bam_record("ref1_grp1_p001", 99, 0, 0, 0, [(10, 0)], "CGAGCTCGGT", [0] * 10)
+    recs += _bam_record("chr1_read", 0, 1, 999, 60, [(55, 0), (13394, 3), (21, 0)],
+                        "ACGT", [30] * 4)
+    with gzip.open(p, "wb") as f:
+        f.write(header + recs)
+    return str(p)
+
+
+class TestBam:
+    def test_golden_first_record(self, spark, bam_file):
+        rows = read_bam(spark, bam_file).orderBy("name").collect()
+        assert len(rows) == 2
+        r1 = rows[1]
+        assert tuple(r1) == (
+            "ref1_grp1_p001", 99, "ref1", 1, 10, "0", "10M", "ref1",
+            "CGAGCTCGGT", "!!!!!!!!!!",
+        )
+        r0 = rows[0]
+        assert r0["reference"] == "chr1"
+        assert r0["cigar"] == "55M13394N21M"
+        assert r0["start"] == 1000 and r0["end"] == 1000 + 55 + 13394 + 21 - 1
+
+    def test_bam_query_region(self, spark, bam_file):
+        assert bam_query(spark, bam_file, "chr1").count() == 1
+        assert bam_query(spark, bam_file, "ref1").count() == 1
+        assert bam_query(spark, bam_file, "chr9").count() == 0
+        assert bam_query(spark, bam_file, "chr1:1000-1001").count() == 1
+        assert bam_query(spark, bam_file, "chr1:100-500").count() == 0
+
+    def test_read_bio_dispatch(self, spark, bam_file):
+        assert read_bio(spark, bam_file).count() == 2
+
+
+GENBANK = """LOCUS       NC_021938              16521 bp    DNA     circular PRI 03-APR-2023
+DEFINITION  Alouatta caraya mitochondrion, complete genome.
+ACCESSION   NC_021938
+VERSION     NC_021938.1
+KEYWORDS    RefSeq.
+SOURCE      mitochondrion Alouatta caraya
+FEATURES             Location/Qualifiers
+     source          1..16521
+                     /organism="Alouatta caraya"
+                     /mol_type="genomic DNA"
+     gene            1..68
+                     /gene="TRNF"
+ORIGIN
+        1 gttaatgtag cttataatat caaagcaagg cactgaaaat gcctagacgg gtaattaaaa
+       61 ccccataaac
+//
+LOCUS       AB_000001                 20 bp    DNA     linear   PRI 01-JAN-2000
+DEFINITION  test record two.
+ACCESSION   AB_000001
+ORIGIN
+        1 acgtacgtac gtacgtacgt
+//
+"""
+
+
+class TestGenbank:
+    def test_golden(self, spark, tmp_path):
+        p = tmp_path / "test.gb"
+        p.write_text(GENBANK)
+        rows = read_genbank(spark, str(p)).orderBy("accession").collect()
+        assert len(rows) == 2
+        r1 = [r for r in rows if r["accession"] == "NC_021938"][0]
+        assert r1["sequence"][:5] == "gttaa"
+        assert r1["topology"] == "circular"
+        assert r1["name"] == "NC_021938"
+        assert r1["definition"].startswith("Alouatta caraya")
+        kinds = [f["kind"] for f in r1["features"]]
+        assert kinds == ["source", "gene"]
+        assert r1["features"][0]["qualifiers"]["organism"] == "Alouatta caraya"
+        r2 = [r for r in rows if r["accession"] == "AB_000001"][0]
+        assert r2["topology"] == "linear"
+        assert r2["sequence"] == "acgtacgtacgtacgtacgt"
+
+
+def _mzml(spectra: list[tuple[str, list[float], list[float]]]) -> str:
+    """Minimal mzML doc with intensity (f32) + wavelength (f32) arrays."""
+    parts = ['<?xml version="1.0"?><mzML xmlns="http://psi.hupo.org/ms/mzml"><run><spectrumList>']
+    for sid, intens, wave in spectra:
+        parts.append(f'<spectrum id="{sid}" defaultArrayLength="{len(intens)}">')
+        parts.append("<binaryDataArrayList>")
+        for accs, vals in (
+            (("MS:1000521", "MS:1000515"), intens),
+            (("MS:1000521", "MS:1000617"), wave),
+        ):
+            b64 = base64.b64encode(struct.pack(f"<{len(vals)}f", *vals)).decode()
+            parts.append("<binaryDataArray>")
+            for a in accs:
+                parts.append(f'<cvParam accession="{a}" name="x"/>')
+            parts.append(f"<binary>{b64}</binary></binaryDataArray>")
+        parts.append("</binaryDataArrayList></spectrum>")
+    parts.append("</spectrumList></run></mzML>")
+    return "".join(parts)
+
+
+class TestMzml:
+    def test_golden(self, spark, tmp_path):
+        p = tmp_path / "test.mzML"
+        intens = [float(x) for x in range(15, 0, -1)]
+        wave = [float(x) for x in range(15)]
+        p.write_text(_mzml([("declaration=0 collection=0 scan=0", intens, wave)]))
+        r = read_mzml(spark, str(p)).collect()[0]
+        assert r["id"] == "declaration=0 collection=0 scan=0"
+        assert r["intensity"]["intensity"] == intens
+        assert r["wavelength"]["wavelength"] == wave
+        assert r["mz"] is None
+
+
+def _typed_int(v: int) -> bytes:
+    return bytes([0x11]) + struct.pack("<b", v)  # 1 × int8
+
+
+def _typed_str(s: str) -> bytes:
+    b = s.encode()
+    assert len(b) < 15
+    return bytes([(len(b) << 4) | 7]) + b
+
+
+@pytest.fixture(scope="module")
+def bcf_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bcf")
+    p = d / "test.bcf"
+    header_text = (
+        "##fileformat=VCFv4.2\n"
+        '##FILTER=<ID=PASS,Description="ok",IDX=0>\n'
+        '##INFO=<ID=INDEL,Number=0,Type=Flag,Description="x",IDX=1>\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="x",IDX=2>\n'
+        '##contig=<ID=1,length=249250621,IDX=0>\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    ).encode() + b"\x00"
+    # site: chrom 0, pos0 9999918, rlen 1, qual 0.0, 2 alleles, 1 info (DP=1)
+    shared = struct.pack("<iii", 0, 9999918, 1)
+    shared += struct.pack("<f", 0.0)
+    shared += struct.pack("<I", (2 << 16) | 1)  # n_allele=2, n_info=1
+    shared += struct.pack("<I", 0)  # n_fmt=0, n_sample=0
+    shared += bytes([0x07])  # ID: 0-length string → '.'
+    shared += _typed_str("G") + _typed_str("<*>")  # alleles
+    shared += bytes([0x01])  # FILTER: 0-length int8 vector
+    shared += _typed_int(2) + _typed_int(1)  # key=IDX2 (DP), value=1
+    rec = struct.pack("<II", len(shared), 0) + shared
+    body = b"BCF\x02\x02" + struct.pack("<I", len(header_text)) + header_text + rec
+    with gzip.open(p, "wb") as f:
+        f.write(body)
+    return str(p)
+
+
+class TestBcf:
+    def test_golden(self, spark, bcf_file):
+        df = read_bcf(spark, bcf_file)
+        assert [f.name for f in df.schema["info"].dataType.fields] == ["INDEL", "DP"]
+        r = df.collect()[0]
+        assert (r["chrom"], r["pos"], r["ref"], r["alt"], r["qual"]) == (
+            "1", 9999919, "G", ["<*>"], 0.0,
+        )
+        assert r["info"]["DP"] == 1
+        assert r["info"]["INDEL"] is False
+
+    def test_bcf_query(self, spark, bcf_file):
+        assert bcf_query(spark, bcf_file, "1").count() == 1
+        assert bcf_query(spark, bcf_file, "1:9999919").count() == 1
+        assert bcf_query(spark, bcf_file, "2").count() == 0

@@ -1,0 +1,123 @@
+"""Streaming (watermarked windows, stateful sessionization) and multimodal
+plumbing tests."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_image,
+    image_features,
+)
+from exon_duckdb_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory_sink,
+    sessionize_stream,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestStreaming:
+    def test_windowed_counts_stream_matches_batch(self, spark):
+        stream = read_events_stream(spark, SF_DIR)
+        out = run_to_memory_sink(windowed_counts(stream), "win_test")
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in out.collect()
+        }
+        # batch equivalent over the same data
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(SF_DIR + "/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        batch = (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+            .collect()
+        )
+        expected = {(r["win"]["start"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+        # watermark may hold back the tail window(s) in availableNow mode;
+        # everything emitted must match the batch result exactly
+        assert got
+        for k, v in got.items():
+            assert expected[k] == v
+
+    def test_sessionize_stream(self, spark):
+        stream = read_events_stream(spark, SF_DIR)
+        out = run_to_memory_sink(sessionize_stream(stream, 30), "sess_test")
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert r["session_start"] <= r["session_end"]
+            assert r["n_events"] >= 1
+        # cross-check against the batch sessionizer: closed sessions per user
+        # == total sessions - 1 (the final session stays open in state)
+        from exon_duckdb_spark.operators.relational import sessionize
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(SF_DIR + "/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        batch = {
+            r["user_id"]: r["n"]
+            for r in sessionize(ev, gap_minutes=30)
+            .groupBy("user_id")
+            .agg(F.max("session_id").alias("n"))
+            .collect()
+        }
+        closed: dict[int, int] = {}
+        for r in rows:
+            closed[r["user_id"]] = closed.get(r["user_id"], 0) + 1
+        for uid, n_closed in closed.items():
+            assert n_closed == batch[uid] - 1
+
+
+def _png(width: int, height: int) -> bytes:
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(
+        ">II", width, height
+    ) + b"\x08\x06\x00\x00\x00" + b"\x00" * 16
+
+
+def _wav(rate: int) -> bytes:
+    return b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + struct.pack(
+        "<IHHI", 16, 1, 1, rate
+    ) + b"\x00" * 16
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, bytearray(_png(640, 480))),
+            (2, bytearray(_wav(44100))),
+            (3, bytearray(b"\x00\x01\x02garbage")),
+            (4, None),
+        ]
+        return spark.createDataFrame(rows, "id long, content binary")
+
+    def test_metadata(self, spark, media):
+        out = {r["id"]: r["meta"] for r in attach_media_metadata(media).collect()}
+        assert out[1]["mime"] == "image/png"
+        assert (out[1]["width"], out[1]["height"]) == (640, 480)
+        assert out[2]["mime"] == "audio/wav"
+        assert out[2]["sample_rate"] == 44100
+        assert out[3]["mime"] == "application/octet-stream"
+        assert out[4]["mime"] is None and out[4]["size_bytes"] is None
+
+    def test_decode_stub_is_explicit(self, media):
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_image(media)
+
+    def test_fake_features_deterministic(self, spark, media):
+        a = {r["id"]: r["features"] for r in image_features(media).collect()}
+        b = {r["id"]: r["features"] for r in image_features(media).collect()}
+        assert a == b
+        assert len(a[1]) == 16
+        assert a[4] is None
+        assert all(-1.0 <= x <= 1.0 for x in a[1])
