@@ -220,6 +220,61 @@ def q11_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates: cumulative spend + order index per customer
+    (exact-cents running sum so both engines agree bit-for-bit)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w) / 100.0).alias("running_spend"),
+        F.count("*").over(w).alias("order_idx"),
+    )
+
+
+def q18_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator the built-ins lack): each event gets the
+    user's most recent purchase at-or-before its timestamp — one shuffle via
+    the union-sort trick, no range-join explosion (operators/relational.py)."""
+    ev = _events(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumnRenamed("ts", "purchase_ts")
+    )
+    joined = ops.asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        right_cols=["purchase_value", "purchase_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def q19_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over event type × day-of-month."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.cube("event_type", F.dayofmonth("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface (SURVEY §2.3) exercised over the documents table
 # ---------------------------------------------------------------------------
@@ -348,6 +403,79 @@ def q28_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.6, prefix_chars=12)
 
 
+def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket (one shuffle)
+    then exact cosine within bucket. Threshold 0.35 is calibrated to this
+    corpus (max off-diagonal cosine ≈ 0.51) so real pairs survive."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops.embedding_dup_pairs(emb, threshold=0.35, planes=4)
+
+
+def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: exact cosine ranking within the query's LSH bucket —
+    an equi-join shuffle instead of q27's cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ops.ann_topk(emb, queries, k=5, planes=4)
+
+
+def q33_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs BPE-pre-tokenizer tokens, the
+    per-document budget estimate of a training pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    n_ws = ops.token_count("text")
+    n_bpe = ops.bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text") / n_bpe, 6).alias("chars_per_bpe_token"),
+    )
+
+
+def q34_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTQ writer → split-parallel reader round trip, hash-checked against
+    the documents table (same trick as q30)."""
+    import hashlib as _hl
+
+    from exon_duckdb_spark.sources.fastq import read_fastq
+    from exon_duckdb_spark.sources.writers import to_fastq
+
+    docs = _t(spark, sf_dir, "documents")
+    seq = _seq_spark()
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.col("lang").alias("description"),
+        seq.alias("sequence"),
+        F.repeat(F.lit("I"), F.length(seq)).alias("quality_scores"),
+    ).where(F.length("sequence") > 0)
+    out = f"/tmp/spark_graft_scratch/fastq_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    to_fastq(d, out)
+    rf = read_fastq(spark, out)
+    scores = fx.quality_score_string_to_list(F.col("quality_scores"))
+    return rf.select(
+        F.col("name").cast("bigint").alias("doc_id"),
+        F.col("description").alias("lang"),
+        F.length("sequence").cast("bigint").alias("seq_len"),
+        F.aggregate(scores, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qual_sum"),
+    )
+
+
+def q35_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): events bucketed into value bands via
+    a broadcast non-equi join, then aggregated per band."""
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 150.0), ("big", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ops.range_join(ev, bands, "value")
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 def q30_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end file-format exercise: documents → FASTA (distributed
     writer) → read_fasta (split-parallel reader) → summarize. The oracle
@@ -427,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_sam_flags": q14_sam_flags,
         "q15_cigar_ops": q15_cigar_ops,
         "q16_translate_aa": q16_translate_aa,
+        "q17_running_totals": q17_running_totals,
+        "q18_asof_join": q18_asof_join,
+        "q19_cube_events": q19_cube_events,
         "q20_exact_dedup": q20_exact_dedup,
         "q21_minhash_signature": q21_minhash_signature,
         "q22_minhash_lsh_pairs": q22_minhash_lsh_pairs,
@@ -436,8 +567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_doc_fingerprint": q26_doc_fingerprint,
         "q27_cosine_topk": q27_cosine_topk,
         "q28_ngram_jaccard_pairs": q28_ngram_jaccard_pairs,
+        "q29_embedding_dedup": q29_embedding_dedup,
         "q30_fasta_roundtrip": q30_fasta_roundtrip,
         "q31_stream_sessionize": q31_stream_sessionize,
+        "q32_ann_topk": q32_ann_topk,
+        "q33_bpe_tokens": q33_bpe_tokens,
+        "q34_fastq_roundtrip": q34_fastq_roundtrip,
+        "q35_range_band_join": q35_range_band_join,
     }
 
 
@@ -512,6 +648,25 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0
             JOIN words wb ON wb.doc_id = id_b
             WHERE round({jac}, 6) >= {threshold}
         """
+
+
+def _bucket_sql(planes: int, dims: int = 64, col: str = "embedding") -> str:
+    """SQL twin of operators.similarity.hyperplane_bucket: same md5-derived
+    ±1 plane normals, same left-to-right double summation (x*±1.0 == ±x in
+    IEEE 754, and both engines fold a+b+c left-associatively), so the bucket
+    codes are bit-identical."""
+    from exon_duckdb_spark.operators.similarity import plane_signs
+
+    cases = []
+    for p in range(planes):
+        signs = plane_signs(p, dims)
+        terms = "".join(
+            (" + " if s > 0 else " - ") + f"CAST({col}[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs)
+        )
+        proj = terms[3:] if terms.startswith(" + ") else terms.strip()
+        cases.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(cases) + ")"
 
 
 def _minhash_sig_cte() -> str:
@@ -680,6 +835,36 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {_SEQ_SQL} AS seq FROM documents)
             WHERE length(seq) > 0 AND length(seq) % 3 = 0
         """,
+        "q17_running_totals": """
+            SELECT o_custkey, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w / 100.0
+                     AS running_spend,
+                   count(*) OVER w AS order_idx
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "q18_asof_join": """
+            WITH p AS (
+              SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            )
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   e.event_type,
+                   round(p.purchase_value, 2) AS purchase_value,
+                   strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.purchase_ts
+        """,
+        "q19_cube_events": """
+            SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY CUBE(event_type, day(ts))
+        """,
         "q20_exact_dedup": f"""
             SELECT {md5_int_sql('text')} AS content_hash,
                    min(doc_id) AS kept_doc_id,
@@ -780,6 +965,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_start, session_end, n_events
             FROM agg
             WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+        """,
+        "q29_embedding_dedup": f"""
+            WITH e AS (
+              SELECT vec_id, embedding, {_bucket_sql(4)} AS bucket FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        "q32_ann_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding, {_bucket_sql(4)} AS bucket FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
+              FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "q33_bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{ops.text.BPE_TOKEN_RE}')) AS INTEGER)
+                     AS n_bpe_tokens,
+                   round(length(text) * 1.0 /
+                         len(regexp_extract_all(text, '{ops.text.BPE_TOKEN_RE}')), 6)
+                     AS chars_per_bpe_token
+            FROM documents
+        """,
+        "q34_fastq_roundtrip": f"""
+            SELECT doc_id, lang,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(40 * length(seq) AS BIGINT) AS qual_sum
+            FROM (SELECT doc_id, lang, {_SEQ_SQL} AS seq FROM documents)
+            WHERE length(seq) > 0
+        """,
+        "q35_range_band_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('tiny', 0.0, 10.0), ('small', 10.0, 50.0),
+              ('mid', 50.0, 150.0), ('big', 150.0, 1000000000.0))
+            SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band
         """,
         "q28_ngram_jaccard_pairs": """
             WITH g AS (

@@ -11,9 +11,16 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     simhash,
 )
 from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_hash, seeded_hash_sql  # noqa: F401
-from exon_duckdb_spark.operators.relational import sessionize, top_k_per_group  # noqa: F401
+from exon_duckdb_spark.operators.relational import (  # noqa: F401
+    asof_join,
+    range_join,
+    sessionize,
+    top_k_per_group,
+)
 from exon_duckdb_spark.operators.similarity import ann_topk, cosine, cosine_topk, dot, hyperplane_bucket  # noqa: F401
 from exon_duckdb_spark.operators.text import (  # noqa: F401
+    bpe_token_count,
+    bpe_tokens,
     doc_fingerprint,
     language_id,
     text_stats,

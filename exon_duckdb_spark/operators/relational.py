@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "top_k_per_group"]
+__all__ = ["sessionize", "top_k_per_group", "asof_join", "range_join"]
 
 
 def sessionize(
@@ -40,3 +40,79 @@ def top_k_per_group(
     oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = Window.partitionBy(*group_cols).orderBy(oc)
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward-inclusive as-of join: for each left row, attach ``right_cols``
+    from the latest right row with ``right_time <= left_time`` and the same
+    ``on`` key (DuckDB ``ASOF JOIN`` semantics).
+
+    Implemented as the classic union-sort trick — ONE shuffle keyed by
+    (``on``), no range-join explosion: tag both sides, sort each key's rows
+    by time (right rows before left rows on ties), and carry the last
+    non-null right values forward with an unbounded-preceding window. At
+    100 TB this is a single repartition+sort of left+right; contrast with a
+    naive ``left.join(right, on).where(rt <= lt)`` + argmax, which multiplies
+    rows by the per-key right cardinality before reducing.
+
+    Left rows with no earlier right row keep NULLs.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema) + ">"
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "__is_left",
+        "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.where(F.col("__is_left") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols], *right_cols
+    )
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join: match each fact row to the band(s) whose
+    ``[lo, hi)`` interval contains ``value_col``.
+
+    The band table is dimension-sized, so broadcast it — the fact side never
+    shuffles and the non-equi predicate evaluates inside whole-stage codegen
+    (a BroadcastNestedLoopJoin over a tiny build side). For a big-big range
+    join, pre-bucket both sides on floor(value / bucket_width) to turn it
+    into an equi join instead.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, how)

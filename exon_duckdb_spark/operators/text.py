@@ -16,6 +16,8 @@ from exon_duckdb_spark.operators.hashing import md5_int
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_tokens",
+    "bpe_token_count",
     "text_stats",
     "language_id",
     "doc_fingerprint",
@@ -47,6 +49,25 @@ def token_count(text: Column | str) -> Column:
     """Whitespace token count (BPE-ish proxy: add punctuation splits for
     real corpora)."""
     return F.size(tokens(text))
+
+
+# BPE-style pre-tokenizer: letter runs, digit runs, or single
+# non-alphanumeric marks — the usual first pass before merge rules. Kept to
+# character classes shared by Java regex (Spark) and RE2 (DuckDB) so an SQL
+# oracle reproduces it byte-for-byte.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count from the BPE pre-tokenizer regex — the
+    budget estimator a training pipeline runs over every document
+    (map-only, codegen)."""
+    return F.size(bpe_tokens(text))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

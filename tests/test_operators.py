@@ -106,6 +106,60 @@ def test_sessionize(spark):
     assert sess[(2, t0)] == 1
 
 
+def test_asof_join(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, m(0)), (1, m(10)), (1, m(20)), (2, m(5))], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, m(10), "a"), (1, m(15), "b"), (3, m(0), "c")], ["k", "rt", "v"]
+    )
+    out = ops.asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        right_cols=["v", "rt"])
+    got = {(r["k"], r["t"]): (r["v"], r["rt"]) for r in out.collect()}
+    assert got[(1, m(0))] == (None, None)        # nothing at-or-before
+    assert got[(1, m(10))] == ("a", m(10))       # tie → inclusive match
+    assert got[(1, m(20))] == ("b", m(15))       # latest earlier row
+    assert got[(2, m(5))] == (None, None)        # key absent on right
+
+
+def test_range_join(spark):
+    facts = spark.createDataFrame([(1, 5.0), (2, 10.0), (3, 99.0)], ["id", "value"])
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 100.0)], ["band", "lo", "hi"]
+    )
+    out = {r["id"]: r["band"] for r in ops.range_join(facts, bands, "value").collect()}
+    assert out == {1: "lo", 2: "hi", 3: "hi"}  # [lo, hi) boundary goes up
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame([(1, "don't count-2x fast!")], ["doc_id", "text"])
+    row = df.select(
+        ops.bpe_tokens("text").alias("toks"),
+        ops.bpe_token_count("text").alias("n"),
+        ops.token_count("text").alias("ws"),
+    ).first()
+    assert row["toks"] == ["don", "'", "t", "count", "-", "2", "x", "fast", "!"]
+    assert row["n"] == 9
+    assert row["ws"] == 3
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.0]),   # exact dup of 0
+        (2, [-1.0, -2.0, -3.0, -4.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = [(r["id_a"], r["id_b"]) for r in
+           ops.embedding_dup_pairs(emb, threshold=0.99, planes=4).collect()]
+    assert out == [(0, 1)]
+
+
 def test_doc_fingerprint_deterministic(docs):
     a = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", ops.doc_fingerprint("text").alias("fp")).collect()}
     assert a[1] == a[2]
