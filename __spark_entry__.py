@@ -275,6 +275,38 @@ def q19_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join on part (TPC-H Q14 shape): per-brand revenue.
+    Part is dimension-sized relative to lineitem at every SF → broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q37_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5/Q9 shape: lineitem → supplier → nation, volume per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface (SURVEY §2.3) exercised over the documents table
 # ---------------------------------------------------------------------------
@@ -574,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_bpe_tokens": q33_bpe_tokens,
         "q34_fastq_roundtrip": q34_fastq_roundtrip,
         "q35_range_band_join": q35_range_band_join,
+        "q36_revenue_by_brand": q36_revenue_by_brand,
+        "q37_supplier_nation_volume": q37_supplier_nation_volume,
     }
 
 
@@ -1018,6 +1052,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
+        """,
+        "q36_revenue_by_brand": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(sum(l_quantity) AS BIGINT) AS qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "q37_supplier_nation_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "q28_ngram_jaccard_pairs": """
             WITH g AS (

@@ -43,6 +43,8 @@ HEADLINE = [
     "q32_ann_topk",
     "q33_bpe_tokens",
     "q35_range_band_join",
+    "q36_revenue_by_brand",
+    "q37_supplier_nation_volume",
 ]
 
 

@@ -263,13 +263,16 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH bucket (one shuffle) then
     exact cosine within bucket. See similarity.py for the primitives."""
-    from exon_duckdb_spark.operators.similarity import cosine, hyperplane_bucket
+    from exon_duckdb_spark.operators.similarity import _norm, dot, hyperplane_bucket
 
     keyed = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_n"),  # once per vector, not per pair
     )
     a, bb = keyed.alias("a"), keyed.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(bb, "bucket")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

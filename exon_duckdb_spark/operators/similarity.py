@@ -69,11 +69,20 @@ def cosine_topk(
     query id only).
     Returns (query_id, neighbor_id, cosine_sim, rank), self-matches excluded.
     """
+    # Norms are computed once per vector BEFORE the join — inside the join
+    # each vector's norm would be re-aggregated once per candidate pair
+    # (measured ~3× slowdown; higher-order aggregates run interpreted).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
-    sim = cosine(F.col("query_vec"), F.col("nvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
+    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -132,13 +141,15 @@ def ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
         hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nn"),
     )
-    sim = cosine(F.col("query_vec"), F.col("nvec"))
+    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
