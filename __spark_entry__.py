@@ -559,6 +559,102 @@ def q31_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: file stream → watermarked tumbling-window
+    aggregation → memory sink (complete mode so the finite drain is
+    deterministic). Oracle reproduces the same hourly windows in batch SQL."""
+    import uuid
+
+    from exon_duckdb_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        windowed_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(windowed_counts(stream), name, output_mode="complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+
+
+def q39_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, hash-checked end-to-end: synthesize real PNG/WAV
+    header bytes per document (binary column), run the header parsers in
+    attach_media_metadata (mapInPandas), and emit the extracted fields. The
+    oracle recomputes the planted values arithmetically — so the byte
+    construction AND the parsers must both be right for the hashes to match."""
+    import struct as _struct
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w = did % 100 + 1
+                    h = did % 50 + 1
+                    b = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + b"\x00\x00\x00\x0dIHDR"
+                        + _struct.pack(">II", w, h)
+                        + b"\x08\x06\x00\x00\x00"
+                    )
+                else:
+                    rate = 8000 + (did % 5) * 1000
+                    b = (
+                        b"RIFF"
+                        + _struct.pack("<I", 36)
+                        + b"WAVE"
+                        + b"fmt "
+                        + _struct.pack("<IHH", 16, 1, 1)
+                        + _struct.pack("<I", rate)
+                        + b"\x00" * 8
+                    )
+                blobs.append(b)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.mapInPandas(synth, "doc_id long, content binary")
+    out = ops.multimodal.attach_media_metadata(media, keep_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
+def q40_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WFA-style gap-affine alignment (pandas_udf DP) of each document's
+    DNA-derived prefix against a mutated copy. Not SQL-expressible → no
+    oracle entry (driver records the weaker rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    seq = F.substring(_seq_spark(), 1, 24)
+    d = docs.select(
+        "doc_id",
+        seq.alias("text_seq"),
+        # pattern: the same prefix with its middle 4 bases deleted
+        F.concat(F.substring(seq, 1, 10), F.substring(seq, 15, 10)).alias("pattern_seq"),
+    ).where(F.length("text_seq") >= 24)
+    return d.select(
+        "doc_id",
+        fx.alignment_string_wfa_gap_affine("text_seq", "pattern_seq").alias("cigar"),
+        fx.alignment_score_wfa_gap_affine("text_seq", "pattern_seq").alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -608,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_range_band_join": q35_range_band_join,
         "q36_revenue_by_brand": q36_revenue_by_brand,
         "q37_supplier_nation_volume": q37_supplier_nation_volume,
+        "q38_stream_windowed_counts": q38_stream_windowed_counts,
+        "q39_multimodal_meta": q39_multimodal_meta,
+        "q40_alignment": q40_alignment,
     }
 
 
@@ -1069,6 +1168,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q38_stream_windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "q39_multimodal_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 36 END AS BIGINT) AS size_bytes,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 100 + 1 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 50 + 1 END AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 5) * 1000 END AS INTEGER)
+                     AS sample_rate
+            FROM documents
         """,
         "q28_ngram_jaccard_pairs": """
             WITH g AS (

@@ -11,6 +11,11 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     simhash,
 )
 from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_hash, seeded_hash_sql  # noqa: F401
+from exon_duckdb_spark.operators.multimodal import (  # noqa: F401
+    attach_media_metadata,
+    image_features,
+    sniff_mime,
+)
 from exon_duckdb_spark.operators.relational import (  # noqa: F401
     asof_join,
     range_join,

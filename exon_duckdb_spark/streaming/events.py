@@ -175,13 +175,18 @@ def sessionize_stream(
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drain a stream with availableNow into an in-memory table; returns the
-    batch DataFrame of results (test/inspection helper)."""
+    batch DataFrame of results (test/inspection helper).
+
+    Windowed aggregations should pass ``output_mode="complete"`` for a
+    deterministic drain: in append mode a window only emits once the
+    watermark passes its end, so the trailing windows of a finite input
+    never surface."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
