@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the invariants that matter at scale:
+
+- split-boundary invariance: a split-parallel reader must produce the SAME
+  record set no matter where the byte-range boundaries fall — the classic
+  failure mode of distributed file readers.
+- writer/reader round-trips on arbitrary record content.
+- asof_join equivalence against a brute-force reference implementation.
+
+The reference ships no property tests (SURVEY §5); these go beyond it.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from exon_duckdb_spark import operators as ops
+from exon_duckdb_spark.sources.fasta import read_fasta
+from exon_duckdb_spark.sources.fastq import read_fastq
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ident = st.text(alphabet="abcdefgXYZ0123456789_", min_size=1, max_size=12)
+_seq = st.text(alphabet="ACGT", min_size=0, max_size=80)
+_desc = st.one_of(st.none(), st.text(alphabet="abc def", min_size=1, max_size=20))
+
+
+@st.composite
+def fasta_records(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    recs = []
+    for i in range(n):
+        ident = f"{draw(_ident)}_{i}"  # unique ids keep the comparison a set
+        desc = draw(_desc)
+        seq = draw(_seq)
+        recs.append((ident, desc, seq))
+    return recs
+
+
+def _write_fasta(path, recs, wrap=None):
+    with open(path, "w") as f:
+        for ident, desc, seq in recs:
+            f.write(f">{ident} {desc}\n" if desc else f">{ident}\n")
+            if wrap:
+                for i in range(0, len(seq), wrap):
+                    f.write(seq[i : i + wrap] + "\n")
+            else:
+                f.write(seq + "\n")
+
+
+@settings(**_SETTINGS)
+@given(recs=fasta_records(), split_bytes=st.sampled_from([7, 33, 190, 1 << 20]))
+def test_fasta_split_invariance(spark, tmp_path_factory, recs, split_bytes):
+    """Any split size yields exactly the records written."""
+    p = tmp_path_factory.mktemp("prop") / "t.fasta"
+    _write_fasta(p, recs, wrap=17)
+    got = sorted(
+        tuple(r) for r in read_fasta(spark, str(p), split_bytes=split_bytes).collect()
+    )
+    assert got == sorted(recs)
+
+
+@settings(**_SETTINGS)
+@given(
+    recs=st.lists(
+        st.tuples(_ident, _seq.filter(lambda s: len(s) > 0)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_fastq_roundtrip_property(spark, tmp_path_factory, recs):
+    """Writer → reader round trip preserves arbitrary FASTQ records
+    (quality string derived from the sequence, same length)."""
+    from exon_duckdb_spark.sources.writers import to_fastq
+
+    rows = [(name, None, seq, "I" * len(seq)) for name, seq in recs]
+    df = spark.createDataFrame(
+        rows, "name string, description string, sequence string, quality_scores string"
+    )
+    out = str(tmp_path_factory.mktemp("prop") / "fq")
+    to_fastq(df, out)
+    got = sorted(tuple(r) for r in read_fastq(spark, out).collect())
+    assert got == sorted(rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == 'latest right row with rt <= lt per key' by brute force."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(m)) for i, (k, m) in enumerate(left)], ["lid", "k", "t"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(m), f"v{k}_{m}") for k, m in right],
+        "k bigint, rt timestamp, v string",
+    )
+    out = {
+        r["lid"]: r["v"]
+        for r in ops.asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="rt", right_cols=["v"]
+        ).collect()
+    }
+    for i, (k, m) in enumerate(left):
+        cands = [(rm, f"v{rk}_{rm}") for rk, rm in right if rk == k and rm <= m]
+        expected = max(cands)[1] if cands else None
+        assert out[i] == expected, (i, k, m)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(alphabet="ab cd", min_size=1, max_size=40), min_size=1, max_size=8))
+def test_exact_dedup_partition_invariance(spark, texts):
+    """Duplicate groups are identical no matter how rows are partitioned."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+    df8 = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    a = sorted(tuple(r) for r in ops.exact_dedup(df1).collect())
+    b = sorted(tuple(r) for r in ops.exact_dedup(df8).collect())
+    assert a == b
