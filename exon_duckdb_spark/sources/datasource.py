@@ -118,7 +118,7 @@ def _registry():
 
     return {
         "fasta": (S.FASTA_SCHEMA, "exon_duckdb_spark.sources.fasta:_parse_fasta_split", True),
-        "fastq": (S.FASTQ_SCHEMA, "exon_duckdb_spark.sources.fastq:_parse_fastq_split", False),
+        "fastq": (S.FASTQ_SCHEMA, "exon_duckdb_spark.sources.fastq:_parse_fastq_split", True),
         "genbank": (S.GENBANK_SCHEMA, "exon_duckdb_spark.sources.genbank:_parse_genbank_split", False),
         "mzml": (S.MZML_SCHEMA, "exon_duckdb_spark.sources.mzml:_parse_mzml_split", False),
         "bam": (S.SAM_SCHEMA, "exon_duckdb_spark.sources.bam:_parse_bam_split", False),

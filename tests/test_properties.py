@@ -93,6 +93,39 @@ def test_fastq_roundtrip_property(spark, tmp_path_factory, recs):
 
 @settings(**_SETTINGS)
 @given(
+    recs=st.lists(
+        st.tuples(
+            _ident,
+            st.text(alphabet="ACGT", min_size=4, max_size=40),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda r: r[0],
+    ),
+    split_bytes=st.sampled_from([5, 23, 64, 1 << 20]),
+)
+def test_fastq_split_invariance(spark, tmp_path_factory, recs, split_bytes):
+    """Split-anchored FASTQ parsing is boundary-invariant, even when quality
+    strings begin with '@' or '+' (the framing ambiguity the 4-line
+    heuristic must survive)."""
+    p = tmp_path_factory.mktemp("prop") / "t.fastq"
+    rows = []
+    with open(p, "w") as f:
+        for i, (name, seq) in enumerate(recs):
+            # adversarial qualities: start with '@' or '+', same length as seq
+            lead = "@" if i % 2 == 0 else "+"
+            qual = (lead + "IJKLMNOP" * 6)[: len(seq)]
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+            rows.append((name, None, seq, qual))
+    got = sorted(
+        tuple(r)
+        for r in read_fastq(spark, str(p), split_bytes=split_bytes).collect()
+    )
+    assert got == sorted(rows)
+
+
+@settings(**_SETTINGS)
+@given(
     left=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=12
     ),
