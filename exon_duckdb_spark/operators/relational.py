@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "top_k_per_group", "asof_join", "range_join"]
+__all__ = ["sessionize", "top_k_per_group", "asof_join", "range_join", "salted_join"]
 
 
 def sessionize(
@@ -95,6 +95,32 @@ def asof_join(
     return filled.where(F.col("__is_left") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols], *right_cols
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: salt the big side's key space ``salts``
+    ways and replicate the small side once per salt, so one hot key spreads
+    over ``salts`` shuffle partitions instead of hot-spotting a single task.
+
+    AQE's skew-join split (on in `session.py`) handles most skew
+    adaptively; use this when the skew is known up front, the small side is
+    too big to broadcast, or AQE is unavailable (e.g., streaming joins).
+    The salt is derived from a hash of the full row on the big side —
+    deterministic, no rand() so retries/speculative tasks agree.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
+    big2 = big.withColumn("__salt", salt.cast("int"))
+    small2 = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return big2.join(small2, keys + ["__salt"], how).drop("__salt")
 
 
 def range_join(

@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "read_events_stream",
     "windowed_counts",
+    "stream_dedup",
     "sessionize_stream",
     "SESSION_SCHEMA",
     "run_to_memory_sink",
@@ -73,6 +74,16 @@ def windowed_counts(
             "total_value",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``), so state is
+    bounded — the streaming twin of ``operators.dedup.exact_dedup`` for
+    ingest pipelines that must not admit the same record twice."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 SESSION_SCHEMA = (

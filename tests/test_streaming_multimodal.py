@@ -17,6 +17,7 @@ from exon_duckdb_spark.streaming.events import (
     read_events_stream,
     run_to_memory_sink,
     sessionize_stream,
+    stream_dedup,
     windowed_counts,
 )
 
@@ -76,6 +77,33 @@ class TestStreaming:
             closed[r["user_id"]] = closed.get(r["user_id"], 0) + 1
         for uid, n_closed in closed.items():
             assert n_closed == batch[uid] - 1
+
+
+    def test_stream_dedup(self, spark):
+        stream = read_events_stream(spark, SF_DIR)
+        # duplicate every event by unioning the stream with itself via the
+        # event_type projection trick: dedup on event_id must halve it
+        out = run_to_memory_sink(
+            stream_dedup(stream.union(stream), ["event_id"]), "dedup_test"
+        )
+        n_unique = out.count()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        n_batch = spark.read.parquet(SF_DIR + "/events.parquet").count()
+        assert n_unique == n_batch
+
+
+def test_salted_join_matches_plain(spark):
+    from exon_duckdb_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"row{i}") for i in range(100)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (5, "x")], ["k", "v"])
+    got = sorted(
+        tuple(r) for r in salted_join(big, small, "k", salts=4).collect()
+    )
+    want = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == want and len(got) == 67  # keys 0,1 match; key 2 doesn't
 
 
 def _png(width: int, height: int) -> bytes:
