@@ -655,6 +655,15 @@ def q40_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH pairs → connected components (iterative
+    min-label propagation, one shuffle per round). The oracle recomputes the
+    same components with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.8, shingle=3)
+    return ops.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_stream_windowed_counts": q38_stream_windowed_counts,
         "q39_multimodal_meta": q39_multimodal_meta,
         "q40_alignment": q40_alignment,
+        "q41_dedup_clusters": q41_dedup_clusters,
     }
 
 
@@ -1009,6 +1019,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM sig
         """,
         "q22_minhash_lsh_pairs": _lsh_pairs_oracle(),
+        "q41_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+            )
+            SELECT id AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY id
+        """,
         "q23_simhash": f"""
             WITH wh AS (
               SELECT doc_id,

@@ -2,11 +2,13 @@
 relational helpers. See each module's docstring for the scale design."""
 
 from exon_duckdb_spark.operators.dedup import (  # noqa: F401
+    dedup_clusters,
     embedding_dup_pairs,
     exact_dedup,
     exact_dedup_stats,
     minhash_lsh_pairs,
     minhash_signature,
+    near_dedup_keep_list,
     ngram_jaccard_pairs,
     simhash,
 )

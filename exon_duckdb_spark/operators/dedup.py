@@ -40,6 +40,8 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
+    "dedup_clusters",
+    "near_dedup_keep_list",
 ]
 
 
@@ -167,6 +169,83 @@ def minhash_lsh_pairs(
             F.round(inter / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id) where
+    cluster_id is the minimum doc id reachable from doc_id.
+
+    Iterative min-label propagation: each round joins every node's current
+    label with its neighbors' labels and keeps the minimum (large-star /
+    small-star simplification of Kiveris et al., "Connected Components in
+    MapReduce"). Each round is one shuffle; rounds needed = graph diameter
+    (near-dup clusters are shallow — a handful). Converges when no label
+    changes; ``max_iter`` bounds pathological chains.
+
+    Input: (id_a, id_b) pairs (any extra columns ignored). Output covers
+    only ids that appear in some pair — singletons are their own cluster
+    trivially and never shuffle.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        # materialize once — every iteration joins edges, and without this
+        # each round would recompute the (possibly expensive) pair pipeline
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("id"), F.col("u").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # checkpoint BEFORE the convergence probe: both the probe and the
+        # next round then read the materialized labels instead of
+        # recomputing the join (and lineage stays flat across rounds)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def near_dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents to KEEP after near-dedup: drop every doc whose cluster has a
+    smaller member (the canonical representative survives).
+
+    ``pairs`` is any (id_a, id_b) near-dup relation (minhash_lsh_pairs,
+    ngram_jaccard_pairs, embedding_dup_pairs). Anti-join keyed by id — the
+    corpus shuffles once; cluster state is pairs-sized, not corpus-sized.
+    """
+    clusters = dedup_clusters(pairs)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(
+        drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
     )
 
 

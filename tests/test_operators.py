@@ -160,6 +160,22 @@ def test_embedding_dup_pairs(spark):
     assert out == [(0, 1)]
 
 
+def test_dedup_clusters(spark):
+    # two chains and a singleton pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in ops.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_keep_list(spark):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in ops.near_dedup_keep_list(df, pairs).collect())
+    assert kept == [0, 1, 2, 4]  # 3 and 5 fold into cluster 0
+
+
 def test_doc_fingerprint_deterministic(docs):
     a = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", ops.doc_fingerprint("text").alias("fp")).collect()}
     assert a[1] == a[2]
