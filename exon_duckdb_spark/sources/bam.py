@@ -4,17 +4,29 @@
 Parity: reference ``read_bam_file_records`` / ``bam_query`` (exon crate via
 noodles; same 10 columns as SAM per test_bam_record_scan.test:6-16).
 
-BGZF is a series of gzip members — stdlib gzip decodes the concatenation
-transparently, so no external bio libraries are needed. BAM files are one
-split each (random access needs the BGZF block index; with a .bai the
-planned upgrade is chunk-level splits). ``bam_query`` applies the region
-overlap predicate after the scan — identical semantics to the reference's
-index-backed query (the index only prunes I/O).
+**Byte-splittable.** BGZF is a series of independently-deflated gzip members
+whose compressed size is recorded in a BC extra subfield, so a split can
+align itself mid-file: scan the compressed bytes for the next BGZF block
+header at-or-after the split offset (chain-verified against the following
+block), decompress from there, and resync to the first plausible BAM record
+(field-sanity + two-record chain validation — the Hadoop-BAM/disq recipe).
+A split owns records whose containing block starts in [start, end); the
+last owned record reads past ``end`` until it closes. One 300 GB BAM then
+fans out across the cluster instead of serializing on one task.
+
+Files that are gzip-but-not-BGZF (no BC subfield) can't split; the first
+split detects this and parses the whole stream, others yield nothing.
+
+``bam_query`` applies the region overlap predicate after the scan —
+identical semantics to the reference's index-backed query (the .bai only
+prunes I/O; chunk-level pruning via the index is the planned upgrade).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
+from bisect import bisect_right
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,23 +42,267 @@ _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_CODES = "=ACMGRSVTWYHKDBN"
 _REF_CONSUMING = {0, 2, 3, 7, 8}  # M, D, N, =, X
 
+_BGZF_MAGIC = b"\x1f\x8b\x08\x04"
+DEFAULT_BAM_SPLIT_BYTES = 64 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# BGZF block layer
+# ---------------------------------------------------------------------------
+
+
+def _bgzf_bsize(head: bytes) -> int | None:
+    """Compressed block size if ``head`` begins a BGZF block, else None."""
+    if head[:4] != _BGZF_MAGIC or len(head) < 12:
+        return None
+    xlen = int.from_bytes(head[10:12], "little")
+    if len(head) < 12 + xlen:
+        return None
+    p, endx = 12, 12 + xlen
+    while p + 4 <= endx:
+        si1, si2 = head[p], head[p + 1]
+        slen = int.from_bytes(head[p + 2 : p + 4], "little")
+        if si1 == 66 and si2 == 67 and slen == 2 and p + 6 <= endx:
+            bsize = int.from_bytes(head[p + 4 : p + 6], "little") + 1
+            return bsize if bsize >= 12 + xlen + 8 else None
+        p += 4 + slen
+    return None
+
+
+def _block_at(f, coffset: int, file_size: int) -> int | None:
+    """bsize if a chain-verified BGZF block starts at coffset, else None."""
+    f.seek(coffset)
+    head = f.read(min(4096, file_size - coffset))
+    bsize = _bgzf_bsize(head)
+    if bsize is None or coffset + bsize > file_size:
+        return None
+    if coffset + bsize == file_size:
+        return bsize
+    f.seek(coffset + bsize)
+    nxt = f.read(min(4096, file_size - coffset - bsize))
+    return bsize if _bgzf_bsize(nxt) is not None else None
+
+
+def _find_block(f, start: int, file_size: int) -> int | None:
+    """Compressed offset of the first chain-verified block at-or-after start."""
+    pos = start
+    overlap = len(_BGZF_MAGIC) - 1
+    while pos < file_size:
+        f.seek(pos)
+        window = f.read(min(1 << 20, file_size - pos))
+        i = 0
+        while True:
+            i = window.find(_BGZF_MAGIC, i)
+            if i < 0:
+                break
+            if _block_at(f, pos + i, file_size) is not None:
+                return pos + i
+            i += 1
+        pos += len(window) - overlap
+        if len(window) <= overlap:
+            break
+    return None
+
+
+class _BgzfBuf:
+    """Sequential decompressed view over BGZF blocks from a start offset,
+    tracking which compressed block each decompressed position came from."""
+
+    def __init__(self, f, coffset: int, file_size: int):
+        self.f = f
+        self.file_size = file_size
+        self.next_coffset = coffset
+        self.buf = bytearray()
+        self.base = 0  # absolute decompressed index of buf[0]
+        self.marks: list[int] = []  # abs decompressed start per block
+        self.mark_coffsets: list[int] = []
+        self.eof = False
+
+    def _load_block(self) -> bool:
+        while True:
+            if self.next_coffset >= self.file_size:
+                self.eof = True
+                return False
+            bsize = _block_at(self.f, self.next_coffset, self.file_size)
+            if bsize is None:
+                raise ValueError(
+                    f"corrupt BGZF stream at offset {self.next_coffset}"
+                )
+            self.f.seek(self.next_coffset)
+            raw = self.f.read(bsize)
+            data = zlib.decompress(raw, wbits=31)
+            coffset = self.next_coffset
+            self.next_coffset += bsize
+            if not data:
+                continue  # EOF marker / empty block — keep going
+            self.marks.append(self.base + len(self.buf))
+            self.mark_coffsets.append(coffset)
+            self.buf.extend(data)
+            return True
+
+    def get(self, abs_pos: int, n: int) -> bytes | None:
+        """n bytes at absolute decompressed position, or None past EOF."""
+        while self.base + len(self.buf) < abs_pos + n:
+            if not self._load_block():
+                return None
+        lo = abs_pos - self.base
+        return bytes(self.buf[lo : lo + n])
+
+    def block_coffset_of(self, abs_pos: int) -> int:
+        """Compressed offset of the block containing abs_pos (must be loaded)."""
+        i = bisect_right(self.marks, abs_pos) - 1
+        return self.mark_coffsets[i]
+
+    def drop_before(self, abs_pos: int) -> None:
+        cut = abs_pos - self.base
+        if cut > 1 << 20:
+            keep = bisect_right(self.marks, abs_pos) - 1
+            self.marks = self.marks[keep:]
+            self.mark_coffsets = self.mark_coffsets[keep:]
+            del self.buf[:cut]
+            self.base = abs_pos
+
+
+# ---------------------------------------------------------------------------
+# BAM record layer
+# ---------------------------------------------------------------------------
+
+
+def _read_header(buf: _BgzfBuf) -> tuple[list[str], int]:
+    """Parse the BAM header from decompressed position 0; returns (refs,
+    absolute position of the first alignment record)."""
+    magic = buf.get(0, 4)
+    if magic != b"BAM\x01":
+        raise ValueError(f"not a BAM file (bad magic {magic!r})")
+    (l_text,) = struct.unpack("<i", buf.get(4, 4))
+    pos = 8 + l_text
+    (n_ref,) = struct.unpack("<i", buf.get(pos, 4))
+    pos += 4
+    refs: list[str] = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", buf.get(pos, 4))
+        refs.append(buf.get(pos + 4, l_name)[:-1].decode())
+        pos += 4 + l_name + 4
+    return refs, pos
+
+
+def _plausible_record(buf: _BgzfBuf, pos: int, n_ref: int) -> int | None:
+    """Total on-buffer length (4 + block_size) of a plausible BAM record at
+    pos, or None. Field-sanity checks per the BAM spec."""
+    head = buf.get(pos, 36)
+    if head is None:
+        return None
+    block_size, ref_id, p0, l_read_name, _mapq, _bin, n_cigar, _flag, l_seq, nref, npos = (
+        struct.unpack_from("<iiiBBHHHiii", head, 0)
+    )
+    if not (32 <= block_size <= 64 * 1024 * 1024):
+        return None
+    if not (-1 <= ref_id < n_ref and -1 <= nref < n_ref):
+        return None
+    if not (-1 <= p0 < 2**31 - 1 and -1 <= npos < 2**31 - 1):
+        return None
+    if not (1 <= l_read_name <= 255):
+        return None
+    if l_seq < 0 or n_cigar < 0:
+        return None
+    need = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    if block_size < need:
+        return None
+    name = buf.get(pos + 36, l_read_name)
+    if name is None or name[-1] != 0:
+        return None
+    if any(c < 0x21 or c > 0x7E for c in name[:-1]):
+        return None
+    return 4 + block_size
+
+
+def _resync(buf: _BgzfBuf, start_abs: int, end_coffset: float, n_ref: int) -> int | None:
+    """First absolute position at-or-after start_abs that begins a chain of
+    two plausible records (or one ending at EOF), owned by this split."""
+    pos = start_abs
+    while True:
+        if buf.get(pos, 36) is None:
+            return None
+        if buf.block_coffset_of(pos) >= end_coffset:
+            return None  # past our range — the next split owns it
+        ln = _plausible_record(buf, pos, n_ref)
+        if ln is not None:
+            nxt = _plausible_record(buf, pos + ln, n_ref)
+            at_eof = buf.get(pos + ln, 1) is None
+            if nxt is not None or at_eof:
+                return pos
+        pos += 1
+
 
 def _parse_bam_split(split: FileSplit) -> Iterator[dict]:
-    comp = split.compression or "gzip"  # .bam is BGZF regardless of extension
+    import os
+
+    file_size = os.path.getsize(split.path)
+    end = split.start + split.length
+    with open(split.path, "rb") as f:
+        if _block_at(f, 0, file_size) is None:
+            # gzip-but-not-BGZF: unsplittable; first split takes the stream
+            if split.start == 0:
+                yield from _parse_bam_stream(split)
+            return
+
+        header_buf = _BgzfBuf(f, 0, file_size)
+        refs, first_rec_abs = _read_header(header_buf)
+
+        if split.start == 0:
+            buf, rec_abs = header_buf, first_rec_abs
+        else:
+            anchor = _find_block(f, split.start, file_size)
+            if anchor is None or anchor >= end:
+                return
+            # If the anchor block still holds header bytes, the header parse
+            # knows its exact decompressed position — start the resync right
+            # after the header instead of at the block start, so header text
+            # can't masquerade as a record and the first record in a shared
+            # header/record block isn't orphaned.
+            start_scan = 0
+            header_end_coffset = (
+                header_buf.block_coffset_of(first_rec_abs - 1) if first_rec_abs > 0 else -1
+            )
+            if anchor <= header_end_coffset:
+                if anchor in header_buf.mark_coffsets:
+                    idx = header_buf.mark_coffsets.index(anchor)
+                    start_scan = max(first_rec_abs - header_buf.marks[idx], 0)
+            buf = _BgzfBuf(f, anchor, file_size)
+            rec_abs = _resync(buf, start_scan, end, len(refs))
+            if rec_abs is None:
+                return
+
+        while True:
+            head = buf.get(rec_abs, 4)
+            if head is None:
+                return
+            if buf.block_coffset_of(rec_abs) >= end:
+                return  # next split owns this record
+            (block_size,) = struct.unpack("<i", head)
+            rec = buf.get(rec_abs + 4, block_size)
+            if rec is None:
+                return
+            yield _decode_record(rec, refs)
+            rec_abs += 4 + block_size
+            buf.drop_before(rec_abs)
+
+
+def _parse_bam_stream(split: FileSplit) -> Iterator[dict]:
+    """Sequential whole-stream parse (plain-gzip or uncompressed BAM)."""
+    comp = split.compression or "gzip"
     with open_maybe_compressed(split.path, comp) as f:
         magic = f.read(4)
         if magic != b"BAM\x01":
             raise ValueError(f"{split.path}: not a BAM file (bad magic {magic!r})")
         (l_text,) = struct.unpack("<i", f.read(4))
-        f.read(l_text)  # header text (SAM header)
+        f.read(l_text)
         (n_ref,) = struct.unpack("<i", f.read(4))
         refs: list[str] = []
         for _ in range(n_ref):
             (l_name,) = struct.unpack("<i", f.read(4))
-            name = f.read(l_name)[:-1].decode()
+            refs.append(f.read(l_name)[:-1].decode())
             f.read(4)  # l_ref
-            refs.append(name)
-
         while True:
             head = f.read(4)
             if len(head) < 4:
@@ -116,10 +372,21 @@ def _decode_record(rec: bytes, refs: list[str]) -> dict:
     }
 
 
-def read_bam(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """BAM alignments as the 10-column SAM DataFrame."""
+def read_bam(
+    spark: SparkSession,
+    path: str | list[str],
+    split_bytes: int = DEFAULT_BAM_SPLIT_BYTES,
+) -> DataFrame:
+    """BAM alignments as the 10-column SAM DataFrame (BGZF block-aligned
+    splits; see module docstring)."""
     return make_reader(
-        spark, path, SAM_SCHEMA, _parse_bam_split, compression="none", splittable=False
+        spark,
+        path,
+        SAM_SCHEMA,
+        _parse_bam_split,
+        compression="none",
+        splittable=True,
+        split_bytes=split_bytes,
     )
 
 

@@ -58,6 +58,80 @@ def bam_file(tmp_path_factory):
     return str(p)
 
 
+import zlib
+
+
+def _bgzf_block(data: bytes) -> bytes:
+    """One BGZF block (gzip member with BC/BSIZE extra subfield)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    total = 18 + len(comp) + 8
+    header = (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+        + struct.pack("<H", 6) + b"BC" + struct.pack("<H", 2)
+        + struct.pack("<H", total - 1)
+    )
+    return header + comp + struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+
+
+def _write_bgzf(path, payload: bytes, block_bytes: int) -> None:
+    """payload chopped into BGZF blocks of block_bytes decompressed each —
+    small blocks force records to span block boundaries."""
+    with open(path, "wb") as f:
+        for i in range(0, len(payload), block_bytes):
+            f.write(_bgzf_block(payload[i : i + block_bytes]))
+        f.write(_bgzf_block(b""))  # EOF marker
+
+
+def _bam_payload(n_records: int) -> bytes:
+    header = b"BAM\x01" + struct.pack("<i", 0)
+    header += struct.pack("<i", 2)
+    for rname, rlen in ((b"ref1", 1000), (b"chr1", 2_000_000)):
+        header += struct.pack("<i", len(rname) + 1) + rname + b"\x00"
+        header += struct.pack("<i", rlen)
+    recs = b""
+    for i in range(n_records):
+        seq = "ACGT" * (1 + i % 5)
+        recs += _bam_record(
+            f"read_{i:05d}", i % 4096, i % 2, 100 + i, 60,
+            [(len(seq), 0)], seq, [30] * len(seq),
+        )
+    return header + recs
+
+
+class TestBamBgzfSplits:
+    @pytest.fixture(scope="class")
+    def bgzf_bam(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("bgzf") / "multi.bam"
+        _write_bgzf(p, _bam_payload(200), block_bytes=97)  # records span blocks
+        return str(p)
+
+    def test_whole_file(self, spark, bgzf_bam):
+        rows = read_bam(spark, bgzf_bam).collect()
+        assert len(rows) == 200
+        assert sorted(r["name"] for r in rows) == [f"read_{i:05d}" for i in range(200)]
+
+    def test_header_spanning_blocks(self, spark, tmp_path):
+        """16-byte blocks: the BAM header spans several blocks and shares its
+        last block with the first record — splits must not orphan it."""
+        p = tmp_path / "tiny_blocks.bam"
+        _write_bgzf(p, _bam_payload(50), block_bytes=16)
+        for sb in (48, 64, 149):
+            names = sorted(r["name"] for r in read_bam(spark, str(p), split_bytes=sb).collect())
+            assert names == [f"read_{i:05d}" for i in range(50)], sb
+
+    @pytest.mark.parametrize("split_bytes", [149, 512, 4096])
+    def test_split_invariance(self, spark, bgzf_bam, split_bytes):
+        rows = read_bam(spark, bgzf_bam, split_bytes=split_bytes).collect()
+        got = sorted((r["name"], r["flag"], r["reference"], r["start"]) for r in rows)
+        want = sorted(
+            (r["name"], r["flag"], r["reference"], r["start"])
+            for r in read_bam(spark, bgzf_bam).collect()
+        )
+        assert len(got) == 200
+        assert got == want
+
+
 class TestBam:
     def test_golden_first_record(self, spark, bam_file):
         rows = read_bam(spark, bam_file).orderBy("name").collect()
