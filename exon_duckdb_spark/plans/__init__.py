@@ -30,10 +30,22 @@ def explain_formatted(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Every PushedFilters entry across the plan's scans."""
+    """Every PushedFilters entry across the plan's scans. Splits on commas
+    at paren depth 0 only — filter strings contain commas themselves."""
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[(.*?)\]", explain_formatted(df)):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+        depth, cur = 0, ""
+        for ch in m.group(1):
+            if ch == "," and depth == 0:
+                if cur.strip():
+                    out.append(cur.strip())
+                cur = ""
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
+            cur += ch
+        if cur.strip():
+            out.append(cur.strip())
     return out
 
 
