@@ -372,10 +372,109 @@ def _decode_record(rec: bytes, refs: list[str]) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# BAI index layer (region → compressed-range pruning)
+# ---------------------------------------------------------------------------
+
+
+def _reg2bins(beg: int, end: int) -> list[int]:
+    """Bins overlapping 0-based half-open [beg, end) — binning scheme from
+    the public SAM/BAM spec (section 5.3 pseudo-code)."""
+    end -= 1
+    bins = [0]
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return bins
+
+
+def _read_bai(bai_path: str) -> list[dict[int, list[tuple[int, int]]]]:
+    """Parse a .bai: per reference, {bin → [(voffset_beg, voffset_end)]}."""
+    with open(bai_path, "rb") as f:
+        if f.read(4) != b"BAI\x01":
+            raise ValueError(f"{bai_path}: not a BAI index")
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack("<i", f.read(4))
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack("<Ii", f.read(8))
+                chunks = [
+                    struct.unpack("<QQ", f.read(16)) for _ in range(n_chunk)
+                ]
+                bins[bin_id] = chunks
+            (n_intv,) = struct.unpack("<i", f.read(4))
+            f.read(8 * n_intv)  # linear index (unused — bins bound both ends)
+            refs.append(bins)
+    return refs
+
+
+def _bai_compressed_ranges(
+    bai_path: str, ref_id: int, r_start: int | None, r_end: int | None
+) -> list[tuple[int, int]] | None:
+    """Merged compressed byte ranges that can hold alignments overlapping the
+    1-based inclusive region, or None if the index can't help."""
+    refs = _read_bai(bai_path)
+    if not (0 <= ref_id < len(refs)):
+        return []
+    beg0 = (r_start - 1) if r_start is not None else 0
+    end0 = r_end if r_end is not None else 2**29  # bins cover < 2^29 bp
+    ranges: list[tuple[int, int]] = []
+    bins = refs[ref_id]
+    for b in _reg2bins(beg0, end0):
+        for vbeg, vend in bins.get(b, ()):
+            ranges.append((vbeg >> 16, (vend >> 16) + 1))
+    if not ranges:
+        return []
+    ranges.sort()
+    merged = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def _prune_splits(splits, ranges: list[tuple[int, int]]):
+    """Splits overlapping any compressed range (correctness doesn't depend on
+    this — the exact region filter runs afterward)."""
+    kept = []
+    for s in splits:
+        s_end = s.start + s.length
+        if any(lo < s_end and s.start < hi for lo, hi in ranges):
+            kept.append(s)
+    return kept
+
+
+def _bam_refs(path: str) -> list[str]:
+    """Reference names from the BAM header (driver-side peek)."""
+    import os
+
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if _block_at(f, 0, file_size) is not None:
+            refs, _ = _read_header(_BgzfBuf(f, 0, file_size))
+            return refs
+    with open_maybe_compressed(path, "gzip") as f:
+        if f.read(4) != b"BAM\x01":
+            return []
+        (l_text,) = struct.unpack("<i", f.read(4))
+        f.read(l_text)
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        refs = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", f.read(4))
+            refs.append(f.read(l_name)[:-1].decode())
+            f.read(4)
+        return refs
+
+
 def read_bam(
     spark: SparkSession,
     path: str | list[str],
     split_bytes: int = DEFAULT_BAM_SPLIT_BYTES,
+    _splits=None,
 ) -> DataFrame:
     """BAM alignments as the 10-column SAM DataFrame (BGZF block-aligned
     splits; see module docstring)."""
@@ -387,16 +486,49 @@ def read_bam(
         compression="none",
         splittable=True,
         split_bytes=split_bytes,
+        splits=_splits,
     )
+
+
+def plan_bam_query_splits(
+    path: str, region: str, split_bytes: int = DEFAULT_BAM_SPLIT_BYTES
+):
+    """Splits a BAM region query must scan: all splits, pruned by the .bai
+    index when one sits next to the file (reference: BAI-backed I/O pruning
+    in rust/src/bam_query_reader.rs:63). Exposed for testability."""
+    import os
+
+    from exon_duckdb_spark.sources.splits import plan_splits
+
+    splits = plan_splits(path, "none", splittable=True, split_bytes=split_bytes)
+    bai_path = path + ".bai"
+    if not os.path.exists(bai_path):
+        return splits
+    chrom, r_start, r_end = parse_region(region)
+    refs = _bam_refs(path)
+    if chrom not in refs:
+        return []
+    ranges = _bai_compressed_ranges(bai_path, refs.index(chrom), r_start, r_end)
+    if ranges is None:
+        return splits
+    # header/records can share a block: always keep split 0 readable for refs
+    return _prune_splits(splits, ranges)
 
 
 def bam_query(spark: SparkSession, path: str, region: str) -> DataFrame:
     """Region query over BAM — reference ``bam_query(path, region)``
     (rust/src/bam_query_reader.rs:63): alignments overlapping the 1-based
-    inclusive region."""
+    inclusive region. With a ``.bai`` next to the file, splits outside the
+    indexed chunks are pruned before the scan (I/O-level pruning, same role
+    as the reference's index); the exact overlap filter below keeps
+    semantics index-independent."""
     from pyspark.sql import functions as F
 
-    df = read_bam(spark, path)
+    splits = plan_bam_query_splits(path, region)
+    if not splits:
+        df = read_bam(spark, path).limit(0)
+    else:
+        df = read_bam(spark, path, _splits=splits)
     chrom, r_start, r_end = parse_region(region)
     cond = df.reference == chrom
     if r_start is not None:

@@ -74,15 +74,19 @@ def make_reader(
     compression: str | None = "auto_detect",
     splittable: bool = True,
     split_bytes: int | None = None,
+    splits: list[FileSplit] | None = None,
 ) -> DataFrame:
     """Build a DataFrame from a per-split parser function.
 
     ``parse`` runs on executors; it receives a FileSplit and yields dicts
     keyed by schema column names. Records must be those *starting* in the
-    split (the parser handles boundary scan-ahead itself).
+    split (the parser handles boundary scan-ahead itself). ``splits``
+    overrides the default planning — index-aware callers (bam_query) pass a
+    pruned subset.
     """
-    kwargs = {} if split_bytes is None else {"split_bytes": split_bytes}
-    splits = plan_splits(path, compression, splittable=splittable, **kwargs)
+    if splits is None:
+        kwargs = {} if split_bytes is None else {"split_bytes": split_bytes}
+        splits = plan_splits(path, compression, splittable=splittable, **kwargs)
     sdf = splits_df(spark, splits)
     arrow_schema = _to_arrow_schema(schema)
     names = [f.name for f in schema.fields]

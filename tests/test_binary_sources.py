@@ -132,6 +132,92 @@ class TestBamBgzfSplits:
         assert got == want
 
 
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class TestBamBaiPruning:
+    """bam_query with a .bai: splits outside the region's chunks are pruned,
+    results identical to the index-less scan."""
+
+    N, BLOCK, REF_LEN = 60, 256, 2_000_000
+
+    @pytest.fixture(scope="class")
+    def indexed_bam(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("bai")
+        p = d / "indexed.bam"
+        header = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+        header += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", self.REF_LEN)
+        recs, placements = [], []  # (payload_off, beg0, end0)
+        off = len(header)
+        for i in range(self.N):
+            pos0 = i * 20_000  # one 16kb window each
+            r = _bam_record(f"read_{i:05d}", 0, 0, pos0, 60, [(10, 0)], "ACGTACGTAC", [30] * 10)
+            recs.append(r)
+            placements.append((off, pos0, pos0 + 10))
+            off += len(r)
+        payload = header + b"".join(recs)
+        # write BGZF, recording each block's compressed offset
+        coffsets, cpos = [], 0
+        with open(p, "wb") as f:
+            for i in range(0, len(payload), self.BLOCK):
+                blk = _bgzf_block(payload[i : i + self.BLOCK])
+                coffsets.append(cpos)
+                f.write(blk)
+                cpos += len(blk)
+            f.write(_bgzf_block(b""))
+
+        def voff(payload_off: int) -> int:
+            k = payload_off // self.BLOCK
+            return (coffsets[k] << 16) | (payload_off - k * self.BLOCK)
+
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for j, (po, beg0, end0) in enumerate(placements):
+            nxt = placements[j + 1][0] if j + 1 < len(placements) else len(payload)
+            bins.setdefault(_reg2bin(beg0, end0), []).append((voff(po), voff(nxt)))
+        bai = b"BAI\x01" + struct.pack("<i", 1) + struct.pack("<i", len(bins))
+        for bin_id, chunks in bins.items():
+            bai += struct.pack("<Ii", bin_id, len(chunks))
+            for b, e in chunks:
+                bai += struct.pack("<QQ", b, e)
+        bai += struct.pack("<i", 0)  # empty linear index (parser skips it)
+        (d / "indexed.bam.bai").write_bytes(bai)
+        return str(p)
+
+    def test_pruning_reduces_splits(self, indexed_bam):
+        from exon_duckdb_spark.sources.bam import plan_bam_query_splits
+        from exon_duckdb_spark.sources.splits import plan_splits
+
+        total = plan_splits(indexed_bam, "none", splittable=True, split_bytes=150)
+        pruned = plan_bam_query_splits(indexed_bam, "chr1:100000-120000", split_bytes=150)
+        assert len(total) > 4
+        assert 0 < len(pruned) < len(total) / 2
+
+    def test_query_matches_unindexed(self, spark, indexed_bam, tmp_path):
+        import shutil
+
+        noidx = tmp_path / "noindex.bam"
+        shutil.copy(indexed_bam, noidx)
+        region = "chr1:100000-200000"
+        a = sorted(r["name"] for r in bam_query(spark, indexed_bam, region).collect())
+        b = sorted(r["name"] for r in bam_query(spark, str(noidx), region).collect())
+        assert a == b and len(a) >= 5
+
+    def test_missing_chrom_empty(self, spark, indexed_bam):
+        assert bam_query(spark, indexed_bam, "chrZ").count() == 0
+
+
 class TestBam:
     def test_golden_first_record(self, spark, bam_file):
         rows = read_bam(spark, bam_file).orderBy("name").collect()
