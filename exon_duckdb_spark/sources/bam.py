@@ -17,20 +17,29 @@ fans out across the cluster instead of serializing on one task.
 Files that are gzip-but-not-BGZF (no BC subfield) can't split; the first
 split detects this and parses the whole stream, others yield nothing.
 
-``bam_query`` applies the region overlap predicate after the scan —
-identical semantics to the reference's index-backed query (the .bai only
-prunes I/O; chunk-level pruning via the index is the planned upgrade).
+``bam_query`` prunes splits to the ``.bai`` index's chunk ranges when the
+index exists (I/O-level pruning, the same role it plays in the reference)
+and applies the exact region-overlap predicate after the scan, so results
+never depend on index precision.
 """
 
 from __future__ import annotations
 
 import struct
-import zlib
-from bisect import bisect_right
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from exon_duckdb_spark.sources.bgzf import (
+    BgzfBuf,
+    bgzf_bsize,
+    block_at,
+    find_block,
+    merge_voffset_ranges,
+    prune_splits_to_ranges,
+    read_binning_index,
+    reg2bins,
+)
 from exon_duckdb_spark.sources.reader_core import make_reader
 from exon_duckdb_spark.sources.schemas import SAM_SCHEMA
 from exon_duckdb_spark.sources.splits import FileSplit, open_maybe_compressed
@@ -42,125 +51,13 @@ _CIGAR_OPS = "MIDNSHP=X"
 _SEQ_CODES = "=ACMGRSVTWYHKDBN"
 _REF_CONSUMING = {0, 2, 3, 7, 8}  # M, D, N, =, X
 
-_BGZF_MAGIC = b"\x1f\x8b\x08\x04"
 DEFAULT_BAM_SPLIT_BYTES = 64 * 1024 * 1024
 
-
-# ---------------------------------------------------------------------------
-# BGZF block layer
-# ---------------------------------------------------------------------------
-
-
-def _bgzf_bsize(head: bytes) -> int | None:
-    """Compressed block size if ``head`` begins a BGZF block, else None."""
-    if head[:4] != _BGZF_MAGIC or len(head) < 12:
-        return None
-    xlen = int.from_bytes(head[10:12], "little")
-    if len(head) < 12 + xlen:
-        return None
-    p, endx = 12, 12 + xlen
-    while p + 4 <= endx:
-        si1, si2 = head[p], head[p + 1]
-        slen = int.from_bytes(head[p + 2 : p + 4], "little")
-        if si1 == 66 and si2 == 67 and slen == 2 and p + 6 <= endx:
-            bsize = int.from_bytes(head[p + 4 : p + 6], "little") + 1
-            return bsize if bsize >= 12 + xlen + 8 else None
-        p += 4 + slen
-    return None
-
-
-def _block_at(f, coffset: int, file_size: int) -> int | None:
-    """bsize if a chain-verified BGZF block starts at coffset, else None."""
-    f.seek(coffset)
-    head = f.read(min(4096, file_size - coffset))
-    bsize = _bgzf_bsize(head)
-    if bsize is None or coffset + bsize > file_size:
-        return None
-    if coffset + bsize == file_size:
-        return bsize
-    f.seek(coffset + bsize)
-    nxt = f.read(min(4096, file_size - coffset - bsize))
-    return bsize if _bgzf_bsize(nxt) is not None else None
-
-
-def _find_block(f, start: int, file_size: int) -> int | None:
-    """Compressed offset of the first chain-verified block at-or-after start."""
-    pos = start
-    overlap = len(_BGZF_MAGIC) - 1
-    while pos < file_size:
-        f.seek(pos)
-        window = f.read(min(1 << 20, file_size - pos))
-        i = 0
-        while True:
-            i = window.find(_BGZF_MAGIC, i)
-            if i < 0:
-                break
-            if _block_at(f, pos + i, file_size) is not None:
-                return pos + i
-            i += 1
-        pos += len(window) - overlap
-        if len(window) <= overlap:
-            break
-    return None
-
-
-class _BgzfBuf:
-    """Sequential decompressed view over BGZF blocks from a start offset,
-    tracking which compressed block each decompressed position came from."""
-
-    def __init__(self, f, coffset: int, file_size: int):
-        self.f = f
-        self.file_size = file_size
-        self.next_coffset = coffset
-        self.buf = bytearray()
-        self.base = 0  # absolute decompressed index of buf[0]
-        self.marks: list[int] = []  # abs decompressed start per block
-        self.mark_coffsets: list[int] = []
-        self.eof = False
-
-    def _load_block(self) -> bool:
-        while True:
-            if self.next_coffset >= self.file_size:
-                self.eof = True
-                return False
-            bsize = _block_at(self.f, self.next_coffset, self.file_size)
-            if bsize is None:
-                raise ValueError(
-                    f"corrupt BGZF stream at offset {self.next_coffset}"
-                )
-            self.f.seek(self.next_coffset)
-            raw = self.f.read(bsize)
-            data = zlib.decompress(raw, wbits=31)
-            coffset = self.next_coffset
-            self.next_coffset += bsize
-            if not data:
-                continue  # EOF marker / empty block — keep going
-            self.marks.append(self.base + len(self.buf))
-            self.mark_coffsets.append(coffset)
-            self.buf.extend(data)
-            return True
-
-    def get(self, abs_pos: int, n: int) -> bytes | None:
-        """n bytes at absolute decompressed position, or None past EOF."""
-        while self.base + len(self.buf) < abs_pos + n:
-            if not self._load_block():
-                return None
-        lo = abs_pos - self.base
-        return bytes(self.buf[lo : lo + n])
-
-    def block_coffset_of(self, abs_pos: int) -> int:
-        """Compressed offset of the block containing abs_pos (must be loaded)."""
-        i = bisect_right(self.marks, abs_pos) - 1
-        return self.mark_coffsets[i]
-
-    def drop_before(self, abs_pos: int) -> None:
-        cut = abs_pos - self.base
-        if cut > 1 << 20:
-            keep = bisect_right(self.marks, abs_pos) - 1
-            self.marks = self.marks[keep:]
-            self.mark_coffsets = self.mark_coffsets[keep:]
-            del self.buf[:cut]
-            self.base = abs_pos
+# BGZF block machinery shared with other BGZF formats (bgzf.py)
+_bgzf_bsize = bgzf_bsize
+_block_at = block_at
+_find_block = find_block
+_BgzfBuf = BgzfBuf
 
 
 # ---------------------------------------------------------------------------
@@ -377,36 +274,13 @@ def _decode_record(rec: bytes, refs: list[str]) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _reg2bins(beg: int, end: int) -> list[int]:
-    """Bins overlapping 0-based half-open [beg, end) — binning scheme from
-    the public SAM/BAM spec (section 5.3 pseudo-code)."""
-    end -= 1
-    bins = [0]
-    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
-        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
-    return bins
-
-
 def _read_bai(bai_path: str) -> list[dict[int, list[tuple[int, int]]]]:
     """Parse a .bai: per reference, {bin → [(voffset_beg, voffset_end)]}."""
     with open(bai_path, "rb") as f:
         if f.read(4) != b"BAI\x01":
             raise ValueError(f"{bai_path}: not a BAI index")
         (n_ref,) = struct.unpack("<i", f.read(4))
-        refs = []
-        for _ in range(n_ref):
-            (n_bin,) = struct.unpack("<i", f.read(4))
-            bins: dict[int, list[tuple[int, int]]] = {}
-            for _ in range(n_bin):
-                bin_id, n_chunk = struct.unpack("<Ii", f.read(8))
-                chunks = [
-                    struct.unpack("<QQ", f.read(16)) for _ in range(n_chunk)
-                ]
-                bins[bin_id] = chunks
-            (n_intv,) = struct.unpack("<i", f.read(4))
-            f.read(8 * n_intv)  # linear index (unused — bins bound both ends)
-            refs.append(bins)
-    return refs
+        return read_binning_index(f, n_ref)
 
 
 def _bai_compressed_ranges(
@@ -419,32 +293,11 @@ def _bai_compressed_ranges(
         return []
     beg0 = (r_start - 1) if r_start is not None else 0
     end0 = r_end if r_end is not None else 2**29  # bins cover < 2^29 bp
-    ranges: list[tuple[int, int]] = []
+    chunks: list[tuple[int, int]] = []
     bins = refs[ref_id]
-    for b in _reg2bins(beg0, end0):
-        for vbeg, vend in bins.get(b, ()):
-            ranges.append((vbeg >> 16, (vend >> 16) + 1))
-    if not ranges:
-        return []
-    ranges.sort()
-    merged = [list(ranges[0])]
-    for lo, hi in ranges[1:]:
-        if lo <= merged[-1][1]:
-            merged[-1][1] = max(merged[-1][1], hi)
-        else:
-            merged.append([lo, hi])
-    return [(lo, hi) for lo, hi in merged]
-
-
-def _prune_splits(splits, ranges: list[tuple[int, int]]):
-    """Splits overlapping any compressed range (correctness doesn't depend on
-    this — the exact region filter runs afterward)."""
-    kept = []
-    for s in splits:
-        s_end = s.start + s.length
-        if any(lo < s_end and s.start < hi for lo, hi in ranges):
-            kept.append(s)
-    return kept
+    for b in reg2bins(beg0, end0):
+        chunks.extend(bins.get(b, ()))
+    return merge_voffset_ranges(chunks)
 
 
 def _bam_refs(path: str) -> list[str]:
@@ -511,8 +364,7 @@ def plan_bam_query_splits(
     ranges = _bai_compressed_ranges(bai_path, refs.index(chrom), r_start, r_end)
     if ranges is None:
         return splits
-    # header/records can share a block: always keep split 0 readable for refs
-    return _prune_splits(splits, ranges)
+    return prune_splits_to_ranges(splits, ranges)
 
 
 def bam_query(spark: SparkSession, path: str, region: str) -> DataFrame:

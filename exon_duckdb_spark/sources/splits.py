@@ -105,7 +105,7 @@ def splits_df(spark: SparkSession, splits: list[FileSplit]) -> DataFrame:
         [(s.path, s.start, s.length, s.compression) for s in splits],
         "path string, start long, length long, compression string",
     )
-    return df.repartition(len(splits))
+    return df.repartition(max(len(splits), 1))
 
 
 def open_maybe_compressed(path: str, compression: str | None):

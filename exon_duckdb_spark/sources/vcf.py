@@ -74,11 +74,33 @@ def _info_col(info: Column, f: InfoField) -> Column:
     return F.transform(F.split(raw, ","), lambda v: v.cast(st))
 
 
-def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+def _vcf_lines(spark: SparkSession, path: str, splits=None) -> DataFrame:
+    """DataFrame[value: string] of the file's lines.
+
+    bgzip'd files (BGZF — what tabix-indexed pipelines produce) go through
+    the block-aligned split reader so one big .vcf.gz fans out across the
+    cluster (plain gzip would be one unsplittable stream); everything else
+    uses Spark's native text scan. ``splits`` carries an index-pruned
+    subset (vcf_query)."""
+    from exon_duckdb_spark.sources.bgzf import is_bgzf, parse_bgzf_lines_split
+    from exon_duckdb_spark.sources.reader_core import make_reader
+    from pyspark.sql import types as T
+
+    files = expand_paths(path)
+    if splits is not None or all(is_bgzf(f0) for f0 in files):
+        schema = T.StructType([T.StructField("value", T.StringType())])
+        return make_reader(
+            spark, path, schema, parse_bgzf_lines_split,
+            compression="none", splittable=True, splits=splits,
+        )
+    return spark.read.text(path)
+
+
+def read_vcf(spark: SparkSession, path: str, _splits=None) -> DataFrame:
     """VCF records: (chrom, pos, id, ref, alt, qual, filter, info, formats,
     genotypes) with info struct fields from the ##INFO header."""
     info_fields = _peek_info_fields(path)
-    lines = spark.read.text(path).where(~F.col("value").startswith("#"))
+    lines = _vcf_lines(spark, path, _splits).where(~F.col("value").startswith("#"))
     p = F.split(F.col("value"), "\t")
     dot_null = lambda c: F.when(c == ".", F.lit(None)).otherwise(c)  # noqa: E731
     info_raw = p.getItem(7)
@@ -129,12 +151,72 @@ def region_filter(chrom_col: Column, start_col: Column, end_col: Column, region:
     return cond
 
 
-def vcf_query(spark: SparkSession, path: str, region: str) -> DataFrame:
-    """Region query over VCF — reference ``vcf_query(path, region)``.
+def _read_tbi(tbi_path: str) -> tuple[list[str], list[dict[int, list[tuple[int, int]]]]]:
+    """Parse a tabix index (.tbi): (sequence names, per-ref {bin → chunks}).
 
-    A VCF record covers pos..pos+len(ref)-1; the reference's tabix query
-    returns records overlapping the region.
+    Same binning layout as BAI (SAM spec §5.3 / tabix paper); the .tbi
+    container is itself BGZF, which stdlib gzip reads transparently.
     """
-    df = read_vcf(spark, path)
+    import gzip as _gz
+    import struct as _struct
+
+    from exon_duckdb_spark.sources.bgzf import read_binning_index
+
+    with _gz.open(tbi_path, "rb") as f:
+        if f.read(4) != b"TBI\x01":
+            raise ValueError(f"{tbi_path}: not a tabix index")
+        n_ref, _fmt, _seq, _beg, _end, _meta, _skip, l_nm = _struct.unpack(
+            "<8i", f.read(32)
+        )
+        names = f.read(l_nm).rstrip(b"\x00").split(b"\x00")
+        return [n.decode() for n in names], read_binning_index(f, n_ref)
+
+
+def plan_vcf_query_splits(path: str, region: str, split_bytes: int | None = None):
+    """Splits a VCF region query must scan: pruned to the .tbi chunk ranges
+    when an index sits next to a bgzip'd file, else all splits (or None to
+    signal 'use the default text scan'). Exposed for testability."""
+    import os
+
+    from exon_duckdb_spark.sources.bgzf import (
+        is_bgzf,
+        merge_voffset_ranges,
+        prune_splits_to_ranges,
+        reg2bins,
+    )
+    from exon_duckdb_spark.sources.splits import plan_splits
+
+    tbi_path = path + ".tbi"
+    if not (os.path.isfile(path) and os.path.exists(tbi_path) and is_bgzf(path)):
+        return None
+    kwargs = {} if split_bytes is None else {"split_bytes": split_bytes}
+    splits = plan_splits(path, "none", splittable=True, **kwargs)
+    names, refs = _read_tbi(tbi_path)
+    chrom, r_start, r_end = parse_region(region)
+    if chrom not in names:
+        return []
+    bins = refs[names.index(chrom)]
+    beg0 = (r_start - 1) if r_start is not None else 0
+    end0 = r_end if r_end is not None else 2**29
+    chunks: list[tuple[int, int]] = []
+    for b in reg2bins(beg0, end0):
+        chunks.extend(bins.get(b, ()))
+    return prune_splits_to_ranges(splits, merge_voffset_ranges(chunks))
+
+
+def vcf_query(spark: SparkSession, path: str, region: str) -> DataFrame:
+    """Region query over VCF — reference ``vcf_query(path, region)``
+    (rust/src/vcf_query_reader.rs:31-86).
+
+    A VCF record covers pos..pos+len(ref)-1; the tabix query returns records
+    overlapping the region. With a ``.tbi`` next to a bgzip'd file, splits
+    outside the indexed chunks are pruned before the scan; the exact overlap
+    filter keeps semantics index-independent.
+    """
+    splits = plan_vcf_query_splits(path, region)
+    if splits == []:
+        df = read_vcf(spark, path).limit(0)
+    else:
+        df = read_vcf(spark, path, _splits=splits)
     end = df.pos + F.length(df.ref) - 1
     return df.where(region_filter(df.chrom, df.pos, end, region))
