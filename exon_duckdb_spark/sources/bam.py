@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from exon_duckdb_spark.sources.bgzf import (
     BgzfBuf,
-    bgzf_bsize,
     block_at,
     find_block,
     merge_voffset_ranges,
@@ -54,7 +53,6 @@ _REF_CONSUMING = {0, 2, 3, 7, 8}  # M, D, N, =, X
 DEFAULT_BAM_SPLIT_BYTES = 64 * 1024 * 1024
 
 # BGZF block machinery shared with other BGZF formats (bgzf.py)
-_bgzf_bsize = bgzf_bsize
 _block_at = block_at
 _find_block = find_block
 _BgzfBuf = BgzfBuf
