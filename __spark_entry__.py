@@ -664,6 +664,52 @@ def q41_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.dedup_clusters(pairs)
 
 
+def q42_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH pairs → clusters → anti-join keep-list.
+    Returns the surviving documents' ids + langs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.8, shingle=3)
+    kept = ops.near_dedup_keep_list(docs, pairs)
+    return kept.select("doc_id", "lang")
+
+
+def q43_gff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFF writer → reader round trip (distributed text sink, native csv
+    scan, attribute-map re-serialization), hash-checked from documents."""
+    import hashlib as _hl
+
+    from exon_duckdb_spark.sources.tsv import read_gff
+    from exon_duckdb_spark.sources.writers import to_gff
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        F.concat(F.lit("sq"), (F.col("doc_id") % 10).cast("string")).alias("seqname"),
+        F.col("source"),
+        F.lit("gene").alias("type"),
+        (F.col("doc_id") + 1).alias("start"),
+        (F.col("doc_id") + 1 + F.col("n_chars")).alias("end"),
+        F.round(F.col("n_chars") / 1000.0, 2).cast("float").alias("score"),
+        F.lit("+").alias("strand"),
+        F.lit(None).cast("string").alias("phase"),
+        F.map_from_arrays(
+            F.array(F.lit("doc_id"), F.lit("lang")),
+            F.array(F.array(F.col("doc_id").cast("string")), F.array(F.col("lang"))),
+        ).alias("attributes"),
+    )
+    out = f"/tmp/spark_graft_scratch/gff_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    to_gff(d, out)
+    rg = read_gff(spark, out)
+    return rg.select(
+        F.element_at(F.col("attributes")["doc_id"], 1).cast("bigint").alias("doc_id"),
+        "seqname",
+        "start",
+        "end",
+        F.round(F.col("score").cast("double"), 2).alias("score"),
+        F.element_at(F.col("attributes")["lang"], 1).alias("lang"),
+        F.col("phase").isNull().alias("phase_is_null"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -717,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_multimodal_meta": q39_multimodal_meta,
         "q40_alignment": q40_alignment,
         "q41_dedup_clusters": q41_dedup_clusters,
+        "q42_near_dedup_keep": q42_near_dedup_keep,
+        "q43_gff_roundtrip": q43_gff_roundtrip,
     }
 
 
@@ -1033,6 +1081,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(label) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "q42_near_dedup_keep": f"""
+            WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, label) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+            ),
+            dropped AS (
+              SELECT id FROM (SELECT id, min(label) AS m FROM reach GROUP BY id)
+              WHERE id != m
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
+        """,
+        "q43_gff_roundtrip": """
+            SELECT doc_id,
+                   concat('sq', CAST(doc_id % 10 AS VARCHAR)) AS seqname,
+                   doc_id + 1 AS start,
+                   doc_id + 1 + n_chars AS "end",
+                   round(CAST(CAST(round(n_chars / 1000.0, 2) AS FLOAT) AS DOUBLE), 2)
+                     AS score,
+                   lang,
+                   CAST(TRUE AS BOOLEAN) AS phase_is_null
+            FROM documents
         """,
         "q23_simhash": f"""
             WITH wh AS (

@@ -26,7 +26,10 @@ def gff_parse_attributes(attrs: Column | str) -> Column:
     """
     a = _as_col(attrs)
     cleaned = F.regexp_replace(F.trim(a), ";$", "")
-    parts = F.transform(F.split(cleaned, ";"), F.trim)
+    # NB: the lambda wrapper is load-bearing — a bare F.trim accepts a
+    # second (trimString) argument, so transform would call it as
+    # trim(element, index) and strip the part's index digit off its ends.
+    parts = F.transform(F.split(cleaned, ";"), lambda p: F.trim(p))
     all_kv = F.forall(parts, lambda p: p.rlike("^[^=]+=[^=]*$"))
     parsed = F.map_from_entries(
         F.transform(
@@ -53,7 +56,9 @@ def gff_attributes_to_map(attrs: Column | str) -> Column:
     """
     a = _as_col(attrs)
     cleaned = F.regexp_replace(F.trim(a), ";$", "")
-    parts = F.filter(F.transform(F.split(cleaned, ";"), F.trim), lambda p: p != "")
+    parts = F.filter(
+        F.transform(F.split(cleaned, ";"), lambda p: F.trim(p)), lambda p: p != ""
+    )
     parsed = F.map_from_entries(
         F.transform(
             parts,

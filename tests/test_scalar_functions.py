@@ -79,6 +79,17 @@ class TestFastqGff:
         with pytest.raises(Exception, match="invalid attribute"):
             seq_vals(spark, fx.gff_parse_attributes, ["ID"])
 
+    def test_gff_attributes_index_digit_values(self, spark):
+        """Regression: values whose edge chars equal their part index (0, 10,
+        '1x') must survive — a bare F.trim in transform received the index
+        as a trim-character set and stripped them."""
+        vals = seq_vals(spark, fx.gff_parse_attributes, ["a=0;b=1x1;c=2"])
+        assert vals == [{"a": "0", "b": "1x1", "c": "2"}]
+        from exon_duckdb_spark.functions.gff import gff_attributes_to_map
+
+        vals = seq_vals(spark, gff_attributes_to_map, ["doc_id=0;lang=1n;x=22"])
+        assert vals == [{"doc_id": ["0"], "lang": ["1n"], "x": ["22"]}]
+
     def test_gtf_attributes_to_map(self, spark):
         vals = seq_vals(spark, fx.gtf_attributes_to_map, ['gene_id "g1"; transcript_id "t1";'])
         assert vals == [{"gene_id": ["g1"], "transcript_id": ["t1"]}]
