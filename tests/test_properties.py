@@ -162,6 +162,40 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert out[i] == expected, (i, k, m)
 
 
+_attr_val = st.text(
+    alphabet="abcXYZ0123456789._-", min_size=0, max_size=12
+)
+_attr_key = st.text(alphabet="abcdefgh_0123456789", min_size=1, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(
+    attrs=st.lists(
+        st.tuples(_attr_key, st.lists(_attr_val, min_size=1, max_size=3)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda kv: kv[0],
+    )
+)
+def test_gff_attributes_roundtrip_property(spark, attrs):
+    """serialize(k=v1,v2;…) → gff_attributes_to_map == original, for
+    arbitrary keys/values including digit-edged values (regression class:
+    bare F.trim in transform stripped part-index digits)."""
+    from pyspark.sql import functions as F
+
+    from exon_duckdb_spark.functions.gff import gff_attributes_to_map
+
+    serialized = ";".join(f"{k}={','.join(vs)}" for k, vs in attrs)
+    got = (
+        spark.createDataFrame([(serialized,)], ["a"])
+        .select(gff_attributes_to_map(F.col("a")).alias("m"))
+        .first()["m"]
+    )
+    # values containing ',' can't round-trip (the multi-value separator);
+    # strategy alphabet excludes it, so compare exactly
+    assert got == {k: vs for k, vs in attrs}
+
+
 @settings(**_SETTINGS)
 @given(texts=st.lists(st.text(alphabet="ab cd", min_size=1, max_size=40), min_size=1, max_size=8))
 def test_exact_dedup_partition_invariance(spark, texts):
