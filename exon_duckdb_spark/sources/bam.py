@@ -122,9 +122,11 @@ def _resync(buf: _BgzfBuf, start_abs: int, end_coffset: float, n_ref: int) -> in
             return None  # past our range — the next split owns it
         ln = _plausible_record(buf, pos, n_ref)
         if ln is not None:
-            nxt = _plausible_record(buf, pos + ln, n_ref)
-            at_eof = buf.get(pos + ln, 1) is None
-            if nxt is not None or at_eof:
+            if _plausible_record(buf, pos + ln, n_ref) is not None:
+                return pos
+            # chain broken: accept only a candidate ending EXACTLY at EOF —
+            # a garbage length merely overshooting the file must not win
+            if buf.get(pos + ln, 1) is None and pos + ln == buf.end_abs():
                 return pos
         pos += 1
 

@@ -3,9 +3,16 @@
 Parity target: reference ``read_bcf_file_records`` / ``bcf_query`` — same
 output schema as the VCF reader (test_vcf_record_scan.test:22-31).
 
-Implementation: BGZF (stdlib gzip) → BCF2 header text (reuses the VCF INFO
-header machinery) → binary records decoded with the spec's typed-value
-encoding. The INFO struct is header-driven exactly like VCF.
+Implementation: BGZF → BCF2 header text (reuses the VCF INFO header
+machinery) → binary records decoded with the spec's typed-value encoding.
+The INFO struct is header-driven exactly like VCF.
+
+**Byte-splittable** like BAM (sources/bgzf.py): splits align to
+chain-verified BGZF blocks and resync on a validated chain of BCF records
+(l_shared/l_indiv bounds, contig id in range, sane pos/rlen/counts). A
+split owns records whose containing block starts in [start, end).
+``bcf_query`` prunes splits to the ``.csi`` index's chunk ranges when the
+index exists, with the exact region filter applied after.
 """
 
 from __future__ import annotations
@@ -19,9 +26,7 @@ from exon_duckdb_spark.sources.splits import FileSplit, open_maybe_compressed
 
 __all__ = ["read_bcf", "bcf_query"]
 
-
-def _read_bcf_records(split: FileSplit) -> Iterator[dict]:
-    raise NotImplementedError  # replaced below; kept for API symmetry
+DEFAULT_BCF_SPLIT_BYTES = 64 * 1024 * 1024
 
 
 def _decode_typed(buf: bytes, off: int):
@@ -64,8 +69,8 @@ def _decode_typed(buf: bytes, off: int):
     return list(vals), off
 
 
-def _parse_bcf_split(split: FileSplit, info_meta: dict[int, tuple[str, str, str]],
-                     contigs: list[str]) -> Iterator[dict]:
+def _parse_bcf_stream(split: FileSplit, info_meta, contigs) -> Iterator[dict]:
+    """Sequential whole-stream parse (plain-gzip BCF)."""
     with open_maybe_compressed(split.path, "gzip") as f:
         magic = f.read(5)
         if magic != b"BCF\x02\x02" and not magic.startswith(b"BCF"):
@@ -80,6 +85,107 @@ def _parse_bcf_split(split: FileSplit, info_meta: dict[int, tuple[str, str, str]
             shared = f.read(l_shared)
             f.read(l_indiv)  # FORMAT/genotype block — exposed as raw count only
             yield _decode_site(shared, info_meta, contigs)
+
+
+def _plausible_bcf_record(buf, pos: int, n_contigs: int) -> int | None:
+    """Total length of a plausible BCF record at decompressed pos, or None.
+    Field-sanity checks per the BCF2 spec."""
+    head = buf.get(pos, 32)
+    if head is None:
+        return None
+    l_shared, l_indiv = struct.unpack_from("<II", head, 0)
+    if not (24 <= l_shared <= 1 << 22) or l_indiv > 1 << 22:
+        return None
+    rid, p0, rlen = struct.unpack_from("<iii", head, 8)
+    if not (0 <= rid < n_contigs):
+        return None
+    if not (-1 <= p0 < 2**31 - 2) or not (0 <= rlen < 2**29):
+        return None
+    n_allele_info = struct.unpack_from("<I", head, 24)[0]
+    n_allele, n_info = n_allele_info >> 16, n_allele_info & 0xFFFF
+    if n_allele > 1000 or n_info > 5000:
+        return None
+    n_fmt_sample = struct.unpack_from("<I", head, 28)[0]
+    if (n_fmt_sample >> 24) > 100:  # n_fmt
+        return None
+    return 8 + l_shared + l_indiv
+
+
+def _resync_bcf(buf, start_abs: int, end_coffset: float, n_contigs: int) -> int | None:
+    """First position at-or-after start_abs beginning a chain of two
+    plausible records (or one ending at EOF), owned by this split."""
+    pos = start_abs
+    while True:
+        if buf.get(pos, 32) is None:
+            return None
+        if buf.block_coffset_of(pos) >= end_coffset:
+            return None
+        ln = _plausible_bcf_record(buf, pos, n_contigs)
+        if ln is not None:
+            if _plausible_bcf_record(buf, pos + ln, n_contigs) is not None:
+                return pos
+            # chain broken: only accept if the candidate ends EXACTLY at
+            # EOF — a garbage length that merely overshoots the file must
+            # not win (it would swallow the real records behind it)
+            if buf.get(pos + ln, 1) is None and pos + ln == buf.end_abs():
+                return pos
+        pos += 1
+
+
+def _parse_bcf_split(split: FileSplit, info_meta: dict[int, tuple[str, str, str]],
+                     contigs: list[str]) -> Iterator[dict]:
+    import os
+
+    from exon_duckdb_spark.sources.bgzf import BgzfBuf, block_at, find_block
+
+    file_size = os.path.getsize(split.path)
+    end = split.start + split.length
+    with open(split.path, "rb") as f:
+        if block_at(f, 0, file_size) is None:
+            if split.start == 0:
+                yield from _parse_bcf_stream(split, info_meta, contigs)
+            return
+
+        header_buf = BgzfBuf(f, 0, file_size)
+        magic = header_buf.get(0, 5)
+        if magic is None or not magic.startswith(b"BCF"):
+            raise ValueError(f"{split.path}: not a BCF file")
+        (l_text,) = struct.unpack("<I", header_buf.get(5, 4))
+        first_rec_abs = 9 + l_text
+
+        if split.start == 0:
+            buf, rec_abs = header_buf, first_rec_abs
+        else:
+            anchor = find_block(f, split.start, file_size)
+            if anchor is None or anchor >= end:
+                return
+            # same header-block handling as BAM: if the anchor block still
+            # holds header text, seed the scan right after the header
+            start_scan = 0
+            header_end_coffset = (
+                header_buf.block_coffset_of(first_rec_abs - 1) if first_rec_abs > 0 else -1
+            )
+            if anchor <= header_end_coffset and anchor in header_buf.mark_coffsets:
+                idx = header_buf.mark_coffsets.index(anchor)
+                start_scan = max(first_rec_abs - header_buf.marks[idx], 0)
+            buf = BgzfBuf(f, anchor, file_size)
+            rec_abs = _resync_bcf(buf, start_scan, end, len(contigs))
+            if rec_abs is None:
+                return
+
+        while True:
+            head = buf.get(rec_abs, 8)
+            if head is None:
+                return
+            if buf.block_coffset_of(rec_abs) >= end:
+                return  # next split owns this record
+            l_shared, l_indiv = struct.unpack("<II", head)
+            shared = buf.get(rec_abs + 8, l_shared)
+            if shared is None:
+                return
+            yield _decode_site(shared, info_meta, contigs)
+            rec_abs += 8 + l_shared + l_indiv
+            buf.drop_before(rec_abs)
 
 
 def _decode_site(buf: bytes, info_meta, contigs) -> dict:
@@ -126,10 +232,15 @@ def _decode_site(buf: bytes, info_meta, contigs) -> dict:
     }
 
 
-def read_bcf(spark: SparkSession, path: str) -> DataFrame:
+def read_bcf(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = DEFAULT_BCF_SPLIT_BYTES,
+    _splits=None,
+) -> DataFrame:
     """BCF records with header-driven INFO struct (same shape as read_vcf,
     minus per-sample genotype decoding, which the reference goldens never
-    exercise)."""
+    exercise). BGZF block-aligned splits; see module docstring."""
     import gzip as _gzip
     import re as _re
 
@@ -211,15 +322,113 @@ def read_bcf(spark: SparkSession, path: str) -> DataFrame:
             return str(v)
         return v
 
-    return make_reader(spark, path, schema, parse, compression="none", splittable=False)
+    return make_reader(
+        spark, path, schema, parse, compression="none", splittable=True,
+        split_bytes=split_bytes, splits=_splits,
+    )
+
+
+def _read_csi(csi_path: str) -> tuple[int, int, list[dict[int, list[tuple[int, int]]]]]:
+    """Parse a .csi index: (min_shift, depth, per-ref {bin → chunks}).
+
+    CSI generalizes BAI's binning (configurable min_shift/depth, an extra
+    loffset per bin); the container is BGZF, readable by stdlib gzip.
+    """
+    import gzip as _gz
+
+    with _gz.open(csi_path, "rb") as f:
+        if f.read(4) != b"CSI\x01":
+            raise ValueError(f"{csi_path}: not a CSI index")
+        min_shift, depth, l_aux = struct.unpack("<3i", f.read(12))
+        f.read(l_aux)
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack("<i", f.read(4))
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, _loffset, n_chunk = struct.unpack("<IQi", f.read(16))
+                bins[bin_id] = [
+                    struct.unpack("<QQ", f.read(16)) for _ in range(n_chunk)
+                ]
+            refs.append(bins)
+        return min_shift, depth, refs
+
+
+def _csi_reg2bins(beg: int, end: int, min_shift: int, depth: int) -> list[int]:
+    """CSI binning pseudo-code (hts-specs csi.tex), [beg, end) 0-based."""
+    bins = []
+    s = min_shift + depth * 3
+    t = 0
+    for level in range(depth + 1):
+        bins.extend(range(t + (beg >> s), t + ((end - 1) >> s) + 1))
+        t += 1 << (level * 3)
+        s -= 3
+    return bins
+
+
+def plan_bcf_query_splits(
+    path: str, region: str, split_bytes: int = DEFAULT_BCF_SPLIT_BYTES
+):
+    """Splits a BCF region query must scan, pruned by the .csi when present.
+    Exposed for testability."""
+    import os
+
+    from exon_duckdb_spark.sources.bgzf import (
+        is_bgzf,
+        merge_voffset_ranges,
+        prune_splits_to_ranges,
+    )
+    from exon_duckdb_spark.sources.splits import plan_splits
+    from exon_duckdb_spark.sources.vcf import parse_region
+
+    splits = plan_splits(path, "none", splittable=True, split_bytes=split_bytes)
+    csi_path = path + ".csi"
+    if not (os.path.exists(csi_path) and is_bgzf(path)):
+        return splits
+    contigs = _bcf_contigs(path)
+    chrom, r_start, r_end = parse_region(region)
+    if chrom not in contigs:
+        return []
+    min_shift, depth, refs = _read_csi(csi_path)
+    rid = contigs.index(chrom)
+    if not (0 <= rid < len(refs)):
+        return []
+    beg0 = (r_start - 1) if r_start is not None else 0
+    end0 = r_end if r_end is not None else 1 << (min_shift + depth * 3)
+    chunks: list[tuple[int, int]] = []
+    bins = refs[rid]
+    for b in _csi_reg2bins(beg0, end0, min_shift, depth):
+        chunks.extend(bins.get(b, ()))
+    return prune_splits_to_ranges(splits, merge_voffset_ranges(chunks))
+
+
+def _bcf_contigs(path: str) -> list[str]:
+    """Contig names from the BCF header (driver-side peek)."""
+    import gzip as _gzip
+    import re as _re
+
+    with _gzip.open(path, "rb") as fh:
+        if fh.read(5)[:3] != b"BCF":
+            return []
+        (l_text,) = struct.unpack("<I", fh.read(4))
+        text = fh.read(l_text).decode("utf-8", "replace")
+    return _re.findall(r"##contig=<ID=([^,>]+)", text)
 
 
 def bcf_query(spark: SparkSession, path: str, region: str) -> DataFrame:
-    """CSI-region query over BCF — reference ``bcf_query(path, region)``."""
+    """CSI-region query over BCF — reference ``bcf_query(path, region)``
+    (rust/src/bcf_query_reader.rs:63). Splits prune to the ``.csi`` chunk
+    ranges when the index exists; the exact overlap filter keeps semantics
+    index-independent."""
     from pyspark.sql import functions as F
 
     from exon_duckdb_spark.sources.vcf import region_filter
 
-    df = read_bcf(spark, path)
+    splits = plan_bcf_query_splits(path, region)
+    if not splits:
+        df = read_bcf(spark, path).limit(0)
+    else:
+        df = read_bcf(spark, path, _splits=splits)
     end = df.pos + F.length(df.ref) - 1
     return df.where(region_filter(df.chrom, df.pos, end, region))

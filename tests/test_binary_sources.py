@@ -358,6 +358,114 @@ def bcf_file(tmp_path_factory):
     return str(p)
 
 
+def _bcf_site(rid: int, pos0: int, dp: int) -> bytes:
+    """One BCF record (shared block only, no FORMAT data): DP=dp."""
+    shared = struct.pack("<iii", rid, pos0, 1)
+    shared += struct.pack("<f", 10.0)
+    shared += struct.pack("<I", (2 << 16) | 1)  # n_allele=2, n_info=1
+    shared += struct.pack("<I", 0)  # n_fmt=0, n_sample=0
+    shared += bytes([0x07])  # ID '.'
+    shared += _typed_str("G") + _typed_str("A")
+    shared += bytes([0x01])  # FILTER empty
+    shared += _typed_int(2) + bytes([0x13]) + struct.pack("<i", dp)  # DP (1×int32)
+    return struct.pack("<II", len(shared), 0) + shared
+
+
+_BCF_HEADER_TEXT = (
+    "##fileformat=VCFv4.2\n"
+    '##FILTER=<ID=PASS,Description="ok",IDX=0>\n'
+    '##INFO=<ID=INDEL,Number=0,Type=Flag,Description="x",IDX=1>\n'
+    '##INFO=<ID=DP,Number=1,Type=Integer,Description="x",IDX=2>\n'
+    '##contig=<ID=1,length=249250621,IDX=0>\n'
+    '##contig=<ID=2,length=249250621,IDX=1>\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+).encode() + b"\x00"
+
+
+def _bcf_payload(n: int) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """(payload bytes, [(record_payload_offset, rid, pos0)])."""
+    header = b"BCF\x02\x02" + struct.pack("<I", len(_BCF_HEADER_TEXT)) + _BCF_HEADER_TEXT
+    recs, placements = [], []
+    off = len(header)
+    for i in range(n):
+        rid = 0 if i < n // 2 else 1
+        pos0 = 10_000 + (i % (n // 2)) * 20_000
+        r = _bcf_site(rid, pos0, i)
+        recs.append(r)
+        placements.append((off, rid, pos0))
+        off += len(r)
+    return header + b"".join(recs), placements
+
+
+class TestBcfBgzfSplits:
+    @pytest.fixture(scope="class")
+    def bgzf_bcf(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("bcf_bgzf")
+        p = d / "multi.bcf"
+        payload, placements = _bcf_payload(60)
+        coffsets, cpos = [], 0
+        with open(p, "wb") as f:
+            for i in range(0, len(payload), 128):
+                blk = _bgzf_block(payload[i : i + 128])
+                coffsets.append(cpos)
+                f.write(blk)
+                cpos += len(blk)
+            f.write(_bgzf_block(b""))
+
+        # matching .csi (min_shift=14, depth=5 → same binning as BAI)
+        def voff(po: int) -> int:
+            k = po // 128
+            return (coffsets[k] << 16) | (po - k * 128)
+
+        names = ["1", "2"]
+        per_ref: list[dict[int, list[tuple[int, int]]]] = [{}, {}]
+        for j, (po, rid, pos0) in enumerate(placements):
+            nxt = placements[j + 1][0] if j + 1 < len(placements) else len(payload)
+            b = _reg2bin(pos0, pos0 + 1)
+            per_ref[rid].setdefault(b, []).append((voff(po), voff(nxt)))
+        csi = b"CSI\x01" + struct.pack("<3i", 14, 5, 0) + struct.pack("<i", 2)
+        for bins in per_ref:
+            csi += struct.pack("<i", len(bins))
+            for bin_id, chunks in bins.items():
+                csi += struct.pack("<IQi", bin_id, 0, len(chunks))
+                for bb, e in chunks:
+                    csi += struct.pack("<QQ", bb, e)
+        with gzip.open(d / "multi.bcf.csi", "wb") as f:
+            f.write(csi)
+        return str(p)
+
+    @pytest.mark.parametrize("split_bytes", [100, 300, 1 << 20])
+    def test_split_invariance(self, spark, bgzf_bcf, split_bytes):
+        rows = read_bcf(spark, bgzf_bcf, split_bytes=split_bytes).collect()
+        got = sorted((r["chrom"], r["pos"], r["info"]["DP"]) for r in rows)
+        assert len(got) == 60
+        assert got == sorted(
+            (r["chrom"], r["pos"], r["info"]["DP"])
+            for r in read_bcf(spark, bgzf_bcf).collect()
+        )
+
+    def test_csi_prunes_splits(self, bgzf_bcf):
+        from exon_duckdb_spark.sources.bcf import plan_bcf_query_splits
+        from exon_duckdb_spark.sources.splits import plan_splits
+
+        total = plan_splits(bgzf_bcf, "none", splittable=True, split_bytes=120)
+        pruned = plan_bcf_query_splits(bgzf_bcf, "1:10001-50001", split_bytes=120)
+        assert len(total) > 4
+        assert 0 < len(pruned) < len(total) / 2
+
+    def test_query_matches_unindexed(self, spark, bgzf_bcf, tmp_path):
+        import shutil
+
+        noidx = tmp_path / "noindex.bcf"
+        shutil.copy(bgzf_bcf, noidx)
+        for region in ("1", "2:10001-250000", "1:250000-600010"):
+            a = sorted((r["chrom"], r["pos"]) for r in bcf_query(spark, bgzf_bcf, region).collect())
+            b = sorted((r["chrom"], r["pos"]) for r in bcf_query(spark, str(noidx), region).collect())
+            assert a == b, region
+        assert bcf_query(spark, bgzf_bcf, "1").count() == 30
+        assert bcf_query(spark, bgzf_bcf, "chrZ").count() == 0
+
+
 class TestBcf:
     def test_golden(self, spark, bcf_file):
         df = read_bcf(spark, bcf_file)
