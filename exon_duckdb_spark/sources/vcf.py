@@ -9,8 +9,10 @@ Catalyst prunes and pushes down as usual).
 
 ``vcf_query(path, region)`` reproduces the tabix-region TVF semantics
 (rust/src/vcf_query_reader.rs:31-86): region 'chr' or 'chr:start-end',
-1-based inclusive. Here it is a filter over the scan — at scale, split
-pruning via the .tbi index is the planned upgrade; semantics are identical.
+1-based inclusive. With a ``.tbi`` next to a bgzip'd file, splits prune to
+the indexed chunk ranges (plan_vcf_query_splits); the exact overlap filter
+runs after the scan, so semantics never depend on the index. bgzip'd files
+are block-splittable via sources/bgzf.py.
 """
 
 from __future__ import annotations
