@@ -162,6 +162,58 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert out[i] == expected, (i, k, m)
 
 
+@settings(max_examples=12, deadline=None)
+@given(
+    block_bytes=st.integers(min_value=16, max_value=400),
+    split_bytes=st.integers(min_value=40, max_value=5000),
+    n_records=st.integers(min_value=1, max_value=80),
+)
+def test_bam_bgzf_split_invariance_fuzz(tmp_path_factory, block_bytes, split_bytes, n_records):
+    """Pure-python fuzz: any (BGZF block size, split size, record count)
+    combination yields exactly the records written — exercises header/record
+    shared blocks, resync at arbitrary anchors, and EOF candidates."""
+    from tests.test_binary_sources import _bam_payload, _write_bgzf
+
+    from exon_duckdb_spark.sources.bam import _parse_bam_split
+    from exon_duckdb_spark.sources.splits import plan_splits
+
+    p = tmp_path_factory.mktemp("fuzz") / "f.bam"
+    _write_bgzf(p, _bam_payload(n_records), block_bytes=block_bytes)
+    names = []
+    for s in plan_splits(str(p), "none", splittable=True, split_bytes=split_bytes):
+        names.extend(r["name"] for r in _parse_bam_split(s))
+    assert sorted(names) == [f"read_{i:05d}" for i in range(n_records)]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    block_bytes=st.integers(min_value=16, max_value=400),
+    split_bytes=st.integers(min_value=40, max_value=5000),
+    n_records=st.integers(min_value=2, max_value=80),
+)
+def test_bcf_bgzf_split_invariance_fuzz(tmp_path_factory, block_bytes, split_bytes, n_records):
+    from tests.test_binary_sources import _bcf_payload, _write_bgzf
+
+    from exon_duckdb_spark.sources.bcf import _parse_bcf_split
+    from exon_duckdb_spark.sources.splits import plan_splits
+
+    p = tmp_path_factory.mktemp("fuzz") / "f.bcf"
+    payload, placements = _bcf_payload(n_records)
+    _write_bgzf(p, payload, block_bytes=block_bytes)
+    info_meta = {1: ("INDEL", "0", "Flag"), 2: ("DP", "1", "Integer")}
+    got = []
+    for s in plan_splits(str(p), "none", splittable=True, split_bytes=split_bytes):
+        got.extend(
+            (r["chrom"], r["pos"], r["info"]["DP"])
+            for r in _parse_bcf_split(s, info_meta, ["1", "2"])
+        )
+    want = sorted(
+        ("1" if rid == 0 else "2", pos0 + 1, i)
+        for i, (_, rid, pos0) in enumerate(placements)
+    )
+    assert sorted(got) == want
+
+
 _attr_val = st.text(
     alphabet="abcXYZ0123456789._-", min_size=0, max_size=12
 )
