@@ -451,6 +451,16 @@ def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_topk(emb, queries, k=5, planes=4)
 
 
+def q44_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: driver-held sampled centroids (vec_id-ordered, nlist=16),
+    map-only nearest-list assignment over the corpus, nprobe=2 lists probed
+    per query, exact cosine rank within the candidates. Complements q32's
+    LSH buckets with the inverted-file scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ops.ivf_topk(emb, queries, k=5, nlist=16, nprobe=2)
+
+
 def q33_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens vs BPE-pre-tokenizer tokens, the
     per-document budget estimate of a training pipeline."""
@@ -765,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_dedup_clusters": q41_dedup_clusters,
         "q42_near_dedup_keep": q42_near_dedup_keep,
         "q43_gff_roundtrip": q43_gff_roundtrip,
+        "q44_ivf_ann_topk": q44_ivf_ann_topk,
     }
 
 
@@ -1223,6 +1234,40 @@ def oracle_sql() -> dict[str, str]:
                                                   CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
               FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
               WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "q44_ivf_ann_topk": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+            ),
+            asgn AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                       AS csim
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            ranked AS (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY csim DESC, cid ASC) AS rn
+              FROM asgn
+            ),
+            corpus AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+            probe  AS (SELECT vec_id, embedding, cid FROM ranked
+                       WHERE rn <= 2 AND vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])), 6)
+                       AS cosine_sim
+              FROM probe q JOIN corpus c ON q.cid = c.cid AND c.vec_id != q.vec_id
             )
             SELECT query_id, neighbor_id, cosine_sim, rank FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -24,7 +24,14 @@ from exon_duckdb_spark.operators.relational import (  # noqa: F401
     sessionize,
     top_k_per_group,
 )
-from exon_duckdb_spark.operators.similarity import ann_topk, cosine, cosine_topk, dot, hyperplane_bucket  # noqa: F401
+from exon_duckdb_spark.operators.similarity import (  # noqa: F401
+    ann_topk,
+    cosine,
+    cosine_topk,
+    dot,
+    hyperplane_bucket,
+    ivf_topk,
+)
 from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,
     bpe_tokens,

@@ -89,6 +89,41 @@ def test_ann_topk_same_bucket_recall(spark):
     assert {r["neighbor_id"] for r in out.collect()} == {1, 2, 3}
 
 
+def test_ivf_topk_full_probe_matches_exact(spark):
+    # probing every list degrades IVF to exact brute force
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [-1.0, 0.0, 0.0]),
+        (5, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 2)
+    exact = ops.cosine_topk(emb, q, k=3)
+    ivf = ops.ivf_topk(emb, q, k=3, nlist=2, nprobe=2)
+    key = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"]) for r in df.collect()
+    )
+    assert key(ivf) == key(exact)
+
+
+def test_ivf_topk_prunes_to_probed_lists(spark):
+    # nprobe=1: query 0 probes only centroid 0's list, which holds {0, 3}
+    # (vec 1 assigns to its own list, vec 2 lands with the nearer centroid 1)
+    # — so neither 1 nor 2 can appear among candidates despite k=4
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [-1.0, 0.05]),
+        (3, [0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ops.ivf_topk(emb, emb.where(F.col("vec_id") == 0), k=4, nlist=2, nprobe=1)
+    assert {r["neighbor_id"] for r in out.collect()} == {3}
+
+
 def test_sessionize(spark):
     t0 = datetime.datetime(2024, 1, 1)
     rows = [
