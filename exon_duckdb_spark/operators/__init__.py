@@ -16,6 +16,9 @@ from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_has
 from exon_duckdb_spark.operators.multimodal import (  # noqa: F401
     attach_media_metadata,
     image_features,
+    mp4_duration,
+    resize_image,
+    sample_frames,
     sniff_mime,
 )
 from exon_duckdb_spark.operators.relational import (  # noqa: F401

@@ -25,9 +25,12 @@ __all__ = [
     "sniff_mime",
     "image_dimensions",
     "wav_sample_rate",
+    "mp4_duration",
     "attach_media_metadata",
     "decode_image",
+    "resize_image",
     "image_features",
+    "sample_frames",
     "MEDIA_META_SCHEMA",
 ]
 
@@ -78,6 +81,44 @@ def _wav_rate(b: bytes) -> int | None:
     if len(b) >= 28 and b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return struct.unpack("<I", b[24:28])[0]
     return None
+
+
+def mp4_duration(b: bytes | None) -> float | None:
+    """Video duration in seconds from the ISO-BMFF ``moov/mvhd`` box.
+
+    Pure header walk (public ISO/IEC 14496-12 layout), no codec needed:
+    top-level boxes are [size u32][type 4cc][payload]; ``mvhd`` v0 carries
+    (timescale u32, duration u32) at payload offset 12, v1 at offset 20
+    with a u64 duration."""
+    if not b or len(b) < 16:
+        return None
+
+    def walk(lo: int, hi: int) -> float | None:
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i : i + 4])[0]
+            typ = b[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return None
+            if typ == b"moov":
+                got = walk(i + 8, i + size)
+                if got is not None:
+                    return got
+            elif typ == b"mvhd" and i + 8 < hi:
+                ver = b[i + 8]
+                p = i + 12  # past version+flags
+                if ver == 0 and p + 16 <= hi:
+                    timescale, duration = struct.unpack(">II", b[p + 8 : p + 16])
+                elif ver == 1 and p + 28 <= hi:
+                    timescale = struct.unpack(">I", b[p + 16 : p + 20])[0]
+                    duration = struct.unpack(">Q", b[p + 20 : p + 28])[0]
+                else:
+                    return None
+                return duration / timescale if timescale else None
+            i += size
+        return None
+
+    return walk(0, len(b))
 
 
 def sniff_mime(b: bytes | None) -> str | None:
@@ -142,6 +183,63 @@ def decode_image(df: DataFrame, bytes_col: str = "content") -> DataFrame:
         "this environment ships none. Use attach_media_metadata for "
         "header-level fields or image_features for the deterministic "
         "fake embedding."
+    )
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, bytes_col: str = "content"
+) -> DataFrame:
+    """Pixel resize — NOT IMPLEMENTED in this container (no PIL/cv2).
+
+    Contract for a codec-equipped deployment: mapInPandas over
+    (id, content) → (id, content binary, width int, height int) with
+    ``content`` re-encoded at the target size. Header-only deployments can
+    use :func:`attach_media_metadata` to select rows needing a resize and
+    route only those through the codec stage."""
+    raise NotImplementedError(
+        "resize_image requires an image codec library (PIL/opencv); "
+        "this environment ships none. The mapInPandas signature and "
+        "output schema above are the contract to fill in."
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    bytes_col: str = "content",
+    id_col: str = "id",
+) -> DataFrame:
+    """Uniform video frame sampling: one input row fans out to ``n_frames``
+    rows (id, frame_index, timestamp_s, frame binary).
+
+    The Spark side is real: duration comes from the actual ``moov/mvhd``
+    header (:func:`mp4_duration`), timestamps are the bucket midpoints
+    ``duration * (i + 0.5) / n``, and the fan-out is an Arrow-batched
+    ``mapInPandas`` (one-to-many, binary never leaves the executor — the
+    shape a 100 TB video pipeline needs). Only the pixel extraction is
+    stubbed: ``frame`` is a DETERMINISTIC FAKE (md5 of bytes + index)
+    standing in for the decoder this container doesn't ship. Non-MP4 or
+    header-less blobs yield zero rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for vid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(b) if b is not None else None
+                dur = mp4_duration(b)
+                if dur is None:
+                    continue
+                for i in range(n_frames):
+                    ids.append(vid)
+                    idxs.append(i)
+                    tss.append(dur * (i + 0.5) / n_frames)
+                    frames.append(hashlib.md5(b + i.to_bytes(4, "big")).digest())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_index": idxs, "timestamp_s": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(
+        run, f"{id_col} long, frame_index int, timestamp_s double, frame binary"
     )
 
 

@@ -8,6 +8,7 @@ import struct
 import pytest
 from pyspark.sql import functions as F
 
+from exon_duckdb_spark import operators as ops
 from exon_duckdb_spark.operators.multimodal import (
     attach_media_metadata,
     decode_image,
@@ -149,3 +150,49 @@ class TestMultimodal:
         assert len(a[1]) == 16
         assert a[4] is None
         assert all(-1.0 <= x <= 1.0 for x in a[1])
+
+    def test_resize_stub_is_explicit(self, media):
+        with pytest.raises(NotImplementedError, match="codec"):
+            ops.resize_image(media, 224, 224)
+
+
+def _mp4(timescale: int, duration: int, v1: bool = False) -> bytes:
+    if v1:
+        mvhd_payload = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">I", timescale) + struct.pack(">Q", duration) + b"\x00" * 4
+        )
+    else:
+        mvhd_payload = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration) + b"\x00" * 4
+        )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+class TestFrameSampling:
+    def test_mp4_duration_versions(self):
+        assert ops.mp4_duration(_mp4(1000, 5000)) == 5.0
+        assert ops.mp4_duration(_mp4(600, 1500, v1=True)) == 2.5
+        assert ops.mp4_duration(b"\x00\x01\x02garbage") is None
+        assert ops.mp4_duration(None) is None
+
+    def test_sample_frames_fanout(self, spark):
+        rows = [
+            (1, bytearray(_mp4(1000, 8000))),  # 8.0s video
+            (2, bytearray(b"not a video")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        out = ops.sample_frames(df, n_frames=4).collect()
+        assert len(out) == 4 and {r["id"] for r in out} == {1}
+        got = {r["frame_index"]: r for r in out}
+        assert [got[i]["timestamp_s"] for i in range(4)] == [1.0, 3.0, 5.0, 7.0]
+        frames = [bytes(got[i]["frame"]) for i in range(4)]
+        assert len(set(frames)) == 4 and all(len(f) == 16 for f in frames)
+        # deterministic across runs
+        again = ops.sample_frames(df, n_frames=4).collect()
+        assert sorted(map(str, again)) == sorted(map(str, out))
