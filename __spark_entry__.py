@@ -451,6 +451,48 @@ def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_topk(emb, queries, k=5, planes=4)
 
 
+def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, hash-checked: synthesize a real
+    ISO-BMFF header per document with duration (doc_id % 30 + 1) seconds,
+    fan out 4 frames per video via sample_frames (mvhd header parse +
+    mapInPandas one-to-many), and emit the sampled timestamps. The oracle
+    recomputes the timestamps arithmetically, so the byte construction AND
+    the mvhd walk must both be right for the hashes to match."""
+    import struct as _struct
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                dur_ms = (int(did) % 30 + 1) * 1000
+                mvhd = (
+                    b"\x00\x00\x00\x00"
+                    + b"\x00" * 8
+                    + _struct.pack(">II", 1000, dur_ms)
+                    + b"\x00" * 4
+                )
+                mvhd = _struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+                moov = _struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+                blobs.append(
+                    _struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00" + moov
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    vids = docs.mapInPandas(synth, "doc_id long, content binary")
+    frames = ops.sample_frames(vids, n_frames=4, id_col="doc_id")
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        F.round("timestamp_s", 6).alias("timestamp_s"),
+        F.length("frame").cast("int").alias("frame_size"),
+    )
+
+
 def q44_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: driver-held sampled centroids (vec_id-ordered, nlist=16),
     map-only nearest-list assignment over the corpus, nprobe=2 lists probed
@@ -776,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_near_dedup_keep": q42_near_dedup_keep,
         "q43_gff_roundtrip": q43_gff_roundtrip,
         "q44_ivf_ann_topk": q44_ivf_ann_topk,
+        "q45_frame_sample": q45_frame_sample,
     }
 
 
@@ -1240,6 +1283,13 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q45_frame_sample": """
+            SELECT d.doc_id,
+                   CAST(t.i AS INTEGER) AS frame_index,
+                   round((d.doc_id % 30 + 1) * (t.i + 0.5) / 4, 6) AS timestamp_s,
+                   CAST(16 AS INTEGER) AS frame_size
+            FROM documents d, range(0, 4) t(i)
         """,
         "q44_ivf_ann_topk": """
             WITH cent AS (
