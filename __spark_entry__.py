@@ -67,6 +67,13 @@ def _seq_spark() -> F.Column:
 _SEQ_SQL = "regexp_replace(upper(text), '[^ATCG]', '', 'g')"
 
 
+def _scratch(fmt: str, sf_dir: str) -> str:
+    """Per-(format, sf) scratch dir for writer→reader roundtrips."""
+    import hashlib
+
+    return f"/tmp/spark_graft_scratch/{fmt}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.5 — host-engine parity)
 # ---------------------------------------------------------------------------
@@ -762,6 +769,275 @@ def q43_gff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_gtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTF writer → reader round trip (GFF2 ``key "value";`` attribute
+    syntax), hash-checked from documents — covers read_gtf
+    (reference read_gtf, test_gtf_scan.test:6-17)."""
+    from exon_duckdb_spark.sources.tsv import read_gtf
+    from exon_duckdb_spark.sources.writers import to_gtf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = docs.select(
+        F.concat(F.lit("sq"), (did % 10).cast("string")).alias("seqname"),
+        F.col("source"),
+        F.lit("exon").alias("type"),
+        (did + 1).alias("start"),
+        (did + 1 + F.col("n_chars")).alias("end"),
+        F.round(F.col("n_chars") / 100.0, 2).cast("float").alias("score"),
+        F.when(did % 2 == 0, F.lit("+")).otherwise(F.lit("-")).alias("strand"),
+        (did % 3).cast("string").alias("frame"),
+        F.map_from_arrays(
+            F.array(F.lit("gene_id"), F.lit("lang")),
+            F.array(
+                F.array(F.concat(F.lit("g"), did.cast("string"))),
+                F.array(F.col("lang")),
+            ),
+        ).alias("attributes"),
+    )
+    out = _scratch("gtf", sf_dir)
+    to_gtf(d, out)
+    rg = read_gtf(spark, out)
+    return rg.select(
+        F.regexp_extract(
+            F.element_at(F.col("attributes")["gene_id"], 1), r"g(\d+)", 1
+        ).cast("bigint").alias("doc_id"),
+        "seqname",
+        "start",
+        "end",
+        F.round(F.col("score").cast("double"), 2).alias("score"),
+        "strand",
+        "frame",
+        F.element_at(F.col("attributes")["lang"], 1).alias("lang"),
+    )
+
+
+def q47_sam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAM writer → reader round trip: planted flags/CIGARs with arithmetic
+    start/end; every 10th record unmapped ('*'/pos-0 placeholders), every
+    3rd mate '=' — covers read_sam_file_records incl. the computed ``end``
+    (reference test_sam_record_scan.test:6-16)."""
+    from exon_duckdb_spark.sources.tsv import read_sam
+    from exon_duckdb_spark.sources.writers import to_sam
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mapped = (did % 10) != 0
+    cigar = F.concat(
+        (did % 50 + 1).cast("string"), F.lit("M"),
+        (did % 7 + 1).cast("string"), F.lit("D"),
+        F.lit("10M"),
+    )
+    slen = (did % 8 + 1).cast("int")
+    d = docs.select(
+        did.cast("string").alias("name"),
+        (did % 4096).cast("int").alias("flag"),
+        F.when(mapped, F.concat(F.lit("chr"), (did % 5 + 1).cast("string"))).alias(
+            "reference"
+        ),
+        F.when(mapped, did + 100).alias("start"),
+        (did % 60).cast("string").alias("mapping_quality"),
+        F.when(mapped, cigar).alias("cigar"),
+        F.when(
+            mapped & (did % 3 == 0), F.concat(F.lit("chr"), (did % 5 + 1).cast("string"))
+        ).alias("mate_reference"),
+        F.repeat(F.lit("C"), slen).alias("sequence"),
+        F.repeat(F.lit("I"), slen).alias("quality_score"),
+    )
+    out = _scratch("sam", sf_dir)
+    to_sam(d, out)
+    rs = read_sam(spark, out)
+    return rs.select(
+        F.col("name").cast("bigint").alias("doc_id"),
+        "flag",
+        "reference",
+        "start",
+        "end",
+        "mapping_quality",
+        "cigar",
+        "mate_reference",
+        F.length("sequence").cast("int").alias("seq_len"),
+        "quality_score",
+    )
+
+
+def q48_bed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BED writer → reader round trip: 0↔1-based shifts, '.'-and-0 NULL
+    conventions (name/score/strand/color) — covers read_bed_file
+    (reference test_bed_io.test:5-17)."""
+    from exon_duckdb_spark.sources.tsv import read_bed
+    from exon_duckdb_spark.sources.writers import to_bed
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = docs.select(
+        F.concat(F.lit("chr"), (did % 5 + 1).cast("string")).alias(
+            "reference_sequence_name"
+        ),
+        (did * 10 + 1).alias("start"),
+        (did * 10 + F.col("n_chars") + 1).alias("end"),
+        F.when(did % 7 != 0, F.concat(F.lit("b"), did.cast("string"))).alias("name"),
+        F.when(did % 300 != 0, (did % 300).cast("string")).alias("score"),
+        F.when(did % 3 == 0, F.lit("+")).when(did % 3 == 1, F.lit("-")).alias("strand"),
+        (did * 10 + 2).alias("thick_start"),
+        (did * 10 + F.col("n_chars")).alias("thick_end"),
+        F.when(did % 2 == 0, F.lit("255,0,0")).alias("color"),
+        F.lit(2).cast("int").alias("block_count"),
+        F.lit("5,5").alias("block_sizes"),
+        F.lit("0,10").alias("block_starts"),
+    )
+    out = _scratch("bed", sf_dir)
+    to_bed(d, out)
+    rb = read_bed(spark, out)
+    return rb.select(
+        ((F.col("start") - 1) / 10).cast("bigint").alias("doc_id"),
+        "reference_sequence_name",
+        "start",
+        "end",
+        "name",
+        "score",
+        "strand",
+        "thick_start",
+        "thick_end",
+        "color",
+        "block_count",
+        "block_sizes",
+        "block_starts",
+    )
+
+
+def q49_vcf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VCF writer → reader round trip with a planted ##INFO header (DP
+    Integer, AF Float list, INDEL Flag), formats + genotypes columns —
+    covers read_vcf_file_records' header-driven INFO struct
+    (reference test_vcf_record_scan.test:11-19)."""
+    from exon_duckdb_spark.sources.vcf import read_vcf
+    from exon_duckdb_spark.sources.writers import to_vcf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dp = (did % 100).cast("string")
+    info = F.concat(
+        F.lit("DP="), dp,
+        F.lit(";AF="),
+        F.when(did % 2 == 0, F.lit("0.25")).otherwise(F.lit("0.25,0.75")),
+        F.when(did % 5 == 0, F.lit(";INDEL")).otherwise(F.lit("")),
+    )
+    has_gt = did % 3 == 0
+    d = docs.select(
+        F.concat(F.lit("chr"), (did % 5 + 1).cast("string")).alias("chrom"),
+        (did + 1).alias("pos"),
+        F.when(did % 11 != 0, F.concat(F.lit("rs"), did.cast("string"))).alias("id"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
+            (did % 4 + 1).cast("int"),
+        ).alias("ref"),
+        F.when(did % 2 == 0, F.array(F.lit("T"))).otherwise(
+            F.array(F.lit("G"), F.lit("C"))
+        ).alias("alt"),
+        F.when(did % 13 != 0, (did % 50).cast("double") + 0.5).alias("qual"),
+        F.when(did % 4 == 0, F.lit("PASS")).when(did % 4 == 2, F.lit("q10")).alias(
+            "filter"
+        ),
+        info.alias("info"),
+        F.when(has_gt, F.lit("GT:DP")).alias("formats"),
+        F.when(
+            has_gt,
+            F.array(F.concat(F.lit("0/1:"), dp), F.concat(F.lit("1/1:"), dp)),
+        ).alias("genotypes"),
+    )
+    out = _scratch("vcf", sf_dir)
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="planted depth">\n'
+        '##INFO=<ID=AF,Number=A,Type=Float,Description="planted freq">\n'
+        '##INFO=<ID=INDEL,Number=0,Type=Flag,Description="planted flag">\n'
+    )
+    to_vcf(d, out, header)
+    rv = read_vcf(spark, out)
+    return rv.select(
+        (F.col("pos") - 1).alias("doc_id"),
+        "chrom",
+        "id",
+        "ref",
+        F.array_join("alt", ",").alias("alt_s"),
+        F.col("qual").cast("double").alias("qual"),
+        "filter",
+        F.col("info.DP").alias("dp"),
+        F.element_at(F.col("info.AF"), 1).cast("double").alias("af_1"),
+        F.size(F.col("info.AF")).alias("n_af"),
+        F.col("info.INDEL").alias("indel"),
+        "formats",
+        F.when(F.col("genotypes").isNotNull(), F.array_join("genotypes", "|")).alias(
+            "gts"
+        ),
+    )
+
+
+def q50_hmm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMMER --domtblout writer → reader round trip: 22 numeric/text columns
+    + free-text description with spaces (exercises the 23-way bounded
+    whitespace split) — covers read_hmm_dom_tbl_out
+    (reference test.pfam.hmmout golden, FIXTURES.md)."""
+    from exon_duckdb_spark.sources.tsv import read_hmm_dom_tbl
+    from exon_duckdb_spark.sources.writers import to_hmm_dom_tbl
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = docs.select(
+        F.concat(F.lit("t"), did.cast("string")).alias("target_name"),
+        F.lit("PF00001.1").alias("target_accession"),
+        (did % 500).cast("int").alias("tlen"),
+        F.col("lang").alias("query_name"),
+        F.lit("-").alias("query_accession"),
+        (did % 300 + 1).cast("int").alias("qlen"),
+        ((did % 100) / 8.0).alias("evalue"),
+        ((did % 1000) / 4.0).alias("score"),
+        ((did % 16) / 16.0).alias("bias"),
+        (did % 5 + 1).cast("int").alias("domain_number"),
+        F.lit(5).cast("int").alias("ndom"),
+        ((did % 64) / 32.0).alias("c_evalue"),
+        ((did % 128) / 64.0).alias("i_evalue"),
+        ((did % 200) / 2.0).alias("domain_score"),
+        ((did % 8) / 8.0).alias("domain_bias"),
+        (did % 50 + 1).cast("int").alias("hmm_from"),
+        (did % 50 + 20).cast("int").alias("hmm_to"),
+        (did % 70 + 1).cast("int").alias("ali_from"),
+        (did % 70 + 30).cast("int").alias("ali_to"),
+        (did % 90 + 1).cast("int").alias("env_from"),
+        (did % 90 + 40).cast("int").alias("env_to"),
+        ((did % 100) / 128.0).alias("acc"),
+        F.concat(F.lit("desc of "), F.col("lang"), F.lit(" doc")).alias("description"),
+    )
+    out = _scratch("hmm", sf_dir)
+    to_hmm_dom_tbl(d, out)
+    rh = read_hmm_dom_tbl(spark, out)
+    return rh.select(
+        F.regexp_extract("target_name", r"t(\d+)", 1).cast("bigint").alias("doc_id"),
+        "target_accession",
+        "tlen",
+        F.col("query_name").alias("lang"),
+        "qlen",
+        "evalue",
+        "score",
+        "bias",
+        "domain_number",
+        "ndom",
+        "c_evalue",
+        "i_evalue",
+        "domain_score",
+        "domain_bias",
+        "hmm_from",
+        "hmm_to",
+        "ali_from",
+        "ali_to",
+        "env_from",
+        "env_to",
+        "acc",
+        "description",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -819,6 +1095,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_gff_roundtrip": q43_gff_roundtrip,
         "q44_ivf_ann_topk": q44_ivf_ann_topk,
         "q45_frame_sample": q45_frame_sample,
+        "q46_gtf_roundtrip": q46_gtf_roundtrip,
+        "q47_sam_roundtrip": q47_sam_roundtrip,
+        "q48_bed_roundtrip": q48_bed_roundtrip,
+        "q49_vcf_roundtrip": q49_vcf_roundtrip,
+        "q50_hmm_roundtrip": q50_hmm_roundtrip,
     }
 
 
@@ -1403,5 +1684,105 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
                   >= 0.6
+        """,
+        "q46_gtf_roundtrip": """
+            SELECT doc_id,
+                   concat('sq', CAST(doc_id % 10 AS VARCHAR)) AS seqname,
+                   doc_id + 1 AS start,
+                   doc_id + 1 + n_chars AS "end",
+                   round(CAST(CAST(round(n_chars / 100.0, 2) AS FLOAT) AS DOUBLE), 2)
+                     AS score,
+                   CASE WHEN doc_id % 2 = 0 THEN '+' ELSE '-' END AS strand,
+                   CAST(doc_id % 3 AS VARCHAR) AS frame,
+                   lang
+            FROM documents
+        """,
+        "q47_sam_roundtrip": """
+            SELECT doc_id,
+                   CAST(doc_id % 4096 AS INTEGER) AS flag,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR)) END AS reference,
+                   CASE WHEN doc_id % 10 != 0 THEN doc_id + 100 END AS start,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN doc_id + 100 + (doc_id % 50 + 1) + (doc_id % 7 + 1) + 9
+                        END AS "end",
+                   CAST(doc_id % 60 AS VARCHAR) AS mapping_quality,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN concat(CAST(doc_id % 50 + 1 AS VARCHAR), 'M',
+                                    CAST(doc_id % 7 + 1 AS VARCHAR), 'D', '10M')
+                        END AS cigar,
+                   CASE WHEN doc_id % 10 != 0 AND doc_id % 3 = 0
+                        THEN concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR))
+                        END AS mate_reference,
+                   CAST(doc_id % 8 + 1 AS INTEGER) AS seq_len,
+                   repeat('I', CAST(doc_id % 8 + 1 AS INTEGER)) AS quality_score
+            FROM documents
+        """,
+        "q48_bed_roundtrip": """
+            SELECT doc_id,
+                   concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR))
+                     AS reference_sequence_name,
+                   doc_id * 10 + 1 AS start,
+                   doc_id * 10 + n_chars + 1 AS "end",
+                   CASE WHEN doc_id % 7 != 0
+                        THEN concat('b', CAST(doc_id AS VARCHAR)) END AS name,
+                   CASE WHEN doc_id % 300 != 0
+                        THEN CAST(doc_id % 300 AS VARCHAR) END AS score,
+                   CASE WHEN doc_id % 3 = 0 THEN '+'
+                        WHEN doc_id % 3 = 1 THEN '-' END AS strand,
+                   doc_id * 10 + 2 AS thick_start,
+                   doc_id * 10 + n_chars AS thick_end,
+                   CASE WHEN doc_id % 2 = 0 THEN '255,0,0' END AS color,
+                   CAST(2 AS INTEGER) AS block_count,
+                   '5,5' AS block_sizes,
+                   '0,10' AS block_starts
+            FROM documents
+        """,
+        "q49_vcf_roundtrip": """
+            SELECT doc_id,
+                   concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR)) AS chrom,
+                   CASE WHEN doc_id % 11 != 0
+                        THEN concat('rs', CAST(doc_id AS VARCHAR)) END AS id,
+                   list_extract(['A','C','G','T'], CAST(doc_id % 4 + 1 AS INTEGER)) AS ref,
+                   CASE WHEN doc_id % 2 = 0 THEN 'T' ELSE 'G,C' END AS alt_s,
+                   CASE WHEN doc_id % 13 != 0
+                        THEN CAST(CAST(doc_id % 50 + 0.5 AS FLOAT) AS DOUBLE) END AS qual,
+                   CASE WHEN doc_id % 4 = 0 THEN 'PASS'
+                        WHEN doc_id % 4 = 2 THEN 'q10' END AS filter,
+                   CAST(doc_id % 100 AS INTEGER) AS dp,
+                   CAST(CAST(0.25 AS FLOAT) AS DOUBLE) AS af_1,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS n_af,
+                   doc_id % 5 = 0 AS indel,
+                   CASE WHEN doc_id % 3 = 0 THEN 'GT:DP' END AS formats,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat('0/1:', CAST(doc_id % 100 AS VARCHAR),
+                                    '|', '1/1:', CAST(doc_id % 100 AS VARCHAR))
+                        END AS gts
+            FROM documents
+        """,
+        "q50_hmm_roundtrip": """
+            SELECT doc_id,
+                   'PF00001.1' AS target_accession,
+                   CAST(doc_id % 500 AS INTEGER) AS tlen,
+                   lang,
+                   CAST(doc_id % 300 + 1 AS INTEGER) AS qlen,
+                   (doc_id % 100) / 8.0 AS evalue,
+                   (doc_id % 1000) / 4.0 AS score,
+                   (doc_id % 16) / 16.0 AS bias,
+                   CAST(doc_id % 5 + 1 AS INTEGER) AS domain_number,
+                   CAST(5 AS INTEGER) AS ndom,
+                   (doc_id % 64) / 32.0 AS c_evalue,
+                   (doc_id % 128) / 64.0 AS i_evalue,
+                   (doc_id % 200) / 2.0 AS domain_score,
+                   (doc_id % 8) / 8.0 AS domain_bias,
+                   CAST(doc_id % 50 + 1 AS INTEGER) AS hmm_from,
+                   CAST(doc_id % 50 + 20 AS INTEGER) AS hmm_to,
+                   CAST(doc_id % 70 + 1 AS INTEGER) AS ali_from,
+                   CAST(doc_id % 70 + 30 AS INTEGER) AS ali_to,
+                   CAST(doc_id % 90 + 1 AS INTEGER) AS env_from,
+                   CAST(doc_id % 90 + 40 AS INTEGER) AS env_to,
+                   (doc_id % 100) / 128.0 AS acc,
+                   concat('desc of ', lang, ' doc') AS description
+            FROM documents
         """,
     }

@@ -1,10 +1,14 @@
-"""Sinks: FASTA / FASTQ / GFF writers.
+"""Sinks: FASTA / FASTQ / GFF / GTF / SAM / BED / VCF / HMMER-domtbl /
+GenBank writers.
 
 The reference's COPY TO writers exist only as fully commented-out tests
 (SURVEY §2.2) — here they are live: each serializes records to their text
 format with native expressions and writes through Spark's distributed text
 sink (one file per partition, codec-compressible via the standard
-``compression`` option).
+``compression`` option). Serialization is the exact inverse of the paired
+reader's normalizations (NULL→'.'/'*' placeholders, 1-based→0-based BED),
+so writer→reader round trips are identity — the contract queries
+q46+ hash-check that against the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -12,7 +16,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["to_fasta", "to_fastq", "to_gff"]
+__all__ = [
+    "to_fasta",
+    "to_fastq",
+    "to_gff",
+    "to_gtf",
+    "to_sam",
+    "to_bed",
+    "to_vcf",
+    "to_hmm_dom_tbl",
+    "to_genbank",
+]
 
 
 def _write_lines(df: DataFrame, line: F.Column, path: str, compression: str | None):
@@ -78,3 +92,186 @@ def to_gff(df: DataFrame, path: str, compression: str | None = None) -> None:
         attrs,
     )
     _write_lines(df, line, path, compression)
+
+
+def _dot(c: F.Column) -> F.Column:
+    return F.coalesce(c.cast("string"), F.lit("."))
+
+
+def _star(c: F.Column) -> F.Column:
+    return F.coalesce(c.cast("string"), F.lit("*"))
+
+
+def to_gtf(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """GTF scan schema → 9-column GTF text; the attributes map
+    re-serializes in GFF2 ``key "value"; `` syntax (inverse of
+    gtf_attributes_to_map)."""
+    attrs = F.when(F.col("attributes").isNull(), F.lit(".")).otherwise(
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.map_entries(F.col("attributes")),
+                    lambda e: F.transform(
+                        e["value"],
+                        lambda v: F.concat(e["key"], F.lit(' "'), v, F.lit('";')),
+                    ),
+                )
+            ),
+            " ",
+        )
+    )
+    line = F.concat_ws(
+        "\t",
+        _dot(F.col("seqname")),
+        _dot(F.col("source")),
+        _dot(F.col("type")),
+        _dot(F.col("start")),
+        _dot(F.col("end")),
+        _dot(F.col("score")),
+        _dot(F.col("strand")),
+        _dot(F.col("frame")),
+        attrs,
+    )
+    _write_lines(df, line, path, compression)
+
+
+def to_sam(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """SAM scan schema (10 reader columns) → 11-column SAM text lines.
+
+    Inverse of read_sam's normalizations: NULL reference/cigar/sequence/
+    quality → '*', NULL start → pos 0, mate == reference → '='. The
+    reader-computed ``end`` column is derived, not serialized.
+    """
+    mate = F.when(F.col("mate_reference").isNull(), F.lit("*")).otherwise(
+        F.when(
+            F.col("mate_reference") == F.col("reference"), F.lit("=")
+        ).otherwise(F.col("mate_reference"))
+    )
+    line = F.concat_ws(
+        "\t",
+        F.col("name"),
+        F.coalesce(F.col("flag").cast("string"), F.lit("0")),
+        _star(F.col("reference")),
+        F.coalesce(F.col("start").cast("string"), F.lit("0")),
+        F.coalesce(F.col("mapping_quality"), F.lit("255")),
+        _star(F.col("cigar")),
+        mate,
+        F.lit("0"),  # PNEXT (not in the scan schema)
+        F.lit("0"),  # TLEN
+        _star(F.col("sequence")),
+        _star(F.col("quality_score")),
+    )
+    _write_lines(df, line, path, compression)
+
+
+def to_bed(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """BED scan schema → 12-column BED text; inverse of read_bed's
+    normalizations (1-based start/thick_start back to 0-based, NULL
+    score/color → 0, NULL name/strand → '.')."""
+    # NB: every element must be non-NULL — concat_ws silently drops NULLs,
+    # which would shift the remaining columns left.
+    zero = lambda c: F.coalesce(c.cast("string"), F.lit("0"))  # noqa: E731
+    line = F.concat_ws(
+        "\t",
+        F.col("reference_sequence_name"),
+        (F.col("start") - 1).cast("string"),
+        F.col("end").cast("string"),
+        _dot(F.col("name")),
+        zero(F.col("score")),
+        _dot(F.col("strand")),
+        zero(F.col("thick_start") - 1),
+        zero(F.col("thick_end")),
+        zero(F.col("color")),
+        zero(F.col("block_count")),
+        _dot(F.col("block_sizes")),
+        _dot(F.col("block_starts")),
+    )
+    _write_lines(df, line, path, compression)
+
+
+def to_vcf(df: DataFrame, path: str, header: str, compression: str | None = None) -> None:
+    """VCF records → text sink + a header file.
+
+    ``df`` carries the *serialized* columns (chrom, pos, id, ref,
+    alt ARRAY<STRING>, qual, filter, info STRING, and optionally
+    formats STRING + genotypes ARRAY<STRING>); ``header`` is the
+    ``##``-line block (must include the ##INFO declarations the reader's
+    bind-time peek needs). The header lands in ``00000_header.vcf`` which
+    sorts before the part files, matching read_vcf's first-file peek.
+    """
+    import os
+
+    cols = [
+        F.col("chrom").cast("string"),
+        F.col("pos").cast("string"),
+        _dot(F.col("id")),
+        F.col("ref"),
+        F.when(F.col("alt").isNull(), F.lit(".")).otherwise(
+            F.array_join(F.col("alt"), ",")
+        ),
+        _dot(F.col("qual")),
+        _dot(F.col("filter")),
+        _dot(F.col("info")),
+    ]
+    if "formats" in df.columns:
+        # NULL formats/genotypes are dropped by concat_ws → the line ends at
+        # 8 fields, exactly VCF's optional-column rule.
+        cols.append(F.col("formats"))
+        cols.append(
+            F.when(F.col("genotypes").isNull(), F.lit(None)).otherwise(
+                F.array_join(F.col("genotypes"), "\t")
+            )
+        )
+    line = F.concat_ws("\t", *cols)
+    _write_lines(df, line, path, compression)
+    htext = header.rstrip("\n") + "\n"
+    if not header.lstrip().startswith("##"):
+        raise ValueError("VCF header must start with ## meta lines")
+    if "#CHROM" not in header:
+        htext += "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    p = path.removeprefix("file://")
+    with open(os.path.join(p, "00000_header.vcf"), "w") as fh:
+        fh.write(htext)
+
+
+def to_hmm_dom_tbl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """HMMER3 --domtblout: 22 space-delimited columns + free-text
+    description (inverse of read_hmm_dom_tbl's whitespace split)."""
+    from exon_duckdb_spark.sources.schemas import HMM_DOMTAB_SCHEMA
+
+    cols = [_dot(F.col(f.name)) for f in HMM_DOMTAB_SCHEMA.fields]
+    _write_lines(df, F.concat_ws(" ", *cols), path, compression)
+
+
+def to_genbank(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """(name, accession, definition, topology, molecule_type, sequence) →
+    GenBank flat-file records (LOCUS..//) through the text sink — each row
+    renders as one multi-line record string."""
+    seq_lines = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest((F.length("sequence") - 1) / 60, F.lit(0)).cast("int")
+            ),
+            lambda i: F.concat(
+                F.lpad((i * 60 + 1).cast("string"), 9, " "),
+                F.lit(" "),
+                F.substring(F.col("sequence"), i * 60 + 1, 60),
+            ),
+        ),
+        "\n",
+    )
+    rec = F.concat(
+        F.lit("LOCUS       "),
+        F.rpad(F.col("name"), 20, " "),
+        F.lpad(F.length("sequence").cast("string"), 8, " "),
+        F.lit(" bp    "),
+        F.rpad(F.col("molecule_type"), 8, " "),
+        F.rpad(F.col("topology"), 9, " "),
+        F.lit("UNA 01-JAN-2000\n"),
+        F.lit("DEFINITION  "), F.col("definition"), F.lit("\n"),
+        F.lit("ACCESSION   "), F.col("accession"), F.lit("\n"),
+        F.lit("ORIGIN\n"),
+        seq_lines,
+        F.lit("\n//"),
+    )
+    _write_lines(df, rec, path, compression)
