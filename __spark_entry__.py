@@ -1038,6 +1038,97 @@ def q50_hmm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_genbank_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenBank writer → reader round trip (LOCUS line fields, DEFINITION/
+    ACCESSION sections, 60-col ORIGIN blocks) — covers read_genbank
+    (reference test_genbank_scan.test:5-10)."""
+    from exon_duckdb_spark.sources.genbank import read_genbank
+    from exon_duckdb_spark.sources.writers import to_genbank
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = docs.select(
+        F.concat(F.lit("ACC"), did.cast("string")).alias("name"),
+        F.concat(F.lit("ACC"), did.cast("string")).alias("accession"),
+        F.concat(F.lit("synthetic "), F.col("lang"), F.lit(" record.")).alias(
+            "definition"
+        ),
+        F.when(did % 2 == 0, F.lit("circular")).otherwise(F.lit("linear")).alias(
+            "topology"
+        ),
+        F.lit("DNA").alias("molecule_type"),
+        F.lower(_seq_spark()).alias("sequence"),
+    ).where(F.length("sequence") > 0)
+    out = _scratch("genbank", sf_dir)
+    to_genbank(d, out)
+    rg = read_genbank(spark, out)
+    return rg.select(
+        F.regexp_extract("accession", r"ACC(\d+)", 1).cast("bigint").alias("doc_id"),
+        "name",
+        "definition",
+        "topology",
+        "molecule_type",
+        "division",
+        "date",
+        F.length("sequence").cast("bigint").alias("seq_len"),
+        "sequence",
+    )
+
+
+def q52_mzml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mzML writer → reader round trip: per-partition XML docs with planted
+    f64 mz / f32 intensity+wavelength arrays (exact binary fractions) and
+    spectrum-level cv_params — covers read_mzml incl. the cv_params column
+    (reference test_mzml_scan.test:6-10)."""
+    from exon_duckdb_spark.sources.mzml import read_mzml
+    from exon_duckdb_spark.sources.writers import to_mzml
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (did % 5 + 1).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+    d = docs.select(
+        F.concat(F.lit("scan="), did.cast("string")).alias("id"),
+        F.array(
+            F.struct(
+                F.lit("MS:1000511").alias("accession"),
+                F.lit("ms level").alias("name"),
+                (did % 3 + 1).cast("string").alias("value"),
+            )
+        ).alias("cv_params"),
+        F.transform(idx, lambda i: did * 2 + i + 0.125).alias("mz"),
+        F.transform(idx, lambda i: (did + i + 0.25).cast("float")).alias("intensity"),
+        F.when(
+            did % 3 != 0, F.transform(idx, lambda i: (i + 0.5).cast("float"))
+        ).alias("wavelength"),
+    )
+    out = _scratch("mzml", sf_dir)
+    to_mzml(d, out)
+    rm = read_mzml(spark, out)
+    return rm.select(
+        F.regexp_extract("id", r"scan=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.element_at(F.col("cv_params"), 1)["accession"].alias("cv_acc"),
+        F.element_at(F.col("cv_params"), 1)["value"].alias("cv_value"),
+        F.size(F.col("mz.mz")).alias("n_mz"),
+        F.aggregate(
+            F.col("mz.mz"), F.lit(0.0), lambda a, x: a + x
+        ).alias("mz_sum"),
+        F.aggregate(
+            F.col("intensity.intensity").cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("intensity_sum"),
+        F.when(
+            F.col("wavelength").isNotNull(),
+            F.aggregate(
+                F.col("wavelength.wavelength").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        ).alias("wavelength_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1100,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_bed_roundtrip": q48_bed_roundtrip,
         "q49_vcf_roundtrip": q49_vcf_roundtrip,
         "q50_hmm_roundtrip": q50_hmm_roundtrip,
+        "q51_genbank_roundtrip": q51_genbank_roundtrip,
+        "q52_mzml_roundtrip": q52_mzml_roundtrip,
     }
 
 
@@ -1783,6 +1876,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 90 + 40 AS INTEGER) AS env_to,
                    (doc_id % 100) / 128.0 AS acc,
                    concat('desc of ', lang, ' doc') AS description
+            FROM documents
+        """,
+        "q51_genbank_roundtrip": f"""
+            SELECT doc_id,
+                   concat('ACC', CAST(doc_id AS VARCHAR)) AS name,
+                   concat('synthetic ', lang, ' record.') AS definition,
+                   CASE WHEN doc_id % 2 = 0 THEN 'circular' ELSE 'linear' END AS topology,
+                   'DNA' AS molecule_type,
+                   'UNA' AS division,
+                   '01-JAN-2000' AS date,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   lower(seq) AS sequence
+            FROM (SELECT doc_id, lang, {_SEQ_SQL} AS seq FROM documents)
+            WHERE length(seq) > 0
+        """,
+        "q52_mzml_roundtrip": """
+            SELECT doc_id,
+                   'MS:1000511' AS cv_acc,
+                   CAST(doc_id % 3 + 1 AS VARCHAR) AS cv_value,
+                   CAST(doc_id % 5 + 1 AS INTEGER) AS n_mz,
+                   list_sum(list_transform(range(0, CAST(doc_id % 5 + 1 AS INTEGER)),
+                            i -> CAST(doc_id * 2 + i + 0.125 AS DOUBLE))) AS mz_sum,
+                   list_sum(list_transform(range(0, CAST(doc_id % 5 + 1 AS INTEGER)),
+                            i -> CAST(CAST(doc_id + i + 0.25 AS FLOAT) AS DOUBLE)))
+                     AS intensity_sum,
+                   CASE WHEN doc_id % 3 != 0 THEN
+                     list_sum(list_transform(range(0, CAST(doc_id % 5 + 1 AS INTEGER)),
+                              i -> CAST(CAST(i + 0.5 AS FLOAT) AS DOUBLE)))
+                   END AS wavelength_sum
             FROM documents
         """,
     }

@@ -53,6 +53,17 @@ def _parse_mzml_split(split: FileSplit) -> Iterator[dict]:
             if _local(elem.tag) != "spectrum":
                 continue
             spec_id = elem.get("id")
+            # spectrum-level cvParams: DIRECT children only (the ones inside
+            # binaryDataArray describe encodings, not the spectrum)
+            cv_params = [
+                {
+                    "accession": cv.get("accession"),
+                    "name": cv.get("name"),
+                    "value": cv.get("value"),
+                }
+                for cv in elem
+                if _local(cv.tag) == "cvParam"
+            ]
             mz = intensity = wavelength = None
             for bda in elem.iter():
                 if _local(bda.tag) != "binaryDataArray":
@@ -75,6 +86,7 @@ def _parse_mzml_split(split: FileSplit) -> Iterator[dict]:
                     wavelength = values
             yield {
                 "id": spec_id,
+                "cv_params": cv_params,
                 "mz": {"mz": mz} if mz is not None else None,
                 "intensity": {"intensity": intensity} if intensity is not None else None,
                 "wavelength": {"wavelength": wavelength} if wavelength is not None else None,

@@ -171,10 +171,24 @@ GENBANK_SCHEMA = T.StructType(
     ]
 )
 
-# mzML spectra (test_mzml_scan.test:6-10).
+# mzML spectra (test_mzml_scan.test:6-10); cv_params carries the
+# spectrum-level cvParam triples (SURVEY §1.3 "+mz/cv_params from format").
 MZML_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), True),
+        T.StructField(
+            "cv_params",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("accession", T.StringType(), True),
+                        T.StructField("name", T.StringType(), True),
+                        T.StructField("value", T.StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "mz",
             T.StructType([T.StructField("mz", T.ArrayType(T.DoubleType()), True)]),

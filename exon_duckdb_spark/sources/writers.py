@@ -26,6 +26,8 @@ __all__ = [
     "to_vcf",
     "to_hmm_dom_tbl",
     "to_genbank",
+    "to_mzml",
+    "write_partition_files",
 ]
 
 
@@ -275,3 +277,91 @@ def to_genbank(df: DataFrame, path: str, compression: str | None = None) -> None
         F.lit("\n//"),
     )
     _write_lines(df, rec, path, compression)
+
+
+def write_partition_files(df: DataFrame, path: str, render, ext: str) -> int:
+    """Distributed sink for whole-file formats (mzML XML docs, BAM/BCF
+    binaries): each partition renders its rows to ONE complete file in
+    ``path`` via ``render(rows: list[dict]) -> bytes``. No driver data
+    path — executors write their own partition's file, so the sink scales
+    with the cluster exactly like Spark's native sinks. Returns the row
+    count. Overwrites ``path``."""
+    import os
+    import shutil
+
+    p = path.removeprefix("file://")
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+    os.makedirs(p, exist_ok=True)
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        rows: list[dict] = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        if rows:
+            pid = TaskContext.get().partitionId()
+            out = os.path.join(p, f"part-{pid:05d}{ext}")
+            with open(out, "wb") as fh:
+                fh.write(render(rows))
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    from pyspark.sql import functions as _F
+
+    n = df.mapInPandas(_write, "n long").agg(_F.sum("n")).collect()[0][0]
+    return int(n or 0)
+
+
+def _render_mzml(rows: list[dict]) -> bytes:
+    """Rows → one mzML XML document (inverse of the reader's accessions)."""
+    import base64
+    import struct
+    from xml.sax.saxutils import escape, quoteattr
+
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<mzML xmlns="http://psi.hupo.org/ms/mzml"><run><spectrumList>',
+    ]
+    arrays = (
+        ("mz", "MS:1000523", "d", "MS:1000514", "m/z array"),
+        ("intensity", "MS:1000521", "f", "MS:1000515", "intensity array"),
+        ("wavelength", "MS:1000521", "f", "MS:1000617", "wavelength array"),
+    )
+    for r in rows:
+        n = next(
+            (len(r[c]) for c, *_ in arrays if r.get(c) is not None), 0
+        )
+        parts.append(
+            f"<spectrum id={quoteattr(str(r['id']))} defaultArrayLength=\"{n}\">"
+        )
+        for cv in r.get("cv_params") or []:
+            parts.append(
+                f"<cvParam accession={quoteattr(cv['accession'] or '')}"
+                f" name={quoteattr(cv['name'] or '')}"
+                + (f" value={quoteattr(cv['value'])}" if cv.get("value") is not None else "")
+                + "/>"
+            )
+        parts.append("<binaryDataArrayList>")
+        for col, enc_acc, fmt, kind_acc, kind_name in arrays:
+            vals = r.get(col)
+            if vals is None:
+                continue
+            vals = list(vals)
+            b64 = base64.b64encode(struct.pack(f"<{len(vals)}{fmt}", *vals)).decode()
+            parts.append(
+                "<binaryDataArray>"
+                f'<cvParam accession="{enc_acc}" name="enc"/>'
+                f"<cvParam accession={quoteattr(kind_acc)} name={quoteattr(kind_name)}/>"
+                f"<binary>{escape(b64)}</binary></binaryDataArray>"
+            )
+        parts.append("</binaryDataArrayList></spectrum>")
+    parts.append("</spectrumList></run></mzML>")
+    return "".join(parts).encode()
+
+
+def to_mzml(df: DataFrame, path: str) -> int:
+    """(id, cv_params?, mz ARRAY<DOUBLE>?, intensity ARRAY<FLOAT>?,
+    wavelength ARRAY<FLOAT>?) → one mzML document per partition."""
+    return write_partition_files(df, path, _render_mzml, ".mzML")

@@ -292,6 +292,7 @@ def _mzml(spectra: list[tuple[str, list[float], list[float]]]) -> str:
     parts = ['<?xml version="1.0"?><mzML xmlns="http://psi.hupo.org/ms/mzml"><run><spectrumList>']
     for sid, intens, wave in spectra:
         parts.append(f'<spectrum id="{sid}" defaultArrayLength="{len(intens)}">')
+        parts.append('<cvParam accession="MS:1000511" name="ms level" value="1"/>')
         parts.append("<binaryDataArrayList>")
         for accs, vals in (
             (("MS:1000521", "MS:1000515"), intens),
@@ -318,6 +319,11 @@ class TestMzml:
         assert r["intensity"]["intensity"] == intens
         assert r["wavelength"]["wavelength"] == wave
         assert r["mz"] is None
+        # spectrum-level cvParams only — the encoding cvParams inside
+        # binaryDataArray must NOT leak into cv_params
+        assert [tuple(cv) for cv in r["cv_params"]] == [
+            ("MS:1000511", "ms level", "1")
+        ]
 
 
 def _typed_int(v: int) -> bytes:
