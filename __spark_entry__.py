@@ -1129,6 +1129,108 @@ def q52_mzml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_bam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAM writer → byte-splittable reader round trip: binary record
+    encode/decode (CIGAR packing, 4-bit seq codes, phred bytes, ref
+    dictionary) hash-checked end-to-end — covers read_bam_file_records
+    (reference test_bam_record_scan.test:6-16)."""
+    from exon_duckdb_spark.sources.bam import read_bam
+    from exon_duckdb_spark.sources.writers import to_bam
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mapped = (did % 10) != 0
+    cigar = F.concat(
+        (did % 50 + 1).cast("string"), F.lit("M"),
+        (did % 7 + 1).cast("string"), F.lit("D"),
+        F.lit("10M"),
+    )
+    slen = (did % 8 + 1).cast("int")
+    d = docs.select(
+        did.cast("string").alias("name"),
+        (did % 4096).cast("int").alias("flag"),
+        F.when(mapped, F.concat(F.lit("chr"), (did % 5 + 1).cast("string"))).alias(
+            "reference"
+        ),
+        F.when(mapped, did + 100).alias("start"),
+        (did % 60).cast("string").alias("mapping_quality"),
+        F.when(mapped, cigar).alias("cigar"),
+        F.when(
+            mapped & (did % 3 == 0), F.concat(F.lit("chr"), (did % 5 + 1).cast("string"))
+        ).alias("mate_reference"),
+        F.substring(F.lit("ACGTACGT"), 1, slen).alias("sequence"),
+        # phred = 2 + doc_id%40 → char 35+doc_id%40 after +33 encoding
+        F.repeat(F.chr(did % 40 + 35), slen).alias("quality_score"),
+    )
+    out = _scratch("bam", sf_dir)
+    refs = [(f"chr{i}", 50_000_000) for i in range(1, 6)]
+    to_bam(d, out, refs)
+    rb = read_bam(spark, out)
+    return rb.select(
+        F.col("name").cast("bigint").alias("doc_id"),
+        "flag",
+        "reference",
+        "start",
+        "end",
+        "mapping_quality",
+        "cigar",
+        "mate_reference",
+        "sequence",
+        "quality_score",
+    )
+
+
+def q54_bcf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCF writer → byte-splittable reader round trip: BCF2 typed-value
+    encode/decode (typed ints/strings, missing-float NaN qual, header
+    dictionary IDX mapping) — covers read_bcf_file_records
+    (reference test_bcf_scan.test goldens)."""
+    from exon_duckdb_spark.sources.bcf import read_bcf
+    from exon_duckdb_spark.sources.writers import to_bcf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = docs.select(
+        F.concat(F.lit("chr"), (did % 5 + 1).cast("string")).alias("chrom"),
+        (did + 1).alias("pos"),
+        F.when(did % 11 != 0, F.concat(F.lit("rs"), did.cast("string"))).alias("id"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
+            (did % 4 + 1).cast("int"),
+        ).alias("ref"),
+        F.when(did % 2 == 0, F.array(F.lit("T"))).otherwise(
+            F.array(F.lit("G"), F.lit("C"))
+        ).alias("alt"),
+        F.when(did % 13 != 0, (did % 50).cast("double") + 0.5).alias("qual"),
+        (did % 100).cast("int").alias("DP"),
+        (did % 7).cast("int").alias("AC"),
+    )
+    contigs = [f"chr{i}" for i in range(1, 6)]
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##FILTER=<ID=PASS,Description="ok",IDX=0>\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="planted depth",IDX=1>\n'
+        '##INFO=<ID=AC,Number=1,Type=Integer,Description="planted count",IDX=2>\n'
+        + "".join(
+            f"##contig=<ID={c},length=50000000,IDX={i}>\n" for i, c in enumerate(contigs)
+        )
+        + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    )
+    out = _scratch("bcf", sf_dir)
+    to_bcf(d, out, header, contigs, {"DP": 1, "AC": 2})
+    rb = read_bcf(spark, out)
+    return rb.select(
+        (F.col("pos") - 1).alias("doc_id"),
+        "chrom",
+        "id",
+        "ref",
+        F.array_join("alt", ",").alias("alt_s"),
+        F.col("qual").cast("double").alias("qual"),
+        F.col("info.DP").alias("dp"),
+        F.col("info.AC").alias("ac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1193,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_hmm_roundtrip": q50_hmm_roundtrip,
         "q51_genbank_roundtrip": q51_genbank_roundtrip,
         "q52_mzml_roundtrip": q52_mzml_roundtrip,
+        "q53_bam_roundtrip": q53_bam_roundtrip,
+        "q54_bcf_roundtrip": q54_bcf_roundtrip,
     }
 
 
@@ -1905,6 +2009,41 @@ def oracle_sql() -> dict[str, str]:
                      list_sum(list_transform(range(0, CAST(doc_id % 5 + 1 AS INTEGER)),
                               i -> CAST(CAST(i + 0.5 AS FLOAT) AS DOUBLE)))
                    END AS wavelength_sum
+            FROM documents
+        """,
+        "q53_bam_roundtrip": """
+            SELECT doc_id,
+                   CAST(doc_id % 4096 AS INTEGER) AS flag,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR)) END AS reference,
+                   CASE WHEN doc_id % 10 != 0 THEN doc_id + 100 END AS start,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN doc_id + 100 + (doc_id % 50 + 1) + (doc_id % 7 + 1) + 9
+                        END AS "end",
+                   CAST(doc_id % 60 AS VARCHAR) AS mapping_quality,
+                   CASE WHEN doc_id % 10 != 0
+                        THEN concat(CAST(doc_id % 50 + 1 AS VARCHAR), 'M',
+                                    CAST(doc_id % 7 + 1 AS VARCHAR), 'D', '10M')
+                        END AS cigar,
+                   CASE WHEN doc_id % 10 != 0 AND doc_id % 3 = 0
+                        THEN concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR))
+                        END AS mate_reference,
+                   substr('ACGTACGT', 1, CAST(doc_id % 8 + 1 AS INTEGER)) AS sequence,
+                   repeat(chr(CAST(doc_id % 40 + 35 AS INTEGER)),
+                          CAST(doc_id % 8 + 1 AS INTEGER)) AS quality_score
+            FROM documents
+        """,
+        "q54_bcf_roundtrip": """
+            SELECT doc_id,
+                   concat('chr', CAST(doc_id % 5 + 1 AS VARCHAR)) AS chrom,
+                   CASE WHEN doc_id % 11 != 0
+                        THEN concat('rs', CAST(doc_id AS VARCHAR)) END AS id,
+                   list_extract(['A','C','G','T'], CAST(doc_id % 4 + 1 AS INTEGER)) AS ref,
+                   CASE WHEN doc_id % 2 = 0 THEN 'T' ELSE 'G,C' END AS alt_s,
+                   CASE WHEN doc_id % 13 != 0
+                        THEN CAST(CAST(doc_id % 50 + 0.5 AS FLOAT) AS DOUBLE) END AS qual,
+                   CAST(doc_id % 100 AS INTEGER) AS dp,
+                   CAST(doc_id % 7 AS INTEGER) AS ac
             FROM documents
         """,
     }

@@ -23,6 +23,8 @@ BGZF_MAGIC = b"\x1f\x8b\x08\x04"
 __all__ = [
     "BGZF_MAGIC",
     "bgzf_bsize",
+    "bgzf_block",
+    "bgzf_compress",
     "block_at",
     "find_block",
     "is_bgzf",
@@ -32,6 +34,31 @@ __all__ = [
     "merge_voffset_ranges",
     "prune_splits_to_ranges",
 ]
+
+DEFAULT_BGZF_BLOCK_BYTES = 60_000  # < 64 KiB decompressed, the spec ceiling
+
+
+def bgzf_block(data: bytes) -> bytes:
+    """One BGZF block: a gzip member with the BC/BSIZE extra subfield
+    (SAM spec §4.1). ``data`` must be < 64 KiB."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    total = 18 + len(comp) + 8
+    header = (
+        BGZF_MAGIC + b"\x00" * 4 + b"\x00\xff"
+        + struct.pack("<H", 6) + b"BC" + struct.pack("<H", 2)
+        + struct.pack("<H", total - 1)
+    )
+    return header + comp + struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+
+
+def bgzf_compress(payload: bytes, block_bytes: int = DEFAULT_BGZF_BLOCK_BYTES) -> bytes:
+    """Payload → BGZF stream (fixed-size blocks + the empty EOF block)."""
+    out = bytearray()
+    for i in range(0, len(payload), block_bytes):
+        out += bgzf_block(payload[i : i + block_bytes])
+    out += bgzf_block(b"")
+    return bytes(out)
 
 
 def bgzf_bsize(head: bytes) -> int | None:

@@ -27,6 +27,8 @@ __all__ = [
     "to_hmm_dom_tbl",
     "to_genbank",
     "to_mzml",
+    "to_bam",
+    "to_bcf",
     "write_partition_files",
 ]
 
@@ -365,3 +367,147 @@ def to_mzml(df: DataFrame, path: str) -> int:
     """(id, cv_params?, mz ARRAY<DOUBLE>?, intensity ARRAY<FLOAT>?,
     wavelength ARRAY<FLOAT>?) → one mzML document per partition."""
     return write_partition_files(df, path, _render_mzml, ".mzML")
+
+
+_CIGAR_OP_CODE = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6, "=": 7, "X": 8}
+_SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def _null(v) -> bool:
+    """NULL check that also catches the NaN that pandas uses for a null
+    numeric cell after Arrow conversion (arrays/lists are never null)."""
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0):
+        return False
+    try:
+        return bool(v != v)
+    except Exception:
+        return False
+
+
+def _render_bam(rows: list[dict], refs: list[tuple[str, int]]) -> bytes:
+    """Rows (SAM scan columns) → one BGZF-compressed BAM file (BAM spec §4)."""
+    import re
+    import struct
+
+    from exon_duckdb_spark.sources.bgzf import bgzf_compress
+
+    ref_id = {name: i for i, (name, _) in enumerate(refs)}
+    out = bytearray(b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", len(refs)))
+    for name, length in refs:
+        nb = name.encode() + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    for r in rows:
+        rid = ref_id.get(r.get("reference"), -1)
+        pos0 = int(r["start"]) - 1 if not _null(r.get("start")) else -1
+        nb = str(r["name"]).encode() + b"\x00"
+        cigar = r.get("cigar")
+        ops = (
+            [(int(n), _CIGAR_OP_CODE[op]) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)]
+            if not _null(cigar)
+            else []
+        )
+        seq = "" if _null(r.get("sequence")) else r["sequence"]
+        qual = None if _null(r.get("quality_score")) else r["quality_score"]
+        mate_rid = ref_id.get(r.get("mate_reference"), -1)
+        body = struct.pack(
+            "<iiBBHHHiiii",
+            rid,
+            pos0,
+            len(nb),
+            int(r.get("mapping_quality") or 0),
+            0,  # bin (only meaningful with an index; readers ignore it)
+            len(ops),
+            int(r.get("flag") or 0),
+            len(seq),
+            mate_rid,
+            -1,
+            0,
+        )
+        body += nb
+        for oplen, op in ops:
+            body += struct.pack("<I", (oplen << 4) | op)
+        packed = bytearray((len(seq) + 1) // 2)
+        for i, ch in enumerate(seq):
+            code = _SEQ_CODE.get(ch, 15)
+            packed[i // 2] |= code << 4 if i % 2 == 0 else code
+        body += bytes(packed)
+        body += bytes(ord(c) - 33 for c in qual) if qual else b"\xff" * len(seq)
+        out += struct.pack("<i", len(body)) + body
+    return bgzf_compress(bytes(out))
+
+
+def to_bam(df: DataFrame, path: str, refs: list[tuple[str, int]]) -> int:
+    """SAM scan columns → BGZF-compressed BAM, one file per partition
+    (``refs`` = [(name, length)] defines the header's reference dictionary;
+    inverse of read_bam's record decode)."""
+    return write_partition_files(
+        df, path, lambda rows: _render_bam(rows, refs), ".bam"
+    )
+
+
+def _bcf_typed_int(v: int) -> bytes:
+    import struct
+
+    if -120 <= v <= 127:
+        return b"\x11" + struct.pack("<b", v)
+    if -32760 <= v <= 32767:
+        return b"\x12" + struct.pack("<h", v)
+    return b"\x13" + struct.pack("<i", v)
+
+
+def _bcf_typed_str(s: str) -> bytes:
+    b = s.encode()
+    if len(b) < 15:
+        return bytes([(len(b) << 4) | 7]) + b
+    return bytes([0xF7]) + _bcf_typed_int(len(b)) + b
+
+
+def _render_bcf(
+    rows: list[dict], header_text: str, contig_ids: dict[str, int],
+    info_idx: dict[str, int],
+) -> bytes:
+    """Rows → one BGZF-compressed BCF2.2 file (BCF spec §6). ``info_idx``
+    maps df column name → header dictionary IDX; values are written as
+    typed ints."""
+    import struct
+
+    from exon_duckdb_spark.sources.bgzf import bgzf_compress
+
+    htext = header_text.encode() + b"\x00"
+    out = bytearray(b"BCF\x02\x02" + struct.pack("<I", len(htext)) + htext)
+    missing_qual = struct.pack("<I", 0x7F800001)  # BCF missing-float NaN
+    for r in rows:
+        alt = r.get("alt")
+        alleles = [r["ref"]] + ([] if _null(alt) else list(alt))
+        infos = [(idx, r[col]) for col, idx in info_idx.items() if not _null(r.get(col))]
+        shared = bytearray()
+        shared += struct.pack("<iii", contig_ids[r["chrom"]], int(r["pos"]) - 1, len(r["ref"]))
+        q = r.get("qual")
+        shared += missing_qual if _null(q) else struct.pack("<f", float(q))
+        shared += struct.pack("<I", (len(alleles) << 16) | len(infos))
+        shared += struct.pack("<I", 0)  # n_fmt=0, n_sample=0
+        vid = r.get("id")
+        shared += b"\x07" if _null(vid) else _bcf_typed_str(str(vid))
+        for a in alleles:
+            shared += _bcf_typed_str(a)
+        shared += b"\x01"  # FILTER: empty int8 vector
+        for idx, val in infos:
+            shared += _bcf_typed_int(idx) + _bcf_typed_int(int(val))
+        out += struct.pack("<II", len(shared), 0) + shared
+    return bgzf_compress(bytes(out))
+
+
+def to_bcf(
+    df: DataFrame, path: str, header_text: str, contigs: list[str],
+    info_idx: dict[str, int],
+) -> int:
+    """(chrom, pos, id, ref, alt, qual + integer INFO columns) →
+    BGZF-compressed BCF2, one file per partition. ``header_text`` must
+    declare the contigs and INFO IDs with IDX= annotations matching
+    ``info_idx`` (read_bcf's bind-time dictionary)."""
+    cids = {c: i for i, c in enumerate(contigs)}
+    return write_partition_files(
+        df, path, lambda rows: _render_bcf(rows, header_text, cids, info_idx), ".bcf"
+    )

@@ -52,3 +52,65 @@ def test_gff_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_bam_writer_roundtrip_split_invariant(spark, tmp_path):
+    """to_bam → read_bam round trip, identical across split sizes."""
+    from pyspark.sql import functions as F
+
+    from exon_duckdb_spark.sources.bam import read_bam
+    from exon_duckdb_spark.sources.writers import to_bam
+
+    d = spark.range(40).select(
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") % 4096).cast("int").alias("flag"),
+        F.when(F.col("id") % 5 != 0, F.lit("chrA")).alias("reference"),
+        F.when(F.col("id") % 5 != 0, F.col("id") + 1).alias("start"),
+        F.lit("37").alias("mapping_quality"),
+        F.when(F.col("id") % 5 != 0, F.lit("4M2I3D1S")).alias("cigar"),
+        F.lit(None).cast("string").alias("mate_reference"),
+        F.lit("ACGTACGTAC").alias("sequence"),
+        F.lit("IIIIIIIIII").alias("quality_score"),
+    )
+    out = str(tmp_path / "bam_out")
+    assert to_bam(d, out, [("chrA", 1000), ("chrB", 500)]) == 40
+    base = sorted(map(tuple, read_bam(spark, out).collect()))
+    assert len(base) == 40
+    # 4M2I3D1S consumes 4+3 reference bases
+    mapped = [dict(zip(read_bam(spark, out).columns, t)) for t in base]
+    m = [x for x in mapped if x["reference"] == "chrA"][0]
+    assert m["end"] == m["start"] + 7 - 1
+    for sb in (200, 1 << 20):
+        got = sorted(map(tuple, read_bam(spark, out, split_bytes=sb).collect()))
+        assert got == base
+
+
+def test_bcf_writer_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from exon_duckdb_spark.sources.bcf import read_bcf
+    from exon_duckdb_spark.sources.writers import to_bcf
+
+    d = spark.range(30).select(
+        F.lit("ctg1").alias("chrom"),
+        (F.col("id") * 100 + 1).alias("pos"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("id"),
+        F.lit("ACGT").alias("ref"),  # >1 char: rlen = 4
+        F.array(F.lit("A")).alias("alt"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 1.0 + 0.5).alias("qual"),
+        (F.col("id") % 42).cast("int").alias("DP"),
+    )
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##FILTER=<ID=PASS,Description="ok",IDX=0>\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d",IDX=1>\n'
+        "##contig=<ID=ctg1,length=100000,IDX=0>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    )
+    out = str(tmp_path / "bcf_out")
+    assert to_bcf(d, out, header, ["ctg1"], {"DP": 1}) == 30
+    rows = sorted(read_bcf(spark, out).collect(), key=lambda r: r["pos"])
+    assert len(rows) == 30
+    assert rows[3]["pos"] == 301 and rows[3]["ref"] == "ACGT"
+    assert rows[3]["alt"] == ["A"] and rows[3]["info"]["DP"] == 3
+    assert rows[3]["qual"] is None and rows[4]["qual"] == 4.5
