@@ -1231,6 +1231,151 @@ def q54_bcf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """doc_ids for index-fixture synthesis (driver-side FIXTURE generation
+    only — the queries under test are the distributed index-pruned scans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return [r[0] for r in docs.select("doc_id").collect()]
+
+
+def q55_vcf_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vcf_query(path, region) over a bgzip'd VCF with a .tbi built by
+    index_vcf: tabix-region semantics + chunk-level split pruning —
+    reference vcf_query TVF (rust/src/vcf_query_reader.rs:31-86,
+    goldens test_vcf_record_scan.test:44-70)."""
+    import os
+
+    from exon_duckdb_spark.sources.bgzf import bgzf_compress
+    from exon_duckdb_spark.sources.indexes import index_vcf
+    from exon_duckdb_spark.sources.vcf import vcf_query
+
+    out = _scratch("vcfq", sf_dir)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "planted.vcf.gz")
+    ids = _planted_ids(spark, sf_dir)
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="planted">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    recs = sorted(
+        (f"chr{did % 3 + 1}", did * 100 + 1, did) for did in ids
+    )
+    body = "".join(
+        f"{c}\t{p}\trs{did}\t{'ACGT'[did % 4]}\t.\t.\t.\tDP={did % 100}\n"
+        for c, p, did in recs
+    )
+    with open(path, "wb") as f:
+        f.write(bgzf_compress((header + body).encode(), block_bytes=512))
+    index_vcf(path)
+    q = vcf_query(spark, path, "chr2:15000-125000")
+    return q.select(
+        ((F.col("pos") - 1) / 100).cast("bigint").alias("doc_id"),
+        "chrom",
+        "pos",
+        "ref",
+        F.col("info.DP").alias("dp"),
+    )
+
+
+def q56_bam_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bam_query(path, region) over a BGZF BAM with a .bai built by
+    index_bam: region overlap on reader-computed start/end + BAI chunk
+    pruning — reference bam_query TVF (rust/src/bam_query_reader.rs:63,
+    goldens test_bam_record_scan.test:25-28)."""
+    import os
+
+    from exon_duckdb_spark.sources.bam import bam_query
+    from exon_duckdb_spark.sources.indexes import index_bam
+    from exon_duckdb_spark.sources.writers import _render_bam
+
+    out = _scratch("bamq", sf_dir)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "planted.bam")
+    ids = _planted_ids(spark, sf_dir)
+    refs = [(f"chr{i}", 2_000_000_000) for i in range(1, 4)]
+    rows = [
+        {
+            "name": str(did),
+            "flag": did % 4096,
+            "reference": f"chr{did % 3 + 1}",
+            "start": did * 100 + 1,
+            "mapping_quality": str(did % 60),
+            "cigar": "10M",
+            "mate_reference": None,
+            "sequence": "ACGTACGTAC",
+            "quality_score": "IIIIIIIIII",
+        }
+        for did in ids
+    ]
+    rows.sort(key=lambda r: (r["reference"], r["start"]))  # coordinate-sorted
+    with open(path, "wb") as f:
+        f.write(_render_bam(rows, refs, block_bytes=512))
+    index_bam(path)
+    q = bam_query(spark, path, "chr2:10000-30000")
+    return q.select(
+        F.col("name").cast("bigint").alias("doc_id"),
+        "flag",
+        "reference",
+        "start",
+        "end",
+        "cigar",
+    )
+
+
+def q57_bcf_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bcf_query(path, region) over a BGZF BCF with a .csi built by
+    index_bcf (min_shift=14, depth=5) — reference bcf_query TVF
+    (csi-pruned I/O, exact overlap filter after the scan)."""
+    import os
+
+    from exon_duckdb_spark.sources.bcf import bcf_query
+    from exon_duckdb_spark.sources.indexes import index_bcf
+    from exon_duckdb_spark.sources.writers import _render_bcf
+
+    out = _scratch("bcfq", sf_dir)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "planted.bcf")
+    ids = _planted_ids(spark, sf_dir)
+    contigs = [f"chr{i}" for i in range(1, 4)]
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##FILTER=<ID=PASS,Description="ok",IDX=0>\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="planted",IDX=1>\n'
+        + "".join(
+            f"##contig=<ID={c},length=2000000000,IDX={i}>\n"
+            for i, c in enumerate(contigs)
+        )
+        + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+    )
+    rows = [
+        {
+            "chrom": f"chr{did % 3 + 1}",
+            "pos": did * 100 + 1,
+            "id": f"rs{did}",
+            "ref": "A",
+            "alt": ["T"],
+            "qual": float(did % 50),
+            "DP": did % 100,
+        }
+        for did in ids
+    ]
+    rows.sort(key=lambda r: (r["chrom"], r["pos"]))  # coordinate-sorted
+    cids = {c: i for i, c in enumerate(contigs)}
+    with open(path, "wb") as f:
+        f.write(_render_bcf(rows, header, cids, {"DP": 1}, block_bytes=512))
+    index_bcf(path)
+    q = bcf_query(spark, path, "chr2:10000-30000")
+    return q.select(
+        ((F.col("pos") - 1) / 100).cast("bigint").alias("doc_id"),
+        "chrom",
+        "pos",
+        "ref",
+        F.col("qual").cast("double").alias("qual"),
+        F.col("info.DP").alias("dp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1297,6 +1442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_mzml_roundtrip": q52_mzml_roundtrip,
         "q53_bam_roundtrip": q53_bam_roundtrip,
         "q54_bcf_roundtrip": q54_bcf_roundtrip,
+        "q55_vcf_region_query": q55_vcf_region_query,
+        "q56_bam_region_query": q56_bam_region_query,
+        "q57_bcf_region_query": q57_bcf_region_query,
     }
 
 
@@ -2045,5 +2193,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 100 AS INTEGER) AS dp,
                    CAST(doc_id % 7 AS INTEGER) AS ac
             FROM documents
+        """,
+        "q55_vcf_region_query": """
+            SELECT doc_id,
+                   'chr2' AS chrom,
+                   doc_id * 100 + 1 AS pos,
+                   list_extract(['A','C','G','T'], CAST(doc_id % 4 + 1 AS INTEGER)) AS ref,
+                   CAST(doc_id % 100 AS INTEGER) AS dp
+            FROM documents
+            WHERE doc_id % 3 = 1 AND doc_id * 100 + 1 BETWEEN 15000 AND 125000
+        """,
+        "q56_bam_region_query": """
+            SELECT doc_id,
+                   CAST(doc_id % 4096 AS INTEGER) AS flag,
+                   'chr2' AS reference,
+                   doc_id * 100 + 1 AS start,
+                   doc_id * 100 + 10 AS "end",
+                   '10M' AS cigar
+            FROM documents
+            WHERE doc_id % 3 = 1
+              AND doc_id * 100 + 10 >= 10000 AND doc_id * 100 + 1 <= 30000
+        """,
+        "q57_bcf_region_query": """
+            SELECT doc_id,
+                   'chr2' AS chrom,
+                   doc_id * 100 + 1 AS pos,
+                   'A' AS ref,
+                   CAST(CAST(doc_id % 50 AS FLOAT) AS DOUBLE) AS qual,
+                   CAST(doc_id % 100 AS INTEGER) AS dp
+            FROM documents
+            WHERE doc_id % 3 = 1
+              AND doc_id * 100 + 1 >= 10000 AND doc_id * 100 + 1 <= 30000
         """,
     }

@@ -386,7 +386,7 @@ def _null(v) -> bool:
         return False
 
 
-def _render_bam(rows: list[dict], refs: list[tuple[str, int]]) -> bytes:
+def _render_bam(rows: list[dict], refs: list[tuple[str, int]], block_bytes: int | None = None) -> bytes:
     """Rows (SAM scan columns) → one BGZF-compressed BAM file (BAM spec §4)."""
     import re
     import struct
@@ -435,7 +435,9 @@ def _render_bam(rows: list[dict], refs: list[tuple[str, int]]) -> bytes:
         body += bytes(packed)
         body += bytes(ord(c) - 33 for c in qual) if qual else b"\xff" * len(seq)
         out += struct.pack("<i", len(body)) + body
-    return bgzf_compress(bytes(out))
+    if block_bytes is None:
+        return bgzf_compress(bytes(out))
+    return bgzf_compress(bytes(out), block_bytes)
 
 
 def to_bam(df: DataFrame, path: str, refs: list[tuple[str, int]]) -> int:
@@ -466,7 +468,7 @@ def _bcf_typed_str(s: str) -> bytes:
 
 def _render_bcf(
     rows: list[dict], header_text: str, contig_ids: dict[str, int],
-    info_idx: dict[str, int],
+    info_idx: dict[str, int], block_bytes: int | None = None,
 ) -> bytes:
     """Rows → one BGZF-compressed BCF2.2 file (BCF spec §6). ``info_idx``
     maps df column name → header dictionary IDX; values are written as
@@ -496,7 +498,9 @@ def _render_bcf(
         for idx, val in infos:
             shared += _bcf_typed_int(idx) + _bcf_typed_int(int(val))
         out += struct.pack("<II", len(shared), 0) + shared
-    return bgzf_compress(bytes(out))
+    if block_bytes is None:
+        return bgzf_compress(bytes(out))
+    return bgzf_compress(bytes(out), block_bytes)
 
 
 def to_bcf(
