@@ -695,22 +695,45 @@ def q39_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted alignment cases with HAND-DERIVED optima (defaults mismatch=4,
+# gap_open=6, gap_ext=2; a gap of length L costs 6+2L; score = -penalty).
+# Case 1 is the reference's own golden pair (test_align.test: '2M1D2M').
+# Uniqueness argument per case: 3 (one mismatch, 4) beats any gap detour
+# (>= 16); 4/5 (gap chars 'G' absent from the other string) pin the gap.
+_ALIGN_CASES = [
+    # (text, pattern, expected_cigar, expected_score)
+    ("AACC", "AACC", "4M", 0.0),
+    ("AACC", "AAACC", "2M1D2M", -8.0),  # 1-char D gap: -(6+2)
+    ("ACGTACGTAC", "ACGTACGTAC", "10M", 0.0),
+    ("ACGTAC", "ACCTAC", "6M", -4.0),  # one substitution
+    ("AAGGTT", "AATT", "2M2I2M", -10.0),  # 2-char I gap: -(6+4)
+    ("TTAA", "GGTTAA", "2D4M", -10.0),  # 2-char D gap at front
+]
+
+
 def q40_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WFA-style gap-affine alignment (pandas_udf DP) of each document's
-    DNA-derived prefix against a mutated copy. Not SQL-expressible → no
-    oracle entry (driver records the weaker rows-only check)."""
+    """WFA-style gap-affine alignment (pandas_udf DP) over planted pairs
+    with hand-derived closed-form optima — hash-checked against the oracle's
+    CASE constants (includes the reference golden 'AACC'/'AAACC'→'2M1D2M',
+    test/sql/exondb-align/test_align.test)."""
     docs = _t(spark, sf_dir, "documents")
-    seq = F.substring(_seq_spark(), 1, 24)
+    case = (F.col("doc_id") % 6 + 1).cast("int")
+    texts = F.array(*[F.lit(t) for t, _, _, _ in _ALIGN_CASES])
+    pats = F.array(*[F.lit(p) for _, p, _, _ in _ALIGN_CASES])
     d = docs.select(
         "doc_id",
-        seq.alias("text_seq"),
-        # pattern: the same prefix with its middle 4 bases deleted
-        F.concat(F.substring(seq, 1, 10), F.substring(seq, 15, 10)).alias("pattern_seq"),
-    ).where(F.length("text_seq") >= 24)
+        F.element_at(texts, case).alias("text_seq"),
+        F.element_at(pats, case).alias("pattern_seq"),
+    )
     return d.select(
         "doc_id",
+        "text_seq",
+        "pattern_seq",
         fx.alignment_string_wfa_gap_affine("text_seq", "pattern_seq").alias("cigar"),
-        fx.alignment_score_wfa_gap_affine("text_seq", "pattern_seq").alias("score"),
+        F.round(
+            fx.alignment_score_wfa_gap_affine("text_seq", "pattern_seq").cast("double"),
+            1,
+        ).alias("score"),
     )
 
 
@@ -1451,6 +1474,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect, ANSI where possible)
 # ---------------------------------------------------------------------------
+
+
+def _case6(kind: str) -> str:
+    """CASE doc_id % 6 over the planted alignment cases (t=text, p=pattern,
+    c=cigar, s=score)."""
+    idx = {"t": 0, "p": 1, "c": 2, "s": 3}[kind]
+    whens = " ".join(
+        f"WHEN {i} THEN "
+        + (str(case[idx]) if kind == "s" else f"'{case[idx]}'")
+        for i, case in enumerate(_ALIGN_CASES)
+    )
+    return f"CASE doc_id % 6 {whens} END"
 
 
 def _codon_case(expr: str) -> str:
@@ -2213,6 +2248,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 3 = 1
               AND doc_id * 100 + 10 >= 10000 AND doc_id * 100 + 1 <= 30000
+        """,
+        "q40_alignment": f"""
+            SELECT doc_id,
+                   {_case6("t")} AS text_seq,
+                   {_case6("p")} AS pattern_seq,
+                   {_case6("c")} AS cigar,
+                   CAST({_case6("s")} AS DOUBLE) AS score
+            FROM documents
         """,
         "q57_bcf_region_query": """
             SELECT doc_id,
