@@ -132,11 +132,12 @@ def _resync(buf: _BgzfBuf, start_abs: int, end_coffset: float, n_ref: int) -> in
 
 
 def _parse_bam_split(split: FileSplit) -> Iterator[dict]:
-    import os
+    from exon_duckdb_spark.sources.splits import file_size as _fsize
+    from exon_duckdb_spark.sources.splits import open_binary
 
-    file_size = os.path.getsize(split.path)
+    file_size = _fsize(split.path)
     end = split.start + split.length
-    with open(split.path, "rb") as f:
+    with open_binary(split.path) as f:
         if _block_at(f, 0, file_size) is None:
             # gzip-but-not-BGZF: unsplittable; first split takes the stream
             if split.start == 0:
@@ -276,7 +277,9 @@ def _decode_record(rec: bytes, refs: list[str]) -> dict:
 
 def _read_bai(bai_path: str) -> list[dict[int, list[tuple[int, int]]]]:
     """Parse a .bai: per reference, {bin → [(voffset_beg, voffset_end)]}."""
-    with open(bai_path, "rb") as f:
+    from exon_duckdb_spark.sources.splits import open_binary
+
+    with open_binary(bai_path) as f:
         if f.read(4) != b"BAI\x01":
             raise ValueError(f"{bai_path}: not a BAI index")
         (n_ref,) = struct.unpack("<i", f.read(4))
@@ -302,10 +305,11 @@ def _bai_compressed_ranges(
 
 def _bam_refs(path: str) -> list[str]:
     """Reference names from the BAM header (driver-side peek)."""
-    import os
+    from exon_duckdb_spark.sources.splits import file_size as _fsize
+    from exon_duckdb_spark.sources.splits import open_binary
 
-    file_size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    file_size = _fsize(path)
+    with open_binary(path) as f:
         if _block_at(f, 0, file_size) is not None:
             refs, _ = _read_header(_BgzfBuf(f, 0, file_size))
             return refs
@@ -349,13 +353,12 @@ def plan_bam_query_splits(
     """Splits a BAM region query must scan: all splits, pruned by the .bai
     index when one sits next to the file (reference: BAI-backed I/O pruning
     in rust/src/bam_query_reader.rs:63). Exposed for testability."""
-    import os
-
+    from exon_duckdb_spark.sources.splits import path_exists as _path_exists
     from exon_duckdb_spark.sources.splits import plan_splits
 
     splits = plan_splits(path, "none", splittable=True, split_bytes=split_bytes)
     bai_path = path + ".bai"
-    if not os.path.exists(bai_path):
+    if not _path_exists(bai_path):
         return splits
     chrom, r_start, r_end = parse_region(region)
     refs = _bam_refs(path)

@@ -134,13 +134,13 @@ def _resync_bcf(buf, start_abs: int, end_coffset: float, n_contigs: int) -> int 
 
 def _parse_bcf_split(split: FileSplit, info_meta: dict[int, tuple[str, str, str]],
                      contigs: list[str]) -> Iterator[dict]:
-    import os
-
     from exon_duckdb_spark.sources.bgzf import BgzfBuf, block_at, find_block
+    from exon_duckdb_spark.sources.splits import file_size as _fsize
+    from exon_duckdb_spark.sources.splits import open_binary
 
-    file_size = os.path.getsize(split.path)
+    file_size = _fsize(split.path)
     end = split.start + split.length
-    with open(split.path, "rb") as f:
+    with open_binary(split.path) as f:
         if block_at(f, 0, file_size) is None:
             if split.start == 0:
                 yield from _parse_bcf_stream(split, info_meta, contigs)
@@ -252,8 +252,10 @@ def read_bcf(
     from exon_duckdb_spark.sources.vcf import _INFO_RE, _scalar_type
 
     # bind-time header read: IDX-ordered dictionary of strings + contigs
+    from exon_duckdb_spark.sources.splits import open_binary as _ob
+
     f0 = expand_paths(path)[0]
-    with _gzip.open(f0, "rb") as fh:
+    with _gzip.GzipFile(fileobj=_ob(f0)) as fh:
         if fh.read(5)[:3] != b"BCF":
             raise ValueError(f"{f0}: not a BCF file")
         (l_text,) = struct.unpack("<I", fh.read(4))
@@ -336,7 +338,9 @@ def _read_csi(csi_path: str) -> tuple[int, int, list[dict[int, list[tuple[int, i
     """
     import gzip as _gz
 
-    with _gz.open(csi_path, "rb") as f:
+    from exon_duckdb_spark.sources.splits import open_binary as _ob
+
+    with _gz.GzipFile(fileobj=_ob(csi_path)) as f:
         if f.read(4) != b"CSI\x01":
             raise ValueError(f"{csi_path}: not a CSI index")
         min_shift, depth, l_aux = struct.unpack("<3i", f.read(12))
@@ -372,7 +376,7 @@ def plan_bcf_query_splits(
 ):
     """Splits a BCF region query must scan, pruned by the .csi when present.
     Exposed for testability."""
-    import os
+    from exon_duckdb_spark.sources.splits import path_exists as _path_exists
 
     from exon_duckdb_spark.sources.bgzf import (
         is_bgzf,
@@ -384,7 +388,7 @@ def plan_bcf_query_splits(
 
     splits = plan_splits(path, "none", splittable=True, split_bytes=split_bytes)
     csi_path = path + ".csi"
-    if not (os.path.exists(csi_path) and is_bgzf(path)):
+    if not (_path_exists(csi_path) and is_bgzf(path)):
         return splits
     contigs = _bcf_contigs(path)
     chrom, r_start, r_end = parse_region(region)

@@ -115,10 +115,10 @@ def find_block(f, start: int, file_size: int) -> int | None:
 
 
 def is_bgzf(path: str) -> bool:
-    import os
+    from exon_duckdb_spark.sources.splits import file_size, open_binary
 
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    size = file_size(path)
+    with open_binary(path) as f:
         return block_at(f, 0, size) is not None
 
 
@@ -215,11 +215,12 @@ def parse_bgzf_lines_split(split: FileSplit):
 
     Yields {"value": line} with the newline stripped, file order preserved.
     """
-    import os
+    from exon_duckdb_spark.sources.splits import file_size as _fsize
+    from exon_duckdb_spark.sources.splits import open_binary
 
-    file_size = os.path.getsize(split.path)
+    file_size = _fsize(split.path)
     end = split.start + split.length
-    with open(split.path, "rb") as f:
+    with open_binary(split.path) as f:
         if split.start == 0:
             anchor = 0
         else:

@@ -59,7 +59,9 @@ class _BgzfPayload:
         self.payload = bytearray()
         self.ustarts: list[int] = []
         self.coffsets: list[int] = []
-        with open(path, "rb") as f:
+        from exon_duckdb_spark.sources.splits import open_binary
+
+        with open_binary(path) as f:
             data = f.read()
         pos = 0
         while pos < len(data):

@@ -41,11 +41,16 @@ class InfoField:
 def _peek_info_fields(path: str) -> list[InfoField]:
     """Bind-time header read (first file only — the reference never scans
     multi-file VCF with differing headers; match single-file behavior)."""
+    import io
+
+    from exon_duckdb_spark.sources.splits import open_binary
+
     f0 = expand_paths(path)[0]
     comp = detect_compression(f0, "auto_detect")
-    opener = gzip.open if comp == "gzip" else open
+    raw = open_binary(f0)
+    fh_bin = gzip.GzipFile(fileobj=raw) if comp == "gzip" else raw
     fields: list[InfoField] = []
-    with opener(f0, "rt") as fh:
+    with io.TextIOWrapper(io.BufferedReader(fh_bin)) as fh:
         for line in fh:
             if not line.startswith("##"):
                 break
@@ -164,7 +169,9 @@ def _read_tbi(tbi_path: str) -> tuple[list[str], list[dict[int, list[tuple[int, 
 
     from exon_duckdb_spark.sources.bgzf import read_binning_index
 
-    with _gz.open(tbi_path, "rb") as f:
+    from exon_duckdb_spark.sources.splits import open_binary as _ob
+
+    with _gz.GzipFile(fileobj=_ob(tbi_path)) as f:
         if f.read(4) != b"TBI\x01":
             raise ValueError(f"{tbi_path}: not a tabix index")
         n_ref, _fmt, _seq, _beg, _end, _meta, _skip, l_nm = _struct.unpack(
@@ -188,8 +195,10 @@ def plan_vcf_query_splits(path: str, region: str, split_bytes: int | None = None
     )
     from exon_duckdb_spark.sources.splits import plan_splits
 
+    from exon_duckdb_spark.sources.splits import is_single_file, path_exists
+
     tbi_path = path + ".tbi"
-    if not (os.path.isfile(path) and os.path.exists(tbi_path) and is_bgzf(path)):
+    if not (is_single_file(path) and path_exists(tbi_path) and is_bgzf(path)):
         return None
     kwargs = {} if split_bytes is None else {"split_bytes": split_bytes}
     splits = plan_splits(path, "none", splittable=True, **kwargs)
