@@ -438,8 +438,12 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs, blocked by MinHash bands of the
+    gram set (skew-proof: shared prefixes don't collide; the band key
+    depends on the whole gram set; 16 hashes / 4 bands puts the collision
+    S-curve midpoint at ~0.71, matched to the 0.6 threshold)."""
     docs = _t(spark, sf_dir, "documents")
-    return ops.ngram_jaccard_pairs(docs, n=3, threshold=0.6, prefix_chars=12)
+    return ops.ngram_jaccard_pairs(docs, n=5, threshold=0.6, num_hashes=16, bands=4)
 
 
 def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,6 +1560,53 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0
         """
 
 
+def _char_lsh_pairs_oracle(
+    n: int = 5, num_hashes: int = 16, bands: int = 4, threshold: float = 0.6
+) -> str:
+    """Oracle twin of operators.dedup.ngram_jaccard_pairs (char n-gram
+    minhash band blocking + exact gram Jaccard)."""
+    rows = num_hashes // bands
+    mins = _minhash_mins_sql(num_hashes)
+    band_rows = []
+    for b in range(bands):
+        concat = ", ',', ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {md5_int_sql(f'CONCAT({concat})')} AS bh FROM sig"
+        )
+    bands_sql = "\n              UNION ALL\n              ".join(band_rows)
+    jac = (
+        "len(list_intersect(wa.grams, wb.grams)) * 1.0 / "
+        "(len(wa.grams) + len(wb.grams) - len(list_intersect(wa.grams, wb.grams)))"
+    )
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(length(text) - {n - 1}, 0)), "
+        f"i -> substr(text, i, {n})))"
+    )
+    return f"""
+            WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),
+            sh AS (SELECT doc_id, unnest(grams) AS w FROM g),
+            sig AS (
+              SELECT doc_id, {mins}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands_sql}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round({jac}, 6) AS jaccard
+            FROM cand
+            JOIN g wa ON wa.doc_id = id_a
+            JOIN g wb ON wb.doc_id = id_b
+            WHERE round({jac}, 6) >= {threshold}
+        """
+
+
 def _bucket_sql(planes: int, dims: int = 64, col: str = "embedding") -> str:
     """SQL twin of operators.similarity.hyperplane_bucket: same md5-derived
     ±1 plane normals, same left-to-right double summation (x*±1.0 == ±x in
@@ -2048,23 +2099,7 @@ def oracle_sql() -> dict[str, str]:
                      AS sample_rate
             FROM documents
         """,
-        "q28_ngram_jaccard_pairs": """
-            WITH g AS (
-              SELECT doc_id, substr(text, 1, 12) AS bucket,
-                     list_distinct(list_transform(
-                         generate_series(1, greatest(length(text) - 2, 0)),
-                         i -> substr(text, i, 3))) AS grams
-              FROM documents
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-                         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
-                     AS jaccard
-            FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-            WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-                        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
-                  >= 0.6
-        """,
+        "q28_ngram_jaccard_pairs": _char_lsh_pairs_oracle(),
         "q46_gtf_roundtrip": """
             SELECT doc_id,
                    concat('sq', CAST(doc_id % 10 AS VARCHAR)) AS seqname,

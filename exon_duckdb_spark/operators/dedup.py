@@ -172,6 +172,20 @@ def minhash_lsh_pairs(
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Checkpoint ``df``: RELIABLE (to the configured checkpoint dir) when
+    ``spark.sparkContext.setCheckpointDir`` was called, else local.
+
+    localCheckpoint stores blocks on executors — losing one on a real
+    cluster silently recomputes from nothing mid-iteration; a reliable
+    checkpoint survives executor loss. Set a checkpoint dir on cluster
+    deployments.
+    """
+    sc = df.sparkSession.sparkContext
+    has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id) where
     cluster_id is the minimum doc id reachable from doc_id.
@@ -185,7 +199,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Input: (id_a, id_b) pairs (any extra columns ignored). Output covers
     only ids that appear in some pair — singletons are their own cluster
-    trivially and never shuffle.
+    trivially and never shuffle. Iteration state checkpoints reliably when
+    a checkpoint dir is configured (see :func:`_materialize`).
     """
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -193,8 +208,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         # materialize once — every iteration joins edges, and without this
         # each round would recompute the (possibly expensive) pair pipeline
-        .localCheckpoint(eager=True)
     )
+    edges = _materialize(edges)
     labels = edges.select("u").distinct().select(
         F.col("u").alias("id"), F.col("u").alias("label")
     )
@@ -216,7 +231,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # checkpoint BEFORE the convergence probe: both the probe and the
         # next round then read the materialized labels instead of
         # recomputing the join (and lineage stays flat across rounds)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -299,37 +314,87 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 3,
+    n: int = 5,
     threshold: float = 0.8,
-    prefix_chars: int = 12,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Character n-gram Jaccard near-dup pairs, bucketed by text prefix.
+    """Character n-gram Jaccard near-dup pairs, blocked by MinHash bands of
+    the gram set.
 
-    The prefix bucket is the blocking key (ONE shuffle); exact char-n-gram
-    Jaccard verifies candidates per-row. Good for catching boilerplate-heavy
-    near-dups that word MinHash misses.
+    Earlier versions blocked on the text's first characters — a scale-killer
+    on boilerplate-heavy corpora where millions of documents share a prefix
+    and one bucket goes quadratic. A band key here depends on the WHOLE gram
+    set (min over grams per hash), so shared prefixes don't collide unless
+    the documents really are near-duplicates. Flow: per-row gram minhash (no
+    shuffle) → band-key equi-join (one shuffle) → exact char-n-gram Jaccard
+    verify per candidate. Identical texts still share every band by design —
+    run :func:`exact_dedup` first so literal duplicates don't re-pair here.
+
+    ``max_bucket`` (optional) drops band buckets larger than the cap before
+    the self-join — a hard guard against residual skew; dropped buckets only
+    lose candidates that other bands can still recover.
+
+    Calibration: collision probability is 1-(1-j^r)^b with r = num_hashes //
+    bands rows per band — the S-curve midpoint sits at (1/b)^(1/r) ≈ 0.71
+    for the defaults (16, 4), matching thresholds in 0.6-0.9. Char 3-grams
+    have high background Jaccard on same-language text (band keys collide
+    for unrelated docs); n=5 keeps the candidate set near-linear.
     """
+    rows_per_band = num_hashes // bands
     keyed = df.select(
-        F.col(id_col),
-        F.substring(F.col(text_col), 1, prefix_chars).alias("bucket"),
-        _distinct_char_ngrams_udf(n)(text_col).alias("grams"),
+        F.col(id_col), _distinct_char_ngrams_udf(n)(text_col).alias("grams")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    inter = F.size(F.array_intersect("a.grams", "b.grams"))
-    pairs = (
-        a.join(b, "bucket")
+    hashed = keyed.select(
+        F.col(id_col),
+        "grams",
+        F.transform("grams", lambda g: md5_int32(g)).alias("_h"),
+    )
+    sel = [F.col(id_col), F.col("grams")]
+    for i, (a_c, b_c) in enumerate(minhash_coeffs(num_hashes)):
+
+        def affine_min(a_c: int = a_c, b_c: int = b_c) -> Column:
+            return F.array_min(
+                F.transform(F.col("_h"), lambda h: (F.lit(a_c) * h + F.lit(b_c)) % MERSENNE31)
+            )
+
+        sel.append(affine_min().alias(f"mh_{i}"))
+    sig = hashed.select(*sel)
+    band_structs = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    bands_long = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    if max_bucket is not None:
+        sizes = bands_long.groupBy("band", "bh").count().where(
+            F.col("count") <= max_bucket
+        ).drop("count")
+        bands_long = bands_long.join(sizes, ["band", "bh"])
+    a, bb = bands_long.alias("a"), bands_long.alias("b")
+    cand = (
+        a.join(bb, ["band", "bh"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            inter.alias("_inter"),
-            (F.size("a.grams") + F.size("b.grams")).alias("_sz"),
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    grams = keyed.select(F.col(id_col), F.col("grams"))
+    j = (
+        cand.join(
+            grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "g_a"),
+            "id_a",
+        ).join(
+            grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "g_b"),
+            "id_b",
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(F.col("_inter") / (F.col("_sz") - F.col("_inter")), 6).alias("jaccard"),
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return j.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -338,27 +403,60 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    planes: int = 8,
+    planes: int | None = 8,
+    tables: int = 1,
+    n_rows: int | None = None,
+    target_bucket: int = 256,
 ) -> DataFrame:
-    """Embedding near-dup pairs: hyperplane-LSH bucket (one shuffle) then
-    exact cosine within bucket. See similarity.py for the primitives."""
-    from exon_duckdb_spark.operators.similarity import _norm, dot, hyperplane_bucket
+    """Embedding near-dup pairs: hyperplane-LSH bucketing (one shuffle per
+    table) then exact cosine verification per candidate.
 
+    Scaling knobs (see similarity.auto_planes): ``planes=None`` sizes the
+    plane count from the corpus so expected bucket cardinality stays
+    ~``target_bucket`` — join cost grows linearly with n instead of
+    n²/2^planes. More planes lowers per-table recall; raise ``tables`` to
+    compensate (independent hash families, candidates = union over tables).
+    With the defaults (planes=8, tables=1) this reproduces the single-table
+    behavior bit-for-bit.
+    """
+    from exon_duckdb_spark.operators.similarity import (
+        _norm,
+        auto_planes,
+        dot,
+        hyperplane_bucket,
+    )
+
+    if planes is None:
+        n = n_rows if n_rows is not None else df.count()
+        planes = auto_planes(n, target_bucket)
     keyed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        *[
+            hyperplane_bucket(F.col(vec_col), planes, table=t).alias(f"bucket_{t}")
+            for t in range(tables)
+        ],
         _norm(F.col(vec_col)).alias("_n"),  # once per vector, not per pair
     )
-    a, bb = keyed.alias("a"), keyed.alias("b")
-    sim = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n"))
-    return (
-        a.join(bb, "bucket")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
+    cands = []
+    for t in range(tables):
+        a, bb = keyed.alias("a"), keyed.alias("b")
+        cands.append(
+            a.join(bb, F.col(f"a.bucket_{t}") == F.col(f"b.bucket_{t}"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(
+                    dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                    / (F.col("a._n") * F.col("b._n")),
+                    6,
+                ).alias("cosine"),
+            )
         )
-        .where(F.col("cosine") >= threshold)
-    )
+    out = cands[0]
+    for c in cands[1:]:
+        out = out.union(c)
+    if tables > 1:
+        out = out.distinct()
+    return out.where(F.col("cosine") >= threshold)

@@ -35,20 +35,43 @@ __all__ = [
     "ann_topk",
     "ivf_topk",
     "plane_signs",
+    "auto_planes",
 ]
 
 
-def plane_signs(plane: int, dims: int) -> list[int]:
+def plane_signs(plane: int, dims: int, table: int = 0) -> list[int]:
     """Deterministic ±1 hyperplane normal, computed on the driver.
 
     Derived from md5 so any engine (or a SQL oracle) can reproduce it;
     materialized as literals so executors do zero hashing per row.
+    ``table`` selects an independent hash family for multi-table LSH
+    (table 0 reproduces the original single-table family bit-for-bit).
     """
     out = []
     for i in range(dims):
-        h = int(hashlib.md5(f"{1000 + plane}:{i}".encode()).hexdigest()[:15], 16)
+        h = int(
+            hashlib.md5(f"{1000 + table * 100003 + plane}:{i}".encode()).hexdigest()[:15],
+            16,
+        )
         out.append(1 if (h & 1) else -1)
     return out
+
+
+def auto_planes(
+    n_rows: int, target_bucket: int = 256, min_planes: int = 4, max_planes: int = 24
+) -> int:
+    """Planes sized so the EXPECTED bucket holds ~``target_bucket`` vectors.
+
+    Within-bucket self-join cost is Σ bucket² ≈ n²/2^planes — constant
+    planes is a scale-killer, so planes must grow with log2(n). With
+    planes = log2(n / target_bucket) the expected per-bucket cost is
+    n·target_bucket, i.e. LINEAR in the corpus. Recall per table drops as
+    planes grow; compensate with ``tables`` (independent hash families —
+    a pair is a candidate if it collides in ANY table).
+    """
+    if n_rows <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -116,17 +139,22 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64, table: int = 0) -> Column:
     """Deterministic random-hyperplane LSH code (int in [0, 2^planes)).
 
     Plane normals are ±1 vectors fixed by :func:`plane_signs`, computed on
     the driver and embedded as literal arrays — executors do one
     multiply-add pass per plane, zero hashing per row. Map-only; the bucket
-    becomes an equi-join key downstream.
+    becomes an equi-join key downstream. ``table`` selects an independent
+    family for multi-table LSH.
+
+    Scaling: size ``planes`` with :func:`auto_planes` so bucket cardinality
+    stays ~constant as the corpus grows — the within-bucket join cost is
+    then linear in n instead of n²/2^planes with a fixed plane count.
     """
 
     def plane_proj(p: int) -> Column:
-        signs = F.array(*[F.lit(float(s)) for s in plane_signs(p, dims)])
+        signs = F.array(*[F.lit(float(s)) for s in plane_signs(p, dims, table)])
         return F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
