@@ -139,6 +139,38 @@ def cosine_topk(
     )
 
 
+def _numpy_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):
+    """(assign_cid, probe_cids) pandas UDFs with the centroid matrix in the
+    closure. Matches the literal path's semantics: cosine rounded to 6dp,
+    ties toward the smaller centroid id (argmax returns the first max)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([c[1] for c in cents], dtype=np.float64)  # nlist × dims
+    cn = np.array([c[2] for c in cents], dtype=np.float64)
+
+    def _sims(vecs: "pd.Series") -> "np.ndarray":
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        return np.round((M @ C.T) / (norms * cn[None, :]), 6)
+
+    # NB: no parameter annotations — `from __future__ import annotations`
+    # turns them into strings pandas_udf can't resolve for a local import
+    @pandas_udf("int")
+    def assign_cid(vecs):
+        return pd.Series(np.argmax(_sims(vecs), axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cids(vecs):
+        s = _sims(vecs)
+        # sort by (sim desc, cid asc): stable argsort on -sim keeps cid order
+        order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return assign_cid, probe_cids
+
+
 def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64, table: int = 0) -> Column:
     """Deterministic random-hyperplane LSH code (int in [0, 2^planes)).
 
@@ -212,6 +244,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     nlist: int = 16,
     nprobe: int = 2,
+    assign: str = "auto",
+    literal_limit: int = 2048,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``nprobe`` nearest inverted lists.
 
@@ -220,9 +254,12 @@ def ivf_topk(
     (production would run a few Lloyd iterations on a sample; only the
     centroid values change, not the plan shape). Centroids are collected to
     the driver (nlist × dims floats — index metadata, same as any ANN
-    library) and re-emitted as literal arrays, so list assignment is a
-    map-only pass over the corpus: no shuffle, no join. Nearness is cosine
-    rounded to 6dp, ties broken toward the smaller centroid id.
+    library). List assignment is a map-only pass over the corpus — no
+    shuffle, no join — via literal centroid arrays when nlist × dims <=
+    ``literal_limit``, else via an Arrow-batched numpy matmul UDF (the
+    literal plan costs ~6 s of compile at 16×64 and grows linearly;
+    ``assign`` forces 'literal'/'numpy'). Nearness is cosine rounded to
+    6dp, ties broken toward the smaller centroid id.
 
     Each query probes its ``nprobe`` nearest lists; candidates come from one
     equi-join of the corpus against the broadcast (query × probe) table on
@@ -244,32 +281,58 @@ def ivf_topk(
         vec = [float(v) for v in r[vec_col]]
         cents.append((i, vec, math.sqrt(sum(v * v for v in vec))))
 
-    def centroid_sims(vec: Column, vn: Column) -> list[Column]:
-        out = []
-        for cid, cvec, cnorm in cents:
-            lit_arr = F.array(*[F.lit(v) for v in cvec])
-            sim = F.round(dot(vec, lit_arr) / (vn * F.lit(cnorm)), 6)
-            # (sim, -cid) structs: max = best sim, ties toward smaller cid
-            out.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
-        return out
+    dims = len(cents[0][1]) if cents else 0
+    # Literal-array assignment compiles O(nlist × dims) expression nodes
+    # (~6 s at 16×64); past the cutoff switch to a numpy pandas_udf whose
+    # centroid matrix ships in the UDF closure — same map-only shape,
+    # O(1) plan size, and the batched matmul is faster per row anyway.
+    use_numpy = assign == "numpy" or (assign == "auto" and nlist * dims > literal_limit)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        _norm(F.col(vec_col)).alias("nn"),
-    ).withColumn("cid", -F.array_max(F.array(*centroid_sims(F.col("nvec"), F.col("nn")))).getField("nc"))
-
-    probes = F.slice(F.array_sort(F.array(*centroid_sims(F.col("query_vec"), F.col("qn")))), -nprobe, nprobe)
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("query_vec"),
-            _norm(F.col(vec_col)).alias("qn"),
+    if use_numpy:
+        assign_cid, probe_cids = _numpy_assigners(cents, nprobe)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            _norm(F.col(vec_col)).alias("nn"),
+            assign_cid(F.col(vec_col)).alias("cid"),
         )
-        .withColumn("probe", F.explode(probes))
-        .withColumn("cid", -F.col("probe").getField("nc"))
-        .drop("probe")
-    )
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+                _norm(F.col(vec_col)).alias("qn"),
+                probe_cids(F.col(vec_col)).alias("_probes"),
+            )
+            .withColumn("cid", F.explode("_probes"))
+            .drop("_probes")
+        )
+    else:
+        def centroid_sims(vec: Column, vn: Column) -> list[Column]:
+            out = []
+            for cid, cvec, cnorm in cents:
+                lit_arr = F.array(*[F.lit(v) for v in cvec])
+                sim = F.round(dot(vec, lit_arr) / (vn * F.lit(cnorm)), 6)
+                # (sim, -cid) structs: max = best sim, ties toward smaller cid
+                out.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
+            return out
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            _norm(F.col(vec_col)).alias("nn"),
+        ).withColumn("cid", -F.array_max(F.array(*centroid_sims(F.col("nvec"), F.col("nn")))).getField("nc"))
+
+        probes = F.slice(F.array_sort(F.array(*centroid_sims(F.col("query_vec"), F.col("qn")))), -nprobe, nprobe)
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+                _norm(F.col(vec_col)).alias("qn"),
+            )
+            .withColumn("probe", F.explode(probes))
+            .withColumn("cid", -F.col("probe").getField("nc"))
+            .drop("probe")
+        )
 
     sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = (

@@ -212,6 +212,15 @@ def _parse_bam_stream(split: FileSplit) -> Iterator[dict]:
             yield _decode_record(rec, refs)
 
 
+# C-speed decode tables (the per-base Python loops were the profiled hot
+# spot of the whole BAM scan):
+# - 4-bit seq codes: hex() expands each nibble to one hex digit, then a
+#   str.translate maps hex digit → base letter — no per-base Python.
+_SEQ_NIBBLE_TABLE = str.maketrans("0123456789abcdef", _SEQ_CODES)
+# - phred+33: one bytes.translate, then latin-1 decode (identity bytes→chars)
+_PHRED33_TABLE = bytes(min(q + 33, 255) for q in range(256))
+
+
 def _decode_record(rec: bytes, refs: list[str]) -> dict:
     (
         ref_id,
@@ -238,18 +247,15 @@ def _decode_record(rec: bytes, refs: list[str]) -> dict:
     n_seq_bytes = (l_seq + 1) // 2
     seq_packed = rec[off : off + n_seq_bytes]
     off += n_seq_bytes
-    seq_chars = []
-    for i in range(l_seq):
-        b = seq_packed[i // 2]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(_SEQ_CODES[code])
-    sequence = "".join(seq_chars) or None
+    sequence = (
+        seq_packed.hex().translate(_SEQ_NIBBLE_TABLE)[:l_seq] if l_seq else None
+    )
 
     qual = rec[off : off + l_seq]
     quality = (
         None
         if not l_seq or (qual and qual[0] == 0xFF)
-        else "".join(chr(q + 33) for q in qual)
+        else qual.translate(_PHRED33_TABLE).decode("latin-1")
     )
 
     reference = refs[ref_id] if 0 <= ref_id < len(refs) else None

@@ -368,3 +368,26 @@ class TestDedupScale:
             getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
                 spark.sparkContext._jvm.scala.Option.empty()
             )
+
+    def test_ivf_numpy_assignment_matches_literal(self, spark):
+        """The numpy (large-index) assignment path must reproduce the
+        literal-array path exactly — same lists, same top-k."""
+        from pyspark.sql import functions as F
+
+        from exon_duckdb_spark.operators.similarity import ivf_topk
+
+        df = spark.range(150).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.cos(F.col("id") * i * 1.7).cast("float"),
+            ).alias("embedding"),
+        )
+        q = df.where(F.col("vec_id") < 5)
+        lit = sorted(
+            map(tuple, ivf_topk(df, q, k=3, nlist=8, nprobe=2, assign="literal").collect())
+        )
+        npy = sorted(
+            map(tuple, ivf_topk(df, q, k=3, nlist=8, nprobe=2, assign="numpy").collect())
+        )
+        assert lit == npy and len(lit) == 15
