@@ -45,6 +45,13 @@ HEADLINE = [
     "q35_range_band_join",
     "q36_revenue_by_brand",
     "q37_supplier_nation_volume",
+    # format sources (writer→reader roundtrips + indexed region queries)
+    "q47_sam_roundtrip",
+    "q49_vcf_roundtrip",
+    "q53_bam_roundtrip",
+    "q54_bcf_roundtrip",
+    "q55_vcf_region_query",
+    "q56_bam_region_query",
 ]
 
 

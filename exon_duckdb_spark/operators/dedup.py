@@ -310,6 +310,61 @@ def _distinct_char_ngrams_udf(n: int):
     return grams
 
 
+def _grams_minhash_udf(n: int, num_hashes: int):
+    """Arrow UDF: text → (distinct char n-grams, minhash vector).
+
+    Gram hashes replicate md5_int32 (first 8 md5 hex chars) through a
+    per-batch dict cache — English n-grams repeat heavily across documents,
+    so the md5 count is ~|distinct grams|, not |grams|. The k affine minima
+    run as one numpy broadcast per row. Empty gram sets yield NULL
+    minhashes (matching array_min over an empty array).
+    """
+    import hashlib as _hl
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    out_type = StructType(
+        [
+            StructField("grams", ArrayType(StringType())),
+            StructField("mh", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def f(s):
+        cache: dict[str, int] = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = int.from_bytes(_hl.md5(g.encode()).digest()[:4], "big")
+                cache[g] = v
+            return v
+
+        out_g, out_m = [], []
+        for x in s:
+            grams = list({x[i : i + n] for i in range(max(len(x) - n + 1, 0))})
+            out_g.append(grams)
+            if grams:
+                hs = np.array([h(g) for g in grams], dtype=np.int64)
+                out_m.append(((A * hs[None, :] + B) % MERSENNE31).min(axis=1).tolist())
+            else:
+                out_m.append([None] * len(coeffs))
+        return pd.DataFrame({"grams": out_g, "mh": out_m})
+
+    return f
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -343,30 +398,28 @@ def ngram_jaccard_pairs(
     for unrelated docs); n=5 keeps the candidate set near-linear.
     """
     rows_per_band = num_hashes // bands
+    # One Arrow pass computes grams AND all minhashes (numpy affine minima
+    # over md5-cached gram hashes) — k interpreted higher-order transforms
+    # over ~10³-gram arrays were the measured hot spot (~3× the UDF cost).
+    # Persisted because three consumers read it (band keys + both verify
+    # sides); without it the UDF re-runs per consumer.
     keyed = df.select(
-        F.col(id_col), _distinct_char_ngrams_udf(n)(text_col).alias("grams")
-    )
-    hashed = keyed.select(
         F.col(id_col),
-        "grams",
-        F.transform("grams", lambda g: md5_int32(g)).alias("_h"),
+        _grams_minhash_udf(n, num_hashes)(text_col).alias("_f"),
+    ).select(
+        F.col(id_col), F.col("_f.grams").alias("grams"), F.col("_f.mh").alias("_mh")
     )
-    sel = [F.col(id_col), F.col("grams")]
-    for i, (a_c, b_c) in enumerate(minhash_coeffs(num_hashes)):
+    from pyspark import StorageLevel
 
-        def affine_min(a_c: int = a_c, b_c: int = b_c) -> Column:
-            return F.array_min(
-                F.transform(F.col("_h"), lambda h: (F.lit(a_c) * h + F.lit(b_c)) % MERSENNE31)
-            )
-
-        sel.append(affine_min().alias(f"mh_{i}"))
-    sig = hashed.select(*sel)
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = []
     for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [
+            F.element_at("_mh", b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
         bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
         band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    bands_long = sig.select(
+    bands_long = keyed.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     if max_bucket is not None:

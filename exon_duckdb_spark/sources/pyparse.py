@@ -1,0 +1,160 @@
+"""Python line parsers for the TSV formats — the SQL-UDTF mirror of the
+native csv scans in tsv.py.
+
+The DataFrame API keeps the JVM-side csv scans (codegen, pushdown); these
+exist so the reference's SQL names (``SELECT * FROM read_gff('x')``) run
+verbatim through Python UDTFs (functions/register.py). Normalizations
+mirror tsv.py exactly: '.' → NULL, BED 0→1-based shifts, SAM '*'
+placeholders and the CIGAR-derived ``end``.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from exon_duckdb_spark.sources.reader_core import read_split_lines
+from exon_duckdb_spark.sources.splits import FileSplit
+
+__all__ = [
+    "parse_gff_split",
+    "parse_gtf_split",
+    "parse_bed_split",
+    "parse_sam_split",
+    "parse_hmm_split",
+]
+
+
+def _dot(v: str) -> str | None:
+    return None if v == "." else v
+
+
+def _gff_attrs(raw: str) -> dict[str, list[str]] | None:
+    if raw == "." or not raw:
+        return None
+    out: dict[str, list[str]] = {}
+    for part in raw.rstrip(";").split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        out[k] = v.split(",")
+    return out
+
+
+_GTF_ATTR_RE = re.compile(r'([A-Za-z0-9_]+)\s+"([^"]*)"')
+
+
+def _gtf_attrs(raw: str) -> dict[str, list[str]] | None:
+    if raw == "." or not raw:
+        return None
+    return {k: [v] for k, v in _GTF_ATTR_RE.findall(raw)}
+
+
+def _gff_like(split: FileSplit, last_col: str, attr_fn) -> Iterator[dict]:
+    for line in read_split_lines(split):
+        line = line.rstrip(b"\r\n")
+        if not line or line.startswith(b"#"):
+            continue
+        f = line.decode("utf-8", "replace").split("\t")
+        f += [""] * (9 - len(f))
+        yield {
+            "seqname": _dot(f[0]),
+            "source": _dot(f[1]),
+            "type": _dot(f[2]),
+            "start": int(f[3]) if f[3] not in (".", "") else None,
+            "end": int(f[4]) if f[4] not in (".", "") else None,
+            "score": float(f[5]) if f[5] not in (".", "") else None,
+            "strand": _dot(f[6]),
+            last_col: _dot(f[7]),
+            "attributes": attr_fn(f[8]),
+        }
+
+
+def parse_gff_split(split: FileSplit) -> Iterator[dict]:
+    yield from _gff_like(split, "phase", _gff_attrs)
+
+
+def parse_gtf_split(split: FileSplit) -> Iterator[dict]:
+    yield from _gff_like(split, "frame", _gtf_attrs)
+
+
+def parse_bed_split(split: FileSplit) -> Iterator[dict]:
+    zero_null = lambda v: None if v in (".", "0", "") else v  # noqa: E731
+    for line in read_split_lines(split):
+        line = line.rstrip(b"\r\n")
+        if not line or line.startswith(b"#"):
+            continue
+        f = line.decode("utf-8", "replace").split("\t")
+        f += [""] * (12 - len(f))
+        as_int = lambda v: int(v) if v not in (".", "") else None  # noqa: E731
+        start0 = as_int(f[1])
+        thick0 = as_int(f[6])
+        yield {
+            "reference_sequence_name": f[0],
+            "start": start0 + 1 if start0 is not None else None,
+            "end": as_int(f[2]),
+            "name": _dot(f[3]) or None,
+            "score": zero_null(f[4]),
+            "strand": _dot(f[5]) or None,
+            "thick_start": thick0 + 1 if thick0 is not None else None,
+            "thick_end": as_int(f[7]),
+            "color": zero_null(f[8]),
+            "block_count": as_int(f[9]),
+            "block_sizes": f[10] or None,
+            "block_starts": f[11] or None,
+        }
+
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+_REF_OPS = set("MDN=X")
+
+
+def _cigar_ref_len(cigar: str) -> int:
+    return sum(int(n) for n, op in _CIGAR_RE.findall(cigar) if op in _REF_OPS)
+
+
+def parse_sam_split(split: FileSplit) -> Iterator[dict]:
+    star = lambda v: None if v == "*" else v  # noqa: E731
+    for line in read_split_lines(split):
+        line = line.rstrip(b"\r\n")
+        if not line or line.startswith(b"@"):
+            continue
+        f = line.decode("utf-8", "replace").split("\t")
+        pos = int(f[3])
+        cigar = star(f[5])
+        rname = star(f[2])
+        yield {
+            "name": f[0],
+            "flag": int(f[1]),
+            "reference": rname,
+            "start": pos if pos != 0 else None,
+            "end": (
+                pos + _cigar_ref_len(cigar) - 1 if cigar is not None and pos != 0 else None
+            ),
+            "mapping_quality": f[4],
+            "cigar": cigar,
+            "mate_reference": rname if f[6] == "=" else star(f[6]),
+            "sequence": star(f[9]),
+            "quality_score": star(f[10]),
+        }
+
+
+def parse_hmm_split(split: FileSplit) -> Iterator[dict]:
+    from exon_duckdb_spark.sources.schemas import HMM_DOMTAB_SCHEMA
+
+    from pyspark.sql import types as T
+
+    fields = HMM_DOMTAB_SCHEMA.fields
+    for line in read_split_lines(split):
+        line = line.rstrip(b"\r\n")
+        if not line or line.startswith(b"#"):
+            continue
+        parts = line.decode("utf-8", "replace").strip().split(None, 22)
+        rec = {}
+        for i, fld in enumerate(fields):
+            v = parts[i] if i < len(parts) else None
+            if v is not None and not isinstance(fld.dataType, T.StringType):
+                v = int(v) if isinstance(fld.dataType, T.IntegerType) else float(v)
+            rec[fld.name] = v
+        yield rec
