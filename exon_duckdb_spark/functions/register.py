@@ -232,12 +232,215 @@ _TABLE_FUNCS = {
         "exon_duckdb_spark.sources.bam:_parse_bam_split",
         "exon_duckdb_spark.sources.schemas:SAM_SCHEMA",
     ),
+    # python mirrors of the native-csv scans (tsv.py) so every reference
+    # SQL name runs verbatim
+    "read_gff": (
+        "exon_duckdb_spark.sources.pyparse:parse_gff_split",
+        "exon_duckdb_spark.sources.schemas:GFF_SCHEMA",
+    ),
+    "read_gtf": (
+        "exon_duckdb_spark.sources.pyparse:parse_gtf_split",
+        "exon_duckdb_spark.sources.schemas:GTF_SCHEMA",
+    ),
+    "read_bed_file": (
+        "exon_duckdb_spark.sources.pyparse:parse_bed_split",
+        "exon_duckdb_spark.sources.schemas:BED_SCHEMA",
+    ),
+    "read_sam_file_records": (
+        "exon_duckdb_spark.sources.pyparse:parse_sam_split",
+        "exon_duckdb_spark.sources.schemas:SAM_SCHEMA",
+    ),
+    "read_hmm_dom_tbl_out": (
+        "exon_duckdb_spark.sources.pyparse:parse_hmm_split",
+        "exon_duckdb_spark.sources.schemas:HMM_DOMTAB_SCHEMA",
+    ),
 }
+
+
+def _row_of(rec: dict, names: list[str]) -> tuple:
+    return tuple(rec.get(n) for n in names)
+
+
+def _make_vcf_udtf():
+    """``read_vcf_file_records(path)``: header-driven schema via the UDTF
+    analyze() phase — the SQL mirror of read_vcf's bind-time INFO peek
+    (the reference's one file-dependent schema, SURVEY §1.1)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class _ReadVcf:
+        @staticmethod
+        def analyze(path) -> AnalyzeResult:
+            from exon_duckdb_spark.sources.vcf import _peek_info_fields, vcf_schema
+
+            return AnalyzeResult(schema=vcf_schema(_peek_info_fields(path.value)))
+
+        def eval(self, path: str):
+            from exon_duckdb_spark.sources.pyparse import parse_vcf_record_fields
+            from exon_duckdb_spark.sources.splits import plan_splits
+            from exon_duckdb_spark.sources.reader_core import read_split_lines
+            from exon_duckdb_spark.sources.vcf import _peek_info_fields, vcf_schema
+
+            info_fields = _peek_info_fields(path)
+            names = [f.name for f in vcf_schema(info_fields).fields]
+            for split in plan_splits(path, "auto_detect", splittable=False):
+                for line in read_split_lines(split):
+                    line = line.rstrip(b"\r\n")
+                    if not line or line.startswith(b"#"):
+                        continue
+                    rec = parse_vcf_record_fields(
+                        line.decode("utf-8", "replace").split("\t"), info_fields
+                    )
+                    rec["info"] = tuple(
+                        rec["info"].get(f.id) for f in info_fields
+                    )
+                    yield _row_of(rec, names)
+
+    return udtf(_ReadVcf)
+
+
+def _make_bcf_udtf():
+    """``read_bcf_file_records(path)``: header-driven schema via analyze()."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class _ReadBcf:
+        @staticmethod
+        def analyze(path) -> AnalyzeResult:
+            from exon_duckdb_spark.sources.bcf import bcf_bind
+
+            return AnalyzeResult(schema=bcf_bind(path.value)[3])
+
+        def eval(self, path: str):
+            from exon_duckdb_spark.sources.bcf import bcf_bind, parse_bcf_records
+            from exon_duckdb_spark.sources.splits import plan_splits
+
+            contigs, info_meta, info_fields, schema = bcf_bind(path)
+            names = [f.name for f in schema.fields]
+            for split in plan_splits(path, "none", splittable=False):
+                for rec in parse_bcf_records(split, info_meta, contigs, info_fields):
+                    rec["info"] = tuple(
+                        rec["info"].get(f.name) for f in info_fields
+                    )
+                    yield _row_of(rec, names)
+
+    return udtf(_ReadBcf)
+
+
+def _make_region_udtf(kind: str):
+    """``{vcf,bcf,bam}_query(path, region)`` — index-pruned region scans as
+    SQL table functions (single-task convenience; the DataFrame API is the
+    scale path)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class _Query:
+        @staticmethod
+        def analyze(path, region) -> AnalyzeResult:
+            if kind == "bam":
+                from exon_duckdb_spark.sources.schemas import SAM_SCHEMA
+
+                return AnalyzeResult(schema=SAM_SCHEMA)
+            if kind == "vcf":
+                from exon_duckdb_spark.sources.vcf import _peek_info_fields, vcf_schema
+
+                return AnalyzeResult(schema=vcf_schema(_peek_info_fields(path.value)))
+            from exon_duckdb_spark.sources.bcf import bcf_bind
+
+            return AnalyzeResult(schema=bcf_bind(path.value)[3])
+
+        def eval(self, path: str, region: str):
+            from exon_duckdb_spark.sources.vcf import parse_region
+
+            chrom, r_start, r_end = parse_region(region)
+
+            def overlaps(c, s, e) -> bool:
+                if c != chrom or s is None:
+                    return False
+                if r_start is not None and (e if e is not None else s) < r_start:
+                    return False
+                return not (r_end is not None and s > r_end)
+
+            if kind == "bam":
+                from exon_duckdb_spark.sources.bam import (
+                    _parse_bam_split,
+                    plan_bam_query_splits,
+                )
+                from exon_duckdb_spark.sources.schemas import SAM_SCHEMA
+
+                names = [f.name for f in SAM_SCHEMA.fields]
+                for split in plan_bam_query_splits(path, region):
+                    for rec in _parse_bam_split(split):
+                        if overlaps(rec["reference"], rec["start"], rec["end"]):
+                            yield _row_of(rec, names)
+            elif kind == "vcf":
+                from exon_duckdb_spark.sources.pyparse import parse_vcf_record_fields
+                from exon_duckdb_spark.sources.reader_core import read_split_lines
+                from exon_duckdb_spark.sources.splits import plan_splits
+                from exon_duckdb_spark.sources.vcf import (
+                    _peek_info_fields,
+                    plan_vcf_query_splits,
+                    vcf_schema,
+                )
+
+                info_fields = _peek_info_fields(path)
+                names = [f.name for f in vcf_schema(info_fields).fields]
+                splits = plan_vcf_query_splits(path, region)
+                if splits is None:
+                    splits = plan_splits(path, "auto_detect", splittable=False)
+                for split in splits:
+                    from exon_duckdb_spark.sources.bgzf import (
+                        is_bgzf,
+                        parse_bgzf_lines_split,
+                    )
+
+                    lines = (
+                        (r["value"].encode() for r in parse_bgzf_lines_split(split))
+                        if is_bgzf(split.path)
+                        else read_split_lines(split)
+                    )
+                    for line in lines:
+                        line = line.rstrip(b"\r\n")
+                        if not line or line.startswith(b"#"):
+                            continue
+                        rec = parse_vcf_record_fields(
+                            line.decode("utf-8", "replace").split("\t"), info_fields
+                        )
+                        end = rec["pos"] + len(rec["ref"] or "x") - 1
+                        if overlaps(rec["chrom"], rec["pos"], end):
+                            rec["info"] = tuple(
+                                rec["info"].get(f.id) for f in info_fields
+                            )
+                            yield _row_of(rec, names)
+            else:
+                from exon_duckdb_spark.sources.bcf import (
+                    bcf_bind,
+                    parse_bcf_records,
+                    plan_bcf_query_splits,
+                )
+
+                contigs, info_meta, info_fields, schema = bcf_bind(path)
+                names = [f.name for f in schema.fields]
+                for split in plan_bcf_query_splits(path, region):
+                    for rec in parse_bcf_records(split, info_meta, contigs, info_fields):
+                        end = rec["pos"] + len(rec["ref"] or "x") - 1
+                        if overlaps(rec["chrom"], rec["pos"], end):
+                            rec["info"] = tuple(
+                                rec["info"].get(f.name) for f in info_fields
+                            )
+                            yield _row_of(rec, names)
+
+    return udtf(_Query)
 
 
 def register_table_functions(spark: SparkSession) -> None:
     for name, (parse_import, schema_import) in _TABLE_FUNCS.items():
         spark.udtf.register(name, _make_read_udtf(parse_import, schema_import))
+    spark.udtf.register("read_vcf_file_records", _make_vcf_udtf())
+    spark.udtf.register("read_bcf_file_records", _make_bcf_udtf())
+    spark.udtf.register("vcf_query", _make_region_udtf("vcf"))
+    spark.udtf.register("bcf_query", _make_region_udtf("bcf"))
+    spark.udtf.register("bam_query", _make_region_udtf("bam"))
 
 
 def register_all(spark: SparkSession) -> None:

@@ -232,27 +232,45 @@ def _decode_site(buf: bytes, info_meta, contigs) -> dict:
     }
 
 
-def read_bcf(
-    spark: SparkSession,
-    path: str,
-    split_bytes: int = DEFAULT_BCF_SPLIT_BYTES,
-    _splits=None,
-) -> DataFrame:
-    """BCF records with header-driven INFO struct (same shape as read_vcf,
-    minus per-sample genotype decoding, which the reference goldens never
-    exercise). BGZF block-aligned splits; see module docstring."""
+def _coerce_info_value(v, dt):
+    from pyspark.sql import types as T
+
+    if v is None:
+        return False if isinstance(dt, T.BooleanType) else None
+    if isinstance(dt, T.ArrayType) and not isinstance(v, list):
+        return [v]
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StringType):
+        return [str(x) for x in v]
+    if isinstance(dt, T.StringType):
+        return str(v)
+    return v
+
+
+def parse_bcf_records(split: FileSplit, info_meta, contigs, info_fields) -> Iterator[dict]:
+    """Records of one split with the info struct coerced to the bind-time
+    schema (shared by read_bcf and the SQL UDTF surface)."""
+    for rec in _parse_bcf_split(split, info_meta, contigs):
+        info = rec["info"]
+        rec["info"] = {
+            f.name: _coerce_info_value(info.get(f.name), f.dataType)
+            for f in info_fields
+        }
+        yield rec
+
+
+def bcf_bind(path: str):
+    """Bind-time BCF header read: (contigs, IDX→(name, number, type) info
+    dictionary, info StructFields, full scan schema). Shared by read_bcf
+    and the SQL UDTF surface."""
     import gzip as _gzip
     import re as _re
 
     from pyspark.sql import types as T
 
-    from exon_duckdb_spark.sources.reader_core import make_reader
     from exon_duckdb_spark.sources.schemas import VCF_FIXED_FIELDS
     from exon_duckdb_spark.sources.splits import expand_paths
-    from exon_duckdb_spark.sources.vcf import _INFO_RE, _scalar_type
-
-    # bind-time header read: IDX-ordered dictionary of strings + contigs
     from exon_duckdb_spark.sources.splits import open_binary as _ob
+    from exon_duckdb_spark.sources.vcf import _INFO_RE
 
     f0 = expand_paths(path)[0]
     with _gzip.GzipFile(fileobj=_ob(f0)) as fh:
@@ -264,8 +282,7 @@ def read_bcf(
     contigs: list[str] = []
     info_meta: dict[int, tuple[str, str, str]] = {}
     dict_idx = 0
-    fields: list = []
-    seen = {}
+    seen: dict[str, bool] = {}
     for line in text.splitlines():
         if line.startswith("##contig=<ID="):
             m = _re.match(r"##contig=<ID=([^,>]+)", line)
@@ -304,25 +321,24 @@ def read_bcf(
     schema = T.StructType(
         VCF_FIXED_FIELDS + [T.StructField("info", T.StructType(info_fields), True)]
     )
+    return contigs, info_meta, info_fields, schema
+
+
+def read_bcf(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = DEFAULT_BCF_SPLIT_BYTES,
+    _splits=None,
+) -> DataFrame:
+    """BCF records with header-driven INFO struct (same shape as read_vcf,
+    minus per-sample genotype decoding, which the reference goldens never
+    exercise). BGZF block-aligned splits; see module docstring."""
+    from exon_duckdb_spark.sources.reader_core import make_reader
+
+    contigs, info_meta, info_fields, schema = bcf_bind(path)
 
     def parse(split: FileSplit) -> Iterator[dict]:
-        for rec in _parse_bcf_split(split, info_meta, contigs):
-            info = rec["info"]
-            rec["info"] = {
-                f.name: _coerce(info.get(f.name), f.dataType) for f in info_fields
-            }
-            yield rec
-
-    def _coerce(v, dt):
-        if v is None:
-            return False if isinstance(dt, T.BooleanType) else None
-        if isinstance(dt, T.ArrayType) and not isinstance(v, list):
-            return [v]
-        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StringType):
-            return [str(x) for x in v]
-        if isinstance(dt, T.StringType):
-            return str(v)
-        return v
+        yield from parse_bcf_records(split, info_meta, contigs, info_fields)
 
     return make_reader(
         spark, path, schema, parse, compression="none", splittable=True,

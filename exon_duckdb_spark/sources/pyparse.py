@@ -140,6 +140,50 @@ def parse_sam_split(split: FileSplit) -> Iterator[dict]:
         }
 
 
+def parse_vcf_record_fields(f: list[str], info_fields) -> dict:
+    """One VCF data line (already tab-split) → record dict mirroring
+    read_vcf's column semantics (vcf.py _info_col)."""
+    info_raw = f[7] if len(f) > 7 else ""
+    entries: dict[str, str | None] = {}
+    if info_raw not in (".", ""):
+        for part in info_raw.split(";"):
+            k, eq, v = part.partition("=")
+            entries[k] = v if eq else None
+
+    def _cast(v: str, t: str):
+        if t == "Integer":
+            return int(v)
+        if t == "Float":
+            return float(v)
+        return v
+
+    info = {}
+    for fld in info_fields:
+        if fld.type == "Flag" or fld.number == "0":
+            info[fld.id] = fld.id in entries
+        else:
+            raw = entries.get(fld.id)
+            if raw in (None, ""):
+                info[fld.id] = None
+            elif fld.number == "1":
+                info[fld.id] = _cast(raw, fld.type)
+            else:
+                info[fld.id] = [_cast(v, fld.type) for v in raw.split(",")]
+    qual = f[5] if len(f) > 5 else "."
+    return {
+        "chrom": f[0],
+        "pos": int(f[1]),
+        "id": _dot(f[2]) if len(f) > 2 else None,
+        "ref": f[3] if len(f) > 3 else None,
+        "alt": None if len(f) < 5 or f[4] == "." else f[4].split(","),
+        "qual": float(qual) if qual != "." else None,
+        "filter": _dot(f[6]) if len(f) > 6 else None,
+        "info": info,
+        "formats": f[8] if len(f) > 8 else None,
+        "genotypes": f[9:] if len(f) > 9 else None,
+    }
+
+
 def parse_hmm_split(split: FileSplit) -> Iterator[dict]:
     from exon_duckdb_spark.sources.schemas import HMM_DOMTAB_SCHEMA
 

@@ -103,6 +103,32 @@ def _vcf_lines(spark: SparkSession, path: str, splits=None) -> DataFrame:
     return spark.read.text(path)
 
 
+def vcf_schema(info_fields: list[InfoField]):
+    """Spark schema of a VCF scan given its header's INFO fields (the
+    bind-time file-dependent schema; mirrors _info_col's types)."""
+    from pyspark.sql import types as T
+
+    from exon_duckdb_spark.sources.schemas import VCF_FIXED_FIELDS
+
+    def dt(f: InfoField) -> T.DataType:
+        if f.type == "Flag" or f.number == "0":
+            return T.BooleanType()
+        scalar = {"Integer": T.IntegerType(), "Float": T.FloatType()}.get(
+            f.type, T.StringType()
+        )
+        return scalar if f.number == "1" else T.ArrayType(scalar)
+
+    info = T.StructType([T.StructField(f.id, dt(f), True) for f in info_fields])
+    return T.StructType(
+        VCF_FIXED_FIELDS
+        + [
+            T.StructField("info", info, True),
+            T.StructField("formats", T.StringType(), True),
+            T.StructField("genotypes", T.ArrayType(T.StringType()), True),
+        ]
+    )
+
+
 def read_vcf(spark: SparkSession, path: str, _splits=None) -> DataFrame:
     """VCF records: (chrom, pos, id, ref, alt, qual, filter, info, formats,
     genotypes) with info struct fields from the ##INFO header."""

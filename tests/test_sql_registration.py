@@ -106,3 +106,100 @@ def test_read_fastq_tvf(sql_spark, tmp_path):
         f"SELECT name, quality_score_string_to_list(quality_scores) AS q FROM read_fastq('{p}')"
     ).collect()
     assert [(r["name"], r["q"]) for r in rows] == [("r1", [0, 0, 0, 0])]
+
+
+def test_read_gff_gtf_bed_sam_hmm_tvfs(sql_spark, tmp_path):
+    """Every reference SQL scan name runs verbatim as a Spark UDTF."""
+    gff = tmp_path / "x.gff"
+    gff.write_text("chr1\tsrc\tgene\t10\t50\t.\t+\t.\tID=g1;Name=n1\n")
+    r = sql_spark.sql(f"SELECT * FROM read_gff('{gff}')").collect()[0]
+    assert r["seqname"] == "chr1" and r["score"] is None
+    assert r["attributes"]["ID"] == ["g1"]
+
+    gtf = tmp_path / "x.gtf"
+    gtf.write_text('chr1\tsrc\texon\t5\t20\t1.5\t-\t0\tgene_id "g9";\n')
+    r = sql_spark.sql(f"SELECT * FROM read_gtf('{gtf}')").collect()[0]
+    assert r["attributes"]["gene_id"] == ["g9"] and r["frame"] == "0"
+
+    bed = tmp_path / "x.bed"
+    bed.write_text("chr2\t99\t200\tfeat\t0\t.\n")
+    r = sql_spark.sql(f"SELECT * FROM read_bed_file('{bed}')").collect()[0]
+    assert r["start"] == 100 and r["score"] is None and r["strand"] is None
+
+    sam = tmp_path / "x.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\n"
+        "r1\t0\tchr1\t100\t60\t5M2D3M\t=\t0\t0\tACGTACGT\tIIIIIIII\n"
+    )
+    r = sql_spark.sql(f"SELECT * FROM read_sam_file_records('{sam}')").collect()[0]
+    assert r["end"] == 100 + 5 + 2 + 3 - 1 and r["mate_reference"] == "chr1"
+
+    hmm = tmp_path / "x.domtblout"
+    hmm.write_text(
+        "# comment\n"
+        "t1 PF1.1 100 q1 - 50 0.5 10.5 0.25 1 2 0.5 0.5 9.5 0.1 "
+        "1 20 5 25 3 30 0.9 a long description\n"
+    )
+    r = sql_spark.sql(f"SELECT * FROM read_hmm_dom_tbl_out('{hmm}')").collect()[0]
+    assert r["tlen"] == 100 and r["description"] == "a long description"
+
+
+def test_read_vcf_file_records_tvf_header_schema(sql_spark, tmp_path):
+    """The VCF UDTF's analyze() derives the info struct from the file
+    header — the reference's file-dependent schema, now in SQL."""
+    vcf = tmp_path / "x.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        '##INFO=<ID=INDEL,Number=0,Type=Flag,Description="d">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\trs1\tA\tT,G\t12.5\tPASS\tDP=7;INDEL\n"
+        "chr1\t200\t.\tC\t.\t.\t.\tDP=9\n"
+    )
+    rows = sql_spark.sql(
+        f"SELECT chrom, pos, alt, qual, info.DP AS dp, info.INDEL AS indel "
+        f"FROM read_vcf_file_records('{vcf}') ORDER BY pos"
+    ).collect()
+    assert rows[0]["dp"] == 7 and rows[0]["indel"] is True
+    assert rows[0]["alt"] == ["T", "G"] and rows[0]["qual"] == 12.5
+    assert rows[1]["dp"] == 9 and rows[1]["indel"] is False
+    assert rows[1]["alt"] is None
+
+
+def test_region_query_tvfs(sql_spark, tmp_path):
+    """vcf_query / bam_query SQL TVFs: index-aware region scans."""
+    from exon_duckdb_spark.sources.bgzf import bgzf_compress
+    from exon_duckdb_spark.sources.indexes import index_bam, index_vcf
+    from exon_duckdb_spark.sources.writers import _render_bam
+
+    vcf = tmp_path / "q.vcf.gz"
+    header = (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    body = "".join(
+        f"chr1\t{i * 1000 + 1}\trs{i}\tA\tT\t.\t.\tDP={i}\n" for i in range(100)
+    )
+    vcf.write_bytes(bgzf_compress((header + body).encode(), block_bytes=256))
+    index_vcf(str(vcf))
+    rows = sql_spark.sql(
+        f"SELECT pos FROM vcf_query('{vcf}', 'chr1:10001-20001') ORDER BY pos"
+    ).collect()
+    assert [r["pos"] for r in rows] == [i * 1000 + 1 for i in range(10, 21)]
+
+    bam = tmp_path / "q.bam"
+    rows_in = [
+        {
+            "name": f"r{i}", "flag": 0, "reference": "chr1", "start": i * 1000 + 1,
+            "mapping_quality": "60", "cigar": "10M", "mate_reference": None,
+            "sequence": "ACGTACGTAC", "quality_score": "IIIIIIIIII",
+        }
+        for i in range(100)
+    ]
+    bam.write_bytes(_render_bam(rows_in, [("chr1", 10_000_000)], block_bytes=256))
+    index_bam(str(bam))
+    rows = sql_spark.sql(
+        f"SELECT name FROM bam_query('{bam}', 'chr1:10001-20001') ORDER BY name"
+    ).collect()
+    assert len(rows) == 11
