@@ -1403,6 +1403,24 @@ def q57_bcf_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-language keep rates
+    (up/down-sampling a training mix) as a pure function of (doc_id, salt) —
+    reproducible across retries and cluster sizes, unlike rand() sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = ops.hash_sample(
+        docs,
+        {"en": 0.8, "de": 0.5, "es": 0.25, "zh": 0.1},
+        strata_col="lang",
+        salt="mix1",
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1472,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_vcf_region_query": q55_vcf_region_query,
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
+        "q58_hash_sample": q58_hash_sample,
     }
 
 
@@ -2302,5 +2321,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 3 = 1
               AND doc_id * 100 + 1 >= 10000 AND doc_id * 100 + 1 <= 30000
+        """,
+        "q58_hash_sample": f"""
+            WITH kept AS (
+              SELECT doc_id, lang,
+                     {md5_int_sql("concat('mix1', ':', CAST(doc_id AS VARCHAR))")} % 1000000
+                       AS bucket
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM kept
+            WHERE bucket < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                                     WHEN 'es' THEN 250000 WHEN 'zh' THEN 100000 END
+            GROUP BY lang
         """,
     }

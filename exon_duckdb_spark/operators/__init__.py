@@ -39,6 +39,7 @@ from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,
     bpe_tokens,
     doc_fingerprint,
+    hash_sample,
     language_id,
     text_stats,
     token_count,

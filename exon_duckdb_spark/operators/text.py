@@ -21,9 +21,45 @@ __all__ = [
     "text_stats",
     "language_id",
     "doc_fingerprint",
+    "hash_sample",
     "LANG_MARKERS",
     "STOPWORDS",
 ]
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float | dict[str, float],
+    key_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-based sampling — the reproducible alternative to
+    ``df.sample``/``sampleBy`` for training-data pipelines.
+
+    Keeps a row iff md5(salt ':' key) mod 1e6 < fraction·1e6. The subset is
+    a pure function of (key, salt): re-runs, retries and different cluster
+    sizes all pick the SAME rows (rand()-based sampling does not survive
+    task retries), supersets nest across fractions (a 1% sample is a subset
+    of the 10% sample), and the filter is a map-only codegen expression —
+    no shuffle, no state. ``fraction`` may be a per-stratum dict keyed by
+    ``strata_col`` values (language up/down-sampling); strata missing from
+    the dict are dropped.
+    """
+    bucket = md5_int(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    ) % SAMPLE_BUCKETS
+    if isinstance(fraction, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions require strata_col")
+        thresholds = F.create_map(
+            *[F.lit(x) for kv in fraction.items() for x in (kv[0], int(kv[1] * SAMPLE_BUCKETS))]
+        )
+        limit = thresholds.getItem(F.col(strata_col))
+        return df.where(limit.isNotNull() & (bucket < limit))
+    return df.where(bucket < int(fraction * SAMPLE_BUCKETS))
 
 # Small deterministic English-ish stopword list used for quality scoring.
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]

@@ -391,3 +391,25 @@ class TestDedupScale:
             map(tuple, ivf_topk(df, q, k=3, nlist=8, nprobe=2, assign="numpy").collect())
         )
         assert lit == npy and len(lit) == 15
+
+    def test_hash_sample_deterministic_and_nested(self, spark):
+        """Same (key, salt) → same subset; smaller fractions nest inside
+        larger ones; per-stratum dict applies per-language rates."""
+        from exon_duckdb_spark.operators import hash_sample
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+            "doc_id long, lang string",
+        )
+        a = {r["doc_id"] for r in hash_sample(df, 0.3).select("doc_id").collect()}
+        b = {r["doc_id"] for r in hash_sample(df, 0.3).select("doc_id").collect()}
+        assert a == b and 450 < len(a) < 750  # deterministic, ~30%
+        small = {r["doc_id"] for r in hash_sample(df, 0.1).select("doc_id").collect()}
+        assert small <= a  # nested supersets
+        assert hash_sample(df, 0.3, salt="other").select("doc_id").count() != 0
+        strat = hash_sample(df, {"en": 0.5, "de": 0.05}, strata_col="lang")
+        counts = {
+            r["lang"]: r["n"]
+            for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert 400 < counts["en"] < 600 and counts["de"] < 120
