@@ -1403,6 +1403,28 @@ def q57_bcf_region_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming exact dedup (dropDuplicatesWithinWatermark):
+    ingest the events stream, admit each (user_id, event_type) once within
+    the watermark horizon. Projecting the KEY SET keeps the result
+    deterministic (which duplicate survives is processing-order dependent);
+    the oracle is the batch DISTINCT."""
+    import uuid
+
+    from exon_duckdb_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(
+        stream_dedup(stream, ["user_id", "event_type"], watermark="240 hours"), name
+    )
+    return out.select("user_id", "event_type")
+
+
 def q58_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling: per-language keep rates
     (up/down-sampling a training mix) as a pure function of (doc_id, salt) —
@@ -1491,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
         "q58_hash_sample": q58_hash_sample,
+        "q59_stream_dedup": q59_stream_dedup,
     }
 
 
@@ -2335,5 +2358,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE bucket < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
                                      WHEN 'es' THEN 250000 WHEN 'zh' THEN 100000 END
             GROUP BY lang
+        """,
+        "q59_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
     }

@@ -129,20 +129,28 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle)
-    band_cols = []
+    # Fused Arrow pass (same rationale as ngram_jaccard_pairs): shingles AND
+    # all k minhashes in one UDF with a per-batch shingle-hash cache + numpy
+    # affine minima; persisted because band keys and both verify-join sides
+    # read it. minhash_signature (the public signature operator) keeps the
+    # pure-expression path.
+    keyed = df.select(
+        F.col(id_col), _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f")
+    ).select(
+        F.col(id_col), F.col("_f.ws").alias("wordset"), F.col("_f.mh").alias("_mh")
+    )
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    band_structs = []
     for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            md5_int(F.concat_ws(",", *[p.cast("string") for p in parts])).alias(f"band_{b}")
-        )
-    sig = sig.select(F.col(id_col), *band_cols)
-    # long-format band keys → candidates by equi-join
-    bands_long = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
-        ).alias("e"),
+        parts = [
+            F.element_at("_mh", b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
+        bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    bands_long = keyed.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     a = bands_long.alias("a")
     bb = bands_long.alias("b")
@@ -153,9 +161,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify on the same shingle sets the signatures estimate.
-    words = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
-        F.col(id_col), F.array_distinct(_shingles_of(F.col("_toks"), shingle)).alias("wordset")
-    )
+    words = keyed.select(F.col(id_col), F.col("wordset"))
     j = (
         cand.join(words.withColumnRenamed(id_col, "id_a").withColumnRenamed("wordset", "ws_a"), "id_a")
         .join(words.withColumnRenamed(id_col, "id_b").withColumnRenamed("wordset", "ws_b"), "id_b")
@@ -308,6 +314,66 @@ def _distinct_char_ngrams_udf(n: int):
         )
 
     return grams
+
+
+def _shingle_minhash_udf(shingle: int, num_hashes: int):
+    """Arrow UDF: text → (distinct word-shingle set, minhash vector).
+
+    Mirrors tokens() (split on single space, empties kept) and
+    _shingles_of exactly; hashes replicate md5_int32 with a per-batch
+    cache. Empty shingle sets yield NULL minhashes (= array_min over []).
+    """
+    import hashlib as _hl
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    out_type = StructType(
+        [
+            StructField("ws", ArrayType(StringType())),
+            StructField("mh", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def f(s):
+        cache: dict[str, int] = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = int.from_bytes(_hl.md5(g.encode()).digest()[:4], "big")
+                cache[g] = v
+            return v
+
+        out_w, out_m = [], []
+        for x in s:
+            toks = x.split(" ")
+            if shingle == 1:
+                sh = toks
+            else:
+                sh = [
+                    " ".join(toks[i : i + shingle])
+                    for i in range(max(len(toks) - shingle + 1, 0))
+                ]
+            out_w.append(list(dict.fromkeys(sh)))
+            if sh:
+                hs = np.array([h(g) for g in sh], dtype=np.int64)
+                out_m.append(((A * hs[None, :] + B) % MERSENNE31).min(axis=1).tolist())
+            else:
+                out_m.append([None] * len(coeffs))
+        return pd.DataFrame({"ws": out_w, "mh": out_m})
+
+    return f
 
 
 def _grams_minhash_udf(n: int, num_hashes: int):
