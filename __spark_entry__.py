@@ -35,6 +35,7 @@ from exon_duckdb_spark.operators.hashing import (
     md5_int_sql,
     minhash_coeffs,
 )
+from exon_duckdb_spark.operators.quality import PII_PATTERNS
 from exon_duckdb_spark.session import load_tables
 
 
@@ -1443,6 +1444,73 @@ def q58_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios (duplicate word/2-gram/3-gram
+    fractions) per document — map-only higher-order-function exprs."""
+    return ops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q61_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality gate: per-doc metrics + keep flag in
+    one map-only pass (token window, mean word length, alpha ratio,
+    stopword hits, duplicate-3-gram bound)."""
+    return ops.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+# PII planted deterministically from doc_id so the oracle can reproduce the
+# input text exactly (same trick as q39's planted media bytes).
+_PII_SENTENCE = " call +1 555-010-2345 today"
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1 up")),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(_PII_SENTENCE)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-type counts over documents with planted
+    emails/IPs/phones (planted as a pure function of doc_id, so DuckDB
+    recomputes the identical input). Map-only regexp pass."""
+    return ops.pii_scrub(_plant_pii(_t(spark, sf_dir, "documents")))
+
+
+# 9-token passage shared by the planted-contamination corpus and the
+# benchmark set: long enough for two 8-grams, absent from the synthetic
+# vocabulary otherwise.
+_CONTAM = " the quick brown fox jumps over the lazy dog"
+
+
+def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing an 8-gram with the benchmark
+    set are dropped. Contamination is planted (doc_id % 10 == 7 carries the
+    benchmark passage) so the expected keep-set is exactly computable."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corpus = docs.filter(did % 97 != 3).withColumn(
+        "text",
+        F.concat(F.col("text"), F.when(did % 10 == 7, F.lit(_CONTAM)).otherwise(F.lit(""))),
+    )
+    benchmark = docs.filter(did % 97 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_CONTAM))
+    )
+    kept = ops.decontaminate(corpus, benchmark, n=8)
+    return kept.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1514,6 +1582,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_bcf_region_query": q57_bcf_region_query,
         "q58_hash_sample": q58_hash_sample,
         "q59_stream_dedup": q59_stream_dedup,
+        "q60_repetition_stats": q60_repetition_stats,
+        "q61_quality_filter": q61_quality_filter,
+        "q62_pii_scrub": q62_pii_scrub,
+        "q63_decontaminate": q63_decontaminate,
     }
 
 
@@ -2361,5 +2433,96 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q59_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "q60_repetition_stats": """
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT doc_id, t,
+                    CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1),
+                           i -> array_to_string(t[i:i+1], ' ')) ELSE []::VARCHAR[] END AS g2,
+                    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+                           i -> array_to_string(t[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3
+                  FROM tok)
+            SELECT doc_id,
+                   CAST(len(t) AS INTEGER) AS n_tokens,
+                   CASE WHEN len(t) > 0
+                        THEN round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(g2) > 0
+                        THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN len(g3) > 0
+                        THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                        ELSE 0.0 END AS dup_3gram_frac
+            FROM g
+        """,
+        "q61_quality_filter": f"""
+            WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT doc_id, text, t,
+                    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+                           i -> array_to_string(t[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3
+                  FROM tok),
+            m AS (SELECT doc_id,
+                    CAST(len(t) AS INTEGER) AS n_tokens,
+                    round(list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t), 6)
+                      AS avg_token_len,
+                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                          / length(text), 6) AS alpha_ratio,
+                    CAST(len(list_filter(t, w -> list_contains({stop_list}, w))) AS INTEGER)
+                      AS stopword_hits,
+                    CASE WHEN len(g3) > 0
+                         THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                         ELSE 0.0 END AS dup_3gram_frac
+                  FROM g)
+            SELECT *, (n_tokens BETWEEN 10 AND 100000
+                       AND avg_token_len BETWEEN 2.0 AND 12.0
+                       AND alpha_ratio >= 0.6
+                       AND stopword_hits >= 1
+                       AND dup_3gram_frac <= 0.5) AS keep
+            FROM m
+        """,
+        "q62_pii_scrub": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     concat(text,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                        '@example.com now') ELSE '' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                                        '.1 up') ELSE '' END,
+                       CASE WHEN doc_id % 11 = 0 THEN '{_PII_SENTENCE}' ELSE '' END) AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS INTEGER)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS INTEGER)
+                     AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS INTEGER)
+                     AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                     '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+                     '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS redacted_text
+            FROM planted
+        """,
+        "q63_decontaminate": f"""
+            WITH corpus AS (
+              SELECT doc_id, lang,
+                     concat(text, CASE WHEN doc_id % 10 = 7 THEN '{_CONTAM}' ELSE '' END) AS text
+              FROM documents WHERE doc_id % 97 <> 3),
+            bench AS (
+              SELECT concat(text, '{_CONTAM}') AS text FROM documents WHERE doc_id % 97 = 3),
+            cg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+                     THEN list_transform(generate_series(1, len(t)-7),
+                            i -> array_to_string(t[i:i+7], ' '))
+                     ELSE []::VARCHAR[] END) AS g
+                   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
+            bg AS (SELECT DISTINCT unnest(CASE WHEN len(t) >= 8
+                     THEN list_transform(generate_series(1, len(t)-7),
+                            i -> array_to_string(t[i:i+7], ' '))
+                     ELSE []::VARCHAR[] END) AS g
+                   FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+            bad AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+            SELECT doc_id, lang FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
     }

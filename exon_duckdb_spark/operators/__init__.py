@@ -2,6 +2,7 @@
 relational helpers. See each module's docstring for the scale design."""
 
 from exon_duckdb_spark.operators.dedup import (  # noqa: F401
+    decontaminate,
     dedup_clusters,
     embedding_dup_pairs,
     exact_dedup,
@@ -34,6 +35,12 @@ from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     dot,
     hyperplane_bucket,
     ivf_topk,
+)
+from exon_duckdb_spark.operators.quality import (  # noqa: F401
+    pii_scrub,
+    quality_filter,
+    repetition_stats,
+    word_ngrams,
 )
 from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,

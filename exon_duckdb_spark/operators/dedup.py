@@ -42,6 +42,7 @@ __all__ = [
     "embedding_dup_pairs",
     "dedup_clusters",
     "near_dedup_keep_list",
+    "decontaminate",
 ]
 
 
@@ -268,6 +269,49 @@ def near_dedup_keep_list(
     return df.join(
         drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document that shares at
+    least one word ``n``-gram with the benchmark set (the standard
+    train-set hygiene pass before pre-training — GPT-3 §C / PaLM style
+    13-gram overlap, default n=8).
+
+    Scale design: both sides reduce to DISTINCT 60-bit n-gram hashes before
+    any join, so the shuffle carries (hash) / (hash, id) — never text. The
+    benchmark side (eval suites: thousands of docs, not billions) is
+    broadcast by default, making the whole pass a map-side semi-join plus
+    one id-keyed anti-join; set ``broadcast_benchmark=False`` for a huge
+    benchmark side to fall back to a shuffled semi-join. A doc with fewer
+    than ``n`` tokens has no n-grams and is always kept.
+    """
+    from exon_duckdb_spark.operators.quality import word_ngrams
+
+    def gram_hashes(d: DataFrame, with_id: bool) -> DataFrame:
+        toksed = d.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        grams = F.array_distinct(word_ngrams(F.col("_toks"), n))
+        exploded = toksed.select(
+            F.col(id_col), F.explode(F.transform(grams, md5_int)).alias("gram_hash")
+        )
+        return exploded if with_id else exploded.select("gram_hash").distinct()
+
+    bench_hashes = gram_hashes(benchmark, with_id=False)
+    if broadcast_benchmark:
+        bench_hashes = F.broadcast(bench_hashes)
+    contaminated = (
+        gram_hashes(df, with_id=True)
+        .join(bench_hashes, on="gram_hash", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, on=id_col, how="left_anti")
 
 
 def simhash(

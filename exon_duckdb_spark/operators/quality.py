@@ -1,0 +1,160 @@
+"""Quality filtering for large-scale training-data pipelines.
+
+Gopher-style heuristic filters (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", §A.1.1): repetition
+ratios, token-shape stats, and a composite keep/drop decision — plus PII
+redaction. Everything is a per-row native Column expression (whole-stage
+codegen, zero shuffle): at 100 TB these run as a map-only stage over the
+corpus, and Catalyst prunes the text column into the parquet scan.
+
+Cross-engine contract: every expression here has an exact DuckDB SQL twin
+(regex character classes shared by Java regex and RE2, arithmetic kept in
+bigint/double), so the driver's oracle hash-checks the output bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark.operators.text import tokens
+
+__all__ = [
+    "word_ngrams",
+    "repetition_stats",
+    "quality_filter",
+    "pii_scrub",
+    "PII_PATTERNS",
+]
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams ('a b c' for n=3) from a token-array column.
+
+    Guarded for short docs: a doc with fewer than n tokens yields an empty
+    array (Spark's ``sequence(1, 0)`` would otherwise count DOWN and emit
+    two bogus indices).
+    """
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition ratios (the Gopher duplicate-n-gram family).
+
+    dup_word_frac / dup_2gram_frac / dup_3gram_frac = fraction of word
+    n-grams that are repeats of an earlier occurrence (1 − distinct/total).
+    A boilerplate-stuffed or looping-generation document scores high; clean
+    prose scores near 0 for n≥2. Map-only, no shuffle.
+    """
+    toksed = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+
+    def dup_frac(n: int) -> Column:
+        grams = word_ngrams(toks, n)
+        total = F.size(grams)
+        return F.when(total > 0, F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    return toksed.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        dup_frac(1).alias("dup_word_frac"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_alpha_ratio: float = 0.6,
+    min_stopword_hits: int = 1,
+    max_dup_3gram_frac: float = 0.5,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: per-doc metrics + ``keep``.
+
+    Thresholds are the classic heuristics (word count window, mean word
+    length 2–12, alpha ratio, ≥1 stopword hit, bounded duplicate-3-gram
+    fraction); all are keyword-tunable. Returns every metric alongside the
+    boolean so pipelines can log WHY a doc was dropped. One map-only pass:
+    the token array is materialized once and every metric derives from it.
+    """
+    from exon_duckdb_spark.operators.text import STOPWORDS
+
+    toksed = df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    t = F.col(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    avg_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n_tokens, 6
+    )
+    alpha = F.round(F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.length(t), 6)
+    g3 = word_ngrams(toks, 3)
+    dup3 = F.when(
+        F.size(g3) > 0, F.round(1.0 - F.size(F.array_distinct(g3)) / F.size(g3), 6)
+    ).otherwise(F.lit(0.0))
+
+    m = toksed.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        alpha.alias("alpha_ratio"),
+        n_stop.alias("stopword_hits"),
+        dup3.alias("dup_3gram_frac"),
+    )
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("avg_token_len").between(min_avg_token_len, max_avg_token_len)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram_frac)
+    )
+    return m.select("*", keep.alias("keep"))
+
+
+# Regexes restricted to syntax Java regex (Spark) and RE2 (DuckDB) evaluate
+# identically: explicit character classes, bounded repetition, \\b word
+# boundaries. No backreferences, no lookaround (RE2 has neither).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / intl-format phone numbers and count
+    what was removed. Map-only regexp pass (codegen); the per-type counts
+    let a pipeline monitor PII density per source without keeping the raw
+    text. Phone is matched before ipv4-style digit runs can split it by
+    redacting in dict order (email, ipv4, phone are disjoint patterns)."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, red.alias("redacted_text"))

@@ -413,3 +413,79 @@ class TestDedupScale:
             for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()
         }
         assert 400 < counts["en"] < 600 and counts["de"] < 120
+
+
+class TestQuality:
+    """Gopher-style quality filters, PII scrub, decontamination."""
+
+    def test_word_ngrams_short_doc_guard(self, spark):
+        # A doc shorter than n must yield [] — Spark's sequence(1, 0) counts
+        # DOWN without the guard and would emit two bogus grams.
+        df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["doc_id", "text"])
+        out = df.select(
+            "doc_id", ops.word_ngrams(F.split("text", " "), 3).alias("g")
+        ).collect()
+        by_id = {r["doc_id"]: r["g"] for r in out}
+        assert by_id[1] == []
+        assert by_id[2] == ["a b c", "b c d"]
+
+    def test_repetition_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y x y x y"), (2, "a b c d e f")], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in ops.repetition_stats(df).collect()}
+        # doc 1: 6 tokens, 2 distinct → dup_word_frac 4/6; 2-grams
+        # [x y, y x, x y, y x, x y] → 2 distinct of 5 → 0.6
+        assert rows[1]["n_tokens"] == 6
+        assert rows[1]["dup_word_frac"] == pytest.approx(4 / 6, abs=1e-6)
+        assert rows[1]["dup_2gram_frac"] == pytest.approx(0.6, abs=1e-6)
+        assert rows[2]["dup_word_frac"] == 0.0
+        assert rows[2]["dup_3gram_frac"] == 0.0
+
+    def test_quality_filter_keep_logic(self, spark):
+        good = "the quick brown fox jumps over a lazy dog and runs far away"
+        df = spark.createDataFrame(
+            [
+                (1, good),                      # passes every gate
+                (2, "too short"),               # n_tokens < 10
+                (3, "zz " * 19 + "zz"),         # no stopwords, high repetition
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in ops.quality_filter(df).collect()}
+        assert rows[1]["keep"] is True
+        assert rows[2]["keep"] is False and rows[2]["n_tokens"] == 2
+        assert rows[3]["keep"] is False and rows[3]["stopword_hits"] == 0
+
+    def test_pii_scrub(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.user@example.org or 10.1.2.3 or +1 555-010-1234 ok"),
+                (2, "nothing sensitive here"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in ops.pii_scrub(df).collect()}
+        assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (1, 1, 1)
+        assert rows[1]["redacted_text"] == "mail <EMAIL> or <IPV4> or <PHONE> ok"
+        assert rows[2]["redacted_text"] == "nothing sensitive here"
+        assert rows[2]["n_email"] == 0
+
+    def test_decontaminate(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares the first 8-gram with the benchmark doc → dropped
+                (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+                (2, "completely unrelated words that overlap with nothing at all"),
+                (3, "short doc"),  # < 8 tokens → no grams → always kept
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r["doc_id"] for r in ops.decontaminate(corpus, bench, n=8).collect()
+        )
+        assert kept == [2, 3]
