@@ -1511,6 +1511,49 @@ def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+# BM25 query terms drawn from the synthetic corpus vocabulary.
+_BM25_TERMS = ["spark", "merge", "window", "slow"]
+
+
+def q64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k retrieval over documents — keyword search beside
+    the embedding ANN paths. Map-only tf/idf expressions; the corpus never
+    shuffles (stats broadcast back; top-k is TakeOrderedAndProject)."""
+    return ops.bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=25)
+
+
+# Boilerplate paragraph planted at the head of every synthetic "page" so
+# paragraph-level dedup has a known expected outcome.
+_BOILER = "accept all cookies to continue reading this site"
+
+
+def q65_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph dedup (boilerplate removal): documents are grouped
+    into pages of 10 joined by newlines, every page starts with the same
+    planted cookie banner; only the first page keeps it afterwards."""
+    docs = _t(spark, sf_dir, "documents")
+    page_text = F.concat(
+        F.lit(_BOILER + "\n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ),
+    )
+    pages = docs.groupBy(
+        F.floor(F.col("doc_id") / 10).alias("page_id")
+    ).agg(page_text.alias("text"))
+    return ops.paragraph_dedup(pages, id_col="page_id")
+
+
+def q66_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-frequent 2-grams (map-side partial agg + global
+    top-k) — the vocabulary/contamination screen over documents."""
+    return ops.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=100)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1586,6 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_quality_filter": q61_quality_filter,
         "q62_pii_scrub": q62_pii_scrub,
         "q63_decontaminate": q63_decontaminate,
+        "q64_bm25_topk": q64_bm25_topk,
+        "q65_paragraph_dedup": q65_paragraph_dedup,
+        "q66_top_ngrams": q66_top_ngrams,
     }
 
 
@@ -2524,5 +2570,55 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT string_split(text, ' ') AS t FROM bench)),
             bad AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
             SELECT doc_id, lang FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "q64_bm25_topk": f"""
+            WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            d AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+            s AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                         {", ".join(
+                             f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+                             for i, t in enumerate(_BM25_TERMS)
+                         )}
+                  FROM d),
+            scored AS (
+              SELECT doc_id,
+                     round({" + ".join(
+                         f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+                         f" * (len(list_filter(t, w -> w = '{t}')) * 2.2)"
+                         f" / (len(list_filter(t, w -> w = '{t}'))"
+                         f"    + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+                         for i, t in enumerate(_BM25_TERMS)
+                     )}, 6) AS bm25
+              FROM d, s)
+            SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
+            ORDER BY bm25 DESC, doc_id LIMIT 25
+        """,
+        "q65_paragraph_dedup": f"""
+            WITH pages AS (
+              SELECT CAST(doc_id // 10 AS BIGINT) AS page_id,
+                     concat('{_BOILER}', chr(10),
+                            string_agg(text, chr(10) ORDER BY doc_id)) AS text
+              FROM documents GROUP BY doc_id // 10),
+            paras AS (
+              SELECT page_id,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+                     unnest(string_split(text, chr(10))) AS para
+              FROM pages),
+            kept AS (
+              SELECT page_id, pos, para,
+                     row_number() OVER (PARTITION BY para ORDER BY page_id, pos) AS rn
+              FROM paras)
+            SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS dedup_text
+            FROM kept WHERE rn = 1 GROUP BY page_id
+        """,
+        "q66_top_ngrams": """
+            WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t)-1),
+                            i -> array_to_string(t[i:i+1], ' '))
+                     ELSE []::VARCHAR[] END) AS gram
+                  FROM tok)
+            SELECT gram, count(*) AS cnt FROM g
+            GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100
         """,
     }

@@ -45,6 +45,14 @@ HEADLINE = [
     "q35_range_band_join",
     "q36_revenue_by_brand",
     "q37_supplier_nation_volume",
+    # quality / decontamination (map-only passes + hash-only joins)
+    "q60_repetition_stats",
+    "q61_quality_filter",
+    "q62_pii_scrub",
+    "q63_decontaminate",
+    "q64_bm25_topk",
+    "q65_paragraph_dedup",
+    "q66_top_ngrams",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

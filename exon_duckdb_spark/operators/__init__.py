@@ -11,6 +11,7 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     minhash_signature,
     near_dedup_keep_list,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash,
 )
 from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_hash, seeded_hash_sql  # noqa: F401
@@ -30,6 +31,7 @@ from exon_duckdb_spark.operators.relational import (  # noqa: F401
 )
 from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     ann_topk,
+    bm25_topk,
     cosine,
     cosine_topk,
     dot,
@@ -51,4 +53,5 @@ from exon_duckdb_spark.operators.text import (  # noqa: F401
     text_stats,
     token_count,
     tokens,
+    top_ngrams,
 )

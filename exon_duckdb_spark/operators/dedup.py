@@ -21,7 +21,7 @@ reproduce every value bit-for-bit.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from exon_duckdb_spark.operators.hashing import (
@@ -43,6 +43,7 @@ __all__ = [
     "dedup_clusters",
     "near_dedup_keep_list",
     "decontaminate",
+    "paragraph_dedup",
 ]
 
 
@@ -312,6 +313,45 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated, on=id_col, how="left_anti")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global paragraph-level dedup (C4/RefinedWeb-style boilerplate
+    removal): split every document on ``sep`` (a regex), keep only the FIRST
+    occurrence of each paragraph corpus-wide (ordered by (doc id, position)),
+    and reassemble documents from their surviving paragraphs in original
+    order. A document whose every paragraph appeared earlier disappears from
+    the output entirely.
+
+    Scale design: the winner-per-paragraph pass is a window over the 60-bit
+    paragraph hash — the sort key the shuffle moves is (hash, id, pos), with
+    the paragraph text riding along once; reassembly is one groupBy(id)
+    whose payload is only the SURVIVING paragraphs. Two shuffles total,
+    both linear in corpus size — inherent to a global first-occurrence
+    semantics.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    w = Window.partitionBy(md5_int(F.col("_para"))).orderBy(
+        F.col(id_col), F.col("_pos")
+    )
+    kept = paras.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("dedup_text")
+    )
 
 
 def simhash(

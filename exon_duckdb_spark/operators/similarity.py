@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "plane_signs",
     "auto_planes",
+    "bm25_topk",
 ]
 
 
@@ -136,6 +137,67 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lexical top-k retrieval: BM25 (Robertson/Spärck Jones) over the corpus
+    for one query — the keyword-search complement to the embedding paths.
+
+    Scale design — NO inverted-index explode and NO corpus shuffle:
+
+    - Per-doc term frequencies of the QUERY terms only (queries are a handful
+      of terms) are higher-order array expressions — map-only, codegen.
+    - Corpus statistics (N, avgdl, per-term document frequency) reduce to a
+      single row via partial aggregation, then broadcast back with a
+      crossJoin — the corpus itself never moves.
+    - The final top-k is ``orderBy(...).limit(k)``, which Spark physically
+      plans as TakeOrderedAndProject: per-partition heaps of size k, only
+      k rows per partition reach the driver-side merge.
+
+    Scores are rounded to 6 dp BEFORE ranking (ties break on id) so results
+    are reproducible across engines and partitionings.
+    """
+    from exon_duckdb_spark.operators.text import tokens
+
+    toksed = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.col("_toks"), F.size("_toks").alias("_dl"))
+
+    aggs = [F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")]
+    for i, t in enumerate(query_terms):
+        aggs.append(
+            F.sum(F.array_contains("_toks", t).cast("int")).alias(f"_df_{i}")
+        )
+    stats = toksed.agg(*aggs)
+
+    def _term_eq(term: str):
+        # NOT a default-arg lambda: F.filter treats 2-arg lambdas as
+        # (element, index), so `lambda w, t=t:` would bind t to the INDEX.
+        return lambda w: w == F.lit(term)
+
+    scored = toksed.crossJoin(F.broadcast(stats))
+    score: Column = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter(F.col("_toks"), _term_eq(t)))
+        idf = F.log(
+            1.0 + (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        norm_len = 1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+        score = score + idf * (tf * (k1 + 1.0)) / (tf + k1 * norm_len)
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

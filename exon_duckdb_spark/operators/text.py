@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "hash_sample",
+    "top_ngrams",
     "LANG_MARKERS",
     "STOPWORDS",
 ]
@@ -145,6 +146,33 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     sel = [F.col(id_col), best.alias("predicted_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
     return df.select(*sel)
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level most-frequent word ``n``-grams (contamination screens,
+    boilerplate discovery, vocabulary audits).
+
+    Classic two-phase aggregate: explode grams map-side, hash-aggregate with
+    partial (map-side combine) before the shuffle, then a global top-k that
+    Spark plans as TakeOrderedAndProject — only ``k`` rows per partition
+    reach the merge. Ties break on the gram string so results are
+    deterministic across partitionings.
+    """
+    from exon_duckdb_spark.operators.quality import word_ngrams
+
+    toksed = df.select(tokens(text_col).alias("_toks"))
+    grams = toksed.select(F.explode(word_ngrams(F.col("_toks"), n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )
 
 
 def doc_fingerprint(text: Column | str) -> Column:

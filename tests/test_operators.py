@@ -489,3 +489,46 @@ class TestQuality:
             r["doc_id"] for r in ops.decontaminate(corpus, bench, n=8).collect()
         )
         assert kept == [2, 3]
+
+
+class TestRetrievalAndParagraphs:
+    """BM25 lexical search, paragraph dedup, corpus n-gram stats."""
+
+    def test_bm25_ranks_term_dense_docs_first(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spark spark spark runs fast"),
+                (2, "spark is here"),
+                (3, "nothing relevant at all"),
+                (4, "a much longer document that mentions spark once among many many other words"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = ops.bm25_topk(df, ["spark"], k=10).collect()
+        ids = [r["doc_id"] for r in out]
+        assert 3 not in ids           # zero score filtered out
+        assert ids[0] == 1            # highest tf, short doc
+        assert set(ids) == {1, 2, 4}
+        assert all(out[i]["bm25"] >= out[i + 1]["bm25"] for i in range(len(out) - 1))
+
+    def test_paragraph_dedup_keeps_first_occurrence(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "cookie banner\nunique first"),
+                (2, "cookie banner\nunique second"),
+                (3, "cookie banner"),  # nothing survives → page dropped
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["dedup_text"] for r in ops.paragraph_dedup(df).collect()}
+        assert out == {1: "cookie banner\nunique first", 2: "unique second"}
+
+    def test_top_ngrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b x y")], ["doc_id", "text"]
+        )
+        out = [(r["gram"], r["cnt"]) for r in ops.top_ngrams(df, n=2, k=3).collect()]
+        # "a b" appears 3 times (twice in doc 1, once in doc 2); ties on cnt
+        # break alphabetically.
+        assert out[0] == ("a b", 3)
+        assert out[1:] == [("b a", 1), ("b c", 1)]
