@@ -56,3 +56,39 @@ def test_asof_join_is_single_window_pass(spark):
     s = join_strategies(df)
     assert s["BroadcastNestedLoopJoin"] == 0
     assert explain_formatted(df).count("Window") >= 1
+
+
+def test_quality_ops_are_map_only(spark):
+    """Repetition stats, quality filter, and PII scrub must compile to
+    shuffle-free map-only plans (whole-stage codegen over the scan)."""
+    for q in (
+        entry.q60_repetition_stats,
+        entry.q61_quality_filter,
+        entry.q62_pii_scrub,
+    ):
+        p = explain_formatted(q(spark, SF))
+        assert "Exchange" not in p, f"unexpected shuffle in {q.__name__}"
+        # formatted mode marks whole-stage-codegen operators with a `*`
+        # (lambda HOF projections stay interpreted — that's expected)
+        assert "* ColumnarToRow" in p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The contamination semi-join must broadcast the (small) benchmark gram
+    set — the corpus side must not shuffle for it."""
+    s = join_strategies(entry.q63_decontaminate(spark, SF))
+    assert s["BroadcastHashJoin"] >= 1   # gram-hash semi-join
+    assert s["CartesianProduct"] == 0
+
+
+def test_bm25_corpus_side_never_shuffles(spark):
+    """BM25 must be: scan -> map-only scoring joined with a broadcast
+    single-row stats aggregate -> TakeOrderedAndProject. The only Exchange
+    allowed anywhere is the SinglePartition reduce of the stats row."""
+    p = explain_formatted(entry.q64_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    import re as _re
+
+    # formatted mode details each node as "(N) Exchange\n...\nArguments: ..."
+    for m in _re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", p):
+        assert "SinglePartition" in m.group(1), m.group(1)
