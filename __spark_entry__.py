@@ -1554,6 +1554,12 @@ def q66_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=100)
 
 
+def q67_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus dashboard: doc counts, token volume,
+    quality keep rate — one map-only metrics pass + one tiny-key agg."""
+    return ops.source_mix_report(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1632,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_bm25_topk": q64_bm25_topk,
         "q65_paragraph_dedup": q65_paragraph_dedup,
         "q66_top_ngrams": q66_top_ngrams,
+        "q67_source_mix_report": q67_source_mix_report,
     }
 
 
@@ -2620,5 +2627,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM tok)
             SELECT gram, count(*) AS cnt FROM g
             GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100
+        """,
+        "q67_source_mix_report": f"""
+            WITH tok AS (SELECT doc_id, source, lang, text,
+                                string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT doc_id, source, lang, text, t,
+                    CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2),
+                           i -> array_to_string(t[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3
+                  FROM tok),
+            m AS (SELECT doc_id, source, lang,
+                    CAST(len(t) AS INTEGER) AS n_tokens,
+                    round(list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t), 6)
+                      AS avg_token_len,
+                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                          / length(text), 6) AS alpha_ratio,
+                    CAST(len(list_filter(t, w -> list_contains({stop_list}, w))) AS INTEGER)
+                      AS stopword_hits,
+                    CASE WHEN len(g3) > 0
+                         THEN round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                         ELSE 0.0 END AS dup_3gram_frac
+                  FROM g),
+            k AS (SELECT *, (n_tokens BETWEEN 10 AND 100000
+                             AND avg_token_len BETWEEN 2.0 AND 12.0
+                             AND alpha_ratio >= 0.6
+                             AND stopword_hits >= 1
+                             AND dup_3gram_frac <= 0.5) AS keep
+                  FROM m)
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_tokens), 6) AS avg_tokens,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS keep_rate
+            FROM k GROUP BY source, lang
         """,
     }

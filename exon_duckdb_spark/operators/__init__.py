@@ -42,6 +42,7 @@ from exon_duckdb_spark.operators.quality import (  # noqa: F401
     pii_scrub,
     quality_filter,
     repetition_stats,
+    source_mix_report,
     word_ngrams,
 )
 from exon_duckdb_spark.operators.text import (  # noqa: F401

@@ -23,6 +23,7 @@ __all__ = [
     "word_ngrams",
     "repetition_stats",
     "quality_filter",
+    "source_mix_report",
     "pii_scrub",
     "PII_PATTERNS",
 ]
@@ -87,6 +88,7 @@ def quality_filter(
     min_alpha_ratio: float = 0.6,
     min_stopword_hits: int = 1,
     max_dup_3gram_frac: float = 0.5,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Composite Gopher-style quality gate: per-doc metrics + ``keep``.
 
@@ -95,10 +97,16 @@ def quality_filter(
     fraction); all are keyword-tunable. Returns every metric alongside the
     boolean so pipelines can log WHY a doc was dropped. One map-only pass:
     the token array is materialized once and every metric derives from it.
+    ``extra_cols`` passes identity columns (source, lang, …) through for
+    downstream grouping without a join back.
     """
     from exon_duckdb_spark.operators.text import STOPWORDS
 
-    toksed = df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks"))
+    extra = list(extra_cols or [])
+    toksed = df.select(
+        F.col(id_col), *[F.col(c) for c in extra],
+        F.col(text_col), tokens(text_col).alias("_toks"),
+    )
     toks = F.col("_toks")
     t = F.col(text_col)
     n_tokens = F.size(toks)
@@ -115,6 +123,7 @@ def quality_filter(
 
     m = toksed.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         n_tokens.alias("n_tokens"),
         avg_len.alias("avg_token_len"),
         alpha.alias("alpha_ratio"),
@@ -129,6 +138,35 @@ def quality_filter(
         & (F.col("dup_3gram_frac") <= max_dup_3gram_frac)
     )
     return m.select("*", keep.alias("keep"))
+
+
+def source_mix_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    **quality_kwargs,
+) -> DataFrame:
+    """Per-(source, lang) corpus dashboard: document count, token volume,
+    and the quality-gate keep rate — the report a pipeline publishes after
+    every ingest to steer the training mix.
+
+    One map-only metrics pass (:func:`quality_filter` with identity columns
+    threaded through) followed by one aggregation keyed on the tiny
+    (source, lang) space — partial aggregation makes the shuffle carry a
+    handful of rows per task regardless of corpus size.
+    """
+    groups = group_cols or ["source", "lang"]
+    m = quality_filter(
+        df, text_col=text_col, id_col=id_col, extra_cols=groups, **quality_kwargs
+    )
+    return m.groupBy(*groups).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.round(F.avg(F.col("keep").cast("int")), 6).alias("keep_rate"),
+    )
 
 
 # Regexes restricted to syntax Java regex (Spark) and RE2 (DuckDB) evaluate

@@ -532,3 +532,20 @@ class TestRetrievalAndParagraphs:
         # break alphabetically.
         assert out[0] == ("a b", 3)
         assert out[1:] == [("b a", 1), ("b c", 1)]
+
+    def test_source_mix_report(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over a lazy dog and runs far away", "web", "en"),
+                (2, "too short", "web", "en"),
+                (3, "the quick brown fox jumps over a lazy dog and runs far away", "books", "en"),
+            ],
+            ["doc_id", "text", "source", "lang"],
+        )
+        out = {
+            (r["source"], r["lang"]): r for r in ops.source_mix_report(df).collect()
+        }
+        assert out[("web", "en")]["n_docs"] == 2
+        assert out[("web", "en")]["n_kept"] == 1
+        assert out[("web", "en")]["keep_rate"] == 0.5
+        assert out[("books", "en")]["keep_rate"] == 1.0
