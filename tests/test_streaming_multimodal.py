@@ -196,3 +196,24 @@ class TestFrameSampling:
         # deterministic across runs
         again = ops.sample_frames(df, n_frames=4).collect()
         assert sorted(map(str, again)) == sorted(map(str, out))
+
+
+class TestStreamingQuality:
+    """The quality/PII operators are pure map-only Column expressions, so
+    they must run UNCHANGED on a streaming DataFrame — the standard
+    continuous-ingest shape: readStream -> quality gate + redaction ->
+    sink."""
+
+    def test_quality_and_pii_on_stream(self, spark, tmp_path):
+        docs = spark.read.parquet(SF_DIR + "/documents.parquet").limit(50)
+        docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+        stream = spark.readStream.schema(docs.schema).parquet(str(tmp_path / "docs"))
+
+        gated = ops.quality_filter(stream).where("keep")
+        out = run_to_memory_sink(gated, "quality_stream")
+        batch_kept = ops.quality_filter(docs).where("keep").count()
+        assert out.count() == batch_kept
+
+        scrubbed = ops.pii_scrub(stream)
+        out2 = run_to_memory_sink(scrubbed, "pii_stream")
+        assert out2.count() == 50
