@@ -1511,6 +1511,44 @@ def q63_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+# Shared oracle for the IVF paths: q44 (inline index) and q68 (persisted,
+# partition-pruned index) are the SAME math — identical centroids,
+# assignment, probing, and ranking — so one SQL covers both.
+_IVF_SQL = """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+    ),
+    asgn AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+               AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cid ASC) AS rn
+      FROM asgn
+    ),
+    corpus AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+    probe  AS (SELECT vec_id, embedding, cid FROM ranked
+               WHERE rn <= 2 AND vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cosine_sim
+      FROM probe q JOIN corpus c ON q.cid = c.cid AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 5
+"""
+
 # BM25 query terms drawn from the synthetic corpus vocabulary.
 _BM25_TERMS = ["spark", "merge", "window", "slow"]
 
@@ -1558,6 +1596,20 @@ def q67_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus dashboard: doc counts, token volume,
     quality keep rate — one map-only metrics pass + one tiny-key agg."""
     return ops.source_mix_report(_t(spark, sf_dir, "documents"))
+
+
+def q68_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF index lifecycle: ivf_build persists the
+    inverted lists as cid-PARTITIONED parquet, ivf_search prunes unprobed
+    list directories at plan time (the vector analog of the reference's
+    BAI/tabix region queries). Same math as q44, so the same oracle."""
+    import hashlib as _hl
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/spark_graft_scratch/ivf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    ops.ivf_build(emb, idx, nlist=16)
+    queries = emb.where(F.col("vec_id") < 10)
+    return ops.ivf_search(spark, idx, queries, k=5, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1639,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_paragraph_dedup": q65_paragraph_dedup,
         "q66_top_ngrams": q66_top_ngrams,
         "q67_source_mix_report": q67_source_mix_report,
+        "q68_ivf_persisted_search": q68_ivf_persisted_search,
     }
 
 
@@ -2170,40 +2223,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS INTEGER) AS frame_size
             FROM documents d, range(0, 4) t(i)
         """,
-        "q44_ivf_ann_topk": """
-            WITH cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
-                     CAST(embedding AS DOUBLE[]) AS cvec
-              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
-            ),
-            asgn AS (
-              SELECT e.vec_id, e.embedding, c.cid,
-                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
-                       AS csim
-              FROM embeddings e CROSS JOIN cent c
-            ),
-            ranked AS (
-              SELECT vec_id, embedding, cid,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY csim DESC, cid ASC) AS rn
-              FROM asgn
-            ),
-            corpus AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
-            probe  AS (SELECT vec_id, embedding, cid FROM ranked
-                       WHERE rn <= 2 AND vec_id < 10),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                  CAST(c.embedding AS DOUBLE[])), 6)
-                       AS cosine_sim
-              FROM probe q JOIN corpus c ON q.cid = c.cid AND c.vec_id != q.vec_id
-            )
-            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
-              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-              FROM scored)
-            WHERE rank <= 5
-        """,
+        "q44_ivf_ann_topk": _IVF_SQL,
+        "q68_ivf_persisted_search": _IVF_SQL,
         "q33_bpe_tokens": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

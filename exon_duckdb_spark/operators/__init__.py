@@ -36,6 +36,8 @@ from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     dot,
     hyperplane_bucket,
+    ivf_build,
+    ivf_search,
     ivf_topk,
 )
 from exon_duckdb_spark.operators.quality import (  # noqa: F401

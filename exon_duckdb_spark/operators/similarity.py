@@ -34,6 +34,8 @@ __all__ = [
     "hyperplane_bucket",
     "ann_topk",
     "ivf_topk",
+    "ivf_build",
+    "ivf_search",
     "plane_signs",
     "auto_planes",
     "bm25_topk",
@@ -298,6 +300,19 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _centroid_sim_structs(
+    cents: list[tuple[int, list[float], float]], vec: Column, vn: Column
+) -> list[Column]:
+    """(sim, -cid) structs per centroid: max = best sim, ties toward the
+    smaller centroid id. Shared by the inline and persisted IVF paths."""
+    out = []
+    for cid, cvec, cnorm in cents:
+        lit_arr = F.array(*[F.lit(v) for v in cvec])
+        sim = F.round(dot(vec, lit_arr) / (vn * F.lit(cnorm)), 6)
+        out.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
+    return out
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -370,13 +385,7 @@ def ivf_topk(
         )
     else:
         def centroid_sims(vec: Column, vn: Column) -> list[Column]:
-            out = []
-            for cid, cvec, cnorm in cents:
-                lit_arr = F.array(*[F.lit(v) for v in cvec])
-                sim = F.round(dot(vec, lit_arr) / (vn * F.lit(cnorm)), 6)
-                # (sim, -cid) structs: max = best sim, ties toward smaller cid
-                out.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
-            return out
+            return _centroid_sim_structs(cents, vec, vn)
 
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -399,6 +408,134 @@ def ivf_topk(
     sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = (
         c.join(F.broadcast(q), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+    literal_limit: int = 2048,
+) -> None:
+    """Build and PERSIST an IVF-flat index: the build-once/probe-many
+    lifecycle every production vector index has (:func:`ivf_topk` re-assigns
+    per call).
+
+    Layout on disk:
+
+    - ``<path>/centroids`` — the coarse quantizer (nlist rows).
+    - ``<path>/lists`` — the corpus with its list assignment, written
+      ``partitionBy("cid")``: each inverted list is a parquet DIRECTORY, so
+      a search that probes 2 of 64 lists reads 1/32 of the index bytes via
+      Spark partition pruning — the vector-index analog of the reference's
+      BAI/tabix region queries (rust/src/bam_query_reader.rs:63).
+
+    Assignment is the same map-only pass as :func:`ivf_topk` (literal
+    centroid arrays, or an Arrow-batched numpy matmul past
+    ``literal_limit``); the only shuffle is the partitioned write's file
+    fan-out. Centroids are the ``nlist`` smallest-id corpus vectors —
+    deterministic, so a SQL oracle can rebuild the index arithmetically.
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .collect()
+    )
+    cents = []
+    for i, r in enumerate(cent_rows):
+        vec = [float(v) for v in r[vec_col]]
+        cents.append((i, vec, math.sqrt(sum(v * v for v in vec))))
+    dims = len(cents[0][1]) if cents else 0
+
+    use_numpy = assign == "numpy" or (assign == "auto" and nlist * dims > literal_limit)
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    )
+    if use_numpy:
+        assign_cid, _ = _numpy_assigners(cents, nprobe=1)
+        assigned = base.withColumn("cid", assign_cid(F.col("vec")))
+    else:
+        structs = F.array(*_centroid_sim_structs(cents, F.col("vec"), F.col("norm")))
+        assigned = base.withColumn("cid", -F.array_max(structs).getField("nc"))
+
+    # Repartition on the partition column first: one file per inverted list
+    # instead of (write-tasks × nlist) small files — the small-file problem
+    # is the classic partitioned-write failure at scale. For huge lists,
+    # repartition(N, "cid") bounds file size instead.
+    assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        path + "/lists"
+    )
+    spark.createDataFrame(
+        [(cid, cvec, cnorm) for cid, cvec, cnorm in cents],
+        "cid INT, cvec ARRAY<DOUBLE>, cnorm DOUBLE",
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted :func:`ivf_build` index.
+
+    Probe selection runs on the broadcast-sized centroid table; the union of
+    probed list ids becomes an ``isin`` filter on the PARTITION column, so
+    Spark's partition pruning skips every unprobed list directory at plan
+    time — only probed bytes are read. Candidates come from one equi-join of
+    the pruned lists against the broadcast (query × probe) table; exact
+    cosine ranks within. Self-matches excluded.
+    """
+    cent_rows = spark.read.parquet(path + "/centroids").orderBy("cid").collect()
+    cents = [(r["cid"], [float(v) for v in r["cvec"]], float(r["cnorm"])) for r in cent_rows]
+
+    probes = F.slice(
+        F.array_sort(F.array(*_centroid_sim_structs(cents, F.col("query_vec"), F.col("qn")))),
+        -nprobe,
+        nprobe,
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        .withColumn("probe", F.explode(probes))
+        .withColumn("cid", -F.col("probe").getField("nc"))
+        .drop("probe")
+    )
+    # The probed-list id set is tiny (≤ queries × nprobe ≤ nlist) — collect
+    # it to drive partition pruning on the cid directory column.
+    probe_set = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    lists = (
+        spark.read.parquet(path + "/lists")
+        .where(F.col("cid").isin(probe_set))
+        .select(
+            F.col("cid"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vec").alias("nvec"),
+            F.col("norm").alias("nn"),
+        )
+    )
+    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        lists.join(F.broadcast(q), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
     )

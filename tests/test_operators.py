@@ -549,3 +549,24 @@ class TestRetrievalAndParagraphs:
         assert out[("web", "en")]["n_kept"] == 1
         assert out[("web", "en")]["keep_rate"] == 0.5
         assert out[("books", "en")]["keep_rate"] == 1.0
+
+    def test_ivf_persisted_matches_inline(self, spark, tmp_path):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 5)
+        inline = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ops.ivf_topk(emb, queries, k=3, nlist=8, nprobe=2).collect()
+        }
+        idx = str(tmp_path / "ivf")
+        ops.ivf_build(emb, idx, nlist=8)
+        searched = ops.ivf_search(spark, idx, queries, k=3, nprobe=2)
+        persisted = {
+            (r["query_id"], r["rank"]): r["neighbor_id"] for r in searched.collect()
+        }
+        assert persisted == inline
+        # partition pruning: the lists scan must carry a PartitionFilters
+        # entry on cid (unprobed list directories are never read)
+        from exon_duckdb_spark.plans import explain_formatted
+
+        p = explain_formatted(searched)
+        assert "PartitionFilters" in p and "cid" in p.split("PartitionFilters", 1)[1][:200]
