@@ -1598,6 +1598,20 @@ def q67_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_mix_report(_t(spark, sf_dir, "documents"))
 
 
+def q69_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index with a Lloyd-TRAINED coarse quantizer: one distributed
+    k-means refinement round (per-dim avg aggregates, no explode) before
+    the partitioned index write, then the same pruned search as q68. The
+    oracle unrolls the refinement iteration in SQL."""
+    import hashlib as _hl
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = f"/tmp/spark_graft_scratch/ivfk_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    ops.ivf_build(emb, idx, nlist=8, refine_iters=1)
+    queries = emb.where(F.col("vec_id") < 10)
+    return ops.ivf_search(spark, idx, queries, k=5, nprobe=2)
+
+
 def q68_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once/probe-many IVF index lifecycle: ivf_build persists the
     inverted lists as cid-PARTITIONED parquet, ivf_search prunes unprobed
@@ -1692,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_top_ngrams": q66_top_ngrams,
         "q67_source_mix_report": q67_source_mix_report,
         "q68_ivf_persisted_search": q68_ivf_persisted_search,
+        "q69_ivf_kmeans_search": q69_ivf_kmeans_search,
     }
 
 
@@ -2225,6 +2240,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_ivf_ann_topk": _IVF_SQL,
         "q68_ivf_persisted_search": _IVF_SQL,
+        "q69_ivf_kmeans_search": f"""
+            WITH cent0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)),
+            a0 AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                       AS csim
+              FROM embeddings e CROSS JOIN cent0 c),
+            r0 AS (SELECT vec_id, embedding, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cid ASC) AS rn
+                   FROM a0),
+            asgn0 AS (SELECT vec_id, embedding, cid FROM r0 WHERE rn = 1),
+            means AS (SELECT cid,
+                             [{", ".join(
+                                 f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6)"
+                                 for i in range(64)
+                             )}] AS mvec
+                      FROM asgn0 GROUP BY cid),
+            cent AS (SELECT c0.cid, COALESCE(m.mvec, c0.cvec) AS cvec
+                     FROM cent0 c0 LEFT JOIN means m ON c0.cid = m.cid),
+            a1 AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                       AS csim
+              FROM embeddings e CROSS JOIN cent c),
+            r1 AS (SELECT vec_id, embedding, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cid ASC) AS rn
+                   FROM a1),
+            corpus AS (SELECT vec_id, embedding, cid FROM r1 WHERE rn = 1),
+            probe  AS (SELECT vec_id, embedding, cid FROM r1
+                       WHERE rn <= 2 AND vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])), 6)
+                       AS cosine_sim
+              FROM probe q JOIN corpus c ON q.cid = c.cid AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "q33_bpe_tokens": f"""
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

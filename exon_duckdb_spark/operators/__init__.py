@@ -39,6 +39,7 @@ from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     ivf_build,
     ivf_search,
     ivf_topk,
+    kmeans_refine,
 )
 from exon_duckdb_spark.operators.quality import (  # noqa: F401
     pii_scrub,

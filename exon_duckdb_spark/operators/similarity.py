@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "ivf_build",
     "ivf_search",
+    "kmeans_refine",
     "plane_signs",
     "auto_planes",
     "bm25_topk",
@@ -300,6 +301,79 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _seed_centroids(
+    corpus: DataFrame, nlist: int, vec_col: str, id_col: str
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic seed quantizer: the ``nlist`` smallest-id corpus
+    vectors as (cid, vector, norm). A SQL oracle rebuilds it exactly."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .collect()
+    )
+    cents = []
+    for i, r in enumerate(rows):
+        vec = [float(v) for v in r[vec_col]]
+        cents.append((i, vec, math.sqrt(sum(v * v for v in vec))))
+    return cents
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+    literal_limit: int = 2048,
+) -> list[tuple[int, list[float], float]]:
+    """Distributed Lloyd (k-means) refinement of the deterministic seed
+    centroids — turns the IVF coarse quantizer from "first nlist vectors"
+    into a trained one.
+
+    Each iteration is one map-only nearest-centroid assignment over the
+    corpus followed by a per-list elementwise mean computed as ``dims``
+    ``avg`` aggregates — NO explode: partial aggregation means the shuffle
+    carries nlist × dims numbers per task, regardless of corpus size. The
+    nlist-row result is collected (index metadata, like any quantizer).
+
+    Cross-engine contract: centroid dimensions round to 6 dp each
+    iteration, so a SQL oracle reproduces the training trajectory exactly;
+    a list that receives no vectors keeps its previous centroid.
+    """
+    cents = _seed_centroids(corpus, nlist, vec_col, id_col)
+    if not cents:
+        return cents
+    dims = len(cents[0][1])
+    for _ in range(iters):
+        use_numpy = assign == "numpy" or (assign == "auto" and nlist * dims > literal_limit)
+        base = corpus.select(
+            F.col(vec_col).alias("vec"), _norm(F.col(vec_col)).alias("norm")
+        )
+        if use_numpy:
+            assign_cid, _ = _numpy_assigners(cents, 1)
+            a = base.withColumn("cid", assign_cid(F.col("vec")))
+        else:
+            structs = F.array(*_centroid_sim_structs(cents, F.col("vec"), F.col("norm")))
+            a = base.withColumn("cid", -F.array_max(structs).getField("nc"))
+        aggs = [
+            F.round(F.avg(F.col("vec")[i].cast("double")), 6).alias(f"d{i}")
+            for i in range(dims)
+        ]
+        rows = a.groupBy("cid").agg(*aggs).collect()
+        new = {r["cid"]: [float(r[f"d{i}"]) for i in range(dims)] for r in rows}
+        cents = [
+            (
+                cid,
+                new.get(cid, old),
+                math.sqrt(sum(v * v for v in new.get(cid, old))),
+            )
+            for cid, old, _norm_old in cents
+        ]
+    return cents
+
+
 def _centroid_sim_structs(
     cents: list[tuple[int, list[float], float]], vec: Column, vn: Column
 ) -> list[Column]:
@@ -347,16 +421,7 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank), self-matches excluded.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col).asc())
-        .limit(nlist)
-        .collect()
-    )
-    cents = []
-    for i, r in enumerate(cent_rows):
-        vec = [float(v) for v in r[vec_col]]
-        cents.append((i, vec, math.sqrt(sum(v * v for v in vec))))
+    cents = _seed_centroids(corpus, nlist, vec_col, id_col)
 
     dims = len(cents[0][1]) if cents else 0
     # Literal-array assignment compiles O(nlist × dims) expression nodes
@@ -425,6 +490,7 @@ def ivf_build(
     id_col: str = "vec_id",
     assign: str = "auto",
     literal_limit: int = 2048,
+    refine_iters: int = 0,
 ) -> None:
     """Build and PERSIST an IVF-flat index: the build-once/probe-many
     lifecycle every production vector index has (:func:`ivf_topk` re-assigns
@@ -443,19 +509,17 @@ def ivf_build(
     centroid arrays, or an Arrow-batched numpy matmul past
     ``literal_limit``); the only shuffle is the partitioned write's file
     fan-out. Centroids are the ``nlist`` smallest-id corpus vectors —
-    deterministic, so a SQL oracle can rebuild the index arithmetically.
+    deterministic, so a SQL oracle can rebuild the index arithmetically —
+    optionally Lloyd-trained with ``refine_iters`` rounds of
+    :func:`kmeans_refine` (still oracle-reproducible).
     """
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col).asc())
-        .limit(nlist)
-        .collect()
-    )
-    cents = []
-    for i, r in enumerate(cent_rows):
-        vec = [float(v) for v in r[vec_col]]
-        cents.append((i, vec, math.sqrt(sum(v * v for v in vec))))
+    if refine_iters > 0:
+        cents = kmeans_refine(
+            corpus, nlist, refine_iters, vec_col, id_col, assign, literal_limit
+        )
+    else:
+        cents = _seed_centroids(corpus, nlist, vec_col, id_col)
     dims = len(cents[0][1]) if cents else 0
 
     use_numpy = assign == "numpy" or (assign == "auto" and nlist * dims > literal_limit)

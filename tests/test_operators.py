@@ -570,3 +570,31 @@ class TestRetrievalAndParagraphs:
 
         p = explain_formatted(searched)
         assert "PartitionFilters" in p and "cid" in p.split("PartitionFilters", 1)[1][:200]
+
+    def test_kmeans_refine_moves_centroids(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        seed = ops.similarity._seed_centroids(emb, 4, "embedding", "vec_id")
+        trained = ops.kmeans_refine(emb, nlist=4, iters=1)
+        assert len(trained) == 4
+        assert [c[0] for c in trained] == [0, 1, 2, 3]
+        # training must actually move the centroids off the raw seed vectors
+        moved = sum(
+            1 for (_, sv, _), (_, tv, _) in zip(seed, trained) if sv != tv
+        )
+        assert moved == 4
+        # refined quantizer must not lower total assignment similarity:
+        # mean best-centroid cosine should improve (Lloyd monotonicity on
+        # the summed objective; cosine proxy checked empirically)
+        from pyspark.sql import functions as F
+
+        def mean_best(cents):
+            structs = F.array(
+                *ops.similarity._centroid_sim_structs(
+                    cents, F.col("embedding"), ops.similarity._norm(F.col("embedding"))
+                )
+            )
+            return emb.select(
+                F.avg(F.array_max(structs).getField("s")).alias("m")
+            ).first()["m"]
+
+        assert mean_best(trained) >= mean_best(seed)
