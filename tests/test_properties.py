@@ -258,3 +258,72 @@ def test_exact_dedup_partition_invariance(spark, texts):
     a = sorted(tuple(r) for r in ops.exact_dedup(df1).collect())
     b = sorted(tuple(r) for r in ops.exact_dedup(df8).collect())
     assert a == b
+
+
+@given(
+    toks=st.lists(st.text(alphabet="abcXY", min_size=1, max_size=4), min_size=0, max_size=12),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_word_ngrams_matches_reference(spark, toks, n):
+    """word_ngrams must equal the obvious Python sliding window — including
+    the short-doc case where Spark's descending sequence() would otherwise
+    fabricate grams."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    toks_col = F.split("text", " ")
+    got = df.select(ops.word_ngrams(toks_col, n).alias("g")).first()["g"]
+    # split(" ".join([])) == [""] — mirror that in the reference
+    ref_toks = " ".join(toks).split(" ")
+    expected = [
+        " ".join(ref_toks[i : i + n]) for i in range(len(ref_toks) - n + 1)
+    ]
+    assert got == expected
+
+
+@given(
+    paras=st.lists(
+        st.sampled_from(["alpha beta", "gamma", "shared one", "delta five", "shared two"]),
+        min_size=1,
+        max_size=6,
+    ),
+    ndocs=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_paragraph_dedup_global_uniqueness(spark, paras, ndocs):
+    """After paragraph_dedup: no paragraph appears twice across the corpus,
+    the union of surviving paragraphs equals the distinct input set, and
+    within-document order is preserved."""
+    docs = [
+        (i, "\n".join(paras[i::ndocs]) or paras[0])
+        for i in range(ndocs)
+        if paras[i::ndocs]
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["dedup_text"] for r in ops.paragraph_dedup(df).collect()}
+    seen: list[str] = []
+    for _, text in sorted(out.items()):
+        kept = text.split("\n")
+        seen.extend(kept)
+        # order preserved: kept paragraphs appear in original doc order
+        orig = dict(docs)[_].split("\n")
+        it = iter(orig)
+        assert all(any(p == q for q in it) for p in kept)
+    assert len(seen) == len(set(seen))  # global uniqueness
+    assert set(seen) == {p for _, t in docs for p in t.split("\n")}
+
+
+@given(texts=st.lists(st.text(alphabet="ab @.0", min_size=0, max_size=30), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_pii_scrub_idempotent(spark, texts):
+    """Scrubbing twice must equal scrubbing once (redaction tokens contain
+    no PII-shaped substrings)."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = ops.pii_scrub(df)
+    twice = ops.pii_scrub(
+        once.select("doc_id", once["redacted_text"].alias("text"))
+    )
+    a = {r["doc_id"]: r["redacted_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["redacted_text"] for r in twice.collect()}
+    assert a == b
