@@ -1598,6 +1598,13 @@ def q67_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_mix_report(_t(spark, sf_dir, "documents"))
 
 
+def q70_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing: per-source token streams chopped into
+    512-token windows; each doc reports its stream offset and pack index.
+    One window per stream — packing parallelizes across sources."""
+    return ops.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=512)
+
+
 def q69_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index with a Lloyd-TRAINED coarse quantizer: one distributed
     k-means refinement round (per-dim avg aggregates, no explode) before
@@ -1707,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_source_mix_report": q67_source_mix_report,
         "q68_ivf_persisted_search": q68_ivf_persisted_search,
         "q69_ivf_kmeans_search": q69_ivf_kmeans_search,
+        "q70_pack_sequences": q70_pack_sequences,
     }
 
 
@@ -2230,6 +2238,19 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q70_pack_sequences": """
+            WITH d AS (SELECT doc_id, source,
+                              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+                       FROM documents)
+            SELECT doc_id, source, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS tok_offset,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              * 1.0 / 512) AS BIGINT) AS pack_id
+            FROM d
         """,
         "q45_frame_sample": """
             SELECT d.doc_id,

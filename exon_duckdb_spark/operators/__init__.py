@@ -54,6 +54,7 @@ from exon_duckdb_spark.operators.text import (  # noqa: F401
     doc_fingerprint,
     hash_sample,
     language_id,
+    pack_sequences,
     text_stats,
     token_count,
     tokens,

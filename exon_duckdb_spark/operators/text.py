@@ -23,6 +23,7 @@ __all__ = [
     "doc_fingerprint",
     "hash_sample",
     "top_ngrams",
+    "pack_sequences",
     "LANG_MARKERS",
     "STOPWORDS",
 ]
@@ -172,6 +173,44 @@ def top_ngrams(
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "source",
+) -> DataFrame:
+    """Training sequence packing: concatenate documents per stream in id
+    order and chop the token stream into fixed ``seq_len`` windows — the
+    standard pretraining batch layout. Returns each document's token count,
+    its starting offset in the stream, and ``pack_id`` (which sequence its
+    first token lands in).
+
+    Scale design: ONE window per stream (sort-shuffle keyed by
+    ``stream_col``), so packing parallelizes across streams; a global
+    single-stream packing of 100 TB would serialize — shard the corpus
+    into streams (sources, hash buckets) first, as real pipelines do.
+    Deterministic given ids, so re-runs produce identical batches.
+    """
+    from pyspark.sql import Window
+
+    n = token_count(text_col)
+    d = df.select(F.col(id_col), F.col(stream_col), n.alias("n_tokens"))
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return d.select(
+        F.col(id_col),
+        F.col(stream_col),
+        F.col("n_tokens"),
+        offset.alias("tok_offset"),
+        F.floor(offset / seq_len).cast("bigint").alias("pack_id"),
     )
 
 

@@ -598,3 +598,19 @@ class TestRetrievalAndParagraphs:
             ).first()["m"]
 
         assert mean_best(trained) >= mean_best(seed)
+
+    def test_pack_sequences(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "s1"),       # 3 tokens, offset 0, pack 0
+                (2, "d e f g", "s1"),     # 4 tokens, offset 3, pack 0
+                (3, "h i j k l", "s1"),   # 5 tokens, offset 7, pack 1
+                (4, "m n", "s2"),         # separate stream restarts at 0
+            ],
+            ["doc_id", "text", "source"],
+        )
+        out = {r["doc_id"]: r for r in ops.pack_sequences(df, seq_len=5).collect()}
+        assert (out[1]["tok_offset"], out[1]["pack_id"]) == (0, 0)
+        assert (out[2]["tok_offset"], out[2]["pack_id"]) == (3, 0)
+        assert (out[3]["tok_offset"], out[3]["pack_id"]) == (7, 1)
+        assert (out[4]["tok_offset"], out[4]["pack_id"]) == (0, 0)
