@@ -169,6 +169,8 @@ def bm25_topk(
     Scores are rounded to 6 dp BEFORE ranking (ties break on id) so results
     are reproducible across engines and partitionings.
     """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
     from exon_duckdb_spark.operators.text import tokens
 
     toksed = df.select(

@@ -614,3 +614,30 @@ class TestRetrievalAndParagraphs:
         assert (out[2]["tok_offset"], out[2]["pack_id"]) == (3, 0)
         assert (out[3]["tok_offset"], out[3]["pack_id"]) == (7, 1)
         assert (out[4]["tok_offset"], out[4]["pack_id"]) == (0, 0)
+
+    def test_bm25_rejects_empty_query(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="at least one query term"):
+            ops.bm25_topk(df, [])
+
+    def test_decontaminate_shuffled_benchmark_path(self, spark):
+        """broadcast_benchmark=False must produce identical results through
+        the shuffled semi-join (the huge-benchmark fallback)."""
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+                (2, "completely unrelated words that overlap with nothing at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in ops.decontaminate(
+                corpus, bench, n=8, broadcast_benchmark=False
+            ).collect()
+        )
+        assert kept == [2]
