@@ -254,8 +254,17 @@ def hyperplane_bucket(vec: Column, planes: int = 8, dims: int = 64, table: int =
 
     def plane_proj(p: int) -> Column:
         signs = F.array(*[F.lit(float(s)) for s in plane_signs(p, dims, table)])
+        # Index into the signs literal rather than zip_with so a vector
+        # SHORTER than ``dims`` projects over its actual elements — zip_with
+        # would pad with nulls and collapse every short vector into bucket 0
+        # (correct results, but the bucket join degrades to a cross join).
+        # Components beyond ``dims`` contribute 0. For length == dims this
+        # is bit-identical to the original zip_with formulation.
         return F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double") * F.coalesce(F.get(signs, i), F.lit(0.0)),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -273,30 +282,50 @@ def ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 8,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH bucket.
 
-    One equi-join shuffle on the bucket code instead of a cross join — the
-    100 TB path. Returns (query_id, neighbor_id, cosine_sim, rank).
+    One equi-join on the (table, bucket) code instead of a cross join — the
+    100 TB path. ``tables`` independent hyperplane families trade compute
+    for recall: a neighbor is a candidate if it collides in ANY table
+    (recall ≈ 1-(1-p^planes)^tables), and since the query side is broadcast
+    the extra tables add map-side probes, not shuffles. Candidates found by
+    several tables are deduplicated before ranking.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
     """
+
+    def codes(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_bucket(vec, planes, table=t).alias("b"),
+                )
+                for t in range(tables)
+            ]
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(codes(F.col(vec_col))).alias("code"),
         _norm(F.col(vec_col)).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(codes(F.col(vec_col))).alias("code"),
         _norm(F.col(vec_col)).alias("nn"),
     )
     sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), "code")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
     )
+    if tables > 1:
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

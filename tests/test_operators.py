@@ -89,6 +89,28 @@ def test_ann_topk_same_bucket_recall(spark):
     assert {r["neighbor_id"] for r in out.collect()} == {1, 2, 3}
 
 
+def test_ann_topk_multi_table_widens_candidates(spark):
+    # Multi-table LSH: a pair is a candidate if it collides in ANY table, so
+    # with k large enough to keep every candidate, tables=T must return a
+    # superset of tables=1 — and no duplicate (query, neighbor) rows even
+    # when a pair collides in several tables.
+    import math as m
+
+    rows = [
+        (i, [m.sin(0.7 * i + j) for j in range(8)]) for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 3)
+    one = ops.ann_topk(emb, q, k=100, planes=6, tables=1)
+    many = ops.ann_topk(emb, q, k=100, planes=6, tables=4)
+    pairs_one = {(r["query_id"], r["neighbor_id"]) for r in one.collect()}
+    many_rows = [(r["query_id"], r["neighbor_id"]) for r in many.collect()]
+    pairs_many = set(many_rows)
+    assert len(many_rows) == len(pairs_many)  # deduped across tables
+    assert pairs_one <= pairs_many
+    assert len(pairs_many) > len(pairs_one)  # extra tables found new candidates
+
+
 def test_ivf_topk_full_probe_matches_exact(spark):
     # probing every list degrades IVF to exact brute force
     rows = [
