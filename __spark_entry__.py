@@ -456,11 +456,13 @@ def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: exact cosine ranking within the query's LSH bucket —
-    an equi-join shuffle instead of q27's cross join."""
+    """ANN scale path: exact cosine ranking within the query's LSH buckets —
+    an equi-join instead of q27's cross join. tables=2 exercises the
+    multi-table recall path: candidates are the union over two independent
+    hyperplane families, deduplicated before ranking."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return ops.ann_topk(emb, queries, k=5, planes=4)
+    return ops.ann_topk(emb, queries, k=5, planes=4, tables=2)
 
 
 def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,6 +1600,22 @@ def q67_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_mix_report(_t(spark, sf_dir, "documents"))
 
 
+def q71_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG/context prep): 24-token
+    chunks with 8-token overlap, every token covered, map-only explode of
+    a per-row sequence — no shuffle."""
+    return ops.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=24, overlap=8
+    )
+
+
+def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords: one (doc, term) shuffle with
+    partial aggregation, vocab-keyed document-frequency join, broadcast
+    corpus-size scalar, 6-dp-rounded scores ranked with term tie-break."""
+    return ops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q70_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training sequence packing: per-source token streams chopped into
     512-token windows; each doc reports its stream offset and pack index.
@@ -1715,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_ivf_persisted_search": q68_ivf_persisted_search,
         "q69_ivf_kmeans_search": q69_ivf_kmeans_search,
         "q70_pack_sequences": q70_pack_sequences,
+        "q71_chunk_documents": q71_chunk_documents,
+        "q72_tfidf_top_terms": q72_tfidf_top_terms,
     }
 
 
@@ -1850,16 +1870,17 @@ def _char_lsh_pairs_oracle(
         """
 
 
-def _bucket_sql(planes: int, dims: int = 64, col: str = "embedding") -> str:
+def _bucket_sql(planes: int, dims: int = 64, col: str = "embedding", table: int = 0) -> str:
     """SQL twin of operators.similarity.hyperplane_bucket: same md5-derived
     ±1 plane normals, same left-to-right double summation (x*±1.0 == ±x in
     IEEE 754, and both engines fold a+b+c left-associatively), so the bucket
-    codes are bit-identical."""
+    codes are bit-identical. ``table`` selects the same independent hash
+    family as the Spark side's multi-table LSH."""
     from exon_duckdb_spark.operators.similarity import plane_signs
 
     cases = []
     for p in range(planes):
-        signs = plane_signs(p, dims)
+        signs = plane_signs(p, dims, table)
         terms = "".join(
             (" + " if s > 0 else " - ") + f"CAST({col}[{i + 1}] AS DOUBLE)"
             for i, s in enumerate(signs)
@@ -2224,13 +2245,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q32_ann_topk": f"""
             WITH e AS (
-              SELECT vec_id, embedding, {_bucket_sql(4)} AS bucket FROM embeddings
+              SELECT vec_id, embedding,
+                     {_bucket_sql(4, table=0)} AS b0,
+                     {_bucket_sql(4, table=1)} AS b1
+              FROM embeddings
             ),
             scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                   CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim
-              FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+              FROM e q JOIN e c ON (q.b0 = c.b0 OR q.b1 = c.b1) AND q.vec_id != c.vec_id
               WHERE q.vec_id < 10
             )
             SELECT query_id, neighbor_id, cosine_sim, rank FROM (
@@ -2238,6 +2262,49 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q71_chunk_documents": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, toks,
+                     greatest(1, CAST(ceil((n - 24) * 1.0 / 16) AS BIGINT) + 1) AS n_chunks
+              FROM d
+            ),
+            exploded AS (
+              SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM sized
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_id,
+                   CAST(i * 16 AS BIGINT) AS tok_start,
+                   array_to_string(list_slice(toks, i * 16 + 1, i * 16 + 24), ' ') AS chunk_text,
+                   CAST(len(list_slice(toks, i * 16 + 1, i * 16 + 24)) AS INTEGER) AS n_chunk_tokens
+            FROM exploded
+        """,
+        "q72_tfidf_top_terms": """
+            WITH term_rows AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM term_rows GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df_docs), 6) AS tfidf
+              FROM tf JOIN dfreq USING (term), n
+            )
+            SELECT doc_id, term, tf, tfidf, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
         "q70_pack_sequences": """
             WITH d AS (SELECT doc_id, source,

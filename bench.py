@@ -53,6 +53,8 @@ HEADLINE = [
     "q64_bm25_topk",
     "q65_paragraph_dedup",
     "q66_top_ngrams",
+    "q71_chunk_documents",
+    "q72_tfidf_top_terms",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

@@ -51,11 +51,13 @@ from exon_duckdb_spark.operators.quality import (  # noqa: F401
 from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,
     bpe_tokens,
+    chunk_documents,
     doc_fingerprint,
     hash_sample,
     language_id,
     pack_sequences,
     text_stats,
+    tfidf_top_terms,
     token_count,
     tokens,
     top_ngrams,

@@ -24,6 +24,8 @@ __all__ = [
     "hash_sample",
     "top_ngrams",
     "pack_sequences",
+    "chunk_documents",
+    "tfidf_top_terms",
     "LANG_MARKERS",
     "STOPWORDS",
 ]
@@ -212,6 +214,101 @@ def pack_sequences(
         offset.alias("tok_offset"),
         F.floor(offset / seq_len).cast("bigint").alias("pack_id"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-preparation step for RAG indexing and fixed-window training.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the last chunk may be shorter but
+    every token is covered, and a document shorter than ``chunk_size``
+    yields exactly one chunk. Map-only: tokenize, compute the chunk count
+    per row, and ``explode`` a ``sequence`` — a generator, not a shuffle,
+    so at 100 TB this stays a single pass over the corpus with output
+    ~(1 + overlap/stride)× the input.
+
+    Returns (id_col, chunk_id, tok_start, chunk_text, n_chunk_tokens),
+    deterministic given ids.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(text_col)
+    n = F.size(F.col("_toks"))
+    # max(1, ceil((n - chunk_size)/stride) + 1): smallest count whose last
+    # chunk reaches the end; n >= 1 always (split('') -> ['']), so the
+    # sequence bound never goes negative (Spark's sequence(1, 0) would
+    # DESCEND, not return empty).
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - chunk_size).cast("double") / stride) + 1).cast("int"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            (F.col("chunk_id").cast("bigint") * stride).alias("tok_start"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — keyword extraction for corpus
+    exploration, topic tagging, and retrieval indexing.
+
+    tfidf = tf · ln(N / df_docs), rounded to 6 dp BEFORE ranking (ties
+    break on the term string) so any engine reproduces the ranking.
+
+    Scale design: term frequencies shuffle once on (doc, term) with
+    map-side partial aggregation; document frequencies are a vocab-sized
+    aggregate joined back ON THE TERM KEY (vocab ≪ corpus, but too big to
+    broadcast at 100 TB — Catalyst/AQE picks broadcast when it fits); the
+    corpus-size scalar N rides along as a broadcast crossJoin, so the
+    corpus itself is never re-shuffled for it.
+    """
+    term_rows = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("_df"))
+    n_docs = df.agg(F.count("*").cast("bigint").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def doc_fingerprint(text: Column | str) -> Column:

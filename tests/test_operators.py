@@ -637,6 +637,62 @@ class TestRetrievalAndParagraphs:
         assert (out[3]["tok_offset"], out[3]["pack_id"]) == (7, 1)
         assert (out[4]["tok_offset"], out[4]["pack_id"]) == (0, 0)
 
+    def test_chunk_documents_coverage_and_edges(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+                (2, "short"),                            # 1 token < chunk
+                (3, ""),                                 # empty text
+            ],
+            ["doc_id", "text"],
+        )
+        out = ops.chunk_documents(df, chunk_size=4, overlap=2)
+        rows = sorted(
+            (r["doc_id"], r["chunk_id"], r["tok_start"], r["chunk_text"], r["n_chunk_tokens"])
+            for r in out.collect()
+        )
+        # doc 1: stride 2 → starts 0,2,4,6 (ceil((10-4)/2)+1 = 4 chunks)
+        d1 = [r for r in rows if r[0] == 1]
+        assert [r[1] for r in d1] == [0, 1, 2, 3]
+        assert d1[0][3] == "t0 t1 t2 t3" and d1[3][3] == "t6 t7 t8 t9"
+        # consecutive chunks overlap by exactly `overlap` tokens
+        assert d1[0][3].split()[2:] == d1[1][3].split()[:2]
+        # every token covered: union of [tok_start, tok_start+len) == 0..10
+        covered = set()
+        for _, _, start, _, ntok in d1:
+            covered.update(range(start, start + ntok))
+        assert covered == set(range(10))
+        # short and empty docs yield exactly one chunk each
+        assert [r for r in rows if r[0] == 2] == [(2, 0, 0, "short", 1)]
+        assert [r for r in rows if r[0] == 3] == [(3, 0, 0, "", 1)]
+
+    def test_chunk_documents_rejects_bad_overlap(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="overlap"):
+            ops.chunk_documents(df, chunk_size=4, overlap=4)
+
+    def test_tfidf_top_terms(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "apple apple banana shared"),
+                (2, "cherry shared shared"),
+                (3, "date shared"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = ops.tfidf_top_terms(df, k=2)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+        # 'shared' appears in all 3 docs → idf = ln(1) = 0 → never ranks
+        # above any exclusive term; doc 1's top is apple (tf=2, df=1)
+        assert sorted(by_doc[1])[0][1] == "apple"
+        assert sorted(by_doc[2])[0][1] == "cherry"
+        for doc, terms in by_doc.items():
+            for _, term, tfidf in terms:
+                if term == "shared":
+                    assert tfidf == 0.0
+
     def test_bm25_rejects_empty_query(self, spark):
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="at least one query term"):

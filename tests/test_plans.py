@@ -73,6 +73,14 @@ def test_quality_ops_are_map_only(spark):
         assert "* ColumnarToRow" in p
 
 
+def test_chunk_documents_is_map_only(spark):
+    """Chunking is tokenize + per-row sequence explode — a generator, not a
+    shuffle; at 100 TB it must stay a single pass over the corpus."""
+    p = explain_formatted(entry.q71_chunk_documents(spark, SF))
+    assert "Exchange" not in p, "unexpected shuffle in chunk_documents"
+    assert "Generate" in p  # the explode fan-out
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """The contamination semi-join must broadcast the (small) benchmark gram
     set — the corpus side must not shuffle for it."""
