@@ -1616,6 +1616,26 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q73_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: deterministic seed codebooks (the 8
+    smallest-id vectors' subvectors, 4 subspaces × 16 dims), then a
+    map-only nearest-sub-centroid argmin per subspace. The oracle rebuilds
+    the codebooks and re-derives every code arithmetically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ops.pq_codebooks(emb, m=4, ksub=8, dims=64)
+    return ops.pq_encode(emb, books)
+
+
+def q74_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over PQ codes: per-query lookup table on the broadcast
+    side, corpus contributes only code arrays — the compressed-domain
+    search that keeps 100 TB of embeddings in cluster memory."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ops.pq_codebooks(emb, m=4, ksub=8, dims=64)
+    codes = ops.pq_encode(emb, books)
+    return ops.pq_search(codes, emb.where(F.col("vec_id") < 5), books, k=10)
+
+
 def q70_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training sequence packing: per-source token streams chopped into
     512-token windows; each doc reports its stream offset and pack index.
@@ -1735,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_pack_sequences": q70_pack_sequences,
         "q71_chunk_documents": q71_chunk_documents,
         "q72_tfidf_top_terms": q72_tfidf_top_terms,
+        "q73_pq_codes": q73_pq_codes,
+        "q74_pq_search": q74_pq_search,
     }
 
 
@@ -1868,6 +1890,41 @@ def _char_lsh_pairs_oracle(
             JOIN g wb ON wb.doc_id = id_b
             WHERE round({jac}, 6) >= {threshold}
         """
+
+
+def _pq_cte() -> str:
+    """Shared CTEs rebuilding the q73/q74 PQ index in SQL: seed codebooks
+    from the 8 smallest-id vectors' subvectors (4 subspaces × 16 dims),
+    per-(vector, subspace) squared-L2 to each sub-centroid rounded to 6 dp
+    (term order matches Spark's left-to-right zip_with fold), argmin code
+    with ties toward the smaller code."""
+    return """
+            seed AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kk, embedding
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            sub AS (
+              SELECT e.vec_id, t.j,
+                     list_slice(CAST(e.embedding AS DOUBLE[]), t.j*16 + 1, t.j*16 + 16) AS sv
+              FROM embeddings e, range(0, 4) t(j)
+            ),
+            cb AS (
+              SELECT s.kk, t.j,
+                     list_slice(CAST(s.embedding AS DOUBLE[]), t.j*16 + 1, t.j*16 + 16) AS cv
+              FROM seed s, range(0, 4) t(j)
+            ),
+            dists AS (
+              SELECT sub.vec_id, sub.j, cb.kk,
+                     round(list_sum(list_transform(range(1, 17),
+                            i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 6) AS d
+              FROM sub JOIN cb USING (j)
+            ),
+            best AS (
+              SELECT vec_id, j, kk, d,
+                     row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, kk ASC) AS rn
+              FROM dists
+            )
+    """
 
 
 def _bucket_sql(planes: int, dims: int = 64, col: str = "embedding", table: int = 0) -> str:
@@ -2262,6 +2319,27 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q73_pq_codes": f"""
+            WITH {_pq_cte()}
+            SELECT vec_id, list(kk ORDER BY j ASC) AS code
+            FROM best WHERE rn = 1 GROUP BY vec_id
+        """,
+        "q74_pq_search": f"""
+            WITH {_pq_cte()},
+            nb AS (SELECT vec_id, j, kk FROM best WHERE rn = 1),
+            adc AS (
+              SELECT qd.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                     round(list_sum(list(qd.d ORDER BY qd.j ASC)), 6) AS adc_dist
+              FROM nb JOIN dists qd ON qd.j = nb.j AND qd.kk = nb.kk
+              WHERE qd.vec_id < 5 AND nb.vec_id != qd.vec_id
+              GROUP BY qd.vec_id, nb.vec_id
+            )
+            SELECT query_id, neighbor_id, adc_dist, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM adc)
+            WHERE rank <= 10
         """,
         "q71_chunk_documents": """
             WITH d AS (

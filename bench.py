@@ -55,6 +55,8 @@ HEADLINE = [
     "q66_top_ngrams",
     "q71_chunk_documents",
     "q72_tfidf_top_terms",
+    "q73_pq_codes",
+    "q74_pq_search",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

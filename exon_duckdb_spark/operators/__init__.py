@@ -48,6 +48,11 @@ from exon_duckdb_spark.operators.quality import (  # noqa: F401
     source_mix_report,
     word_ngrams,
 )
+from exon_duckdb_spark.operators.pq import (  # noqa: F401
+    pq_codebooks,
+    pq_encode,
+    pq_search,
+)
 from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,
     bpe_tokens,

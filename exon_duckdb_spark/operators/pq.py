@@ -1,0 +1,210 @@
+"""Product quantization (PQ) for embedding columns — the memory-side scale
+path for ANN at 100 TB.
+
+A 64-dim float32 embedding is 256 bytes; its PQ code with ``m=8`` subspaces
+is 8 small ints (≈8 bytes packed). At a hundred billion vectors that is the
+difference between "the index fits on the cluster" and "it does not":
+candidate scans read codes, not vectors, and distances come from per-query
+lookup tables (asymmetric distance computation, ADC) instead of per-pair
+float math over the full dimension.
+
+Spark-first design:
+
+- :func:`pq_codebooks` — deterministic seed codebooks (the ``ksub``
+  smallest-id vectors' subvectors, like :mod:`similarity`'s IVF seed
+  quantizer) optionally refined with distributed Lloyd rounds: each round
+  is ONE map-only nearest-sub-centroid assignment plus per-(subspace, code)
+  elementwise-mean aggregates — the shuffle carries m·ksub·dsub numbers per
+  task regardless of corpus size. Centroid values round to 6 dp per round so
+  a SQL oracle reproduces training exactly.
+- :func:`pq_encode` — map-only: per subspace, squared-L2 to each
+  sub-centroid (literal arrays, zero per-row hashing) and argmin with ties
+  toward the smaller code. No shuffle; the corpus never moves.
+- :func:`pq_search` — ADC top-k: the per-query lookup table (m × ksub
+  rounded squared distances) is computed ON THE BROADCAST QUERY SIDE, the
+  corpus side contributes only its code array, and the distance is an
+  m-term table-lookup sum. Ranking shuffles (query_id)-keyed candidate rows
+  only.
+
+Reference parity note: the reference engine has no vector index at all —
+this (with similarity.py's IVF) is part of the training-data-pipeline
+surface the Spark engine adds on top (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pq_codebooks", "pq_encode", "pq_search"]
+
+
+def _sub_l2(sub_vec: Column, centroid: list[float]) -> Column:
+    """Rounded squared L2 distance between a subvector column and a literal
+    sub-centroid, summed in index order (cross-engine deterministic)."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(sub_vec, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _subspace(vec: Column, j: int, dsub: int) -> Column:
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 0,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``codebooks[j][k]`` is sub-centroid ``k`` of
+    subspace ``j`` (each of length ``dims // m``).
+
+    Seeds are the ``ksub`` smallest-id corpus vectors' subvectors —
+    deterministic, so a SQL oracle rebuilds the codebook arithmetically.
+    ``iters`` Lloyd rounds refine them: assignment is the same map-only
+    argmin as :func:`pq_encode`; the update is ``m × dsub`` ``avg``
+    aggregates grouped by the assigned code (partial aggregation — the
+    shuffle is index-metadata-sized). Empty codes keep their previous
+    centroid; refined values round to 6 dp per round.
+    """
+    if dims % m:
+        raise ValueError("dims must divide evenly into m subspaces")
+    dsub = dims // m
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [[float(v) for v in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        subs = corpus.select(
+            *[
+                _pq_code_struct(F.col(vec_col), j, dsub, books[j]).alias(f"c{j}")
+                for j in range(m)
+            ],
+            *[
+                _subspace(F.col(vec_col), j, dsub).alias(f"s{j}")
+                for j in range(m)
+            ],
+        )
+        # One aggregation per subspace over its assigned code: m small jobs,
+        # each a tiny-key groupBy with partial aggregation.
+        for j in range(m):
+            aggs = [
+                F.round(F.avg(F.col(f"s{j}")[d].cast("double")), 6).alias(f"d{d}")
+                for d in range(dsub)
+            ]
+            got = {
+                r["code"]: [float(r[f"d{d}"]) for d in range(dsub)]
+                for r in subs.groupBy(F.col(f"c{j}").alias("code")).agg(*aggs).collect()
+            }
+            books[j] = [got.get(k, books[j][k]) for k in range(len(books[j]))]
+    return books
+
+
+def _pq_code_struct(vec: Column, j: int, dsub: int, centroids: list[list[float]]) -> Column:
+    """Argmin code for subspace ``j``: lexicographic array_min over
+    (distance, code) structs — smallest distance, ties toward smaller code."""
+    sv = _subspace(vec, j, dsub)
+    structs = F.array(
+        *[
+            F.struct(_sub_l2(sv, c).alias("d"), F.lit(k).alias("k"))
+            for k, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(structs).getField("k")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to its PQ code array (length ``m``, values in
+    ``[0, ksub)``) — a map-only pass, no shuffle; write the result once and
+    every downstream search touches ~dims/m × fewer bytes.
+
+    Returns (id_col, code ARRAY<INT>).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return corpus.select(
+        F.col(id_col),
+        F.array(
+            *[_pq_code_struct(F.col(vec_col), j, dsub, codebooks[j]) for j in range(m)]
+        ).alias("code"),
+    )
+
+
+def pq_search(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: approximate squared-L2 ranking without ever
+    touching corpus vectors.
+
+    The query side (broadcast) carries a lookup table ``lut[j][k] =
+    round(||q_j - c_jk||², 6)``; the corpus side carries only its code
+    array, and the approximate distance is the m-term sum
+    ``Σ_j lut[j][code_j]`` — a zip of two small arrays per candidate pair.
+    Smaller distance = nearer; ties break on neighbor id. Self-matches are
+    excluded when the query id also appears in the corpus.
+
+    Returns (query_id, neighbor_id, adc_dist, rank).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sub_l2(_subspace(F.col(vec_col), j, dsub), c)
+                    for c in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut.alias("_lut"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("code"), F.col("_lut"), lambda cj, row: F.element_at(row, cj + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col("code"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

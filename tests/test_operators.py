@@ -146,6 +146,60 @@ def test_ivf_topk_prunes_to_probed_lists(spark):
     assert {r["neighbor_id"] for r in out.collect()} == {3}
 
 
+def test_pq_rejects_uneven_subspaces(spark):
+    emb = spark.createDataFrame([(0, [1.0] * 10)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="subspaces"):
+        ops.pq_codebooks(emb, m=4, ksub=2, dims=10)
+
+
+def test_pq_full_codebook_matches_exact_l2(spark):
+    # ksub == corpus size: every vector is its own sub-centroid, so ADC
+    # distance degrades to EXACT squared L2 and the ranking must match a
+    # brute-force computation.
+    import itertools
+    import math as m
+
+    rows = [(i, [m.sin(0.9 * i + j) for j in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = ops.pq_codebooks(emb, m=2, ksub=6, dims=8)
+    codes = ops.pq_encode(emb, books)
+    # each vector's code is its own index in id order
+    assert {r["vec_id"]: r["code"] for r in codes.collect()} == {
+        i: [i, i] for i in range(6)
+    }
+    out = ops.pq_search(codes, emb.where(F.col("vec_id") == 0), books, k=5)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    vecs = dict(rows)
+    exact = sorted(
+        (round(sum(round(sum((a - b) * (a - b) for a, b in zip(vecs[0][s*4:s*4+4], vecs[i][s*4:s*4+4])), 6) for s in range(2)), 6), i)
+        for i in range(1, 6)
+    )
+    assert got == [(i, r + 1) for r, (_, i) in enumerate(exact)]
+
+
+def test_pq_refine_reduces_quantization_error(spark):
+    import math as m
+
+    rows = [(i, [m.sin(0.37 * i * (j + 1)) for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def qerr(books):
+        codes = {r["vec_id"]: r["code"] for r in ops.pq_encode(emb, books).collect()}
+        vecs = dict(rows)
+        tot = 0.0
+        for i, code in codes.items():
+            for j, kk in enumerate(code):
+                tot += sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(vecs[i][j * 4 : j * 4 + 4], books[j][kk])
+                )
+        return tot
+
+    seed = ops.pq_codebooks(emb, m=2, ksub=4, dims=8)
+    trained = ops.pq_codebooks(emb, m=2, ksub=4, dims=8, iters=2)
+    assert qerr(trained) <= qerr(seed)
+
+
 def test_sessionize(spark):
     t0 = datetime.datetime(2024, 1, 1)
     rows = [

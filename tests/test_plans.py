@@ -73,6 +73,13 @@ def test_quality_ops_are_map_only(spark):
         assert "* ColumnarToRow" in p
 
 
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding assigns codes with literal sub-centroid arrays — a pure
+    map pass; the corpus must not shuffle to be compressed."""
+    p = explain_formatted(entry.q73_pq_codes(spark, SF))
+    assert "Exchange" not in p, "unexpected shuffle in pq_encode"
+
+
 def test_chunk_documents_is_map_only(spark):
     """Chunking is tokenize + per-row sequence explode — a generator, not a
     shuffle; at 100 TB it must stay a single pass over the corpus."""
