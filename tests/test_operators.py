@@ -177,6 +177,19 @@ def test_pq_full_codebook_matches_exact_l2(spark):
     assert got == [(i, r + 1) for r, (_, i) in enumerate(exact)]
 
 
+def test_pq_numpy_encode_matches_literal(spark):
+    import math as m
+
+    rows = [(i, [m.sin(0.53 * i + 0.1 * j) for j in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = ops.pq_codebooks(emb, m=4, ksub=8, dims=16)
+    lit = {r["vec_id"]: r["code"] for r in
+           ops.pq_encode(emb, books, assign="literal").collect()}
+    np_ = {r["vec_id"]: r["code"] for r in
+           ops.pq_encode(emb, books, assign="numpy").collect()}
+    assert lit == np_
+
+
 def test_pq_refine_reduces_quantization_error(spark):
     import math as m
 
