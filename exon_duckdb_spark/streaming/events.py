@@ -31,27 +31,31 @@ __all__ = [
 
 
 def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1) -> DataFrame:
-    """File-based stream of the events table (nanos → timestamp, like the
-    batch reader). ``events_dir`` is a DIRECTORY (Spark's file stream
-    contract); only files named events*.parquet are picked up."""
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    """File-based stream of the events table, `ts` normalised to a
+    microsecond timestamp. ``events_dir`` is a DIRECTORY (Spark's file
+    stream contract); only files named events*.parquet are picked up.
+
+    readStream needs the schema up front, and the driver-generated data has
+    stored `ts` as TIMESTAMP(NANOS) (surfacing as bigint nanos under
+    nanosAsLong) in some rounds and TIMESTAMP(MICROS) in others — so probe
+    one footer with a batch read and reuse its schema verbatim; footer-only,
+    no data scan. A TIMESTAMP_NTZ column is cast to TIMESTAMP (watermarks
+    require LTZ; the session timezone is pinned to UTC so the cast is
+    value-identical)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.option("pathGlobFilter", "events*.parquet").parquet(events_dir)
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(probe.schema)
         .option("maxFilesPerTrigger", max_files)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(

@@ -33,11 +33,10 @@ class TestStreaming:
             (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
             for r in out.collect()
         }
-        # batch equivalent over the same data
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(SF_DIR + "/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # batch equivalent over the same data (type-adaptive ts loader)
+        from __spark_entry__ import _events
+
+        ev = _events(spark, SF_DIR)
         batch = (
             ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
@@ -62,10 +61,9 @@ class TestStreaming:
         # == total sessions - 1 (the final session stays open in state)
         from exon_duckdb_spark.operators.relational import sessionize
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(SF_DIR + "/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        from __spark_entry__ import _events
+
+        ev = _events(spark, SF_DIR)
         batch = {
             r["user_id"]: r["n"]
             for r in sessionize(ev, gap_minutes=30)
