@@ -21,10 +21,13 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 import exon_duckdb_spark.functions as fx
 from exon_duckdb_spark import operators as ops
@@ -1682,6 +1685,117 @@ def q68_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ivf_search(spark, idx, queries, k=5, nprobe=2)
 
 
+def _synth_images(spark: SparkSession, sf_dir: str, max_id: int, fmts: tuple[str, ...]):
+    """Plant deterministic images: per doc_id a (h, w, 3) array with
+    pixel(y, x, c) = (x*7 + y*13 + c*29 + doc_id) % 256, w = doc_id%16+4,
+    h = doc_id%12+4, encoded as real BMP and/or PNG bytes (PNG scanline
+    filter = doc_id % 5, so all five filters hit the decoder). The oracle
+    recomputes pixel sums arithmetically — construction AND codec must both
+    be right for hashes to match."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < max_id)
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators import imagecodec as _ic
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 16 + 4, did % 12 + 4
+                x = _np.arange(w)
+                y = _np.arange(h)
+                c = _np.arange(3)
+                arr = (
+                    (x[None, :, None] * 7 + y[:, None, None] * 13 + c[None, None, :] * 29 + did)
+                    % 256
+                ).astype(_np.uint8)
+                for fi, fmt in enumerate(fmts):
+                    # unique per (doc, fmt) row id, recoverable downstream:
+                    # doc_id = id div 2, fmt = elt(id % 2)
+                    ids.append(did * 2 + fi)
+                    kinds.append(fmt)
+                    if fmt == "bmp":
+                        blobs.append(_ic.encode_bmp(arr))
+                    else:
+                        blobs.append(_ic.encode_png(arr, filter_type=did % 5))
+            yield _pd.DataFrame({"id": ids, "fmt": kinds, "content": blobs})
+
+    return docs.mapInPandas(synth, "id long, fmt string, content binary")
+
+
+def _pix_stats_fn(pixels):
+    """Pixel aggregate of a raw uint8 buffer: plain sum + position-weighted
+    checksum (weight = offset+1), which pins byte ORDER (row-major top-down
+    RGB) — a vertical flip or BGR swap changes it even when the sum doesn't."""
+    import numpy as _np
+
+    sums, poss = [], []
+    for b in pixels:
+        v = _np.frombuffer(bytes(b), _np.uint8).astype(_np.int64)
+        sums.append(int(v.sum()))
+        poss.append(int((v * (_np.arange(v.size) + 1)).sum()))
+    return pd.DataFrame({"pix_sum": sums, "pos_checksum": poss})
+
+
+# real (non-string) hints: the module-level `from __future__ import
+# annotations` would stringify inline hints and break pandas_udf inference;
+# explicit StructType because DDL-string parsing needs a live session and
+# this module imports before one exists
+_pix_stats_fn.__annotations__ = {"pixels": pd.Series, "return": pd.DataFrame}
+_pix_stats = F.pandas_udf(
+    _pix_stats_fn,
+    T.StructType(
+        [
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("pos_checksum", T.LongType()),
+        ]
+    ),
+)
+
+
+def q75_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, hash-checked: plant BMP + PNG bytes per document
+    (formula pixels, every PNG filter type), decode via the pure-Python
+    codec (operators/imagecodec.py — no reference analog; the reference has
+    no media surface), and emit per-image pixel sums the oracle recomputes
+    arithmetically in SQL. Map-only end to end: synth → decode → stats is
+    one fused stage, binary never leaves the executors."""
+    imgs = _synth_images(spark, sf_dir, max_id=64, fmts=("bmp", "png"))
+    dec = ops.decode_image(imgs, id_col="id")
+    return dec.select(
+        F.expr("id div 2").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "bmp").otherwise("png").alias("fmt"),
+        "width",
+        "height",
+        "channels",
+        _pix_stats("pixels").alias("s"),
+    ).select("doc_id", "fmt", "width", "height", "channels", "s.pix_sum", "s.pos_checksum")
+
+
+def q76_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → re-encode → re-decode roundtrip, hash-checked: planted
+    BMP/PNG images resampled to 8×6 with the deterministic floor-index
+    nearest-neighbor map, re-encoded in their arrival format, decoded
+    again, pixel sums checked against the oracle's arithmetic replay of
+    src = (dst*src_extent)//dst_extent."""
+    imgs = _synth_images(spark, sf_dir, max_id=48, fmts=("bmp", "png"))
+    rs = ops.resize_image(imgs, width=8, height=6, id_col="id")
+    dec = ops.decode_image(rs.select("id", "content"), id_col="id")
+    return dec.select(
+        F.expr("id div 2").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "bmp").otherwise("png").alias("fmt"),
+        "width",
+        "height",
+        "channels",
+        _pix_stats("pixels").alias("s"),
+    ).select("doc_id", "fmt", "width", "height", "channels", "s.pix_sum", "s.pos_checksum")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1756,7 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_vcf_region_query": q55_vcf_region_query,
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
+        "q75_image_decode": q75_image_decode,
         # ---- end of the driver's 50-row correctness window ----
+        "q76_image_resize": q76_image_resize,
         "q06_revenue_filter_agg": q06_revenue_filter_agg,
         "q17_running_totals": q17_running_totals,
         "q21_minhash_signature": q21_minhash_signature,
@@ -2933,5 +3049,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                    round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS keep_rate
             FROM k GROUP BY source, lang
+        """,
+        # Arithmetic replay of the planted-image formula (see _synth_images):
+        # pixel(y,x,c) = (x*7 + y*13 + c*29 + doc_id) % 256 over w=doc_id%16+4,
+        # h=doc_id%12+4. pos_checksum weights each byte by its row-major
+        # offset+1, pinning layout (top-down, RGB) as well as values.
+        "q75_image_decode": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                     CAST(doc_id % 12 + 4 AS INTEGER) AS h
+              FROM documents WHERE doc_id < 64
+            ),
+            px AS (
+              SELECT doc_id, w, h,
+                CAST(SUM((x*7 + y*13 + c*29 + doc_id) % 256) AS BIGINT) AS pix_sum,
+                CAST(SUM(((x*7 + y*13 + c*29 + doc_id) % 256)
+                         * (y*w*3 + x*3 + c + 1)) AS BIGINT) AS pos_checksum
+              FROM dims,
+                LATERAL (SELECT UNNEST(range(w)) AS x) xs,
+                LATERAL (SELECT UNNEST(range(h)) AS y) ys,
+                (SELECT UNNEST([0, 1, 2]) AS c) cs
+              GROUP BY doc_id, w, h
+            )
+            SELECT doc_id, fmt, w AS width, h AS height,
+                   CAST(3 AS INTEGER) AS channels, pix_sum, pos_checksum
+            FROM px, (SELECT UNNEST(['bmp', 'png']) AS fmt) f
+        """,
+        # Resize replay: nearest-neighbor src index = (dst * src_extent)
+        # // dst_extent at a fixed 8x6 target, then the same formula pixel.
+        "q76_image_resize": """
+            WITH dims AS (
+              SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+              FROM documents WHERE doc_id < 48
+            ),
+            v AS (
+              SELECT doc_id, x, y, c,
+                     (((x*w) // 8)*7 + ((y*h) // 6)*13 + c*29 + doc_id) % 256 AS val
+              FROM dims,
+                LATERAL (SELECT UNNEST(range(8)) AS x) xs,
+                LATERAL (SELECT UNNEST(range(6)) AS y) ys,
+                (SELECT UNNEST([0, 1, 2]) AS c) cs
+            ),
+            px AS (
+              SELECT doc_id,
+                CAST(SUM(val) AS BIGINT) AS pix_sum,
+                CAST(SUM(val * (y*8*3 + x*3 + c + 1)) AS BIGINT) AS pos_checksum
+              FROM v GROUP BY doc_id
+            )
+            SELECT doc_id, fmt, CAST(8 AS INTEGER) AS width,
+                   CAST(6 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+                   pix_sum, pos_checksum
+            FROM px, (SELECT UNNEST(['bmp', 'png']) AS fmt) f
         """,
     }

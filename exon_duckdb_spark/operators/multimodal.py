@@ -4,11 +4,13 @@ with typed metadata.
 The Spark-side plumbing — schemas, Arrow-batched UDF signatures, partition
 behavior — is real and tested. Header-level metadata extraction (PNG/JPEG
 dimensions, WAV sample rate, magic-based MIME sniffing) is implemented in
-pure Python from the public container specs. Full pixel/sample DECODE needs
-codec libraries this container doesn't ship, so ``decode_image`` raises
-NotImplementedError (clearly marked), and ``image_features`` offers a
-deterministic md5-based FAKE embedding so downstream similarity plumbing is
-exercisable end-to-end.
+pure Python from the public container specs. ``decode_image`` and
+``resize_image`` are REAL for BMP and PNG via the pure-Python codec in
+:mod:`imagecodec` (struct + stdlib zlib + numpy); formats that need a codec
+library this container doesn't ship (JPEG/GIF pixel data) are skipped with
+a per-row error string, and ``image_features`` still offers a deterministic
+md5-based FAKE embedding so similarity plumbing is exercisable without any
+decodable pixels.
 """
 
 from __future__ import annotations
@@ -17,9 +19,12 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from exon_duckdb_spark.operators import imagecodec
 
 __all__ = [
     "sniff_mime",
@@ -48,6 +53,8 @@ def _sniff(b: bytes | None) -> str | None:
         return "image/jpeg"
     if b.startswith(b"GIF8"):
         return "image/gif"
+    if b.startswith(b"BM") and len(b) >= 54:
+        return "image/bmp"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "audio/wav"
     if b[4:8] == b"ftyp":
@@ -74,6 +81,13 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
             return w, h
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         i += 2 + seg_len
+    return None
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h)
     return None
 
 
@@ -126,7 +140,7 @@ def sniff_mime(b: bytes | None) -> str | None:
 
 
 def image_dimensions(b: bytes) -> tuple[int, int] | None:
-    return _png_dims(b) or _jpeg_dims(b)
+    return _png_dims(b) or _jpeg_dims(b) or _bmp_dims(b)
 
 
 def wav_sample_rate(b: bytes) -> int | None:
@@ -171,35 +185,102 @@ def attach_media_metadata(
     return df.mapInPandas(run, out_schema)
 
 
-def decode_image(df: DataFrame, bytes_col: str = "content") -> DataFrame:
-    """Full pixel decode — NOT IMPLEMENTED in this container (no PIL/cv2).
+def decode_image(
+    df: DataFrame, bytes_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """Full pixel decode to raw row-major uint8 via Arrow-batched
+    ``mapInPandas``: (id, content) → (id, width, height, channels,
+    pixels binary, error string).
 
-    The call signature and output schema are the contract a codec-equipped
-    deployment fills in: mapInPandas over (id, content) → (id, width,
-    height, channels, pixels array<float>).
-    """
-    raise NotImplementedError(
-        "decode_image requires an image codec library (PIL/opencv); "
-        "this environment ships none. Use attach_media_metadata for "
-        "header-level fields or image_features for the deterministic "
-        "fake embedding."
+    REAL for BMP (24/32-bit uncompressed) and PNG (8-bit, all filters) via
+    the pure-Python codec in :mod:`imagecodec` — no external codec library.
+    Other formats (JPEG entropy decode needs a codec this container lacks)
+    yield a NULL-pixel row with ``error`` set, so a 100 TB sweep surfaces
+    its undecodable tail instead of dying. ``pixels`` is raw RGB(A) bytes
+    (row-major, top-down) rather than array<float>: 4× smaller on the wire,
+    and zero-copy reshapeable to (h, w, c) uint8 in any downstream UDF."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, pxs, errs = [], [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(rid)
+                try:
+                    arr = imagecodec.decode_blob(bytes(b))
+                    h, w, c = arr.shape
+                    ws.append(w)
+                    hs.append(h)
+                    cs.append(c)
+                    pxs.append(arr.tobytes())
+                    errs.append(None)
+                except Exception as exc:  # undecodable blob, not a job failure
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    pxs.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "pixels": pxs,
+                    "error": errs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, width int, height int, channels int, "
+        "pixels binary, error string",
     )
 
 
 def resize_image(
-    df: DataFrame, width: int, height: int, bytes_col: str = "content"
+    df: DataFrame,
+    width: int,
+    height: int,
+    bytes_col: str = "content",
+    id_col: str = "id",
 ) -> DataFrame:
-    """Pixel resize — NOT IMPLEMENTED in this container (no PIL/cv2).
+    """Pixel resize with re-encode, via Arrow-batched ``mapInPandas``:
+    (id, content) → (id, content binary, width, height, error string).
 
-    Contract for a codec-equipped deployment: mapInPandas over
-    (id, content) → (id, content binary, width int, height int) with
-    ``content`` re-encoded at the target size. Header-only deployments can
-    use :func:`attach_media_metadata` to select rows needing a resize and
-    route only those through the codec stage."""
-    raise NotImplementedError(
-        "resize_image requires an image codec library (PIL/opencv); "
-        "this environment ships none. The mapInPandas signature and "
-        "output schema above are the contract to fill in."
+    REAL for BMP/PNG: decode (:mod:`imagecodec`), deterministic
+    nearest-neighbor resample (floor index map, so oracles can recompute
+    it arithmetically), re-encode in the SAME container format the blob
+    arrived in. Undecodable formats pass through with ``error`` set and
+    NULL content. Binary never leaves the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, errs = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(rid)
+                try:
+                    b = bytes(b)
+                    arr = imagecodec.decode_blob(b)
+                    fmt = "image/bmp" if b[:2] == b"BM" else "image/png"
+                    small = imagecodec.resize_nearest(arr, width, height)
+                    outs.append(imagecodec.encode_blob(small, fmt))
+                    errs.append(None)
+                except Exception as exc:
+                    outs.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    bytes_col: outs,
+                    "width": pd.array([width] * len(ids), dtype="Int32"),
+                    "height": pd.array([height] * len(ids), dtype="Int32"),
+                    "error": errs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, {bytes_col} binary, width int, height int, error string",
     )
 
 

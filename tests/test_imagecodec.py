@@ -1,0 +1,120 @@
+"""Pure-Python image codec (BMP/PNG) + the DataFrame-level decode/resize
+operators. No reference analog — the reference has no media surface; these
+back the beyond-reference multimodal contract (q75/q76)."""
+
+import numpy as np
+import pytest
+
+from exon_duckdb_spark.operators import decode_image, resize_image
+from exon_duckdb_spark.operators import imagecodec as ic
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+
+
+class TestBmp:
+    @pytest.mark.parametrize("shape", [(1, 1, 3), (5, 4, 3), (16, 19, 3), (7, 2, 3)])
+    def test_roundtrip_24bit(self, shape):
+        # widths chosen so row padding (stride % 4) varies
+        a = _rand(shape)
+        assert np.array_equal(ic.decode_bmp(ic.encode_bmp(a)), a)
+
+    def test_decode_32bit_and_topdown(self):
+        import struct
+
+        h, w = 3, 2
+        bgra = _rand((h, w, 4), seed=3)
+        # top-down: negative height, rows in natural order
+        pix = bgra.tobytes()
+        hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(pix), 0, 0, 0, 0)
+        d = ic.decode_bmp(hdr + dib + pix)
+        assert np.array_equal(d, bgra[:, :, [2, 1, 0, 3]])
+
+    def test_rejects_compressed_and_garbage(self):
+        with pytest.raises(ValueError):
+            ic.decode_bmp(b"nonsense")
+        a = bytearray(ic.encode_bmp(_rand((4, 4, 3))))
+        a[30] = 1  # BI_RLE8
+        with pytest.raises(ValueError, match="compression"):
+            ic.decode_bmp(bytes(a))
+
+
+class TestPng:
+    @pytest.mark.parametrize("shape", [(7, 5), (7, 5, 2), (7, 5, 3), (7, 5, 4)])
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_roundtrip_all_color_types_and_filters(self, shape, ft):
+        a = _rand(shape, seed=ft)
+        out = ic.decode_png(ic.encode_png(a, filter_type=ft))
+        exp = a if a.ndim == 3 else a[:, :, None]
+        assert np.array_equal(out, exp)
+
+    def test_deterministic_bytes(self):
+        a = _rand((6, 6, 3), seed=9)
+        assert ic.encode_png(a) == ic.encode_png(a)
+        assert ic.encode_bmp(a) == ic.encode_bmp(a)
+
+    def test_rejects_interlaced_and_bad_depth(self):
+        import struct
+        import zlib
+
+        def chunk(t, p):
+            return (
+                struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        with pytest.raises(ValueError, match="interlacing"):
+            ic.decode_png(blob)
+
+
+class TestResize:
+    def test_floor_index_map(self):
+        a = _rand((10, 12, 3), seed=1)
+        r = ic.resize_nearest(a, 5, 4)
+        assert r.shape == (4, 5, 3)
+        for y in range(4):
+            for x in range(5):
+                assert np.array_equal(r[y, x], a[(y * 10) // 4, (x * 12) // 5])
+
+    def test_upscale(self):
+        a = _rand((2, 2, 3), seed=2)
+        r = ic.resize_nearest(a, 4, 4)
+        assert np.array_equal(r[0, 0], a[0, 0]) and np.array_equal(r[3, 3], a[1, 1])
+
+
+class TestDataFrameOps:
+    def test_decode_image_mixed_formats(self, spark):
+        a = _rand((4, 6, 3), seed=5)
+        rows = [
+            (1, bytearray(ic.encode_bmp(a))),
+            (2, bytearray(ic.encode_png(a, filter_type=3))),
+            (3, bytearray(b"\xff\xd8\xff\xe0 not decodable jpeg")),
+        ]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = {r["id"]: r for r in decode_image(df).collect()}
+        for i in (1, 2):
+            r = got[i]
+            assert (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+            assert r["error"] is None
+            assert np.array_equal(
+                np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(4, 6, 3), a
+            )
+        assert got[3]["pixels"] is None and "unsupported" in got[3]["error"]
+
+    def test_resize_image_preserves_format(self, spark):
+        a = _rand((9, 7, 3), seed=6)
+        df = spark.createDataFrame(
+            [(1, bytearray(ic.encode_bmp(a))), (2, bytearray(ic.encode_png(a)))],
+            "id long, content binary",
+        )
+        out = {r["id"]: r for r in resize_image(df, width=3, height=4).collect()}
+        exp = ic.resize_nearest(a, 3, 4)
+        b1 = bytes(out[1]["content"])
+        b2 = bytes(out[2]["content"])
+        assert b1[:2] == b"BM" and b2.startswith(b"\x89PNG")
+        assert np.array_equal(ic.decode_bmp(b1), exp)
+        assert np.array_equal(ic.decode_png(b2), exp)

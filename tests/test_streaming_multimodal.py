@@ -137,9 +137,14 @@ class TestMultimodal:
         assert out[3]["mime"] == "application/octet-stream"
         assert out[4]["mime"] is None and out[4]["size_bytes"] is None
 
-    def test_decode_stub_is_explicit(self, media):
-        with pytest.raises(NotImplementedError, match="codec"):
-            decode_image(media)
+    def test_decode_surfaces_undecodable_rows(self, media):
+        # header-only PNG (no IDAT), WAV, garbage, NULL: decode is real now
+        # (test_imagecodec.py covers the success path) and failures surface
+        # as per-row error strings, not job aborts.
+        out = {r["id"]: r for r in decode_image(media).collect()}
+        assert all(out[i]["pixels"] is None for i in (1, 2, 3, 4))
+        assert "IDAT" in out[1]["error"]  # PNG with no pixel data
+        assert "unsupported" in out[2]["error"]
 
     def test_fake_features_deterministic(self, spark, media):
         a = {r["id"]: r["features"] for r in image_features(media).collect()}
@@ -149,9 +154,10 @@ class TestMultimodal:
         assert a[4] is None
         assert all(-1.0 <= x <= 1.0 for x in a[1])
 
-    def test_resize_stub_is_explicit(self, media):
-        with pytest.raises(NotImplementedError, match="codec"):
-            ops.resize_image(media, 224, 224)
+    def test_resize_surfaces_undecodable_rows(self, media):
+        out = {r["id"]: r for r in ops.resize_image(media, 224, 224).collect()}
+        assert all(out[i]["content"] is None for i in (1, 2, 3, 4))
+        assert all(out[i]["error"] is not None for i in (1, 2, 3))
 
 
 def _mp4(timescale: int, duration: int, v1: bool = False) -> bytes:
