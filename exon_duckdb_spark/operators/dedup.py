@@ -644,10 +644,19 @@ def embedding_dup_pairs(
     cands = []
     for t in range(tables):
         a, bb = keyed.alias("a"), keyed.alias("b")
+        j = a.join(bb, F.col(f"a.bucket_{t}") == F.col(f"b.bucket_{t}")).where(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        # Earliest-colliding-table dedup, map-side: a pair that also collides
+        # in some table t' < t is emitted by THAT join instead, so each pair
+        # is scored exactly once and no post-scoring distinct (a full shuffle
+        # of every candidate) is needed.
+        for t_prev in range(t):
+            j = j.where(
+                F.col(f"a.bucket_{t_prev}") != F.col(f"b.bucket_{t_prev}")
+            )
         cands.append(
-            a.join(bb, F.col(f"a.bucket_{t}") == F.col(f"b.bucket_{t}"))
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
+            j.select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.round(
@@ -660,6 +669,4 @@ def embedding_dup_pairs(
     out = cands[0]
     for c in cands[1:]:
         out = out.union(c)
-    if tables > 1:
-        out = out.distinct()
     return out.where(F.col("cosine") >= threshold)

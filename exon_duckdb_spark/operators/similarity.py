@@ -290,42 +290,64 @@ def ann_topk(
     100 TB path. ``tables`` independent hyperplane families trade compute
     for recall: a neighbor is a candidate if it collides in ANY table
     (recall ≈ 1-(1-p^planes)^tables), and since the query side is broadcast
-    the extra tables add map-side probes, not shuffles. Candidates found by
-    several tables are deduplicated before ranking.
+    the extra tables add map-side probes, not shuffles. A pair colliding in
+    several tables is kept only at its EARLIEST colliding table — a map-side
+    filter over the rows' bucket arrays — so each candidate is scored once
+    and no post-scoring distinct/shuffle is needed at all.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
 
-    def codes(vec: Column) -> Column:
+    def bucket_arr(vec: Column) -> Column:
         return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    hyperplane_bucket(vec, planes, table=t).alias("b"),
-                )
-                for t in range(tables)
-            ]
+            *[hyperplane_bucket(vec, planes, table=t) for t in range(tables)]
         )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        F.explode(codes(F.col(vec_col))).alias("code"),
-        _norm(F.col(vec_col)).alias("qn"),
+    def exploded_codes() -> Column:
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(tables - 1)),
+                lambda t: F.struct(
+                    t.alias("t"), F.get(F.col("_codes"), t).alias("b")
+                ),
+            )
+        )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            bucket_arr(F.col(vec_col)).alias("_codes"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        .withColumn("code", exploded_codes())
+        .withColumnRenamed("_codes", "q_codes")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        F.explode(codes(F.col(vec_col))).alias("code"),
-        _norm(F.col(vec_col)).alias("nn"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            bucket_arr(F.col(vec_col)).alias("_codes"),
+            _norm(F.col(vec_col)).alias("nn"),
+        )
+        .withColumn("code", exploded_codes())
+        .withColumnRenamed("_codes", "n_codes")
     )
-    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
-    scored = (
-        c.join(F.broadcast(q), "code")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    cand = c.join(F.broadcast(q), "code").where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     if tables > 1:
-        scored = scored.distinct()
+        # keep the pair only where no EARLIER table also collided
+        collided_earlier = F.exists(
+            F.zip_with(
+                F.slice("q_codes", 1, F.col("code.t")),
+                F.slice("n_codes", 1, F.col("code.t")),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+        cand = cand.where(~collided_earlier)
+    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    scored = cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

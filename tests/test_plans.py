@@ -48,6 +48,26 @@ def test_lsh_candidates_are_equi_join(spark):
     assert join_strategies(df)["BroadcastNestedLoopJoin"] == 0
 
 
+def test_ann_multi_table_has_no_distinct_shuffle(spark):
+    """Multi-table ANN dedups candidates MAP-SIDE (earliest colliding table
+    filter), so the plan must carry no aggregate-based distinct: the only
+    shuffle is the rank window's partitioning."""
+    df = entry.q32_ann_topk(spark, SF)
+    p = explain_formatted(df)
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+    assert join_strategies(df)["BroadcastNestedLoopJoin"] == 0
+
+
+def test_embedding_dedup_multi_table_has_no_distinct_shuffle(spark):
+    from exon_duckdb_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    df = embedding_dup_pairs(emb, threshold=0.5, planes=4, tables=3)
+    p = explain_formatted(df)
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+    assert_no_cartesian(df)
+
+
 def test_asof_join_is_single_window_pass(spark):
     """asof_join must not expand into a range join: no join operator at all,
     one window over the union."""
