@@ -91,29 +91,52 @@ def pq_codebooks(
         for j in range(m)
     ]
     for _ in range(iters):
-        subs = corpus.select(
-            *[
-                _pq_code_struct(F.col(vec_col), j, dsub, books[j]).alias(f"c{j}")
-                for j in range(m)
-            ],
-            *[
-                _subspace(F.col(vec_col), j, dsub).alias(f"s{j}")
-                for j in range(m)
-            ],
-        )
-        # One aggregation per subspace over its assigned code: m small jobs,
-        # each a tiny-key groupBy with partial aggregation.
-        for j in range(m):
-            aggs = [
-                F.round(F.avg(F.col(f"s{j}")[d].cast("double")), 6).alias(f"d{d}")
-                for d in range(dsub)
-            ]
-            got = {
-                r["code"]: [float(r[f"d{d}"]) for d in range(dsub)]
-                for r in subs.groupBy(F.col(f"c{j}").alias("code")).agg(*aggs).collect()
-            }
-            books[j] = [got.get(k, books[j][k]) for k in range(len(books[j]))]
+        agg = _lloyd_round_agg(corpus, books, vec_col=vec_col)
+        got = {
+            (r["j"], r["code"]): [float(r[f"d{d}"]) for d in range(dsub)]
+            for r in agg.collect()
+        }
+        books = [
+            [got.get((j, k), books[j][k]) for k in range(len(books[j]))]
+            for j in range(m)
+        ]
     return books
+
+
+def _lloyd_round_agg(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd refinement round as ONE job: per row, an array of
+    (code_j, subvector_j) structs, posexploded to (j, code, sub) and
+    aggregated with per-dimension ``avg`` grouped by (j, code).
+
+    The corpus is scanned ONCE per round and the single shuffle carries
+    m·ksub partially-aggregated (sum, count) pairs per dimension per map
+    task — index-metadata-sized regardless of corpus size (vs the previous
+    shape: m sequential groupBy jobs, i.e. m full corpus scans per round).
+    Returns (j, code, d0..d{dsub-1}) with values rounded to 6 dp."""
+    m = len(books)
+    dsub = len(books[0][0])
+    exploded = corpus.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_code_struct(F.col(vec_col), j, dsub, books[j]).alias("code"),
+                        _subspace(F.col(vec_col), j, dsub).alias("sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "s")
+    ).select("j", F.col("s.code").alias("code"), F.col("s.sub").alias("sub"))
+    aggs = [
+        F.round(F.avg(F.col("sub")[d].cast("double")), 6).alias(f"d{d}")
+        for d in range(dsub)
+    ]
+    return exploded.groupBy("j", "code").agg(*aggs)
 
 
 def _pq_code_struct(vec: Column, j: int, dsub: int, centroids: list[list[float]]) -> Column:

@@ -68,6 +68,20 @@ def test_embedding_dedup_multi_table_has_no_distinct_shuffle(spark):
     assert_no_cartesian(df)
 
 
+def test_pq_lloyd_round_is_one_shuffle(spark):
+    """A PQ training round must scan the corpus once: a single groupBy
+    (j, code) aggregation — exactly one Exchange in the plan, with partial
+    aggregation below it."""
+    from exon_duckdb_spark.operators.pq import _lloyd_round_agg, pq_codebooks
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, ksub=4, dims=64)
+    # count tree nodes ("Exchange (n)"), not the details section repeats
+    p = explain_formatted(_lloyd_round_agg(emb, books))
+    assert p.count("Exchange (") == 1
+    assert p.count("HashAggregate (") == 2  # partial + final
+
+
 def test_asof_join_is_single_window_pass(spark):
     """asof_join must not expand into a range join: no join operator at all,
     one window over the union."""
