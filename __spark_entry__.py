@@ -2908,8 +2908,10 @@ def oracle_sql() -> dict[str, str]:
                     CAST(len(t) AS INTEGER) AS n_tokens,
                     round(list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t), 6)
                       AS avg_token_len,
-                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-                          / length(text), 6) AS alpha_ratio,
+                    CASE WHEN length(text) > 0
+                         THEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                                    / length(text), 6)
+                         ELSE 0.0 END AS alpha_ratio,
                     CAST(len(list_filter(t, w -> list_contains({stop_list}, w))) AS INTEGER)
                       AS stopword_hits,
                     CASE WHEN len(g3) > 0
@@ -3029,8 +3031,10 @@ def oracle_sql() -> dict[str, str]:
                     CAST(len(t) AS INTEGER) AS n_tokens,
                     round(list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t), 6)
                       AS avg_token_len,
-                    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-                          / length(text), 6) AS alpha_ratio,
+                    CASE WHEN length(text) > 0
+                         THEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                                    / length(text), 6)
+                         ELSE 0.0 END AS alpha_ratio,
                     CAST(len(list_filter(t, w -> list_contains({stop_list}, w))) AS INTEGER)
                       AS stopword_hits,
                     CASE WHEN len(g3) > 0

@@ -296,12 +296,17 @@ def decontaminate(
     from exon_duckdb_spark.operators.quality import word_ngrams
 
     def gram_hashes(d: DataFrame, with_id: bool) -> DataFrame:
-        toksed = d.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        grams = F.array_distinct(word_ngrams(F.col("_toks"), n))
-        exploded = toksed.select(
+        # benchmark inputs need only the text column — don't touch id_col
+        # unless this side actually carries ids through the join
+        grams = F.array_distinct(word_ngrams(tokens(text_col), n))
+        if not with_id:
+            return (
+                d.select(F.explode(F.transform(grams, md5_int)).alias("gram_hash"))
+                .distinct()
+            )
+        return d.select(
             F.col(id_col), F.explode(F.transform(grams, md5_int)).alias("gram_hash")
         )
-        return exploded if with_id else exploded.select("gram_hash").distinct()
 
     bench_hashes = gram_hashes(benchmark, with_id=False)
     if broadcast_benchmark:
@@ -334,12 +339,17 @@ def paragraph_dedup(
     whose payload is only the SURVIVING paragraphs. Two shuffles total,
     both linear in corpus size — inherent to a global first-occurrence
     semantics.
+
+    The window partitions on (hash, paragraph) rather than the hash alone:
+    the text already rides the shuffle, so disambiguating 60-bit collisions
+    costs nothing and keeps results text-keyed (two distinct paragraphs
+    colliding on md5_int would otherwise silently drop one).
     """
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
     )
-    w = Window.partitionBy(md5_int(F.col("_para"))).orderBy(
+    w = Window.partitionBy(md5_int(F.col("_para")), F.col("_para")).orderBy(
         F.col(id_col), F.col("_pos")
     )
     kept = paras.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)

@@ -115,7 +115,13 @@ def quality_filter(
     avg_len = F.round(
         F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n_tokens, 6
     )
-    alpha = F.round(F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.length(t), 6)
+    # zero guard: an empty doc divides 0/0 — NULL in Spark but NaN/inf under
+    # DuckDB's ieee_floating_point_ops, breaking the bit-for-bit oracle
+    # contract (keep is false either way; only the metric column diverged)
+    alpha = F.when(
+        F.length(t) > 0,
+        F.round(F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.length(t), 6),
+    ).otherwise(F.lit(0.0))
     g3 = word_ngrams(toks, 3)
     dup3 = F.when(
         F.size(g3) > 0, F.round(1.0 - F.size(F.array_distinct(g3)) / F.size(g3), 6)
@@ -185,8 +191,18 @@ def pii_scrub(
     """Redact emails / IPv4 addresses / intl-format phone numbers and count
     what was removed. Map-only regexp pass (codegen); the per-type counts
     let a pipeline monitor PII density per source without keeping the raw
-    text. Phone is matched before ipv4-style digit runs can split it by
-    redacting in dict order (email, ipv4, phone are disjoint patterns)."""
+    text.
+
+    Semantics on overlap: the counts are measured on the ORIGINAL text
+    (they answer "how much PII density does this source carry"), while
+    redaction applies the patterns sequentially in dict order (email, ipv4,
+    phone) — so an ipv4 embedded in an email address (``user@10.1.2.3.net``)
+    counts under BOTH types but is redacted once, as ``<EMAIL>``. Counts are
+    therefore occurrence counts, not replacement counts. Two invariants the
+    tests pin: no redaction token ``<NAME>`` matches any pattern (else a
+    later replace would corrupt an earlier one), and the oracle SQL mirrors
+    the same count-then-sequential-replace order so both engines agree
+    bit-for-bit."""
     t = F.col(text_col)
     counts = [
         F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")

@@ -579,6 +579,44 @@ class TestQuality:
         )
         assert kept == [2, 3]
 
+    def test_decontaminate_benchmark_without_id_column(self, spark):
+        # benchmark side only needs text — eval suites rarely carry doc_id
+        bench = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta eta theta iota",)], ["text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+                (2, "completely unrelated words that overlap with nothing at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept = [r["doc_id"] for r in ops.decontaminate(corpus, bench, n=8).collect()]
+        assert kept == [2]
+
+    def test_quality_filter_empty_doc_metrics_are_finite(self, spark):
+        df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+        rows = {r["doc_id"]: r for r in ops.quality_filter(df).collect()}
+        for r in rows.values():
+            assert r["keep"] is False
+            assert r["alpha_ratio"] is not None and r["alpha_ratio"] == 0.0
+
+    def test_pii_overlap_semantics_and_token_safety(self, spark):
+        """Docstring invariants: redaction tokens match no pattern, and an
+        ipv4 embedded in an email counts under both types but is redacted
+        once as <EMAIL> (occurrence counts, not replacement counts)."""
+        import re
+
+        from exon_duckdb_spark.operators.quality import PII_PATTERNS
+
+        for name, pat in PII_PATTERNS.items():
+            assert not re.search(pat, "<EMAIL> <IPV4> <PHONE>"), name
+
+        df = spark.createDataFrame([(1, "mail user@10.1.2.3.net now")], ["doc_id", "text"])
+        r = ops.pii_scrub(df).collect()[0]
+        assert (r["n_email"], r["n_ipv4"]) == (1, 1)
+        assert r["redacted_text"] == "mail <EMAIL> now"
+
 
 class TestRetrievalAndParagraphs:
     """BM25 lexical search, paragraph dedup, corpus n-gram stats."""
