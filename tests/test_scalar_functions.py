@@ -152,6 +152,32 @@ class TestAlignment:
         with pytest.raises(ValueError, match="match"):
             fx.alignment_string_wfa_gap_affine(F.lit("A"), F.lit("A"), 1, 1, 1, match=1)
 
+    def test_batched_dp_matches_scalar_reference(self, spark):
+        """The batched across-pairs kernels must stay bit-identical to the
+        per-pair scalar DP (_affine_align), including empty strings, nulls
+        interleaved, mixed lengths (slab sorting/padding) and tie-broken
+        CIGARs. Runs through the real UDFs so slabbing + encode are covered."""
+        import random
+
+        random.seed(23)
+        rnd = lambda n: "".join(random.choice("ACGT") for _ in range(n))
+        pairs = [(rnd(random.randint(0, 30)), rnd(random.randint(0, 30))) for _ in range(60)]
+        pairs += [("", ""), ("A", ""), ("", "ACGT"), (None, "AC"), ("AC", None)]
+        df = spark.createDataFrame(pairs, ["t", "p"]).coalesce(1)
+        rows = df.select(
+            "t", "p",
+            fx.alignment_string_wfa_gap_affine("t", "p").alias("cigar"),
+            fx.alignment_score_wfa_gap_affine("t", "p").alias("score"),
+        ).collect()
+        from exon_duckdb_spark.functions.alignment import _affine_align
+
+        for r in rows:
+            if r["t"] is None or r["p"] is None:
+                assert r["cigar"] is None and r["score"] is None
+            else:
+                pen, cig = _affine_align(r["t"], r["p"], 0, 4, 6, 2)
+                assert r["cigar"] == cig and r["score"] == -float(pen)
+
 
 def test_exondb_version(spark):
     assert one(spark, fx.exondb_version()) == "0.3.9"
