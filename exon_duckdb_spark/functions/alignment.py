@@ -418,3 +418,64 @@ def alignment_score_wfa_gap_affine(
 # (exon_extension.cpp:81-93): plain and _wfa_gap_affine.
 alignment_string = alignment_string_wfa_gap_affine
 alignment_score = alignment_score_wfa_gap_affine
+
+
+# ---------------------------------------------------------------------------
+# SQL arity dispatch (reference WFAOptions, module.cpp:53-133)
+
+_MEMORY_MODELS = ("memory_high", "memory_med", "memory_low")
+
+
+def _parse_wfa_args(args: tuple, fname: str):
+    """Reference-parity arity dispatch: 2-arg (defaults), 6-arg
+    (text, pattern, mismatch, gap_open, gap_ext, memmodel), 7-arg
+    (text, pattern, match, mismatch, gap_open, gap_ext, memmodel).
+
+    The memory-model string is validated exactly like module.cpp:77-91
+    ('Invalid memory model: …') but is behaviorally a no-op here: it only
+    selects WFA2-lib's internal wavefront storage strategy, which has no
+    analog in this DP. The reference's 6-arg bug (module.cpp:68-72 reads
+    arguments[4] for BOTH gap_opening and gap_extension) is deliberately
+    NOT replicated — we implement the documented semantics.
+    Returns (text, pattern, match, mismatch, gap_open, gap_ext)."""
+    if len(args) == 2:
+        t, p = args
+        return t, p, 0, DEFAULT_MISMATCH, DEFAULT_GAP_OPEN, DEFAULT_GAP_EXT
+    if len(args) == 6:
+        t, p, mismatch, gap_open, gap_ext, memmodel = args
+        if memmodel not in _MEMORY_MODELS:
+            raise ValueError(f"Invalid memory model: {memmodel}")
+        return t, p, 0, int(mismatch), int(gap_open), int(gap_ext)
+    if len(args) == 7:
+        t, p, match, mismatch, gap_open, gap_ext, memmodel = args
+        if match is not None and match > 0:
+            # module.cpp:99-102
+            raise ValueError("Match score must be negative or zero.")
+        if memmodel not in _MEMORY_MODELS:
+            raise ValueError(f"Invalid memory model: {memmodel}")
+        return t, p, int(match), int(mismatch), int(gap_open), int(gap_ext)
+    raise ValueError(f"{fname} takes 2, 6 or 7 arguments, got {len(args)}")
+
+
+def sql_alignment_string(*args):
+    """Row-form dispatcher behind the SQL registration — covers every
+    reference arity under ONE function name (Spark SQL cannot overload a
+    UDF by arity, so the dispatch happens per call inside). The DataFrame
+    API (:func:`alignment_string_wfa_gap_affine`) remains the Arrow-batched
+    hot path; this surface exists for SQL parity."""
+    t, p, match, mismatch, gap_open, gap_ext = _parse_wfa_args(
+        args, "alignment_string_wfa_gap_affine"
+    )
+    if t is None or p is None:
+        return None
+    return _affine_align(t, p, match, mismatch, gap_open, gap_ext)[1]
+
+
+def sql_alignment_score(*args):
+    """Score twin of :func:`sql_alignment_string`."""
+    t, p, match, mismatch, gap_open, gap_ext = _parse_wfa_args(
+        args, "alignment_score_wfa_gap_affine"
+    )
+    if t is None or p is None:
+        return None
+    return -float(_affine_align(t, p, match, mismatch, gap_open, gap_ext)[0])

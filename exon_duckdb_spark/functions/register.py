@@ -169,14 +169,13 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     from exon_duckdb_spark.functions import alignment as _al
 
-    spark.udf.register(
-        "alignment_string_wfa_gap_affine",
-        _al._make_string_udf(0, _al.DEFAULT_MISMATCH, _al.DEFAULT_GAP_OPEN, _al.DEFAULT_GAP_EXT),
-    )
-    spark.udf.register(
-        "alignment_score_wfa_gap_affine",
-        _al._make_score_udf(0, _al.DEFAULT_MISMATCH, _al.DEFAULT_GAP_OPEN, _al.DEFAULT_GAP_EXT),
-    )
+    # Variadic row-form dispatchers: one SQL name covers the reference's
+    # 2/6/7-arg bind-time arities (module.cpp:53-133) incl. the memory-model
+    # argument and its 'Invalid memory model' / 'Match score must be
+    # negative or zero.' error contracts. SQL-surface parity only — the
+    # DataFrame API stays the Arrow-batched hot path.
+    spark.udf.register("alignment_string_wfa_gap_affine", _al.sql_alignment_string, "string")
+    spark.udf.register("alignment_score_wfa_gap_affine", _al.sql_alignment_score, "float")
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION alignment_string(a STRING, b STRING) "
         "RETURNS STRING RETURN alignment_string_wfa_gap_affine(a, b)"

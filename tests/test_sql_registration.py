@@ -90,6 +90,42 @@ def test_alignment_sql(sql_spark):
     assert row["c"] == 0.0
 
 
+def test_alignment_sql_6_and_7_arg_forms(sql_spark):
+    """Reference bind-time arities (module.cpp:53-133): 6-arg
+    (mismatch, gap_open, gap_ext, memmodel) and 7-arg (+leading match),
+    with the memory-model accepted-but-behaviorally-noop."""
+    row = sql_spark.sql(
+        "SELECT alignment_string_wfa_gap_affine("
+        "  'AACC', 'AAACC', 4, 6, 2, 'memory_high') AS s6, "
+        "alignment_string_wfa_gap_affine("
+        "  'AACC', 'AAACC', 0, 4, 6, 2, 'memory_low') AS s7, "
+        "alignment_score_wfa_gap_affine("
+        "  'AACC', 'AACC', 4, 6, 2, 'memory_med') AS c6, "
+        "alignment_score_wfa_gap_affine("
+        "  'AACC', 'AACC', -1, 4, 6, 2, 'memory_high') AS c7"
+    ).first()
+    assert row["s6"] == "2M1D2M" and row["s7"] == "2M1D2M"
+    assert row["c6"] == 0.0
+    assert row["c7"] == 4.0  # match bonus -1 per matched base, negated penalty
+
+
+def test_alignment_sql_error_contracts(sql_spark):
+    """module.cpp:91 ('Invalid memory model: …') and module.cpp:99-102
+    ('Match score must be negative or zero.')."""
+    with pytest.raises(Exception, match="Invalid memory model: memory_hug"):
+        sql_spark.sql(
+            "SELECT alignment_string_wfa_gap_affine('A', 'A', 4, 6, 2, 'memory_hug')"
+        ).collect()
+    with pytest.raises(Exception, match="Match score must be negative or zero"):
+        sql_spark.sql(
+            "SELECT alignment_score_wfa_gap_affine('A', 'A', 1, 4, 6, 2, 'memory_high')"
+        ).collect()
+    with pytest.raises(Exception, match="takes 2, 6 or 7 arguments"):
+        sql_spark.sql(
+            "SELECT alignment_string_wfa_gap_affine('A', 'A', 4)"
+        ).collect()
+
+
 def test_read_fasta_tvf(sql_spark, tmp_path):
     p = tmp_path / "t.fasta"
     p.write_text(">a description\nATCG\n>b\nGGCC\n")
