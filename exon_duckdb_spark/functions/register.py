@@ -237,6 +237,10 @@ _TABLE_FUNCS = {
         "exon_duckdb_spark.sources.pyparse:parse_gff_split",
         "exon_duckdb_spark.sources.schemas:GFF_SCHEMA",
     ),
+    "read_gff_raw": (
+        "exon_duckdb_spark.sources.pyparse:parse_gff_raw_split",
+        "exon_duckdb_spark.sources.schemas:GFF_RAW_SCHEMA",
+    ),
     "read_gtf": (
         "exon_duckdb_spark.sources.pyparse:parse_gtf_split",
         "exon_duckdb_spark.sources.schemas:GTF_SCHEMA",
@@ -432,9 +436,27 @@ def _make_region_udtf(kind: str):
     return udtf(_Query)
 
 
+def _make_acknowledgements_udtf():
+    """``exondb_third_party_acknowledgements()`` — constant TVF naming this
+    engine's third-party stack (reference surface:
+    test_acknowledgements_function.test:3-14, disabled there)."""
+    from pyspark.sql.functions import udtf
+
+    class _Acks:
+        def eval(self):
+            from exon_duckdb_spark.functions.core import THIRD_PARTY_ACKNOWLEDGEMENTS
+
+            yield from THIRD_PARTY_ACKNOWLEDGEMENTS
+
+    return udtf(_Acks, returnType="name string, license string, url string")
+
+
 def register_table_functions(spark: SparkSession) -> None:
     for name, (parse_import, schema_import) in _TABLE_FUNCS.items():
         spark.udtf.register(name, _make_read_udtf(parse_import, schema_import))
+    spark.udtf.register(
+        "exondb_third_party_acknowledgements", _make_acknowledgements_udtf()
+    )
     spark.udtf.register("read_vcf_file_records", _make_vcf_udtf())
     spark.udtf.register("read_bcf_file_records", _make_bcf_udtf())
     spark.udtf.register("vcf_query", _make_region_udtf("vcf"))

@@ -20,6 +20,7 @@ from exon_duckdb_spark.sources.mzml import read_mzml  # noqa: F401
 from exon_duckdb_spark.sources.tsv import (  # noqa: F401
     read_bed,
     read_gff,
+    read_gff_raw,
     read_gtf,
     read_hmm_dom_tbl,
     read_sam,

@@ -79,6 +79,29 @@ def parse_gtf_split(split: FileSplit) -> Iterator[dict]:
     yield from _gff_like(split, "frame", _gtf_attrs)
 
 
+def parse_gff_raw_split(split: FileSplit) -> Iterator[dict]:
+    """Raw GFF: every column verbatim (no '.'→NULL, no attr parsing) except
+    start/end as ints — the reference's read_gff_raw shape
+    (test_gff_scan.test:100-113, disabled there)."""
+    for line in read_split_lines(split):
+        line = line.rstrip(b"\r\n")
+        if not line or line.startswith(b"#"):
+            continue
+        f = line.decode("utf-8", "replace").split("\t")
+        f += [""] * (9 - len(f))
+        yield {
+            "seqid": f[0],
+            "source": f[1],
+            "type": f[2],
+            "start": int(f[3]) if f[3] not in (".", "") else None,
+            "end": int(f[4]) if f[4] not in (".", "") else None,
+            "score": f[5],
+            "strand": f[6],
+            "phase": f[7],
+            "attributes": f[8],
+        }
+
+
 def parse_bed_split(split: FileSplit) -> Iterator[dict]:
     zero_null = lambda v: None if v in (".", "0", "") else v  # noqa: E731
     for line in read_split_lines(split):

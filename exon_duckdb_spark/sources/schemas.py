@@ -46,6 +46,21 @@ GFF_SCHEMA = T.StructType(
         ),
     ]
 )
+# read_gff_raw (test_gff_scan.test:100-113, disabled there): reference
+# column head is 'seqid'; score/strand/phase/attributes stay raw strings.
+GFF_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("seqid", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("start", T.LongType(), True),
+        T.StructField("end", T.LongType(), True),
+        T.StructField("score", T.StringType(), True),
+        T.StructField("strand", T.StringType(), True),
+        T.StructField("phase", T.StringType(), True),
+        T.StructField("attributes", T.StringType(), True),
+    ]
+)
 GTF_SCHEMA = T.StructType(
     _GFF_COMMON
     + [

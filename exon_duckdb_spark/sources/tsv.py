@@ -27,7 +27,14 @@ from exon_duckdb_spark.sources.schemas import (
     SAM_SCHEMA,
 )
 
-__all__ = ["read_gff", "read_gtf", "read_bed", "read_sam", "read_hmm_dom_tbl"]
+__all__ = [
+    "read_gff",
+    "read_gff_raw",
+    "read_gtf",
+    "read_bed",
+    "read_sam",
+    "read_hmm_dom_tbl",
+]
 
 
 def _dot_null(c: Column) -> Column:
@@ -63,6 +70,23 @@ def read_gff(spark: SparkSession, path: str) -> DataFrame:
     df = _read_gff_like(spark, path, "phase", gff_attributes_to_map)
     assert [f.name for f in df.schema.fields] == [f.name for f in GFF_SCHEMA.fields]
     return df
+
+
+def read_gff_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Raw GFF3 scan: the nine columns with NO normalization — score,
+    strand and phase stay verbatim strings ('.' included) and ``attributes``
+    is the unparsed attribute text. Mirrors the reference's read_gff_raw
+    (commented-out test_gff_scan.test:100-113, column head ``seqid``; the
+    raw-test golden keeps '.' score and prints phase '0' literally)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")
+        .schema(
+            "seqid string, source string, type string, start long, end long, "
+            "score string, strand string, phase string, attributes string"
+        )
+        .csv(path)
+    )
 
 
 def read_gtf(spark: SparkSession, path: str) -> DataFrame:

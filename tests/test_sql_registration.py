@@ -126,6 +126,42 @@ def test_alignment_sql_error_contracts(sql_spark):
         ).collect()
 
 
+def test_read_gff_raw_tvf(sql_spark, tmp_path):
+    """Mirrors the reference's disabled raw-scan golden
+    (test_gff_scan.test:100-113): score stays '.', phase stays '0',
+    attributes stay the unparsed string."""
+    p = tmp_path / "raw-test.gff"
+    p.write_text(
+        "KanNP_rdsDRAFT_3085441342\tFGMP\tCDS\t2\t151\t.\t1\t0\t"
+        "ID=KanNP_rdsDRAFT_3085441342.1;locus_tag=KanNP_rdsDRAFT_30854413421;\n"
+    )
+    r = sql_spark.sql(
+        "SELECT seqid, source, type, start, `end`, score, strand, phase, attributes "
+        f"FROM read_gff_raw('{p}') LIMIT 1"
+    ).first()
+    assert tuple(r) == (
+        "KanNP_rdsDRAFT_3085441342", "FGMP", "CDS", 2, 151, ".", "1", "0",
+        "ID=KanNP_rdsDRAFT_3085441342.1;locus_tag=KanNP_rdsDRAFT_30854413421;",
+    )
+    # DataFrame API twin (native csv scan) produces the same rows
+    from exon_duckdb_spark.sources import read_gff_raw
+
+    r2 = read_gff_raw(sql_spark, str(p)).first()
+    assert tuple(r2) == tuple(r)
+
+
+def test_acknowledgements_tvf(sql_spark):
+    """Reference surface test_acknowledgements_function.test:3-14 (disabled
+    there) — names reflect THIS engine's third-party stack."""
+    names = [
+        r["name"]
+        for r in sql_spark.sql(
+            "SELECT name FROM exondb_third_party_acknowledgements() ORDER BY name"
+        ).collect()
+    ]
+    assert names == ["Apache Arrow", "Apache Spark", "NumPy", "pandas"]
+
+
 def test_read_fasta_tvf(sql_spark, tmp_path):
     p = tmp_path / "t.fasta"
     p.write_text(">a description\nATCG\n>b\nGGCC\n")
