@@ -43,10 +43,28 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
+# scheme → factory(path) -> (pyarrow.fs.FileSystem, in-filesystem path).
+# Deployment hook mirroring the reference's per-URI object-store
+# registration (rust/src/arrow_reader.rs:108): lets a site route a custom
+# scheme (credentialed S3 endpoint, test double, …) through the same seam
+# every reader/writer below already uses. Unregistered schemes fall through
+# to pyarrow's own resolution.
+_FS_FACTORIES: dict = {}
+
+
+def register_filesystem(scheme: str, factory) -> None:
+    """Route ``scheme://`` paths through ``factory(path) -> (FileSystem,
+    inner_path)`` instead of ``pyarrow.fs.FileSystem.from_uri``."""
+    _FS_FACTORIES[scheme] = factory
+
+
 def _fs(path: str):
     """(pyarrow FileSystem, in-filesystem path) for a scheme URI."""
     from pyarrow import fs as pafs
 
+    scheme = path.split("://", 1)[0]
+    if scheme in _FS_FACTORIES:
+        return _FS_FACTORIES[scheme](path)
     return pafs.FileSystem.from_uri(path)
 
 

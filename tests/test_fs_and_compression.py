@@ -124,3 +124,150 @@ def test_detect_compression(ext, codec):
 
     assert detect_compression(f"a.fasta.{ext}") == codec
     assert detect_compression("a.fasta") is None
+
+
+from pyarrow.fs import FileSystemHandler
+
+
+class _CountingLocalHandler(FileSystemHandler):
+    """pyarrow FileSystemHandler double: a 'remote' filesystem rooted at a
+    local directory, counting every call — proving listing / sizing /
+    seekable reads / writes of the binary sources go through the pyarrow.fs
+    seam (splits._fs), not the os/open fast path."""
+
+    def __init__(self, root: str):
+        from pyarrow import fs as pafs
+
+        self._fs = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+        self.calls: dict = {}
+
+    def _note(self, op):
+        self.calls[op] = self.calls.get(op, 0) + 1
+
+    # --- used by the seam
+    def get_type_name(self):
+        return "counting-local"
+
+    def normalize_path(self, path):
+        return path
+
+    def get_file_info(self, paths):
+        self._note("get_file_info")
+        return self._fs.get_file_info(paths)
+
+    def get_file_info_selector(self, selector):
+        self._note("get_file_info_selector")
+        return self._fs.get_file_info(selector)
+
+    def open_input_file(self, path):
+        self._note("open_input_file")
+        return self._fs.open_input_file(path)
+
+    def open_input_stream(self, path):
+        self._note("open_input_stream")
+        return self._fs.open_input_file(path)
+
+    def open_output_stream(self, path, metadata=None):
+        self._note("open_output_stream")
+        return self._fs.open_output_stream(path)
+
+    # --- unused surface
+    def __eq__(self, other):
+        return self is other
+
+    def create_dir(self, path, recursive):
+        self._fs.create_dir(path, recursive=recursive)
+
+    def delete_dir(self, path):
+        raise NotImplementedError
+
+    def delete_dir_contents(self, path, missing_dir_ok=False):
+        raise NotImplementedError
+
+    def delete_root_dir_contents(self):
+        raise NotImplementedError
+
+    def delete_file(self, path):
+        raise NotImplementedError
+
+    def move(self, src, dest):
+        raise NotImplementedError
+
+    def copy_file(self, src, dest):
+        raise NotImplementedError
+
+    def open_append_stream(self, path, metadata=None):
+        raise NotImplementedError
+
+
+@pytest.fixture()
+def mock_fs(tmp_path):
+    """Register mock:// → the counting double rooted at tmp_path."""
+    from pyarrow import fs as pafs
+
+    from exon_duckdb_spark.sources import splits as sp
+
+    handler = _CountingLocalHandler(str(tmp_path))
+    pyfs = pafs.PyFileSystem(handler)
+    sp.register_filesystem("mock", lambda p: (pyfs, p.split("://", 1)[1]))
+    yield handler
+    sp._FS_FACTORIES.pop("mock", None)
+
+
+def test_mock_fs_listing_size_and_split_reads(tmp_path, mock_fs):
+    """One binary source end-to-end through the filesystem double: directory
+    listing keeps the scheme, sizing and seekable split reads all hit the
+    handler, and the parsed records match the local-path read."""
+    from exon_duckdb_spark.sources.bam import _parse_bam_split
+    from exon_duckdb_spark.sources.splits import plan_splits
+
+    from tests.test_indexes import _bam_fixture
+
+    local = _bam_fixture(tmp_path)  # writes x.bam under tmp_path
+    name = local.rsplit("/", 1)[1]
+
+    listed = expand_paths("mock://")
+    assert f"mock://{name}" in listed
+    assert mock_fs.calls.get("get_file_info_selector", 0) >= 1
+
+    assert file_size(f"mock://{name}") == file_size(local)
+    assert mock_fs.calls.get("get_file_info", 0) >= 1
+
+    # byte-range split parse: open + seek through the double
+    splits_local = plan_splits(local, "none", splittable=True, split_bytes=400)
+    splits_mock = plan_splits(f"mock://{name}", "none", splittable=True, split_bytes=400)
+    assert len(splits_mock) == len(splits_local) > 4
+    got = sorted(r["name"] for s in splits_mock for r in _parse_bam_split(s))
+    want = sorted(r["name"] for s in splits_local for r in _parse_bam_split(s))
+    assert got == want and len(got) > 0
+    assert mock_fs.calls.get("open_input_file", 0) >= len(splits_mock)
+
+
+def test_mock_fs_region_query_pruning_and_write(tmp_path, mock_fs):
+    """Indexed region query through the double: the .bai is discovered and
+    read remotely, split pruning fires, results match the local path; plus
+    one writer pass through open_output."""
+    from exon_duckdb_spark.sources.bam import _parse_bam_split, plan_bam_query_splits
+    from exon_duckdb_spark.sources.indexes import index_bam
+    from exon_duckdb_spark.sources.splits import open_output, plan_splits
+
+    from tests.test_indexes import REGION, _bam_fixture
+
+    local = _bam_fixture(tmp_path)
+    index_bam(local)
+    name = local.rsplit("/", 1)[1]
+
+    total = plan_splits(f"mock://{name}", "none", splittable=True, split_bytes=400)
+    pruned = plan_bam_query_splits(f"mock://{name}", REGION, split_bytes=400)
+    assert 0 < len(pruned) < len(total)  # .bai found + used through the seam
+    got = sorted(r["name"] for s in pruned for r in _parse_bam_split(s))
+    want = sorted(
+        r["name"] for s in plan_bam_query_splits(local, REGION, split_bytes=400)
+        for r in _parse_bam_split(s)
+    )
+    assert got == want
+
+    with open_output("mock://out.bin") as f:
+        f.write(b"remote-write")
+    assert (tmp_path / "out.bin").read_bytes() == b"remote-write"
+    assert mock_fs.calls.get("open_output_stream", 0) >= 1
