@@ -296,17 +296,18 @@ def decontaminate(
     from exon_duckdb_spark.operators.quality import word_ngrams
 
     def gram_hashes(d: DataFrame, with_id: bool) -> DataFrame:
-        # benchmark inputs need only the text column — don't touch id_col
-        # unless this side actually carries ids through the join
-        grams = F.array_distinct(word_ngrams(tokens(text_col), n))
-        if not with_id:
-            return (
-                d.select(F.explode(F.transform(grams, md5_int)).alias("gram_hash"))
-                .distinct()
-            )
-        return d.select(
-            F.col(id_col), F.explode(F.transform(grams, md5_int)).alias("gram_hash")
+        # two-step select: materialize the token array FIRST — word_ngrams
+        # references its input once per gram position, so inlining
+        # tokens(text_col) would re-tokenize the document n_tokens times.
+        # The benchmark side selects only the text column (eval suites
+        # rarely carry a doc_id; ids ride the join only on the corpus side).
+        cols = [F.col(id_col)] if with_id else []
+        toksed = d.select(*cols, tokens(text_col).alias("_toks"))
+        grams = F.array_distinct(word_ngrams(F.col("_toks"), n))
+        exploded = toksed.select(
+            *cols, F.explode(F.transform(grams, md5_int)).alias("gram_hash")
         )
+        return exploded if with_id else exploded.distinct()
 
     bench_hashes = gram_hashes(benchmark, with_id=False)
     if broadcast_benchmark:
