@@ -1777,6 +1777,71 @@ def q75_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fmt", "width", "height", "channels", "s.pix_sum", "s.pos_checksum")
 
 
+def _sample_stats_fn(samples):
+    """int16 analog of _pix_stats: sum + position-weighted checksum of a
+    raw little-endian sample buffer (pins byte order and endianness)."""
+    import numpy as _np
+
+    sums, poss = [], []
+    for b in samples:
+        v = _np.frombuffer(bytes(b), _np.dtype("<i2")).astype(_np.int64)
+        sums.append(int(v.sum()))
+        poss.append(int((v * (_np.arange(v.size) + 1)).sum()))
+    return pd.DataFrame({"sample_sum": sums, "pos_checksum": poss})
+
+
+_sample_stats_fn.__annotations__ = {"samples": pd.Series, "return": pd.DataFrame}
+_sample_stats = F.pandas_udf(
+    _sample_stats_fn,
+    T.StructType(
+        [
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("pos_checksum", T.LongType()),
+        ]
+    ),
+)
+
+
+def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode, hash-checked: plant 16-bit WAV bytes per
+    document (sample(i) = (i*13 + doc_id*7) % 65536 - 32768, n = doc_id%50
+    + 20 samples, rate 8000 + (doc_id%3)*4000), decode via the pure-Python
+    RIFF walk (multimodal.decode_wav — no reference analog; the reference
+    has no media surface) and emit per-blob sample sums the oracle
+    recomputes arithmetically. Map-only: synth → decode → stats fuse into
+    one stage; samples never leave the executors."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 96)
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 50 + 20
+                i = _np.arange(n, dtype=_np.int64)
+                samples = ((i * 13 + did * 7) % 65536 - 32768).astype(_np.int16)
+                ids.append(did)
+                blobs.append(encode_wav(samples, 8000 + (did % 3) * 4000))
+            yield _pd.DataFrame({"id": ids, "content": blobs})
+
+    wavs = docs.mapInPandas(synth, "id long, content binary")
+    dec = ops.decode_audio(wavs, id_col="id")
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        _sample_stats("samples").alias("s"),
+    ).select("doc_id", "sample_rate", "channels", "n_samples", "s.sample_sum", "s.pos_checksum")
+
+
 def q76_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize → re-encode → re-decode roundtrip, hash-checked: planted
     BMP/PNG images resampled to 8×6 with the deterministic floor-index
@@ -1873,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_image_decode": q75_image_decode,
         # ---- end of the driver's 50-row correctness window ----
         "q76_image_resize": q76_image_resize,
+        "q77_audio_decode": q77_audio_decode,
         "q06_revenue_filter_agg": q06_revenue_filter_agg,
         "q17_running_totals": q17_running_totals,
         "q21_minhash_signature": q21_minhash_signature,
@@ -3105,5 +3171,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(6 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
                    pix_sum, pos_checksum
             FROM px, (SELECT UNNEST(['bmp', 'png']) AS fmt) f
+        """,
+        # Arithmetic replay of the planted-WAV formula (see q77_audio_decode):
+        # sample(i) = (i*13 + doc_id*7) % 65536 - 32768 over n = doc_id%50+20.
+        "q77_audio_decode": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+                     doc_id % 50 + 20 AS n
+              FROM documents WHERE doc_id < 96
+            )
+            SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(SUM((i*13 + doc_id*7) % 65536 - 32768) AS BIGINT) AS sample_sum,
+                   CAST(SUM(((i*13 + doc_id*7) % 65536 - 32768) * (i + 1)) AS BIGINT)
+                     AS pos_checksum
+            FROM dims, LATERAL (SELECT UNNEST(range(n)) AS i) xs
+            GROUP BY doc_id, sample_rate, n
         """,
     }

@@ -17,6 +17,7 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
 from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_hash, seeded_hash_sql  # noqa: F401
 from exon_duckdb_spark.operators.multimodal import (  # noqa: F401
     attach_media_metadata,
+    decode_audio,
     decode_image,
     image_features,
     mp4_duration,

@@ -34,6 +34,9 @@ __all__ = [
     "attach_media_metadata",
     "decode_image",
     "resize_image",
+    "decode_audio",
+    "decode_wav",
+    "encode_wav",
     "image_features",
     "sample_frames",
     "MEDIA_META_SCHEMA",
@@ -281,6 +284,99 @@ def resize_image(
     return df.mapInPandas(
         run,
         f"{id_col} long, {bytes_col} binary, width int, height int, error string",
+    )
+
+
+def decode_wav(b: bytes):
+    """Decode a PCM RIFF/WAVE blob → (sample_rate, channels, samples) with
+    ``samples`` an interleaved int16 numpy array. Pure struct walk of the
+    public RIFF layout (chunks may appear in any order; 8-bit PCM is
+    widened to int16 via the standard (x-128)<<8 mapping). Raises
+    ValueError on non-PCM encodings — those need a codec library."""
+    if len(b) < 12 or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    rate = channels = bits = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        payload = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, channels, rate = struct.unpack("<HHI", payload[:8])
+            bits = struct.unpack("<H", payload[14:16])[0]
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV encoding {fmt_tag} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported PCM bit depth {bits}")
+        elif cid == b"data":
+            data = payload
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], np.dtype("<i2"))
+    else:
+        samples = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
+    return rate, channels, samples
+
+
+def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
+    """Encode interleaved int16 samples as a 16-bit PCM RIFF/WAVE blob —
+    deterministic byte-for-byte (fixed chunk order, no padding)."""
+    samples = np.asarray(samples, np.dtype("<i2"))
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(
+    df: DataFrame, bytes_col: str = "content", id_col: str = "id"
+) -> DataFrame:
+    """Full sample decode of PCM WAV blobs via Arrow-batched ``mapInPandas``:
+    (id, content) → (id, sample_rate, channels, n_samples, samples binary,
+    error). ``samples`` is raw little-endian int16 (interleaved) —
+    zero-copy reshapeable downstream, 2 bytes/sample on the wire. REAL for
+    PCM (8/16-bit); compressed encodings yield a NULL row with ``error``
+    set, mirroring :func:`decode_image`'s undecodable-tail contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chs, ns, smps, errs = [], [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[bytes_col]):
+                ids.append(rid)
+                try:
+                    rate, channels, samples = decode_wav(bytes(b))
+                    rates.append(rate)
+                    chs.append(channels)
+                    ns.append(len(samples) // max(channels, 1))
+                    smps.append(samples.tobytes())
+                    errs.append(None)
+                except Exception as exc:
+                    rates.append(None)
+                    chs.append(None)
+                    ns.append(None)
+                    smps.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "samples": smps,
+                    "error": errs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, sample_rate int, channels int, n_samples long, "
+        "samples binary, error string",
     )
 
 

@@ -118,3 +118,55 @@ class TestDataFrameOps:
         assert b1[:2] == b"BM" and b2.startswith(b"\x89PNG")
         assert np.array_equal(ic.decode_bmp(b1), exp)
         assert np.array_equal(ic.decode_png(b2), exp)
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit(self, spark):
+        from exon_duckdb_spark.operators.multimodal import decode_wav, encode_wav
+
+        s = (np.arange(100, dtype=np.int64) * 997 % 65536 - 32768).astype(np.int16)
+        rate, ch, got = decode_wav(encode_wav(s, 44100, channels=2))
+        assert (rate, ch) == (44100, 2)
+        assert np.array_equal(got, s)
+
+    def test_8bit_pcm_widens(self):
+        import struct
+
+        from exon_duckdb_spark.operators.multimodal import decode_wav
+
+        data = bytes([0, 128, 255])
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, ch, s = decode_wav(blob)
+        assert list(s) == [(-128) << 8, 0, 127 << 8]
+
+    def test_rejects_non_pcm(self):
+        import struct
+
+        from exon_duckdb_spark.operators.multimodal import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # mp3-in-wav
+        body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 0)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="PCM only"):
+            decode_wav(blob)
+
+    def test_decode_audio_dataframe_op(self, spark):
+        from exon_duckdb_spark.operators import decode_audio
+        from exon_duckdb_spark.operators.multimodal import encode_wav
+
+        s = (np.arange(40, dtype=np.int64) * 31 % 65536 - 32768).astype(np.int16)
+        rows = [
+            (1, bytearray(encode_wav(s, 16000))),
+            (2, bytearray(b"RIFF garbage not wave")),
+        ]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = {r["id"]: r for r in decode_audio(df).collect()}
+        assert got[1]["sample_rate"] == 16000 and got[1]["n_samples"] == 40
+        assert np.array_equal(
+            np.frombuffer(bytes(got[1]["samples"]), np.dtype("<i2")), s
+        )
+        assert got[2]["samples"] is None and got[2]["error"] is not None
