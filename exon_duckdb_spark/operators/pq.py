@@ -261,11 +261,18 @@ def pq_search(
         ),
         6,
     )
+    from exon_duckdb_spark.operators.similarity import partition_topk
+
     scored = (
         corpus_codes.select(F.col(id_col).alias("neighbor_id"), F.col("code"))
         .crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    )
+    # map-side top-k per partition first: the rank window's shuffle carries
+    # ≤ k × n_partitions rows per query, not the whole scored corpus
+    scored = partition_topk(
+        scored, k, "query_id", "adc_dist", "neighbor_id", ascending=True
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

@@ -97,6 +97,37 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (_norm(a) * _norm(b))
 
 
+def partition_topk(
+    scored: DataFrame,
+    k: int,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    ascending: bool,
+) -> DataFrame:
+    """Map-side per-partition top-k reducer for per-group ranking.
+
+    A rank window over (group) shuffles EVERY scored candidate — at a 100 TB
+    corpus that is n_corpus × n_queries rows through one exchange. The
+    global top-k per group equals the top-k of the per-partition top-ks, so
+    this Arrow-batched map-only pass cuts the window's input to ≤ k ×
+    n_partitions rows per group first. Ties break on ``tie_col`` ascending,
+    matching every caller's window ordering, so results are identical."""
+    schema = scored.schema
+
+    def reduce_part(batches):
+        import pandas as _pd
+
+        acc = [pdf for pdf in batches]
+        if not acc:
+            return
+        pdf = _pd.concat(acc, ignore_index=True) if len(acc) > 1 else acc[0]
+        pdf = pdf.sort_values([order_col, tie_col], ascending=[ascending, True])
+        yield pdf.groupby(group_col, sort=False).head(k)
+
+    return scored.mapInPandas(reduce_part, schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,9 +137,11 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k neighbors for each query vector.
 
-    Broadcast the query set (dimension-table sized) against the corpus so the
-    corpus never shuffles; rank per query with a window (shuffle keyed by
-    query id only).
+    Broadcast the query set (dimension-table sized) against the corpus so
+    the corpus never shuffles; a map-side :func:`partition_topk` pass
+    reduces each partition to k rows per query before the rank window, so
+    the only shuffle carries ≤ k × n_partitions rows per query instead of
+    the whole scored corpus.
     Returns (query_id, neighbor_id, cosine_sim, rank), self-matches excluded.
     """
     # Norms are computed once per vector BEFORE the join — inside the join
@@ -133,6 +166,9 @@ def cosine_topk(
             "neighbor_id",
             F.round(sim, 6).alias("cosine_sim"),
         )
+    )
+    scored = partition_topk(
+        scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -348,6 +384,9 @@ def ann_topk(
         cand = cand.where(~collided_earlier)
     sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    scored = partition_topk(
+        scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -529,6 +568,9 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
     )
+    scored = partition_topk(
+        scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -655,6 +697,9 @@ def ivf_search(
         lists.join(F.broadcast(q), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    scored = partition_topk(
+        scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
