@@ -43,6 +43,13 @@ from exon_duckdb_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # NOTE: the driver-generated tables are single-file/single-row-group
+    # parquet, so map stages run one task at this SF. Fanning them out with
+    # an upfront repartition was MEASURED SLOWER here (q28 3→31 s, q74
+    # 3→10 s: 32-way python-worker startup + per-task codebook/broadcast
+    # serialization swamps sub-MB inputs) — on a real multi-split layout
+    # the scan parallelizes itself, so the honest shape is to leave the
+    # scan alone.
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
