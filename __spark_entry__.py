@@ -1849,6 +1849,13 @@ def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sample_rate", "channels", "n_samples", "s.sample_sum", "s.pos_checksum")
 
 
+def q78_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one unigram LM score per document (the CCNet-style
+    perplexity quality signal). Self-trained on the same table, so the
+    oracle replays training AND scoring in SQL."""
+    return ops.perplexity_score(_t(spark, sf_dir, "documents"))
+
+
 def q76_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize → re-encode → re-decode roundtrip, hash-checked: planted
     BMP/PNG images resampled to 8×6 with the deterministic floor-index
@@ -1946,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the driver's 50-row correctness window ----
         "q76_image_resize": q76_image_resize,
         "q77_audio_decode": q77_audio_decode,
+        "q78_perplexity_score": q78_perplexity_score,
         "q06_revenue_filter_agg": q06_revenue_filter_agg,
         "q17_running_totals": q17_running_totals,
         "q21_minhash_signature": q21_minhash_signature,
@@ -3195,5 +3203,20 @@ def oracle_sql() -> dict[str, str]:
                      AS pos_checksum
             FROM dims, LATERAL (SELECT UNNEST(range(n)) AS i) xs
             GROUP BY doc_id, sample_rate, n
+        """,
+        "q78_perplexity_score": """
+            WITH tf AS (
+              SELECT doc_id, t AS tok, count(*) AS tf
+              FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+              GROUP BY doc_id, t
+            ),
+            cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
+            stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM cnts)
+            SELECT doc_id,
+                   round(SUM(ln((cnt + 1) * 1.0 / (total + vocab)) * tf) / SUM(tf), 6)
+                     AS avg_logprob,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens
+            FROM tf JOIN cnts USING (tok), stats
+            GROUP BY doc_id
         """,
     }

@@ -44,6 +44,7 @@ from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     kmeans_refine,
 )
 from exon_duckdb_spark.operators.quality import (  # noqa: F401
+    perplexity_score,
     pii_scrub,
     quality_filter,
     repetition_stats,

@@ -25,6 +25,7 @@ __all__ = [
     "quality_filter",
     "source_mix_report",
     "pii_scrub",
+    "perplexity_score",
     "PII_PATTERNS",
 ]
 
@@ -172,6 +173,49 @@ def source_mix_report(
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.sum(F.col("keep").cast("int")).alias("n_kept"),
         F.round(F.avg(F.col("keep").cast("int")), 6).alias("keep_rate"),
+    )
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    classic perplexity quality signal (CCNet/Gopher pipelines filter on LM
+    perplexity; a unigram model is its fully-SQL-replayable core).
+
+    Model: add-one-smoothed unigram over the corpus's own token counts,
+    p(w) = (count(w) + 1) / (total + V). Per doc we report
+    ``avg_logprob`` = mean ln p(w) over its tokens (rounded 6 dp; higher =
+    more typical text) and ``n_tokens``. Gibberish, boilerplate-free junk
+    and wrong-language docs sit far below the corpus mode.
+
+    Scale design (same shape as tfidf_top_terms): one (doc, token) tf
+    shuffle with partial aggregation, one vocab-keyed join against the
+    token-count table (every token of a doc exists in the vocab by
+    construction — the model is self-trained, so the join is inner and
+    loses nothing), one id-keyed weighted-average aggregation. Three
+    linear shuffles, no driver data path, no UDF.
+    """
+    toksed = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+    tf = toksed.groupBy(id_col, "_tok").agg(F.count("*").alias("_tf"))
+    counts = tf.groupBy("_tok").agg(F.sum("_tf").alias("_cnt"))
+    stats = counts.agg(
+        F.sum("_cnt").alias("_total"), F.count("*").alias("_vocab")
+    )
+    logp = F.log(
+        (F.col("_cnt") + 1).cast("double") / (F.col("_total") + F.col("_vocab"))
+    )
+    scored = tf.join(counts, "_tok").crossJoin(F.broadcast(stats))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(logp * F.col("_tf")) / F.sum("_tf"), 6
+            ).alias("avg_logprob"),
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+        )
     )
 
 

@@ -824,3 +824,16 @@ class TestRetrievalAndParagraphs:
             ).collect()
         )
         assert kept == [2]
+
+
+def test_perplexity_score_ranks_gibberish_low(spark):
+    """Self-trained unigram LM: docs made of corpus-common words must score
+    higher (less negative avg logprob) than one-off gibberish."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "zxqv gkplm wrtyu qazxs edcvf"))  # tokens seen once each
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_logprob"] for r in ops.perplexity_score(df).collect()}
+    assert out[100] < out[0] < 0
+    n = {r["doc_id"]: r["n_tokens"] for r in ops.perplexity_score(df).collect()}
+    assert n[0] == 12 and n[100] == 5
