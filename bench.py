@@ -61,10 +61,12 @@ HEADLINE = [
     "q72_tfidf_top_terms",
     "q73_pq_codes",
     "q74_pq_search",
-    # alignment (batched DP) + real image decode
+    # alignment (batched DP) + real media decode + LM quality score
     "q40_alignment",
     "q75_image_decode",
     "q76_image_resize",
+    "q77_audio_decode",
+    "q78_perplexity_score",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

@@ -198,9 +198,18 @@ def perplexity_score(
     loses nothing), one id-keyed weighted-average aggregation. Three
     linear shuffles, no driver data path, no UDF.
     """
+    from pyspark import StorageLevel
+
     toksed = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
     tf = toksed.groupBy(id_col, "_tok").agg(F.count("*").alias("_tf"))
-    counts = tf.groupBy("_tok").agg(F.sum("_tf").alias("_cnt"))
+    # persisted: both the scoring join's broadcast AND the (total, vocab)
+    # stats row read `counts` — without the persist Spark recomputes the
+    # whole tf lineage (two extra corpus scans) for the stats branch
+    counts = (
+        tf.groupBy("_tok")
+        .agg(F.sum("_tf").alias("_cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     stats = counts.agg(
         F.sum("_cnt").alias("_total"), F.count("*").alias("_vocab")
     )

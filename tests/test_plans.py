@@ -82,6 +82,20 @@ def test_pq_lloyd_round_is_one_shuffle(spark):
     assert p.count("HashAggregate (") == 2  # partial + final
 
 
+def test_perplexity_score_stats_are_broadcast(spark):
+    """perplexity_score's corpus stats row must come back as a broadcast
+    (the corpus tf table never re-shuffles for it), and the vocab join must
+    be an equi join — no nested loop."""
+    df = entry.q78_perplexity_score(spark, SF)
+    s = join_strategies(df)
+    # join_strategies counts formatted-plan matches (tree + details = 2 per
+    # node): exactly one 1-row BNLJ for the broadcast stats, nothing else
+    assert s["BroadcastNestedLoopJoin"] <= 2 and s["CartesianProduct"] == 0
+    assert_no_cartesian(df)
+    p = explain_formatted(df)
+    assert "HashAggregate" in p  # partial aggregation on the tf pass
+
+
 def test_asof_join_is_single_window_pass(spark):
     """asof_join must not expand into a range join: no join operator at all,
     one window over the union."""
