@@ -1849,6 +1849,17 @@ def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sample_rate", "channels", "n_samples", "s.sample_sum", "s.pos_checksum")
 
 
+def q79_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8): map-only per-vector encode (scale =
+    max|v|/127, floor(x+0.5) so the oracle replays codes exactly), then
+    brute-force cosine top-k over the int codes — the scale cancels out of
+    cosine, so the corpus side reads ¼ the bytes of float32. Complements
+    q73/q74's PQ tier."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = ops.sq8_encode(emb)
+    return ops.sq8_search(codes, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def q78_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one unigram LM score per document (the CCNet-style
     perplexity quality signal). Self-trained on the same table, so the
@@ -1954,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_image_resize": q76_image_resize,
         "q77_audio_decode": q77_audio_decode,
         "q78_perplexity_score": q78_perplexity_score,
+        "q79_sq8_search": q79_sq8_search,
         "q06_revenue_filter_agg": q06_revenue_filter_agg,
         "q17_running_totals": q17_running_totals,
         "q21_minhash_signature": q21_minhash_signature,
@@ -3218,5 +3230,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(tf) AS BIGINT) AS n_tokens
             FROM tf JOIN cnts USING (tok), stats
             GROUP BY doc_id
+        """,
+        # SQ8 replay: same floor(x/s + 0.5) quantizer, cosine over the raw
+        # int codes (the per-vector scale cancels out of cosine).
+        "q79_sq8_search": """
+            WITH codes AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+                         CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)))) AS code
+              FROM (
+                SELECT vec_id, embedding,
+                       GREATEST(list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+                FROM embeddings
+              )
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.code AS DOUBLE[])), 6) AS cosine_sim
+              FROM embeddings q JOIN codes c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 5
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
     }

@@ -55,6 +55,8 @@ from exon_duckdb_spark.operators.pq import (  # noqa: F401
     pq_codebooks,
     pq_encode,
     pq_search,
+    sq8_encode,
+    sq8_search,
 )
 from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,

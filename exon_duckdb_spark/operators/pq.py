@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_codebooks", "pq_encode", "pq_search"]
+__all__ = ["pq_codebooks", "pq_encode", "pq_search", "sq8_encode", "sq8_search"]
 
 
 def _sub_l2(sub_vec: Column, centroid: list[float]) -> Column:
@@ -276,5 +276,79 @@ def pq_search(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the simpler sibling of PQ
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``code_i = floor(v_i / scale
+    + 0.5)`` with ``scale = max|v| / 127`` — 4× smaller than float32 with
+    ~0.3% cosine error at 64 dims. Map-only, no shuffle; the standard
+    embedding-store compression tier between raw float and PQ.
+
+    ``floor(x + 0.5)`` (not round()) so the SQL oracle reproduces the codes
+    bit-for-bit — round() half-up/half-even conventions differ across
+    engines. ``scale`` is carried per row: cosine doesn't need it (it
+    cancels), but dot/L2 reconstruction does.
+    Returns (id_col, scale double, code array<int>).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
+    code = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / scale + 0.5).cast("int"))
+        ),
+    )
+    return corpus.select(F.col(id_col), scale.alias("scale"), code.alias("code"))
+
+
+def sq8_search(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over SQ8 codes: the per-vector scale cancels
+    out of cosine, so the score is ``Σ q_i·c_i / (|q|·|c|)`` over the raw
+    int codes — the corpus side reads ¼ the bytes of float32 and never
+    shuffles (broadcast queries, map-side :func:`partition_topk`, then a
+    k×partitions-row rank window).
+    Returns (query_id, neighbor_id, cosine_sim, rank), self-matches excluded.
+    """
+    from exon_duckdb_spark.operators.similarity import _norm, dot, partition_topk
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("code").alias("cvec"),
+        _norm(F.col("code")).alias("cn"),
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    scored = partition_topk(
+        scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

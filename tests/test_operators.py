@@ -837,3 +837,28 @@ def test_perplexity_score_ranks_gibberish_low(spark):
     assert out[100] < out[0] < 0
     n = {r["doc_id"]: r["n_tokens"] for r in ops.perplexity_score(df).collect()}
     assert n[0] == 12 and n[100] == 5
+
+
+def test_sq8_quantization_near_exact_ranking(spark):
+    """SQ8 (int8, per-vector scale) must reproduce exact cosine ranking on
+    well-separated vectors, and codes must be within [-127, 127] with the
+    max-magnitude component hitting ±127."""
+    import math as m
+
+    rows = [(i, [m.sin(0.9 * i + j) for j in range(16)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = ops.sq8_encode(emb)
+    got_codes = {r["vec_id"]: r["code"] for r in codes.collect()}
+    for code in got_codes.values():
+        assert max(abs(c) for c in code) == 127
+    q = emb.where(F.col("vec_id") < 2)
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ops.sq8_search(codes, q, k=3).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ops.cosine_topk(emb, q, k=3).collect()
+    }
+    agree = sum(1 for key in exact if approx.get(key) == exact[key])
+    assert agree >= 5  # at most one tie-flip among 6 rank slots
