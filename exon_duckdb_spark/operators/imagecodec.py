@@ -1,4 +1,4 @@
-"""Pure-Python image codec: uncompressed BMP and (non-interlaced) PNG.
+"""Pure-Python image codec: uncompressed BMP, (non-interlaced) PNG, and GIF.
 
 The container ships no codec library (PIL/opencv), but the multimodal
 contract (SURVEY "beyond-reference" §multimodal; no reference analog — the
@@ -10,6 +10,9 @@ These two formats are decodable from their public specs with nothing but
   bottom-up or top-down, 4-byte row padding, BGR(A) channel order.
 - PNG: RFC 2083 — 8-bit depth, color types 0 (gray), 2 (RGB), 4
   (gray+alpha), 6 (RGBA), non-interlaced, all five scanline filters.
+- GIF: 87a/89a first frame — full variable-width LZW decode (incl. the
+  KwKwK case and interlaced row order); the encoder uses the fixed-width
+  clear-code LZW trick and a sorted distinct-color palette (≤256 colors).
 
 Arrays are (height, width, channels) uint8, row-major, top-down, RGB(A) —
 the layout every downstream feature extractor expects.
@@ -31,6 +34,8 @@ __all__ = [
     "encode_bmp",
     "decode_png",
     "encode_png",
+    "decode_gif",
+    "encode_gif",
     "decode_blob",
     "encode_blob",
     "resize_nearest",
@@ -244,13 +249,15 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_blob(b: bytes) -> np.ndarray:
-    """Decode a BMP or PNG blob by magic; raises ValueError on other formats
-    (JPEG etc. need a codec library this container doesn't ship)."""
+    """Decode a BMP, PNG or GIF blob by magic; raises ValueError on other
+    formats (JPEG needs a codec library this container doesn't ship)."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b.startswith(_PNG_SIG):
         return decode_png(b)
-    raise ValueError("unsupported image format (supported here: BMP, PNG)")
+    if b[:4] == b"GIF8":
+        return decode_gif(b)
+    raise ValueError("unsupported image format (supported here: BMP, PNG, GIF)")
 
 
 def encode_blob(arr: np.ndarray, fmt: str) -> bytes:
@@ -258,6 +265,8 @@ def encode_blob(arr: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(arr)
     if fmt == "image/png":
         return encode_png(arr)
+    if fmt == "image/gif":
+        return encode_gif(arr)
     raise ValueError(f"unsupported encode format {fmt!r}")
 
 
@@ -269,3 +278,186 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * sh) // height
     xs = (np.arange(width) * sw) // width
     return np.ascontiguousarray(arr[ys[:, None], xs[None, :]])
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode + palette encode — pure Python from the public
+# GIF spec. First frame only; transparency index (89a GCE) is ignored, the
+# palette's RGB is emitted as-is.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """Standard GIF variable-width LZW: codes grow 3..12 bits, CLEAR resets
+    the table, EOI terminates. Emits exactly n_pixels palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            if byte >> ((bitpos + i) & 7) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    def reset_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = reset_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = reset_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("truncated GIF pixel data")
+    return out[:n_pixels]
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 RGB."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed = struct.unpack_from("<HHB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = b[i]
+            i += 1
+            chunks = []
+            while i < len(b) and b[i]:
+                size = b[i]
+                chunks.append(b[i + 1 : i + 1 + size])
+                i += 1 + size
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(b"".join(chunks), min_code_size, w * h)),
+                np.uint8,
+            )
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            img = pal[idx].reshape(h, w, 3)
+            if ipacked & 0x40:  # Adam-style GIF interlace: 4 passes
+                rows = np.empty(h, np.int64)
+                order = [r for r in range(0, h, 8)]
+                order += [r for r in range(4, h, 8)]
+                order += [r for r in range(2, h, 4)]
+                order += [r for r in range(1, h, 2)]
+                rows[order] = np.arange(h)
+                img = img[rows]
+            return np.ascontiguousarray(img)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB with ≤256 distinct colors as GIF89a.
+
+    Deterministic: palette is the sorted distinct colors; the LZW stream
+    uses the fixed-width clear-code trick (a CLEAR before the table could
+    outgrow the code width), trading bytes for simplicity — every decoder,
+    including :func:`decode_gif`, reads it."""
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3)")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 distinct colors, got {len(colors)}")
+    # palette size: power of two >= max(2, n_colors)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[: len(colors)] = colors
+    min_code_size = max(2, bits)
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    # fixed-width stream: CLEAR, then pixel codes, re-CLEAR each time the
+    # (never-used) table would force a width bump
+    bitbuf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bitbuf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    budget = (1 << width) - eoi - 2  # codes until the width would grow
+    for px in inverse:
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - eoi - 2
+        emit(int(px))
+        budget -= 1
+    emit(eoi)
+    if nbits:
+        bitbuf.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code_size)
+    for off in range(0, len(bitbuf), 255):
+        chunk = bitbuf[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

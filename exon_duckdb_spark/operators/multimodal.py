@@ -94,6 +94,13 @@ def _bmp_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 10 and b[:4] == b"GIF8":
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    return None
+
+
 def _wav_rate(b: bytes) -> int | None:
     if len(b) >= 28 and b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return struct.unpack("<I", b[24:28])[0]
@@ -143,7 +150,7 @@ def sniff_mime(b: bytes | None) -> str | None:
 
 
 def image_dimensions(b: bytes) -> tuple[int, int] | None:
-    return _png_dims(b) or _jpeg_dims(b) or _bmp_dims(b)
+    return _png_dims(b) or _jpeg_dims(b) or _bmp_dims(b) or _gif_dims(b)
 
 
 def wav_sample_rate(b: bytes) -> int | None:
@@ -264,7 +271,12 @@ def resize_image(
                 try:
                     b = bytes(b)
                     arr = imagecodec.decode_blob(b)
-                    fmt = "image/bmp" if b[:2] == b"BM" else "image/png"
+                    if b[:2] == b"BM":
+                        fmt = "image/bmp"
+                    elif b[:4] == b"GIF8":
+                        fmt = "image/gif"
+                    else:
+                        fmt = "image/png"
                     small = imagecodec.resize_nearest(arr, width, height)
                     outs.append(imagecodec.encode_blob(small, fmt))
                     errs.append(None)

@@ -170,3 +170,62 @@ class TestWavCodec:
             np.frombuffer(bytes(got[1]["samples"]), np.dtype("<i2")), s
         )
         assert got[2]["samples"] is None and got[2]["error"] is not None
+
+
+class TestGif:
+    @staticmethod
+    def _paletted(shape, n_colors=37, seed=11):
+        rng = np.random.RandomState(seed)
+        palette = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+        return palette[rng.randint(0, n_colors, shape)]
+
+    @pytest.mark.parametrize("shape", [(1, 1), (7, 9), (16, 16), (31, 3)])
+    def test_roundtrip(self, shape):
+        a = self._paletted(shape)
+        assert np.array_equal(ic.decode_gif(ic.encode_gif(a)), a)
+
+    def test_lzw_table_growth_path(self):
+        # enough repeated runs that the decoder's table-building (incl.
+        # width bumps past 2^width entries in the decode table) is exercised
+        a = np.tile(self._paletted((4, 4), n_colors=200, seed=3), (16, 16, 1))
+        assert np.array_equal(ic.decode_gif(ic.encode_gif(a)), a)
+
+    def test_interlaced_decode(self):
+        # store rows in GIF interlace pass order, flip the interlace bit,
+        # and expect the decoder to restore display order
+        a = self._paletted((13, 5), seed=7)
+        h = a.shape[0]
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        blob = bytearray(ic.encode_gif(a[order]))
+        import struct
+
+        packed = blob[10]
+        gct_len = 3 * (2 << (packed & 7))
+        ipacked_off = 13 + gct_len + 9
+        assert blob[13 + gct_len] == 0x2C
+        blob[ipacked_off] |= 0x40
+        assert np.array_equal(ic.decode_gif(bytes(blob)), a)
+
+    def test_too_many_colors_rejected(self):
+        rng = np.random.RandomState(0)
+        a = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)  # ~1024 colors
+        with pytest.raises(ValueError, match="256"):
+            ic.encode_gif(a)
+
+    def test_dataframe_decode_and_resize(self, spark):
+        a = self._paletted((10, 8), seed=9)
+        df = spark.createDataFrame(
+            [(1, bytearray(ic.encode_gif(a)))], "id long, content binary"
+        )
+        r = decode_image(df).collect()[0]
+        assert (r["width"], r["height"], r["channels"]) == (8, 10, 3)
+        assert np.array_equal(
+            np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(10, 8, 3), a
+        )
+        rs = resize_image(df, width=4, height=5).collect()[0]
+        out = bytes(rs["content"])
+        assert out[:4] == b"GIF8"
+        assert np.array_equal(ic.decode_gif(out), ic.resize_nearest(a, 4, 5))
