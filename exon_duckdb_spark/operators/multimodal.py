@@ -5,9 +5,10 @@ The Spark-side plumbing — schemas, Arrow-batched UDF signatures, partition
 behavior — is real and tested. Header-level metadata extraction (PNG/JPEG
 dimensions, WAV sample rate, magic-based MIME sniffing) is implemented in
 pure Python from the public container specs. ``decode_image`` and
-``resize_image`` are REAL for BMP and PNG via the pure-Python codec in
-:mod:`imagecodec` (struct + stdlib zlib + numpy); formats that need a codec
-library this container doesn't ship (JPEG/GIF pixel data) are skipped with
+``resize_image`` are REAL for BMP, PNG and GIF via the pure-Python codec in
+:mod:`imagecodec` (struct + stdlib zlib + numpy, incl. a full GIF LZW
+decoder); ``decode_audio`` is REAL for PCM WAV. Formats that need a codec
+library this container doesn't ship (JPEG pixel data) are skipped with
 a per-row error string, and ``image_features`` still offers a deterministic
 md5-based FAKE embedding so similarity plumbing is exercisable without any
 decodable pixels.
@@ -202,9 +203,10 @@ def decode_image(
     ``mapInPandas``: (id, content) → (id, width, height, channels,
     pixels binary, error string).
 
-    REAL for BMP (24/32-bit uncompressed) and PNG (8-bit, all filters) via
-    the pure-Python codec in :mod:`imagecodec` — no external codec library.
-    Other formats (JPEG entropy decode needs a codec this container lacks)
+    REAL for BMP (24/32-bit uncompressed), PNG (8-bit, all filters) and
+    GIF (87a/89a first frame, full LZW) via the pure-Python codec in
+    :mod:`imagecodec` — no external codec library. Other formats (JPEG
+    entropy decode needs a codec this container lacks)
     yield a NULL-pixel row with ``error`` set, so a 100 TB sweep surfaces
     its undecodable tail instead of dying. ``pixels`` is raw RGB(A) bytes
     (row-major, top-down) rather than array<float>: 4× smaller on the wire,
@@ -257,7 +259,7 @@ def resize_image(
     """Pixel resize with re-encode, via Arrow-batched ``mapInPandas``:
     (id, content) → (id, content binary, width, height, error string).
 
-    REAL for BMP/PNG: decode (:mod:`imagecodec`), deterministic
+    REAL for BMP/PNG/GIF: decode (:mod:`imagecodec`), deterministic
     nearest-neighbor resample (floor index map, so oracles can recompute
     it arithmetically), re-encode in the SAME container format the blob
     arrived in. Undecodable formats pass through with ``error`` set and
