@@ -27,6 +27,7 @@ __all__ = [
     "sessionize_stream",
     "SESSION_SCHEMA",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
 ]
 
 
@@ -207,3 +208,31 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_to_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a stream into a parquet directory with availableNow, tracked by
+    a durable checkpoint — the production sink shape.
+
+    The checkpoint's WAL gives exactly-once file output: re-running against
+    the same ``checkpoint_dir`` after new source files appear processes ONLY
+    the unseen files, and a crash-restart never double-writes a batch
+    (tests restart the query and assert no duplicates). Windowed
+    aggregations must use append mode here (parquet sinks can't upsert),
+    which emits a window only once the watermark passes it — finite test
+    inputs therefore keep their trailing windows in state; plan for that or
+    use :func:`run_to_memory_sink` with complete mode for inspection."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

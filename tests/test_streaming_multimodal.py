@@ -221,3 +221,51 @@ class TestStreamingQuality:
         scrubbed = ops.pii_scrub(stream)
         out2 = run_to_memory_sink(scrubbed, "pii_stream")
         assert out2.count() == 50
+
+
+class TestParquetSink:
+    def test_checkpoint_gives_exactly_once_across_restarts(self, spark, tmp_path):
+        """Restarting the same checkpointed query must process only unseen
+        source files: no duplicates after a no-new-data restart, and an
+        incremental file shows up exactly once."""
+        import shutil
+
+        from exon_duckdb_spark.streaming.events import (
+            read_events_stream,
+            run_to_parquet_sink,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        shutil.copy(SF_DIR + "/events.parquet", src / "events_a.parquet")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            s = read_events_stream(spark, str(src), max_files=1)
+            run_to_parquet_sink(
+                s.select("event_id", "ts", "event_type"), out, ckpt
+            )
+
+        drain()
+        n_src = spark.read.parquet(SF_DIR + "/events.parquet").count()
+        assert spark.read.parquet(out).count() == n_src
+
+        drain()  # restart with no new data → nothing reprocessed
+        assert spark.read.parquet(out).count() == n_src
+
+        # add one new file: only IT is processed on the next run
+        sub = (
+            spark.read.parquet(SF_DIR + "/events.parquet")
+            .limit(100)
+            .withColumn("event_id", F.col("event_id") + 10_000_000)
+        )
+        sub.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import glob
+
+        part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.copy(part, src / "events_b.parquet")
+        drain()
+        got = spark.read.parquet(out)
+        assert got.count() == n_src + 100
+        assert got.select("event_id").distinct().count() == n_src + 100
