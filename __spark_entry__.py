@@ -1860,6 +1860,14 @@ def q79_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.sq8_search(codes, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def q80_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al.-style window hashing):
+    maximal token regions whose 8-token windows repeat corpus-wide. The
+    oracle replays windowing, global counts and the gaps-and-islands merge
+    in SQL."""
+    return ops.duplicated_spans(_t(spark, sf_dir, "documents"), w=8, min_count=2)
+
+
 def q78_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one unigram LM score per document (the CCNet-style
     perplexity quality signal). Self-trained on the same table, so the
@@ -1966,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_audio_decode": q77_audio_decode,
         "q78_perplexity_score": q78_perplexity_score,
         "q79_sq8_search": q79_sq8_search,
+        "q80_duplicated_spans": q80_duplicated_spans,
         "q06_revenue_filter_agg": q06_revenue_filter_agg,
         "q17_running_totals": q17_running_totals,
         "q21_minhash_signature": q21_minhash_signature,
@@ -3257,5 +3266,38 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        # Replay of duplicated_spans: sliding 8-token window hashes, global
+        # counts, hash semi-join, gaps-and-islands merge (new span when a
+        # window starts past the previous span's end i.e. i > prev + 8).
+        "q80_duplicated_spans": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i,
+                     CAST(CONCAT('0x', substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15)) AS BIGINT) AS h
+              FROM t, LATERAL (SELECT UNNEST(range(len(toks) - 8 + 1)) AS i) s
+              WHERE len(toks) >= 8
+            ),
+            dup_h AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, i FROM wins WHERE h IN (SELECT h FROM dup_h)),
+            flag AS (
+              SELECT doc_id, i,
+                     CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 8
+                          THEN 1 ELSE 0 END AS new_isl
+              FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            isl AS (
+              SELECT doc_id, i,
+                     SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS UNBOUNDED PRECEDING) AS g
+              FROM flag
+            )
+            SELECT doc_id,
+                   CAST(MIN(i) AS INTEGER) AS span_start,
+                   CAST(MAX(i) + 8 AS INTEGER) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, g
         """,
     }

@@ -44,6 +44,7 @@ __all__ = [
     "near_dedup_keep_list",
     "decontaminate",
     "paragraph_dedup",
+    "duplicated_spans",
 ]
 
 
@@ -693,3 +694,73 @@ def embedding_dup_pairs(
     for c in cands[1:]:
         out = out.union(c)
     return out.where(F.col("cosine") >= threshold)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the Spark re-expression of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): find every maximal token region
+    whose ``w``-token windows each occur ≥ ``min_count`` times corpus-wide
+    (including self-repeats), so a pipeline can CUT the duplicated spans
+    instead of dropping whole documents.
+
+    Shape: per doc, all ``n-w+1`` sliding window hashes (one map-only pass,
+    60-bit md5 of the joined tokens); one hash-keyed count to find
+    duplicated windows; one hash-keyed semi-join back; then a per-doc
+    gaps-and-islands window merges overlapping/adjacent duplicated windows
+    into maximal spans. Three linear shuffles, text never shuffles — the
+    distributed stand-in for a suffix array, which doesn't shard.
+
+    Returns (id_col, span_start, span_end, n_windows): token offsets with
+    ``span_end`` exclusive.
+    """
+    toksed = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), n - w)
+    wins = (
+        toksed.where(n >= w)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        md5_int(
+                            F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, w))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select(id_col, F.col("e.i").alias("i"), F.col("e.h").alias("h"))
+    )
+    dup_hashes = wins.groupBy("h").count().where(F.col("count") >= min_count)
+    dup = wins.join(dup_hashes.select("h"), "h", "left_semi")
+    wdw = Window.partitionBy(id_col).orderBy("i")
+    # new island when this window starts past the previous span's end
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.lag("i").over(wdw).isNull() | (F.col("i") > F.lag("i").over(wdw) + w),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_isl", F.sum("_new").over(wdw.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + w).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

@@ -862,3 +862,27 @@ def test_sq8_quantization_near_exact_ranking(spark):
     }
     agree = sum(1 for key in exact if approx.get(key) == exact[key])
     assert agree >= 5  # at most one tie-flip among 6 rank slots
+
+
+def test_duplicated_spans_finds_and_merges_regions(spark):
+    """Two docs sharing a 10-token run (> w=4): the shared region must come
+    back as ONE merged span per doc with exclusive end; unique text and
+    short docs produce nothing."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "unique lead-in words here " + shared + " unique tail piece"),
+        (2, shared + " completely different ending tokens follow now"),
+        (3, "no duplicated content in this document at all whatsoever"),
+        (4, "tiny doc"),  # < w tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for r in ops.duplicated_spans(df, w=4, min_count=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    # doc 1: shared run spans tokens 4..14 → windows 4..10 merge into one span
+    assert out[1] == [(4, 14, 7)]
+    # doc 2: same run at offset 0
+    assert out[2] == [(0, 10, 7)]
+    assert 3 not in out and 4 not in out
