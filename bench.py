@@ -54,6 +54,7 @@ HEADLINE = [
     "q61_quality_filter",
     "q62_pii_scrub",
     "q63_decontaminate",
+    "q80_duplicated_spans",
     "q64_bm25_topk",
     "q65_paragraph_dedup",
     "q66_top_ngrams",
