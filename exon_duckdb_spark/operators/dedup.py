@@ -717,6 +717,12 @@ def duplicated_spans(
     into maximal spans. Three linear shuffles, text never shuffles — the
     distributed stand-in for a suffix array, which doesn't shard.
 
+    Hash choice, measured: a 31-bit polynomial rolling hash over per-token
+    hashes halves the window-hash stage (0.38 s vs 0.79 s at sf0.1) but at
+    billions of windows its birthday collisions mint false duplicate spans;
+    a collision-safe 62-bit double-polynomial costs the same as md5, so
+    60-bit md5 keeps correctness for free.
+
     Returns (id_col, span_start, span_end, n_windows): token offsets with
     ``span_end`` exclusive.
     """
