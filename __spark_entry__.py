@@ -1875,6 +1875,15 @@ def q78_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.perplexity_score(_t(spark, sf_dir, "documents"))
 
 
+def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect → cut: duplicated_spans feeds remove_spans, yielding the
+    deduplicated text plus removal accounting per document — the full
+    Lee et al. substring-dedup pass. The oracle replays both stages."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = ops.duplicated_spans(docs, w=8, min_count=2)
+    return ops.remove_spans(docs, spans)
+
+
 def q76_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize → re-encode → re-decode roundtrip, hash-checked: planted
     BMP/PNG images resampled to 8×6 with the deterministic floor-index
@@ -1975,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_perplexity_score": q78_perplexity_score,
         "q79_sq8_search": q79_sq8_search,
         "q80_duplicated_spans": q80_duplicated_spans,
+        "q81_substring_dedup": q81_substring_dedup,
         "q06_revenue_filter_agg": q06_revenue_filter_agg,
         "q17_running_totals": q17_running_totals,
         "q21_minhash_signature": q21_minhash_signature,
@@ -3299,5 +3309,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(i) + 8 AS INTEGER) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl GROUP BY doc_id, g
+        """,
+        # Detect + cut replay: q80's span pipeline, then an indexed
+        # list_filter cut (DuckDB lambda index is 1-based; spans are 0-based
+        # with exclusive ends).
+        "q81_substring_dedup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i,
+                     CAST(CONCAT('0x', substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15)) AS BIGINT) AS h
+              FROM t, LATERAL (SELECT UNNEST(range(len(toks) - 8 + 1)) AS i) s
+              WHERE len(toks) >= 8
+            ),
+            dup_h AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, i FROM wins WHERE h IN (SELECT h FROM dup_h)),
+            flag AS (
+              SELECT doc_id, i,
+                     CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + 8
+                          THEN 1 ELSE 0 END AS new_isl
+              FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            isl AS (
+              SELECT doc_id, i,
+                     SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+                                        ROWS UNBOUNDED PRECEDING) AS g
+              FROM flag
+            ),
+            spans AS (
+              SELECT doc_id, MIN(i) AS s, MAX(i) + 8 AS e
+              FROM isl GROUP BY doc_id, g
+            ),
+            agg AS (
+              SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM spans GROUP BY doc_id
+            ),
+            cut AS (
+              SELECT t.doc_id, t.toks, COALESCE(agg.sp, []) AS sp
+              FROM t LEFT JOIN agg USING (doc_id)
+            )
+            SELECT doc_id,
+                   -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+                   COALESCE(array_to_string(list_filter(toks, (x, i) ->
+                       len(list_filter(sp, q -> (i-1) >= q.s AND (i-1) < q.e)) = 0),
+                     ' '), '') AS dedup_text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, (x, i) ->
+                       len(list_filter(sp, q -> (i-1) >= q.s AND (i-1) < q.e)) > 0))
+                     AS BIGINT) AS n_tokens_removed
+            FROM cut
         """,
     }

@@ -45,6 +45,7 @@ __all__ = [
     "decontaminate",
     "paragraph_dedup",
     "duplicated_spans",
+    "remove_spans",
 ]
 
 
@@ -769,4 +770,47 @@ def duplicated_spans(
             F.count("*").alias("n_windows"),
         )
         .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut token spans out of documents — the apply side of
+    :func:`duplicated_spans` (detect → cut, Lee et al.'s 'drop the
+    duplicated substring, keep the document').
+
+    ``spans`` carries (id_col, span_start, span_end) with exclusive ends
+    (exactly what duplicated_spans emits; callers choose the keep policy —
+    e.g. anti-join the corpus-first occurrence out of the span set first).
+    Per doc the span list is collected (spans per doc are few and bounded
+    by n_tokens/w), broadcast-free equi-joined on id, and the cut is one
+    indexed higher-order filter — map-only after the one id-keyed join.
+    Docs without spans pass through unchanged.
+
+    Returns (id_col, dedup_text, n_tokens, n_tokens_removed).
+    """
+    spans_agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.join(spans_agg, id_col, "left")
+    toks = tokens(text_col)
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            sp, lambda s: (i >= s["span_start"]) & (i < s["span_end"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("dedup_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )

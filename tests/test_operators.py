@@ -886,3 +886,35 @@ def test_duplicated_spans_finds_and_merges_regions(spark):
     # doc 2: same run at offset 0
     assert out[2] == [(0, 10, 7)]
     assert 3 not in out and 4 not in out
+
+
+def test_remove_spans_cuts_and_accounts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 5), (1, 6, 7)], ["doc_id", "span_start", "span_end"]
+    )
+    out = {r["doc_id"]: r for r in ops.remove_spans(docs, spans).collect()}
+    assert out[1]["dedup_text"] == "a b f h"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (8, 4)
+    assert out[2]["dedup_text"] == "x y z" and out[2]["n_tokens_removed"] == 0
+
+
+def test_detect_cut_composition_removes_all_duplicate_windows(spark):
+    """After cutting duplicated_spans' output, re-detecting on the cut text
+    must find nothing (the pass converges in one application here)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared),
+            (2, shared + " nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = ops.duplicated_spans(docs, w=4, min_count=2)
+    cut = ops.remove_spans(docs, spans).select(
+        "doc_id", F.col("dedup_text").alias("text")
+    )
+    again = ops.duplicated_spans(cut, w=4, min_count=2)
+    assert again.count() == 0
