@@ -798,7 +798,10 @@ def q43_gff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("gene").alias("type"),
         (F.col("doc_id") + 1).alias("start"),
         (F.col("doc_id") + 1 + F.col("n_chars")).alias("end"),
-        F.round(F.col("n_chars") / 1000.0, 2).cast("float").alias("score"),
+        # multiples of 0.25: exact in float AND double, so the text
+        # round-trip + round(2) is tie-free at every SF (n_chars/1000.0
+        # hit an x.xx5 HALF_UP-vs-binary rounding tie at sf0.001)
+        ((F.col("n_chars") % 100) / 4.0).cast("float").alias("score"),
         F.lit("+").alias("strand"),
         F.lit(None).cast("string").alias("phase"),
         F.map_from_arrays(
@@ -2446,7 +2449,7 @@ def oracle_sql() -> dict[str, str]:
                    concat('sq', CAST(doc_id % 10 AS VARCHAR)) AS seqname,
                    doc_id + 1 AS start,
                    doc_id + 1 + n_chars AS "end",
-                   round(CAST(CAST(round(n_chars / 1000.0, 2) AS FLOAT) AS DOUBLE), 2)
+                   round(CAST(CAST((n_chars % 100) / 4.0 AS FLOAT) AS DOUBLE), 2)
                      AS score,
                    lang,
                    CAST(TRUE AS BOOLEAN) AS phase_is_null

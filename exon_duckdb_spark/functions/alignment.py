@@ -149,6 +149,20 @@ def _encode(strings: list[str], pad: int) -> np.ndarray:
     return out
 
 
+def _dp_dtype(
+    match: int, mismatch: int, gap_open: int, gap_ext: int, n: int, m: int
+):
+    """int32 when every DP cell provably fits, else int64. Cells are bounded
+    by _INF plus accumulated penalties; with the default penalties and slab
+    sizes the bound is ~1.1e9 and int32 is exact, but user-supplied large
+    penalties (or gap_ext*m approaching 1e9) would silently wrap int32 —
+    the scalar oracle `_affine_align` uses Python ints, so the batched path
+    must promote rather than diverge."""
+    per_step = max(abs(match), abs(mismatch), abs(gap_open) + abs(gap_ext))
+    bound = _INF + abs(gap_open) + per_step * (n + m + 2)
+    return np.int32 if bound < 2**31 - 1 else np.int64
+
+
 def _batch_tables(
     a_codes: np.ndarray,
     b_codes: np.ndarray,
@@ -167,11 +181,13 @@ def _batch_tables(
     # Row-major (row, pair, col) layout: every plane the inner loop touches
     # (M[i], M[i-1], …) is one CONTIGUOUS (B, m+1) block — the (pair, row,
     # col) layout strides each op across B cache lines and ran ~3× slower.
-    # int32 is exact here: every cell is ≤ _INF + small penalties < 2^31.
-    M = np.empty((n + 1, B, m + 1), dtype=np.int32)
-    X = np.empty((n + 1, B, m + 1), dtype=np.int32)
-    Y = np.empty((n + 1, B, m + 1), dtype=np.int32)
-    js = np.arange(1, m + 1, dtype=np.int32)
+    # int32 with default penalties; _dp_dtype promotes to int64 when
+    # user-supplied penalties could push a cell past 2^31.
+    dt = _dp_dtype(match, mismatch, gap_open, gap_ext, n, m)
+    M = np.empty((n + 1, B, m + 1), dtype=dt)
+    X = np.empty((n + 1, B, m + 1), dtype=dt)
+    Y = np.empty((n + 1, B, m + 1), dtype=dt)
+    js = np.arange(1, m + 1, dtype=dt)
     # boundaries (everything else is overwritten in the loop)
     M[0] = _INF
     Y[0] = _INF
@@ -181,13 +197,13 @@ def _batch_tables(
     M[1:, :, 0] = _INF
     X[1:, :, 0] = _INF
     Y[1:, :, 0] = (
-        gap_open + gap_ext * np.arange(1, n + 1, dtype=np.int32)
+        gap_open + gap_ext * np.arange(1, n + 1, dtype=dt)
     )[:, None]
-    scan_off = gap_open - gap_ext * np.arange(m + 1, dtype=np.int32)[:m]
+    scan_off = gap_open - gap_ext * np.arange(m + 1, dtype=dt)[:m]
     # preallocated scratch: the loop body runs pure out= ufuncs, zero allocs
-    sub = np.empty((B, m), dtype=np.int32)
-    t1 = np.empty((B, m), dtype=np.int32)
-    ext_js = (gap_ext * js).astype(np.int32)
+    sub = np.empty((B, m), dtype=dt)
+    t1 = np.empty((B, m), dtype=dt)
+    ext_js = (gap_ext * js).astype(dt)
     for i in range(1, n + 1):
         eq = b_codes == a_codes[:, i - 1 : i]
         np.multiply(eq, match - mismatch, out=sub, casting="unsafe")
@@ -222,11 +238,12 @@ def _batch_scores(
     identical, so results match _batch_tables/_affine_align exactly."""
     B, n = a_codes.shape
     m = b_codes.shape[1]
-    js = np.arange(1, m + 1, dtype=np.int32)
-    cols = np.arange(m + 1, dtype=np.int32)
-    Mp = np.full((B, m + 1), _INF, dtype=np.int32)
-    Xp = np.full((B, m + 1), _INF, dtype=np.int32)
-    Yp = np.full((B, m + 1), _INF, dtype=np.int32)
+    dt = _dp_dtype(match, mismatch, gap_open, gap_ext, n, m)
+    js = np.arange(1, m + 1, dtype=dt)
+    cols = np.arange(m + 1, dtype=dt)
+    Mp = np.full((B, m + 1), _INF, dtype=dt)
+    Xp = np.full((B, m + 1), _INF, dtype=dt)
+    Yp = np.full((B, m + 1), _INF, dtype=dt)
     Mp[:, 0] = 0
     Xp[:, 1:] = gap_open + gap_ext * js
     scan_off = gap_open - gap_ext * cols[:m]
@@ -239,9 +256,9 @@ def _batch_scores(
     Xc = np.empty_like(Xp)
     Yc = np.empty_like(Yp)
     # preallocated scratch: the loop body runs pure out= ufuncs, zero allocs
-    sub = np.empty((B, m), dtype=np.int32)
-    t1 = np.empty((B, m), dtype=np.int32)
-    ext_js = (gap_ext * js).astype(np.int32)
+    sub = np.empty((B, m), dtype=dt)
+    t1 = np.empty((B, m), dtype=dt)
+    ext_js = (gap_ext * js).astype(dt)
     for i in range(1, n + 1):
         eq = b_codes == a_codes[:, i - 1 : i]
         np.multiply(eq, match - mismatch, out=sub, casting="unsafe")
@@ -437,7 +454,16 @@ def _parse_wfa_args(args: tuple, fname: str):
     analog in this DP. The reference's 6-arg bug (module.cpp:68-72 reads
     arguments[4] for BOTH gap_opening and gap_extension) is deliberately
     NOT replicated — we implement the documented semantics.
-    Returns (text, pattern, match, mismatch, gap_open, gap_ext)."""
+
+    Standard SQL null-propagation: a NULL in ANY argument (operands,
+    penalties, or the memory-model string) yields NULL rather than a
+    Python TypeError — the None check runs before int()/validation.
+    Returns (text, pattern, match, mismatch, gap_open, gap_ext), or None
+    when the whole call must propagate NULL."""
+    if len(args) not in (2, 6, 7):
+        raise ValueError(f"{fname} takes 2, 6 or 7 arguments, got {len(args)}")
+    if any(a is None for a in args):
+        return None
     if len(args) == 2:
         t, p = args
         return t, p, 0, DEFAULT_MISMATCH, DEFAULT_GAP_OPEN, DEFAULT_GAP_EXT
@@ -448,13 +474,13 @@ def _parse_wfa_args(args: tuple, fname: str):
         return t, p, 0, int(mismatch), int(gap_open), int(gap_ext)
     if len(args) == 7:
         t, p, match, mismatch, gap_open, gap_ext, memmodel = args
-        if match is not None and match > 0:
+        if match > 0:
             # module.cpp:99-102
             raise ValueError("Match score must be negative or zero.")
         if memmodel not in _MEMORY_MODELS:
             raise ValueError(f"Invalid memory model: {memmodel}")
         return t, p, int(match), int(mismatch), int(gap_open), int(gap_ext)
-    raise ValueError(f"{fname} takes 2, 6 or 7 arguments, got {len(args)}")
+    raise AssertionError("unreachable")
 
 
 def sql_alignment_string(*args):
@@ -463,19 +489,17 @@ def sql_alignment_string(*args):
     UDF by arity, so the dispatch happens per call inside). The DataFrame
     API (:func:`alignment_string_wfa_gap_affine`) remains the Arrow-batched
     hot path; this surface exists for SQL parity."""
-    t, p, match, mismatch, gap_open, gap_ext = _parse_wfa_args(
-        args, "alignment_string_wfa_gap_affine"
-    )
-    if t is None or p is None:
+    parsed = _parse_wfa_args(args, "alignment_string_wfa_gap_affine")
+    if parsed is None:
         return None
+    t, p, match, mismatch, gap_open, gap_ext = parsed
     return _affine_align(t, p, match, mismatch, gap_open, gap_ext)[1]
 
 
 def sql_alignment_score(*args):
     """Score twin of :func:`sql_alignment_string`."""
-    t, p, match, mismatch, gap_open, gap_ext = _parse_wfa_args(
-        args, "alignment_score_wfa_gap_affine"
-    )
-    if t is None or p is None:
+    parsed = _parse_wfa_args(args, "alignment_score_wfa_gap_affine")
+    if parsed is None:
         return None
+    t, p, match, mismatch, gap_open, gap_ext = parsed
     return -float(_affine_align(t, p, match, mismatch, gap_open, gap_ext)[0])

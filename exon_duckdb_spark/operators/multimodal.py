@@ -48,6 +48,13 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _id_field(df: DataFrame, id_col: str) -> str:
+    """DDL fragment for the id column in a mapInPandas output schema, typed
+    from the INPUT schema — callers may carry string/int ids; hardcoding
+    `long` would cast-fail or corrupt non-long ids."""
+    return f"`{id_col}` {df.schema[id_col].dataType.simpleString()}"
+
+
 def _sniff(b: bytes | None) -> str | None:
     if not b:
         return None
@@ -244,7 +251,7 @@ def decode_image(
 
     return df.mapInPandas(
         run,
-        f"{id_col} long, width int, height int, channels int, "
+        f"{_id_field(df, id_col)}, width int, height int, channels int, "
         "pixels binary, error string",
     )
 
@@ -297,7 +304,8 @@ def resize_image(
 
     return df.mapInPandas(
         run,
-        f"{id_col} long, {bytes_col} binary, width int, height int, error string",
+        f"{_id_field(df, id_col)}, {bytes_col} binary, width int, height int, "
+        "error string",
     )
 
 
@@ -389,8 +397,8 @@ def decode_audio(
 
     return df.mapInPandas(
         run,
-        f"{id_col} long, sample_rate int, channels int, n_samples long, "
-        "samples binary, error string",
+        f"{_id_field(df, id_col)}, sample_rate int, channels int, "
+        "n_samples long, samples binary, error string",
     )
 
 
@@ -430,7 +438,9 @@ def sample_frames(
             )
 
     return df.mapInPandas(
-        run, f"{id_col} long, frame_index int, timestamp_s double, frame binary"
+        run,
+        f"{_id_field(df, id_col)}, frame_index int, timestamp_s double, "
+        "frame binary",
     )
 
 
@@ -456,4 +466,4 @@ def image_features(
                 feats.append(vals[:dims])
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.mapInPandas(run, f"{id_col} long, features array<float>")
+    return df.mapInPandas(run, f"{_id_field(df, id_col)}, features array<float>")

@@ -42,11 +42,34 @@ def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1)
     one footer with a batch read and reuse its schema verbatim; footer-only,
     no data scan. A TIMESTAMP_NTZ column is cast to TIMESTAMP (watermarks
     require LTZ; the session timezone is pinned to UTC so the cast is
-    value-identical)."""
+    value-identical).
+
+    If the directory is empty (a normal starting state for a file stream —
+    the producer hasn't written its first file yet) the probe read throws
+    'Unable to infer schema'; fall back to the known static events schema
+    (micros variant) so the stream can start and pick files up as they
+    arrive."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.option("pathGlobFilter", "events*.parquet").parquet(events_dir)
+    try:
+        probe = spark.read.option("pathGlobFilter", "events*.parquet").parquet(
+            events_dir
+        )
+        schema = probe.schema
+        if not schema.fields:  # pragma: no cover - defensive
+            raise ValueError("empty probe schema")
+    except Exception:
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     raw = (
-        spark.readStream.schema(probe.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(events_dir)

@@ -1,0 +1,29 @@
+"""Full-suite oracle contract check (ADVICE r3 #5).
+
+The driver's correctness gate records only the first 50 entries of
+``__spark_entry__.queries()``; every remaining declared query rode on
+manual local runs of tools/check_oracle.py. This test runs the IDENTICAL
+row/schema/value compare over the ENTIRE declared registry at sf0.001 on
+every pytest run, so out-of-window queries can't silently regress.
+
+sf0.001 keeps the wall cost to Spark per-query overhead; the driver and
+judge re-run the same compare at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tools.check_oracle import run_checks
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_all_declared_queries_match_oracle(spark):
+    failures = run_checks(SF_DIR, spark=spark, verbose=False)
+    assert failures == []

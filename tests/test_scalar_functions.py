@@ -178,6 +178,55 @@ class TestAlignment:
                 pen, cig = _affine_align(r["t"], r["p"], 0, 4, 6, 2)
                 assert r["cigar"] == cig and r["score"] == -float(pen)
 
+    def test_large_penalties_promote_to_int64(self, spark):
+        """User-supplied penalties big enough to wrap int32 cells must
+        promote the batched DP to int64 and still match the scalar oracle
+        (which computes in Python ints) — ADVICE r3 overflow guard."""
+        from exon_duckdb_spark.functions.alignment import (
+            _affine_align,
+            _dp_dtype,
+        )
+        import numpy as np
+
+        big = 500_000_000  # _INF + big ≫ 2^31
+        assert _dp_dtype(0, big, big, big, 30, 30) == np.int64
+        assert _dp_dtype(0, 4, 6, 2, 200, 200) == np.int32
+        df = spark.createDataFrame(
+            [("AACC", "AAACC"), ("ACGT", "TGCA")], ["t", "p"]
+        ).coalesce(1)
+        rows = df.select(
+            "t", "p",
+            fx.alignment_string_wfa_gap_affine(
+                "t", "p", mismatch=big, gap_open=big, gap_ext=big
+            ).alias("cigar"),
+            fx.alignment_score_wfa_gap_affine(
+                "t", "p", mismatch=big, gap_open=big, gap_ext=big
+            ).alias("score"),
+        ).collect()
+        for r in rows:
+            pen, cig = _affine_align(r["t"], r["p"], 0, big, big, big)
+            assert r["cigar"] == cig and r["score"] == -float(pen)
+
+    def test_sql_null_propagation_all_arities(self, spark):
+        """A SQL NULL in ANY argument (operand, penalty, memory model)
+        yields NULL, not a TypeError — ADVICE r3 null-propagation fix."""
+        from exon_duckdb_spark.functions.register import register_all
+
+        register_all(spark)
+        rows = spark.sql(
+            """SELECT
+                 alignment_string_wfa_gap_affine(NULL, 'AC') AS a,
+                 alignment_string_wfa_gap_affine('AC', 'AC', CAST(NULL AS INT),
+                     6, 2, 'memory_low') AS b,
+                 alignment_score_wfa_gap_affine('AC', 'AC', 0, 4, 6,
+                     CAST(NULL AS INT), CAST(NULL AS STRING)) AS c,
+                 alignment_string_wfa_gap_affine('AC', 'AC', 4, 6, 2,
+                     'memory_low') AS ok
+            """
+        ).collect()[0]
+        assert rows["a"] is None and rows["b"] is None and rows["c"] is None
+        assert rows["ok"] == "2M"
+
 
 def test_exondb_version(spark):
     assert one(spark, fx.exondb_version()) == "0.3.9"

@@ -26,6 +26,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 class TestStreaming:
+    def test_stream_starts_on_empty_dir(self, spark, tmp_path):
+        """An empty events dir is a normal file-stream starting state: the
+        schema probe finds no files and the reader must fall back to the
+        static events schema instead of failing (ADVICE r3 fix)."""
+        stream = read_events_stream(spark, str(tmp_path))
+        assert stream.isStreaming
+        assert dict(stream.dtypes)["ts"] == "timestamp"
+        assert set(stream.columns) == {
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        }
+
     def test_windowed_counts_stream_matches_batch(self, spark):
         stream = read_events_stream(spark, SF_DIR)
         out = run_to_memory_sink(windowed_counts(stream), "win_test")
@@ -158,6 +169,22 @@ class TestMultimodal:
         out = {r["id"]: r for r in ops.resize_image(media, 224, 224).collect()}
         assert all(out[i]["content"] is None for i in (1, 2, 3, 4))
         assert all(out[i]["error"] is not None for i in (1, 2, 3))
+
+    def test_string_id_column_preserved(self, spark):
+        """id_col's type is derived from the input schema, not hardcoded
+        long — string ids must survive decode/resize/features unchanged
+        (ADVICE r3 fix)."""
+        df = spark.createDataFrame(
+            [("doc-a", bytearray(_png(8, 8))), ("doc-b", None)],
+            "doc string, content binary",
+        )
+        for out in (
+            decode_image(df, id_col="doc"),
+            ops.resize_image(df, 4, 4, id_col="doc"),
+            image_features(df, id_col="doc"),
+        ):
+            assert dict(out.dtypes)["doc"] == "string"
+            assert {r["doc"] for r in out.collect()} == {"doc-a", "doc-b"}
 
 
 def _mp4(timescale: int, duration: int, v1: bool = False) -> bytes:
