@@ -1907,6 +1907,491 @@ def q76_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed contract queries (round-4 registry consolidation)
+#
+# The driver's correctness gate records only the FIRST 50 entries of
+# queries(). Round 3 declared 81 queries, so 31 rode on the local oracle
+# replica only. Per the round-3 verdict, redundant relational variants and
+# same-operator families are COMPOSED below so that every distinct operator
+# lands a driver-green row inside the 50-entry window. The fine-grained
+# q* functions above are kept verbatim — bench.py still times them
+# individually for round-over-round comparability, and the composed forms
+# below are verification topology only (each constituent operator keeps its
+# production shape; tagged unions / 1:1 id joins just collate results).
+# ---------------------------------------------------------------------------
+
+
+def q01m_pricing_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q01 scan-agg + q06 selective filter-agg (TPC-H Q1 + Q6 shapes): the
+    Q6 single row attaches to every Q1 group via a broadcast cross join."""
+    six = q06_revenue_filter_agg(spark, sf_dir).select(
+        F.col("revenue").alias("q6_revenue"), F.col("n_rows").alias("q6_n_rows")
+    )
+    return q01_pricing_summary(spark, sf_dir).crossJoin(F.broadcast(six))
+
+
+def q02m_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q02 top-k ranking + q17 running totals in ONE window pass: both
+    window specs share the o_custkey partitioning, so Spark plans a single
+    shuffle; running aggregates see the FULL partition before the rank
+    filter applies."""
+    o = _t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ws = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(wr).alias("rnk"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            (F.sum(_cents(F.col("o_totalprice"))).over(ws) / 100.0).alias(
+                "running_spend"
+            ),
+            F.count("*").over(ws).alias("order_idx"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+def q03m_star_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join family under one tag column: q03 region→nation rollup,
+    q36 part-brand join, q37 supplier-nation join."""
+    a = q03_revenue_by_nation(spark, sf_dir).select(
+        F.lit("region_nation").alias("dim"),
+        F.col("r_name").alias("key1"),
+        F.col("n_name").alias("key2"),
+        "revenue",
+        "n_items",
+        F.lit(None).cast("bigint").alias("extra"),
+    )
+    b = q36_revenue_by_brand(spark, sf_dir).select(
+        F.lit("brand").alias("dim"),
+        F.col("p_brand").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        "revenue",
+        "n_items",
+        F.col("qty").alias("extra"),
+    )
+    c = q37_supplier_nation_volume(spark, sf_dir).select(
+        F.lit("supplier_nation").alias("dim"),
+        F.col("n_name").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        "revenue",
+        F.lit(None).cast("bigint").alias("n_items"),
+        F.col("n_suppliers").alias("extra"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q04m_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q04 left-semi (EXISTS) + q05 left-anti (NOT EXISTS) under one tag."""
+    a = q04_priority_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("join_kind"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("order_count").alias("n"),
+    )
+    b = q05_customers_without_orders(spark, sf_dir).select(
+        F.lit("anti").alias("join_kind"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("n_customers").alias("n"),
+    )
+    return a.unionByName(b)
+
+
+def q07m_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q07 batch time-bucket agg + q38 Structured-Streaming watermarked
+    windows over the same events — the batch and stream twins of one
+    operator, verified against each other through one oracle."""
+    a = q07_events_hourly(spark, sf_dir).select(
+        F.lit("batch").alias("mode"),
+        F.col("hour").alias("t_start"),
+        F.lit(None).cast("string").alias("t_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "n_users",
+    )
+    b = q38_stream_windowed_counts(spark, sf_dir).select(
+        F.lit("stream").alias("mode"),
+        F.col("window_start").alias("t_start"),
+        F.col("window_end").alias("t_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+        F.lit(None).cast("bigint").alias("n_users"),
+    )
+    return a.unionByName(b)
+
+
+def q08m_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q08 ROLLUP + q19 CUBE under one tag (measure normalized to double)."""
+    a = q08_rollup_lineitem(spark, sf_dir).select(
+        F.lit("rollup").alias("mode"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        F.col("qty").cast("double").alias("measure"),
+    )
+    b = q19_cube_events(spark, sf_dir).select(
+        F.lit("cube").alias("mode"),
+        F.col("event_type").alias("k1"),
+        F.col("day").cast("string").alias("k2"),
+        "n",
+        F.col("total_value").alias("measure"),
+    )
+    return a.unionByName(b)
+
+
+def q10m_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 batch gaps-and-islands sessionization + q31 stateful streaming
+    sessionization (applyInPandasWithState) under one tag."""
+    a = q10_sessionize(spark, sf_dir).select(
+        F.lit("batch").alias("mode"),
+        "user_id",
+        F.lit(None).cast("string").alias("session_start"),
+        F.lit(None).cast("string").alias("session_end"),
+        "n_events",
+        "n_sessions",
+    )
+    b = q31_stream_sessionize(spark, sf_dir).select(
+        F.lit("stream").alias("mode"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.lit(None).cast("bigint").alias("n_sessions"),
+    )
+    return a.unionByName(b)
+
+
+def q12m_sequence_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 sequence scalar functions + q16 codon translation in one map
+    pass (aa is NULL where length % 3 != 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _seq_spark().alias("seq")).where(F.length("seq") > 0)
+    return d.select(
+        "doc_id",
+        "seq",
+        F.round(fx.gc_content("seq", as_double=True), 6).alias("gc"),
+        fx.complement("seq").alias("comp"),
+        fx.reverse_complement("seq").alias("rc_quirk"),
+        fx.reverse_complement_strict("seq").alias("rc_strict"),
+        fx.transcribe("seq").alias("rna"),
+        F.when(F.length("seq") % 3 == 0, fx.translate_dna_to_aa("seq")).alias("aa"),
+    )
+
+
+def q14m_sam_cigar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 CIGAR construction/parse rows + q14 flag-predicate aggregate row
+    attached via broadcast cross join."""
+    flags = q14_sam_flags(spark, sf_dir)
+    return q15_cigar_ops(spark, sf_dir).crossJoin(F.broadcast(flags))
+
+
+def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup family: q20 batch hash-groupBy + q59 streaming
+    dropDuplicatesWithinWatermark + q65 global paragraph dedup, tagged."""
+    a = q20_exact_dedup(spark, sf_dir).select(
+        F.lit("exact").alias("kind"),
+        F.col("content_hash").alias("k1"),
+        F.col("kept_doc_id").cast("string").alias("k2"),
+        F.col("dup_count").alias("n"),
+    )
+    b = q59_stream_dedup(spark, sf_dir).select(
+        F.lit("stream").alias("kind"),
+        F.col("user_id").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    c = q65_paragraph_dedup(spark, sf_dir).select(
+        F.lit("paragraph").alias("kind"),
+        F.col("page_id").alias("k1"),
+        F.md5(F.col("dedup_text")).alias("k2"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash near-dedup pipeline in one verified pass: signatures
+    (q21) → LSH band pairs (q22) → connected-component clusters (q41) →
+    keep-list (q42). Pairs compute once and feed both downstream stages."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = ops.minhash_signature(docs, num_hashes=8)
+    pairs = ops.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, shingle=3
+    )
+    clusters = ops.dedup_clusters(pairs)
+    kept = ops.near_dedup_keep_list(docs, pairs)
+    a = sig.select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.concat_ws(",", *[F.col(f"mh_{i}").cast("string") for i in range(8)]).alias(
+            "k2"
+        ),
+        F.lit(None).cast("double").alias("val"),
+    )
+    b = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("jaccard").alias("val"),
+    )
+    c = clusters.select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.col("cluster_id").cast("string").alias("k2"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    d = kept.select(
+        F.lit("keep").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.col("lang").alias("k2"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
+
+
+def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis battery collated on doc_id: q24 stats,
+    q25 language ID, q26 fingerprint, q23 simhash, q13 phred decode, q33
+    token counts. Each constituent operator stays a map-only pass; the 1:1
+    id joins here are verification collation only."""
+    out = (
+        q24_text_stats(spark, sf_dir)
+        .join(q25_language_id(spark, sf_dir), "doc_id")
+        .join(q26_doc_fingerprint(spark, sf_dir), "doc_id")
+        .join(q23_simhash(spark, sf_dir), "doc_id")
+        .join(q13_quality_decode(spark, sf_dir), "doc_id")
+        .join(
+            q33_bpe_tokens(spark, sf_dir).select(
+                "doc_id", "n_bpe_tokens", "chars_per_bpe_token"
+            ),
+            "doc_id",
+        )
+    )
+    return out
+
+
+def q27m_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN search family: q27 exact brute-force cosine + q32 multi-table
+    hyperplane-LSH ANN, tagged by variant."""
+    a = q27_cosine_topk(spark, sf_dir).select(
+        F.lit("exact").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+    b = q32_ann_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+    return a.unionByName(b)
+
+
+def q44m_ivf_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF family: q44 inline index, q68 persisted cid-partitioned index
+    with plan-time list pruning, q69 Lloyd-refined quantizer — one tag each."""
+    a = q44_ivf_ann_topk(spark, sf_dir).select(
+        F.lit("inline").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+    b = q68_ivf_persisted_search(spark, sf_dir).select(
+        F.lit("persisted").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        "rank",
+    )
+    c = q69_ivf_kmeans_search(spark, sf_dir).select(
+        F.lit("kmeans").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58 deterministic hash sampling composed with q67's mix report: the
+    dashboard is computed OVER the sampled training mix, so both operators
+    verify through one result."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = ops.hash_sample(
+        docs,
+        {"en": 0.8, "de": 0.5, "es": 0.25, "zh": 0.1},
+        strata_col="lang",
+        salt="mix1",
+    )
+    return ops.source_mix_report(kept)
+
+
+def q60m_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q60 repetition ratios + q61 composite quality gate collated on
+    doc_id (both map-only; n_tokens/dup_3gram_frac deduped — q61 already
+    carries the 3-gram fraction)."""
+    rep = q60_repetition_stats(spark, sf_dir).select(
+        "doc_id", "dup_word_frac", "dup_2gram_frac"
+    )
+    return q61_quality_filter(spark, sf_dir).join(rep, "doc_id")
+
+
+def q62m_pii_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q62 PII scrub piped into q63 benchmark decontamination: the corpus is
+    scrubbed FIRST, then docs sharing an 8-gram with the benchmark set are
+    flagged — the real pipeline order. kept=false marks contaminated docs."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    corpus = _plant_pii(
+        docs.filter(did % 97 != 3).withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(did % 10 == 7, F.lit(_CONTAM)).otherwise(F.lit("")),
+            ),
+        )
+    )
+    benchmark = docs.filter(did % 97 == 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_CONTAM))
+    )
+    scrubbed = ops.pii_scrub(corpus)
+    kept = ops.decontaminate(
+        scrubbed.select("doc_id", F.col("redacted_text").alias("text")),
+        benchmark,
+        n=8,
+    )
+    return (
+        scrubbed.join(kept.select("doc_id", F.lit(True).alias("kept")), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ipv4",
+            "n_phone",
+            F.md5("redacted_text").alias("redacted_md5"),
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
+
+
+# Multi-query BM25 batch: two queries with distinct vocabularies (terms from
+# the synthetic corpus vocabulary; see _BM25_TERMS for the single-query twin).
+_BM25_QUERIES = [(0, ["spark", "merge", "window", "slow"]), (1, ["fast", "shuffle"])]
+
+
+def q64m_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 (round-3 verdict #6): a queries DataFrame replaces
+    per-literal-term filter passes — one corpus pass scores every query."""
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _BM25_QUERIES],
+        "query_id bigint, terms array<string>",
+    )
+    return ops.bm25_topk_multi(_t(spark, sf_dir, "documents"), qdf, k=25)
+
+
+def q66m_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term statistics: q66 global top 2-grams + q72
+    per-document TF-IDF keywords, tagged."""
+    a = q66_top_ngrams(spark, sf_dir).select(
+        F.lit("corpus_2gram").alias("kind"),
+        F.col("gram").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("cnt").alias("n"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    b = q72_tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("term").alias("k2"),
+        F.col("tf").alias("n"),
+        F.col("tfidf").alias("val"),
+        "rank",
+    )
+    return a.unionByName(b)
+
+
+def q70m_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep pair: q71 overlapping token-window chunking + q70
+    sequence packing, tagged."""
+    a = q70_pack_sequences(spark, sf_dir).select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        F.col("source").alias("aux"),
+        F.col("n_tokens").alias("n_tok"),
+        F.col("tok_offset").alias("off"),
+        F.col("pack_id").alias("idx"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    b = q71_chunk_documents(spark, sf_dir).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("aux"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+        F.col("tok_start").alias("off"),
+        F.col("chunk_id").cast("bigint").alias("idx"),
+        F.col("chunk_text").alias("payload"),
+    )
+    return a.unionByName(b)
+
+
+def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization lifecycle: q73 encode (codes per vector) + q74
+    ADC search, tagged; codebooks build once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ops.pq_codebooks(emb, m=4, ksub=8, dims=64)
+    codes = ops.pq_encode(emb, books)
+    hits = ops.pq_search(codes, emb.where(F.col("vec_id") < 5), books, k=10)
+    a = codes.select(
+        F.lit("code").alias("kind"),
+        F.col("vec_id").alias("k1"),
+        F.concat_ws(",", F.transform(F.col("code"), lambda x: x.cast("string"))).alias(
+            "k2"
+        ),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    b = hits.select(
+        F.lit("hit").alias("kind"),
+        F.col("query_id").alias("k1"),
+        F.col("neighbor_id").cast("string").alias("k2"),
+        F.col("adc_dist").alias("val"),
+        "rank",
+    )
+    return a.unionByName(b)
+
+
+def q75m_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image codec pipeline: q75 real pixel decode + q76 resize→re-encode→
+    re-decode roundtrip, tagged by stage."""
+    a = q75_image_decode(spark, sf_dir).select(F.lit("decode").alias("stage"), "*")
+    b = q76_image_resize(spark, sf_dir).select(F.lit("resize").alias("stage"), "*")
+    return a.unionByName(b)
+
+
+def q80m_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup pipeline (Lee et al. analog): q80 duplicated span
+    detection + q81 span cutting, tagged; spans compute once."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = ops.duplicated_spans(docs, w=8, min_count=2)
+    cut = ops.remove_spans(docs, spans)
+    a = spans.select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("a"),
+        F.col("span_end").cast("bigint").alias("b"),
+        F.col("n_windows").alias("n"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    b = cut.select(
+        F.lit("cut").alias("kind"),
+        "doc_id",
+        F.col("n_tokens").alias("a"),
+        F.col("n_tokens_removed").alias("b"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.md5("dedup_text").alias("payload"),
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -1917,57 +2402,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract registry.
+    """Contract registry — round-4 consolidated form.
 
-    ORDER MATTERS: the driver's correctness gate records only the first 50
-    entries, so every SURVEY §2 reference-surface query (all format
-    roundtrips q51-q57 included) plus one representative per LLM-pipeline
-    component is placed inside the window.  Queries after the window marker
-    are either redundant same-category variants (their component keeps a
-    driver-green sibling in-window: q06→q01, q17→q02, q21/q41/q42→q22,
-    q36/q37→q03, q44→q27/q32) or beyond-reference extras verified by the
-    identical local oracle check (tools/check_oracle.py).
+    EXACTLY 50 entries, all inside the driver's 50-row correctness window,
+    covering every distinct operator the round-3 registry declared across
+    81 queries (round-3 verdict #1). Redundant relational variants and
+    same-operator families are composed (see the q*m_ merged functions):
+    q06→q01, q17→q02, q36/q37→q03, q05→q04, q38→q07, q19→q08, q31→q10,
+    q16→q12, q15→q14, q59/q65→q20, q21/q41/q42→q22,
+    q13/q23/q25/q26/q33→q24, q32→q27, q68/q69→q44, q67→q58, q61→q60,
+    q63→q62, q72→q66, q71→q70, q74→q73, q76→q75, q81→q80; q64 is the new
+    multi-query BM25 form. The fine-grained q* functions remain available
+    for bench.py and direct use.
     """
     return {
-        # -- host-engine relational surface (one per category kept in-window)
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_top_orders_per_customer": q02_top_orders_per_customer,
-        "q03_revenue_by_nation": q03_revenue_by_nation,
-        "q04_priority_semi_join": q04_priority_semi_join,
-        "q05_customers_without_orders": q05_customers_without_orders,
-        "q07_events_hourly": q07_events_hourly,
-        "q08_rollup_lineitem": q08_rollup_lineitem,
+        # -- host-engine relational surface --
+        "q01_pricing_summary": q01m_pricing_and_filter,
+        "q02_order_windows": q02m_order_windows,
+        "q03_star_joins": q03m_star_joins,
+        "q04_semi_anti_joins": q04m_semi_anti_joins,
+        "q07_windowed_counts": q07m_windowed_counts,
+        "q08_grouping_sets": q08m_grouping_sets,
         "q09_distinct_union": q09_distinct_union,
-        "q10_sessionize": q10_sessionize,
+        "q10_sessionize": q10m_sessionize,
         "q11_event_props_json": q11_event_props_json,
-        "q12_sequence_ops": q12_sequence_ops,
-        "q13_quality_decode": q13_quality_decode,
-        "q14_sam_flags": q14_sam_flags,
-        "q15_cigar_ops": q15_cigar_ops,
-        "q16_translate_aa": q16_translate_aa,
         "q18_asof_join": q18_asof_join,
-        "q19_cube_events": q19_cube_events,
-        # -- LLM-pipeline components (one green representative each)
-        "q20_exact_dedup": q20_exact_dedup,
-        "q22_minhash_lsh_pairs": q22_minhash_lsh_pairs,
-        "q23_simhash": q23_simhash,
-        "q24_text_stats": q24_text_stats,
-        "q25_language_id": q25_language_id,
-        "q26_doc_fingerprint": q26_doc_fingerprint,
-        "q27_cosine_topk": q27_cosine_topk,
+        "q35_range_band_join": q35_range_band_join,
+        # -- scalar-function surface --
+        "q12_sequence_ops": q12m_sequence_ops,
+        "q14_sam_cigar_ops": q14m_sam_cigar_ops,
+        "q40_alignment": q40_alignment,
+        # -- LLM-pipeline components --
+        "q20_dedup_suite": q20m_dedup_suite,
+        "q22_minhash_pipeline": q22m_minhash_pipeline,
+        "q24_text_analysis": q24m_text_analysis,
+        "q27_knn_topk": q27m_knn_topk,
         "q28_ngram_jaccard_pairs": q28_ngram_jaccard_pairs,
         "q29_embedding_dedup": q29_embedding_dedup,
-        "q30_fasta_roundtrip": q30_fasta_roundtrip,
-        "q31_stream_sessionize": q31_stream_sessionize,
-        "q32_ann_topk": q32_ann_topk,
-        "q33_bpe_tokens": q33_bpe_tokens,
-        "q34_fastq_roundtrip": q34_fastq_roundtrip,
-        "q35_range_band_join": q35_range_band_join,
-        "q38_stream_windowed_counts": q38_stream_windowed_counts,
+        "q44_ivf_variants": q44m_ivf_variants,
+        "q58_sampled_mix_report": q58m_sampled_mix_report,
+        "q60_quality_stats": q60m_quality_stats,
+        "q62_pii_decontaminate": q62m_pii_decontaminate,
+        "q64_bm25_multi": q64m_bm25_multi,
+        "q66_term_stats": q66m_term_stats,
+        "q70_chunk_pack": q70m_chunk_pack,
+        "q73_pq_pipeline": q73m_pq_pipeline,
+        "q78_perplexity_score": q78_perplexity_score,
+        "q79_sq8_search": q79_sq8_search,
+        "q80_substring_dedup": q80m_substring_dedup,
+        # -- multimodal --
         "q39_multimodal_meta": q39_multimodal_meta,
-        "q40_alignment": q40_alignment,
-        "q43_gff_roundtrip": q43_gff_roundtrip,
         "q45_frame_sample": q45_frame_sample,
+        "q75_image_pipeline": q75m_image_pipeline,
+        "q77_audio_decode": q77_audio_decode,
+        # -- format sources (writer→reader roundtrips + indexed queries) --
+        "q30_fasta_roundtrip": q30_fasta_roundtrip,
+        "q34_fastq_roundtrip": q34_fastq_roundtrip,
+        "q43_gff_roundtrip": q43_gff_roundtrip,
         "q46_gtf_roundtrip": q46_gtf_roundtrip,
         "q47_sam_roundtrip": q47_sam_roundtrip,
         "q48_bed_roundtrip": q48_bed_roundtrip,
@@ -1980,39 +2471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_vcf_region_query": q55_vcf_region_query,
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
-        "q75_image_decode": q75_image_decode,
-        # ---- end of the driver's 50-row correctness window ----
-        "q76_image_resize": q76_image_resize,
-        "q77_audio_decode": q77_audio_decode,
-        "q78_perplexity_score": q78_perplexity_score,
-        "q79_sq8_search": q79_sq8_search,
-        "q80_duplicated_spans": q80_duplicated_spans,
-        "q81_substring_dedup": q81_substring_dedup,
-        "q06_revenue_filter_agg": q06_revenue_filter_agg,
-        "q17_running_totals": q17_running_totals,
-        "q21_minhash_signature": q21_minhash_signature,
-        "q36_revenue_by_brand": q36_revenue_by_brand,
-        "q37_supplier_nation_volume": q37_supplier_nation_volume,
-        "q41_dedup_clusters": q41_dedup_clusters,
-        "q42_near_dedup_keep": q42_near_dedup_keep,
-        "q44_ivf_ann_topk": q44_ivf_ann_topk,
-        "q58_hash_sample": q58_hash_sample,
-        "q59_stream_dedup": q59_stream_dedup,
-        "q60_repetition_stats": q60_repetition_stats,
-        "q61_quality_filter": q61_quality_filter,
-        "q62_pii_scrub": q62_pii_scrub,
-        "q63_decontaminate": q63_decontaminate,
-        "q64_bm25_topk": q64_bm25_topk,
-        "q65_paragraph_dedup": q65_paragraph_dedup,
-        "q66_top_ngrams": q66_top_ngrams,
-        "q67_source_mix_report": q67_source_mix_report,
-        "q68_ivf_persisted_search": q68_ivf_persisted_search,
-        "q69_ivf_kmeans_search": q69_ivf_kmeans_search,
-        "q70_pack_sequences": q70_pack_sequences,
-        "q71_chunk_documents": q71_chunk_documents,
-        "q72_tfidf_top_terms": q72_tfidf_top_terms,
-        "q73_pq_codes": q73_pq_codes,
-        "q74_pq_search": q74_pq_search,
     }
 
 
@@ -2213,7 +2671,10 @@ def _minhash_sig_cte() -> str:
     )"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _component_sql() -> dict[str, str]:
+    """DuckDB oracle SQL for every FINE-GRAINED query (the round-3 81-query
+    surface). oracle_sql() composes the 50 consolidated contract oracles
+    from these components."""
     flag_sums = ",\n         ".join(
         f"CAST(sum(CASE WHEN (flag & {mask}) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
         for name, mask in fx.SAM_FLAGS.items()
@@ -3362,4 +3823,326 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_tokens_removed
             FROM cut
         """,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Composed oracles for the 50 consolidated contract queries.
+
+    Each merged entry wraps the fine-grained component SQL from
+    :func:`_component_sql` in the SAME tagged-union / cross-join / 1:1-join
+    shape as its Spark twin, so column names and normalized values match
+    hash-for-hash.
+    """
+    C = _component_sql()
+
+    sig_concat = ", ',', ".join(f"CAST(mh_{i} AS VARCHAR)" for i in range(8))
+    aa_case = _codon_case("substr(q.seq, (i-1)*3 + 1, 3)")
+
+    # q58+q67: the mix report computed over the hash-sampled corpus — swap
+    # the report's source table for the keep-set (exactly one scan in q67
+    # reads documents, the tok CTE).
+    sql67 = C["q67_source_mix_report"].replace("FROM documents", "FROM kept")
+    kept_cte = f"""kept AS (
+              SELECT * FROM documents
+              WHERE {md5_int_sql("concat('mix1', ':', CAST(doc_id AS VARCHAR))")} % 1000000
+                    < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                                WHEN 'es' THEN 250000 WHEN 'zh' THEN 100000 END
+            )"""
+    sampled_mix = sql67.replace("WITH tok AS", f"WITH {kept_cte}, tok AS", 1)
+
+    # q64 multi-query BM25: one scored block per query (same math as the
+    # single-query oracle), per-term contributions in integer micro-units
+    # so the sum is order-independent on both engines.
+    def bm25_block(qid: int, terms: list[str]) -> str:
+        dfs = ", ".join(
+            f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+            for i, t in enumerate(terms)
+        )
+        contrib = " + ".join(
+            f"CAST(round(ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+            f" * (len(list_filter(t, w -> w = '{t}')) * 2.2)"
+            f" / (len(list_filter(t, w -> w = '{t}'))"
+            f"    + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000, 0) AS BIGINT)"
+            for i, t in enumerate(terms)
+        )
+        return f"""
+            SELECT query_id, doc_id, bm25, rank FROM (
+              WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              d AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+              s AS (SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM d),
+              scored AS (
+                SELECT doc_id, ({contrib}) / 1000000.0 AS bm25 FROM d, s
+              )
+              SELECT {qid} AS query_id, doc_id, bm25,
+                     CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+                       AS rank
+              FROM scored WHERE bm25 > 0.0
+            ) WHERE rank <= 25
+        """
+
+    bm25_multi = "\n            UNION ALL\n".join(
+        bm25_block(qid, terms) for qid, terms in _BM25_QUERIES
+    )
+
+    pii_email, pii_ipv4, pii_phone = (
+        PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"],
+    )
+    ngram8 = (
+        "CASE WHEN len(t) >= 8 THEN list_transform(generate_series(1, len(t)-7), "
+        "i -> array_to_string(t[i:i+7], ' ')) ELSE []::VARCHAR[] END"
+    )
+
+    return {
+        # -- relational --
+        "q01_pricing_summary": f"""
+            SELECT a.*, b.q6_revenue, b.q6_n_rows
+            FROM ({C['q01_pricing_summary']}) a
+            CROSS JOIN (SELECT revenue AS q6_revenue, n_rows AS q6_n_rows
+                        FROM ({C['q06_revenue_filter_agg']})) b
+        """,
+        "q02_order_windows": """
+            SELECT o_custkey, o_orderkey, rnk, totalprice, running_spend, order_idx
+            FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+                     round(o_totalprice, 2) AS totalprice,
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w / 100.0
+                       AS running_spend,
+                     count(*) OVER w AS order_idx
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC
+                           ROWS UNBOUNDED PRECEDING))
+            WHERE rnk <= 3
+        """,
+        "q03_star_joins": f"""
+            SELECT 'region_nation' AS dim, r_name AS key1, n_name AS key2,
+                   revenue, n_items, CAST(NULL AS BIGINT) AS extra
+            FROM ({C['q03_revenue_by_nation']})
+            UNION ALL
+            SELECT 'brand', p_brand, CAST(NULL AS VARCHAR), revenue, n_items, qty
+            FROM ({C['q36_revenue_by_brand']})
+            UNION ALL
+            SELECT 'supplier_nation', n_name, CAST(NULL AS VARCHAR), revenue,
+                   CAST(NULL AS BIGINT), n_suppliers
+            FROM ({C['q37_supplier_nation_volume']})
+        """,
+        "q04_semi_anti_joins": f"""
+            SELECT 'semi' AS join_kind, o_orderpriority AS grp, order_count AS n
+            FROM ({C['q04_priority_semi_join']})
+            UNION ALL
+            SELECT 'anti', c_mktsegment, n_customers
+            FROM ({C['q05_customers_without_orders']})
+        """,
+        "q07_windowed_counts": f"""
+            SELECT 'batch' AS mode, hour AS t_start, CAST(NULL AS VARCHAR) AS t_end,
+                   event_type, n_events, total_value, n_users
+            FROM ({C['q07_events_hourly']})
+            UNION ALL
+            SELECT 'stream', window_start, window_end, event_type, n_events,
+                   total_value, CAST(NULL AS BIGINT)
+            FROM ({C['q38_stream_windowed_counts']})
+        """,
+        "q08_grouping_sets": f"""
+            SELECT 'rollup' AS mode, l_returnflag AS k1, l_linestatus AS k2,
+                   n, CAST(qty AS DOUBLE) AS measure
+            FROM ({C['q08_rollup_lineitem']})
+            UNION ALL
+            SELECT 'cube', event_type, CAST(day AS VARCHAR), n, total_value
+            FROM ({C['q19_cube_events']})
+        """,
+        "q09_distinct_union": C["q09_distinct_union"],
+        "q10_sessionize": f"""
+            SELECT 'batch' AS mode, user_id, CAST(NULL AS VARCHAR) AS session_start,
+                   CAST(NULL AS VARCHAR) AS session_end, n_events, n_sessions
+            FROM ({C['q10_sessionize']})
+            UNION ALL
+            SELECT 'stream', user_id, session_start, session_end, n_events,
+                   CAST(NULL AS BIGINT)
+            FROM ({C['q31_stream_sessionize']})
+        """,
+        "q11_event_props_json": C["q11_event_props_json"],
+        "q18_asof_join": C["q18_asof_join"],
+        "q35_range_band_join": C["q35_range_band_join"],
+        # -- scalar functions --
+        "q12_sequence_ops": f"""
+            SELECT q.*,
+                   CASE WHEN length(q.seq) % 3 = 0 THEN
+                     array_to_string(list_transform(generate_series(1, length(q.seq) // 3),
+                         i -> {aa_case}), '')
+                   END AS aa
+            FROM ({C['q12_sequence_ops']}) q
+        """,
+        "q14_sam_cigar_ops": f"""
+            SELECT a.*, b.*
+            FROM ({C['q15_cigar_ops']}) a CROSS JOIN ({C['q14_sam_flags']}) b
+        """,
+        "q40_alignment": C["q40_alignment"],
+        # -- LLM pipeline --
+        "q20_dedup_suite": f"""
+            SELECT 'exact' AS kind, content_hash AS k1,
+                   CAST(kept_doc_id AS VARCHAR) AS k2, dup_count AS n
+            FROM ({C['q20_exact_dedup']})
+            UNION ALL
+            SELECT 'stream', user_id, event_type, CAST(NULL AS BIGINT)
+            FROM ({C['q59_stream_dedup']})
+            UNION ALL
+            SELECT 'paragraph', page_id, md5(dedup_text), CAST(NULL AS BIGINT)
+            FROM ({C['q65_paragraph_dedup']})
+        """,
+        "q22_minhash_pipeline": f"""
+            SELECT 'sig' AS kind, doc_id AS k1, CONCAT({sig_concat}) AS k2,
+                   CAST(NULL AS DOUBLE) AS val
+            FROM ({C['q21_minhash_signature']})
+            UNION ALL
+            SELECT 'pair', id_a, CAST(id_b AS VARCHAR), jaccard
+            FROM ({C['q22_minhash_lsh_pairs']})
+            UNION ALL
+            SELECT 'cluster', doc_id, CAST(cluster_id AS VARCHAR), CAST(NULL AS DOUBLE)
+            FROM ({C['q41_dedup_clusters']})
+            UNION ALL
+            SELECT 'keep', doc_id, lang, CAST(NULL AS DOUBLE)
+            FROM ({C['q42_near_dedup_keep']})
+        """,
+        "q24_text_analysis": f"""
+            SELECT a.*, b.predicted_lang, b.score_en, b.score_de, b.score_es,
+                   b.score_zh, c.fingerprint, d.simhash,
+                   e.qual_sum, e.qual_min, e.qual_max, e.qual_len,
+                   f.n_bpe_tokens, f.chars_per_bpe_token
+            FROM ({C['q24_text_stats']}) a
+            JOIN ({C['q25_language_id']}) b USING (doc_id)
+            JOIN ({C['q26_doc_fingerprint']}) c USING (doc_id)
+            JOIN ({C['q23_simhash']}) d USING (doc_id)
+            JOIN ({C['q13_quality_decode']}) e USING (doc_id)
+            JOIN ({C['q33_bpe_tokens']}) f USING (doc_id)
+        """,
+        "q27_knn_topk": f"""
+            SELECT 'exact' AS variant, * FROM ({C['q27_cosine_topk']})
+            UNION ALL
+            SELECT 'lsh' AS variant, * FROM ({C['q32_ann_topk']})
+        """,
+        "q28_ngram_jaccard_pairs": C["q28_ngram_jaccard_pairs"],
+        "q29_embedding_dedup": C["q29_embedding_dedup"],
+        "q44_ivf_variants": f"""
+            SELECT 'inline' AS variant, * FROM ({C['q44_ivf_ann_topk']})
+            UNION ALL
+            SELECT 'persisted' AS variant, * FROM ({C['q68_ivf_persisted_search']})
+            UNION ALL
+            SELECT 'kmeans' AS variant, * FROM ({C['q69_ivf_kmeans_search']})
+        """,
+        "q58_sampled_mix_report": sampled_mix,
+        "q60_quality_stats": f"""
+            SELECT a.*, b.dup_word_frac, b.dup_2gram_frac
+            FROM ({C['q61_quality_filter']}) a
+            JOIN ({C['q60_repetition_stats']}) b USING (doc_id)
+        """,
+        "q62_pii_decontaminate": f"""
+            WITH corpus0 AS (
+              SELECT doc_id,
+                     concat(text, CASE WHEN doc_id % 10 = 7 THEN '{_CONTAM}'
+                                       ELSE '' END) AS text
+              FROM documents WHERE doc_id % 97 <> 3),
+            planted AS (
+              SELECT doc_id,
+                     concat(text,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                        '@example.com now') ELSE '' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                                        '.1 up') ELSE '' END,
+                       CASE WHEN doc_id % 11 = 0 THEN '{_PII_SENTENCE}' ELSE '' END)
+                       AS text
+              FROM corpus0),
+            scrub AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{pii_email}')) AS INTEGER)
+                       AS n_email,
+                     CAST(len(regexp_extract_all(text, '{pii_ipv4}')) AS INTEGER)
+                       AS n_ipv4,
+                     CAST(len(regexp_extract_all(text, '{pii_phone}')) AS INTEGER)
+                       AS n_phone,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '{pii_email}', '<EMAIL>', 'g'),
+                       '{pii_ipv4}', '<IPV4>', 'g'),
+                       '{pii_phone}', '<PHONE>', 'g') AS redacted_text
+              FROM planted),
+            bench AS (SELECT concat(text, '{_CONTAM}') AS text
+                      FROM documents WHERE doc_id % 97 = 3),
+            cg AS (SELECT doc_id, unnest({ngram8}) AS g
+                   FROM (SELECT doc_id, string_split(redacted_text, ' ') AS t
+                         FROM scrub)),
+            bg AS (SELECT DISTINCT unnest({ngram8}) AS g
+                   FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+            bad AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+            SELECT doc_id, n_email, n_ipv4, n_phone,
+                   md5(redacted_text) AS redacted_md5,
+                   (doc_id NOT IN (SELECT doc_id FROM bad)) AS kept
+            FROM scrub
+        """,
+        "q64_bm25_multi": bm25_multi,
+        "q66_term_stats": f"""
+            SELECT 'corpus_2gram' AS kind, gram AS k1, CAST(NULL AS VARCHAR) AS k2,
+                   cnt AS n, CAST(NULL AS DOUBLE) AS val, CAST(NULL AS INTEGER) AS rank
+            FROM ({C['q66_top_ngrams']})
+            UNION ALL
+            SELECT 'tfidf', CAST(doc_id AS VARCHAR), term, tf, tfidf, rank
+            FROM ({C['q72_tfidf_top_terms']})
+        """,
+        "q70_chunk_pack": f"""
+            SELECT 'pack' AS kind, doc_id, source AS aux, n_tokens AS n_tok,
+                   tok_offset AS off, pack_id AS idx, CAST(NULL AS VARCHAR) AS payload
+            FROM ({C['q70_pack_sequences']})
+            UNION ALL
+            SELECT 'chunk', doc_id, CAST(NULL AS VARCHAR), n_chunk_tokens,
+                   tok_start, CAST(chunk_id AS BIGINT), chunk_text
+            FROM ({C['q71_chunk_documents']})
+        """,
+        "q73_pq_pipeline": f"""
+            SELECT 'code' AS kind, vec_id AS k1, array_to_string(code, ',') AS k2,
+                   CAST(NULL AS DOUBLE) AS val, CAST(NULL AS INTEGER) AS rank
+            FROM ({C['q73_pq_codes']})
+            UNION ALL
+            SELECT 'hit', query_id, CAST(neighbor_id AS VARCHAR), adc_dist, rank
+            FROM ({C['q74_pq_search']})
+        """,
+        "q78_perplexity_score": C["q78_perplexity_score"],
+        "q79_sq8_search": C["q79_sq8_search"],
+        "q80_substring_dedup": f"""
+            SELECT 'span' AS kind, doc_id, CAST(span_start AS BIGINT) AS a,
+                   CAST(span_end AS BIGINT) AS b, n_windows AS n,
+                   CAST(NULL AS VARCHAR) AS payload
+            FROM ({C['q80_duplicated_spans']})
+            UNION ALL
+            SELECT 'cut', doc_id, n_tokens, n_tokens_removed,
+                   CAST(NULL AS BIGINT), md5(dedup_text)
+            FROM ({C['q81_substring_dedup']})
+        """,
+        # -- multimodal --
+        "q39_multimodal_meta": C["q39_multimodal_meta"],
+        "q45_frame_sample": C["q45_frame_sample"],
+        "q75_image_pipeline": f"""
+            SELECT 'decode' AS stage, * FROM ({C['q75_image_decode']})
+            UNION ALL
+            SELECT 'resize' AS stage, * FROM ({C['q76_image_resize']})
+        """,
+        "q77_audio_decode": C["q77_audio_decode"],
+        # -- format sources --
+        "q30_fasta_roundtrip": C["q30_fasta_roundtrip"],
+        "q34_fastq_roundtrip": C["q34_fastq_roundtrip"],
+        "q43_gff_roundtrip": C["q43_gff_roundtrip"],
+        "q46_gtf_roundtrip": C["q46_gtf_roundtrip"],
+        "q47_sam_roundtrip": C["q47_sam_roundtrip"],
+        "q48_bed_roundtrip": C["q48_bed_roundtrip"],
+        "q49_vcf_roundtrip": C["q49_vcf_roundtrip"],
+        "q50_hmm_roundtrip": C["q50_hmm_roundtrip"],
+        "q51_genbank_roundtrip": C["q51_genbank_roundtrip"],
+        "q52_mzml_roundtrip": C["q52_mzml_roundtrip"],
+        "q53_bam_roundtrip": C["q53_bam_roundtrip"],
+        "q54_bcf_roundtrip": C["q54_bcf_roundtrip"],
+        "q55_vcf_region_query": C["q55_vcf_region_query"],
+        "q56_bam_region_query": C["q56_bam_region_query"],
+        "q57_bcf_region_query": C["q57_bcf_region_query"],
     }

@@ -36,6 +36,7 @@ from exon_duckdb_spark.operators.relational import (  # noqa: F401
 from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     ann_topk,
     bm25_topk,
+    bm25_topk_multi,
     cosine,
     cosine_topk,
     dot,

@@ -40,6 +40,7 @@ __all__ = [
     "plane_signs",
     "auto_planes",
     "bm25_topk",
+    "bm25_topk_multi",
 ]
 
 
@@ -239,6 +240,87 @@ def bm25_topk(
         .where(F.col("bm25") > 0.0)
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for a whole batch of queries at once.
+
+    ``queries`` is a DataFrame ``(query_id bigint, terms array<string>)``.
+    Returns ``(query_id, doc_id, bm25, rank)`` with ``rank <= k`` per query.
+
+    Scale design — ONE corpus pass regardless of query count (the
+    single-query :func:`bm25_topk` builds one interpreted ``F.filter``
+    term-frequency expression per literal term, which degrades linearly in
+    query length and can't batch queries):
+
+    - the query vocabulary is broadcast; corpus tokens explode and
+      immediately semi-join against it, so the (doc, term, tf) table is
+      proportional to query-term HITS, not corpus size;
+    - document frequency per term is a tiny agg over that table;
+    - (query_id, term) expansion and idf attach via broadcast joins —
+      the corpus side never shuffles on anything wider than (doc, term);
+    - per-term contributions are rounded to integer micro-units before the
+      (query, doc) sum, so float summation ORDER cannot flip a hash (the
+      groupBy sum is otherwise partition-order-dependent);
+    - :func:`partition_topk` caps the rank window's input at k rows per
+      partition per query.
+
+    A term absent from a doc contributes 0 to BM25, so summing over present
+    (doc, term) pairs only is exact; docs scoring 0 are excluded.
+    """
+    from exon_duckdb_spark.operators.text import tokens
+
+    qterms = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    vocab = qterms.select("term").distinct()
+    toksed = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col), "_toks", F.size("_toks").alias("_dl")
+    )
+    stats = toksed.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
+    tf = (
+        toksed.select(F.col(id_col), "_dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(vocab), "term")
+        .groupBy(id_col, "term", "_dl")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    idf = F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("_tf") * (k1 + 1.0))
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(term_score * 1e6, 0).cast("bigint").alias("_s_micro"),
+        )
+        .groupBy("query_id", id_col)
+        .agg((F.sum("_s_micro") / 1e6).alias("bm25"))
+        .where(F.col("bm25") > 0.0)
+    )
+    capped = partition_topk(scored, k, "query_id", "bm25", id_col, ascending=False)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        capped.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "bm25", "rank")
     )
 
 

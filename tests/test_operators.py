@@ -638,6 +638,40 @@ class TestRetrievalAndParagraphs:
         assert set(ids) == {1, 2, 4}
         assert all(out[i]["bm25"] >= out[i + 1]["bm25"] for i in range(len(out) - 1))
 
+    def test_bm25_multi_matches_single_query_ranking(self, spark):
+        """The batched multi-query form must rank like the single-query
+        operator (scores differ only by per-term micro-unit rounding) and
+        keep queries independent."""
+        df = spark.createDataFrame(
+            [
+                (1, "spark spark spark runs fast"),
+                (2, "spark is here"),
+                (3, "nothing relevant at all"),
+                (4, "a much longer document that mentions spark once among many many other words"),
+                (5, "fast fast machines"),
+            ],
+            ["doc_id", "text"],
+        )
+        qdf = spark.createDataFrame(
+            [(0, ["spark"]), (1, ["fast", "machines"])],
+            "query_id bigint, terms array<string>",
+        )
+        rows = ops.bm25_topk_multi(df, qdf, k=10).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        q0 = sorted(by_q[0], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in q0][0] == 1
+        assert {r["doc_id"] for r in q0} == {1, 2, 4}
+        single = ops.bm25_topk(df, ["spark"], k=10).collect()
+        assert [r["doc_id"] for r in q0] == [r["doc_id"] for r in single]
+        for s, m in zip(single, q0):
+            assert abs(s["bm25"] - m["bm25"]) < 1e-5
+        q1 = sorted(by_q[1], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in q1][0] == 5  # both terms hit doc 5
+        assert 3 not in {r["doc_id"] for r in q1}
+        assert all(r["rank"] == i + 1 for i, r in enumerate(q1))
+
     def test_paragraph_dedup_keeps_first_occurrence(self, spark):
         df = spark.createDataFrame(
             [
