@@ -1812,6 +1812,56 @@ _sample_stats = F.pandas_udf(
 )
 
 
+def q82_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, hash-checked. Planted grayscale
+    images of constant 8x8 blocks, block(bx, by) = 128 + 2*((bx*5 + by*11
+    + doc_id) % 60 - 30): every block is DC-only and its even offset from
+    128 makes DC quantization exact at quality 50 (q00=16 divides 8*s for
+    even s), so huffman + dequant + IDCT reproduce the plant EXACTLY and
+    the oracle can recompute pixels arithmetically — construction AND
+    codec must both be right for hashes to match. restart_interval =
+    doc_id % 3 exercises the DRI/RSTn decode path on two-thirds of the
+    images (restarts must not change decoded pixels). Map-only end to
+    end, like q75."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 64)
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators import jpegcodec as _jc
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 3 + 2) * 8, (did % 2 + 2) * 8
+                bx = _np.arange(w) // 8
+                by = _np.arange(h) // 8
+                img = (
+                    128
+                    + 2 * ((bx[None, :] * 5 + by[:, None] * 11 + did) % 60 - 30)
+                ).astype(_np.uint8)
+                ids.append(did)
+                blobs.append(
+                    _jc.encode_jpeg(img, quality=50, restart_interval=did % 3)
+                )
+            yield _pd.DataFrame({"id": ids, "content": blobs})
+
+    imgs = docs.mapInPandas(synth, "id long, content binary")
+    dec = ops.decode_image(imgs, id_col="id")
+    return dec.select(
+        F.col("id").alias("doc_id"),
+        F.lit("jpeg").alias("fmt"),
+        "width",
+        "height",
+        "channels",
+        _pix_stats("pixels").alias("s"),
+    ).select("doc_id", "fmt", "width", "height", "channels", "s.pix_sum", "s.pos_checksum")
+
+
 def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM audio decode, hash-checked: plant 16-bit WAV bytes per
     document (sample(i) = (i*13 + doc_id*7) % 65536 - 32768, n = doc_id%50
@@ -2360,10 +2410,12 @@ def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q75m_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image codec pipeline: q75 real pixel decode + q76 resize→re-encode→
-    re-decode roundtrip, tagged by stage."""
+    re-decode roundtrip + q82 baseline-JPEG decode (DC-exact plants, so
+    the lossy codec is still hash-checkable), tagged by stage."""
     a = q75_image_decode(spark, sf_dir).select(F.lit("decode").alias("stage"), "*")
     b = q76_image_resize(spark, sf_dir).select(F.lit("resize").alias("stage"), "*")
-    return a.unionByName(b)
+    c = q82_jpeg_decode(spark, sf_dir).select(F.lit("jpeg").alias("stage"), "*")
+    return a.unionByName(b).unionByName(c)
 
 
 def q80m_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3682,6 +3734,32 @@ def _component_sql() -> dict[str, str]:
                    pix_sum, pos_checksum
             FROM px, (SELECT UNNEST(['bmp', 'png']) AS fmt) f
         """,
+        # Arithmetic replay of the DC-exact JPEG plant (see q82_jpeg_decode):
+        # pixel(x, y) = 128 + 2*(((x//8)*5 + (y//8)*11 + doc_id) % 60 - 30);
+        # exact because every 8x8 block is constant with an even offset from
+        # 128, so DC quantization (q00=16 at quality 50) loses nothing.
+        "q82_jpeg_decode": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS w,
+                     CAST((doc_id % 2 + 2) * 8 AS INTEGER) AS h
+              FROM documents WHERE doc_id < 64
+            ),
+            px AS (
+              SELECT doc_id, w, h,
+                CAST(SUM(128 + 2*(((x//8)*5 + (y//8)*11 + doc_id) % 60 - 30))
+                     AS BIGINT) AS pix_sum,
+                CAST(SUM((128 + 2*(((x//8)*5 + (y//8)*11 + doc_id) % 60 - 30))
+                         * (y*w + x + 1)) AS BIGINT) AS pos_checksum
+              FROM dims,
+                LATERAL (SELECT UNNEST(range(w)) AS x) xs,
+                LATERAL (SELECT UNNEST(range(h)) AS y) ys
+              GROUP BY doc_id, w, h
+            )
+            SELECT doc_id, 'jpeg' AS fmt, w AS width, h AS height,
+                   CAST(1 AS INTEGER) AS channels, pix_sum, pos_checksum
+            FROM px
+        """,
         # Arithmetic replay of the planted-WAV formula (see q77_audio_decode):
         # sample(i) = (i*13 + doc_id*7) % 65536 - 32768 over n = doc_id%50+20.
         "q77_audio_decode": """
@@ -4127,6 +4205,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'decode' AS stage, * FROM ({C['q75_image_decode']})
             UNION ALL
             SELECT 'resize' AS stage, * FROM ({C['q76_image_resize']})
+            UNION ALL
+            SELECT 'jpeg' AS stage, * FROM ({C['q82_jpeg_decode']})
         """,
         "q77_audio_decode": C["q77_audio_decode"],
         # -- format sources --

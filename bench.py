@@ -66,6 +66,7 @@ HEADLINE = [
     "q40_alignment",
     "q75_image_decode",
     "q76_image_resize",
+    "q82_jpeg_decode",
     "q77_audio_decode",
     "q78_perplexity_score",
     # format sources (writer→reader roundtrips + indexed region queries)

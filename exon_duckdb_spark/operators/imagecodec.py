@@ -249,15 +249,20 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_blob(b: bytes) -> np.ndarray:
-    """Decode a BMP, PNG or GIF blob by magic; raises ValueError on other
-    formats (JPEG needs a codec library this container doesn't ship)."""
+    """Decode a BMP, PNG, GIF or baseline JPEG blob by magic; raises
+    ValueError on other formats (and on progressive/arithmetic JPEG,
+    with the mode named)."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b.startswith(_PNG_SIG):
         return decode_png(b)
     if b[:4] == b"GIF8":
         return decode_gif(b)
-    raise ValueError("unsupported image format (supported here: BMP, PNG, GIF)")
+    if b[:3] == b"\xff\xd8\xff":
+        from exon_duckdb_spark.operators import jpegcodec
+
+        return jpegcodec.decode_jpeg(b)
+    raise ValueError("unsupported image format (supported here: BMP, PNG, GIF, JPEG)")
 
 
 def encode_blob(arr: np.ndarray, fmt: str) -> bytes:
@@ -267,6 +272,10 @@ def encode_blob(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "image/gif":
         return encode_gif(arr)
+    if fmt == "image/jpeg":
+        from exon_duckdb_spark.operators import jpegcodec
+
+        return jpegcodec.encode_jpeg(arr)
     raise ValueError(f"unsupported encode format {fmt!r}")
 
 

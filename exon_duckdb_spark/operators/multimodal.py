@@ -5,13 +5,14 @@ The Spark-side plumbing — schemas, Arrow-batched UDF signatures, partition
 behavior — is real and tested. Header-level metadata extraction (PNG/JPEG
 dimensions, WAV sample rate, magic-based MIME sniffing) is implemented in
 pure Python from the public container specs. ``decode_image`` and
-``resize_image`` are REAL for BMP, PNG and GIF via the pure-Python codec in
-:mod:`imagecodec` (struct + stdlib zlib + numpy, incl. a full GIF LZW
-decoder); ``decode_audio`` is REAL for PCM WAV. Formats that need a codec
-library this container doesn't ship (JPEG pixel data) are skipped with
-a per-row error string, and ``image_features`` still offers a deterministic
-md5-based FAKE embedding so similarity plumbing is exercisable without any
-decodable pixels.
+``resize_image`` are REAL for BMP, PNG, GIF (pure-Python codec in
+:mod:`imagecodec` — struct + stdlib zlib + numpy, incl. a full GIF LZW
+decoder) and baseline sequential JPEG (:mod:`jpegcodec` — huffman +
+dequant + vectorized IDCT + YCbCr, per ITU-T T.81); ``decode_audio`` is
+REAL for PCM WAV. The remaining undecodable tail (progressive/arithmetic
+JPEG) yields a per-row error string naming the mode, and
+``image_features`` still offers a deterministic md5-based FAKE embedding
+so similarity plumbing is exercisable without any decodable pixels.
 """
 
 from __future__ import annotations
@@ -210,12 +211,14 @@ def decode_image(
     ``mapInPandas``: (id, content) → (id, width, height, channels,
     pixels binary, error string).
 
-    REAL for BMP (24/32-bit uncompressed), PNG (8-bit, all filters) and
-    GIF (87a/89a first frame, full LZW) via the pure-Python codec in
-    :mod:`imagecodec` — no external codec library. Other formats (JPEG
-    entropy decode needs a codec this container lacks)
-    yield a NULL-pixel row with ``error`` set, so a 100 TB sweep surfaces
-    its undecodable tail instead of dying. ``pixels`` is raw RGB(A) bytes
+    REAL for BMP (24/32-bit uncompressed), PNG (8-bit, all filters),
+    GIF (87a/89a first frame, full LZW) and baseline sequential JPEG
+    (SOF0: huffman + dequant + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
+    markers) via the pure-Python codecs in :mod:`imagecodec` /
+    :mod:`jpegcodec` — no external codec library. The residual tail
+    (progressive/arithmetic JPEG) yields a NULL-pixel row with ``error``
+    naming the mode, so a 100 TB sweep surfaces its undecodable tail
+    instead of dying. ``pixels`` is raw RGB(A) bytes
     (row-major, top-down) rather than array<float>: 4× smaller on the wire,
     and zero-copy reshapeable to (h, w, c) uint8 in any downstream UDF."""
 
@@ -266,11 +269,12 @@ def resize_image(
     """Pixel resize with re-encode, via Arrow-batched ``mapInPandas``:
     (id, content) → (id, content binary, width, height, error string).
 
-    REAL for BMP/PNG/GIF: decode (:mod:`imagecodec`), deterministic
-    nearest-neighbor resample (floor index map, so oracles can recompute
-    it arithmetically), re-encode in the SAME container format the blob
-    arrived in. Undecodable formats pass through with ``error`` set and
-    NULL content. Binary never leaves the executors."""
+    REAL for BMP/PNG/GIF/baseline-JPEG: decode (:mod:`imagecodec` /
+    :mod:`jpegcodec`), deterministic nearest-neighbor resample (floor
+    index map, so oracles can recompute it arithmetically), re-encode in
+    the SAME container format the blob arrived in. Undecodable formats
+    pass through with ``error`` set and NULL content. Binary never leaves
+    the executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -284,6 +288,8 @@ def resize_image(
                         fmt = "image/bmp"
                     elif b[:4] == b"GIF8":
                         fmt = "image/gif"
+                    elif b[:3] == b"\xff\xd8\xff":
+                        fmt = "image/jpeg"
                     else:
                         fmt = "image/png"
                     small = imagecodec.resize_nearest(arr, width, height)

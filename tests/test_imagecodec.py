@@ -92,7 +92,7 @@ class TestDataFrameOps:
         rows = [
             (1, bytearray(ic.encode_bmp(a))),
             (2, bytearray(ic.encode_png(a, filter_type=3))),
-            (3, bytearray(b"\xff\xd8\xff\xe0 not decodable jpeg")),
+            (3, bytearray(b"\xff\xd8\xff\xe0\x00\x04 truncated jpeg")),
         ]
         df = spark.createDataFrame(rows, "id long, content binary")
         got = {r["id"]: r for r in decode_image(df).collect()}
@@ -103,7 +103,7 @@ class TestDataFrameOps:
             assert np.array_equal(
                 np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(4, 6, 3), a
             )
-        assert got[3]["pixels"] is None and "unsupported" in got[3]["error"]
+        assert got[3]["pixels"] is None and "JPEG" in got[3]["error"]
 
     def test_resize_image_preserves_format(self, spark):
         a = _rand((9, 7, 3), seed=6)
@@ -229,3 +229,155 @@ class TestGif:
         out = bytes(rs["content"])
         assert out[:4] == b"GIF8"
         assert np.array_equal(ic.decode_gif(out), ic.resize_nearest(a, 4, 5))
+
+
+class TestJpeg:
+    """Baseline JPEG codec (jpegcodec.py). Correctness strategy: the
+    entropy layer is proven lossless against a no-entropy simulation, the
+    IDCT against a direct O(N^4) DCT-III sum, and DC-only images (constant
+    8x8 blocks, even offsets from 128 at quality 50) roundtrip EXACTLY —
+    the property the driver oracle (q75 image pipeline) relies on."""
+
+    @staticmethod
+    def _dc_only(h, w, salt=0):
+        img = np.zeros((h, w), np.uint8)
+        for by in range(-(-h // 8)):
+            for bx in range(-(-w // 8)):
+                v = 128 + 2 * ((bx * 5 + by * 11 + salt) % 60 - 30)
+                img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+        return img
+
+    def test_dc_only_exact_roundtrip(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        for h, w, salt in ((24, 32, 0), (16, 16, 7), (8, 40, 13)):
+            img = self._dc_only(h, w, salt)
+            dec = J.decode_jpeg(J.encode_jpeg(img, quality=50))
+            assert dec.shape == (h, w, 1)
+            assert np.array_equal(dec[:, :, 0], img)
+
+    def test_entropy_layer_lossless(self):
+        # decode(encode(x)) must equal dequant(quant(dct(x)))+idct exactly:
+        # huffman+RLE+DC-prediction is invertible; only quantization loses.
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        rng = np.random.RandomState(11)
+        for q in (10, 50, 90, 100):
+            img = rng.randint(0, 256, (29, 37)).astype(np.uint8)
+            dec = J.decode_jpeg(J.encode_jpeg(img, q))[:, :, 0]
+            qt, _ = J._quality_tables(q)
+            zz, by, bx = J._plane_to_zz(img.astype(np.float64), qt)
+            nat = (zz * qt.reshape(64)[J._ZIGZAG])[:, J._UNZIGZAG]
+            blocks = J._idct(nat.reshape(-1, 8, 8).astype(np.float64))
+            plane = (
+                blocks.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)
+            )
+            sim = np.clip(
+                np.round(plane[: img.shape[0], : img.shape[1]] + 128), 0, 255
+            ).astype(np.uint8)
+            assert np.array_equal(dec, sim), f"entropy layer lossy at q={q}"
+
+    def test_idct_matches_direct_sum(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        rng = np.random.RandomState(5)
+        blk = rng.standard_normal((1, 8, 8)) * 50
+        ref = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                        s += (
+                            0.25
+                            * cu
+                            * cv
+                            * blk[0, u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                ref[x, y] = s
+        assert np.abs(J._idct(blk)[0] - ref).max() < 1e-10
+        assert np.abs(J._idct(J._fdct(blk))[0] - blk[0]).max() < 1e-10
+
+    def test_smooth_roundtrip_error_bounded(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        x, y = np.arange(40), np.arange(56)
+        sm = (128 + 50 * np.sin(x[None, :] / 8.0) * np.cos(y[:, None] / 9.0)).astype(
+            np.uint8
+        )
+        dec = J.decode_jpeg(J.encode_jpeg(sm, 90))[:, :, 0]
+        assert np.abs(dec.astype(int) - sm.astype(int)).max() <= 4
+
+    def test_color_444_and_420(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        c = np.zeros((19, 21, 3), np.uint8)  # odd dims exercise padding/crop
+        c[:, :, 0] = (np.arange(21)[None, :] * 3 + 40) % 200
+        c[:, :, 1] = 100
+        c[:, :, 2] = (np.arange(19)[:, None] * 5 + 30) % 200
+        for sub in ("444", "420"):
+            dec = J.decode_jpeg(J.encode_jpeg(c, 85, subsampling=sub))
+            assert dec.shape == (19, 21, 3)
+            assert np.abs(dec.astype(int) - c.astype(int)).max() <= 16
+
+    def test_restart_markers_decode_identically(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        rng = np.random.RandomState(3)
+        g = (
+            128
+            + 40 * np.sin(np.arange(48)[None, :] / 5) * np.cos(np.arange(40)[:, None] / 7)
+        ).astype(np.uint8)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg(g, 80)),
+            J.decode_jpeg(J.encode_jpeg(g, 80, restart_interval=3)),
+        )
+        c = rng.randint(0, 256, (33, 41, 3)).astype(np.uint8)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg(c, 75, "420")),
+            J.decode_jpeg(J.encode_jpeg(c, 75, "420", restart_interval=2)),
+        )
+
+    def test_progressive_rejected_by_name(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        blob = bytearray(J.encode_jpeg(self._dc_only(8, 8), 50))
+        sof = blob.find(b"\xff\xc0")
+        blob[sof + 1] = 0xC2  # flip SOF0 -> SOF2
+        with pytest.raises(ValueError, match="progressive"):
+            J.decode_jpeg(bytes(blob))
+
+    def test_deterministic_bytes(self):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        rng = np.random.RandomState(9)
+        c = rng.randint(0, 256, (12, 14, 3)).astype(np.uint8)
+        assert J.encode_jpeg(c, 70) == J.encode_jpeg(c, 70)
+
+    def test_dataframe_decode_and_resize(self, spark):
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        img = self._dc_only(16, 24, salt=4)
+        df = spark.createDataFrame(
+            [(1, bytearray(J.encode_jpeg(img, 50)))], "id long, content binary"
+        )
+        r = decode_image(df).collect()[0]
+        assert (r["width"], r["height"], r["channels"]) == (24, 16, 1)
+        assert r["error"] is None
+        assert np.array_equal(
+            np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(16, 24), img
+        )
+        rs = resize_image(df, width=12, height=8).collect()[0]
+        out = bytes(rs["content"])
+        assert out[:3] == b"\xff\xd8\xff"  # format preserved
+        # resize of a DC-only image keeps 8x8-constant blocks only by
+        # accident; assert the lossy re-encode stays near the true resample
+        exp = ic.resize_nearest(img[:, :, None], 12, 8)[:, :, 0]
+        got = ic.decode_blob(out)[:, :, 0]
+        assert np.abs(got.astype(int) - exp.astype(int)).max() <= 12
