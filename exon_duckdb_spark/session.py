@@ -87,9 +87,26 @@ def cluster_conf(
       query/LUT sides of the ANN operators broadcast; corpora never do.
     - shuffle spill compression on; zstd shuffle/IO codec: at shuffle
       volumes ≥ input size, 2-3× codec ratio is cluster time, not a tunable.
+    - streaming state: the default HDFSBackedStateStoreProvider keeps every
+      key's state on the executor HEAP — fine for bounded windows, an OOM
+      at the billions of keys a corpus-scale ``stream_dedup``/``sessionize``
+      holds. RocksDB keeps state on executor-local disk (heap holds only
+      block cache), and changelog checkpointing makes each commit O(delta)
+      instead of O(whole store). Verified against this Spark build by the
+      restart test in test_streaming_multimodal.py.
+    - file-stream admission control is a SOURCE OPTION, not a conf: pass
+      ``read_events_stream(..., max_files=N)`` (maxFilesPerTrigger). Size N
+      so one micro-batch ≈ minutes: N × maxPartitionBytes ≈ cores ×
+      256 MB × 2-3 keeps every core busy without letting state commits
+      lag the batch interval.
     """
+    import math
+
     cores = executor_cores * executors
-    shuffle_parts = max(2 * cores, int(input_tb * 1024))  # ≥1 GB/partition cap
+    # ceil, not int(): truncation would let a partition creep past the 1 GB
+    # cap (e.g. 0.1 TB / int(102.4) = 1.004 GB) — caught by the sizing
+    # property test
+    shuffle_parts = max(2 * cores, math.ceil(input_tb * 1024))
     return {
         "spark.sql.shuffle.partitions": str(shuffle_parts),
         "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
@@ -99,6 +116,13 @@ def cluster_conf(
         "spark.io.compression.codec": "zstd",
         "spark.shuffle.compress": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(256 * 1024 * 1024),
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
         # Arrow batches bound python-worker memory for the pandas_udf
         # operators (alignment slabs, media decode): 10k rows/batch in
         # get_session already caps decode batches; keep it.

@@ -429,3 +429,45 @@ class TestLshSkewAndScale:
         # linear in n (ratio of cost/n constant across a doubling)
         cost = lambda n: n * min(256, n / 2 ** auto_planes(n, 256))  # noqa: E731
         assert abs(cost(2_000_000) / 2_000_000 - cost(1_000_000) / 1_000_000) < 1e-9
+
+
+@given(
+    input_tb=st.floats(min_value=0.1, max_value=2000.0, allow_nan=False),
+    executor_cores=st.integers(min_value=1, max_value=16),
+    executors=st.integers(min_value=10, max_value=10_000),
+    executor_mem_gb=st.integers(min_value=8, max_value=128),
+)
+@settings(max_examples=200, deadline=None)
+def test_cluster_conf_sizing_model(input_tb, executor_cores, executors, executor_mem_gb):
+    """Pin the 100 TB sizing arithmetic (session.cluster_conf docstring) as
+    properties, not prose: enough parallelism for the cluster, bounded
+    bytes per shuffle partition, scan tasks that fit executor memory."""
+    from exon_duckdb_spark.session import cluster_conf
+
+    conf = cluster_conf(
+        input_tb=input_tb,
+        executor_cores=executor_cores,
+        executors=executors,
+        executor_mem_gb=executor_mem_gb,
+    )
+    cores = executor_cores * executors
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # ≥ 2 tasks per core: no idle cores on the big stage
+    assert parts >= 2 * cores
+    # a full-input shuffle stays ≤ ~1 GB/partition
+    assert input_tb * (1024**4) / parts <= 1024**3
+    # scan task bytes fit comfortably in per-core executor memory:
+    # maxPartitionBytes ≤ 1/4 of (executor memory / concurrent tasks)
+    max_part = int(conf["spark.sql.files.maxPartitionBytes"])
+    per_task_mem = executor_mem_gb * (1024**3) / executor_cores
+    assert max_part <= per_task_mem  # 256 MB vs ≥ 512 MB/task at the floor
+    # AQE advisory target matches the scan granularity (coalesce rebuilds
+    # ~equal-size partitions after filters)
+    assert int(conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == max_part
+    # the stateful-streaming posture ships with the conf (RocksDB, O(delta)
+    # commits) — billions of keys must not land on the heap provider
+    assert "RocksDBStateStoreProvider" in conf["spark.sql.streaming.stateStore.providerClass"]
+    assert (
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )

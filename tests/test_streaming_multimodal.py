@@ -102,6 +102,54 @@ class TestStreaming:
         assert n_unique == n_batch
 
 
+class TestRocksDBStateStore:
+    """cluster_conf prescribes the RocksDB state store for corpus-scale
+    stateful streams (billions of dedup/session keys don't fit the default
+    heap-backed provider); prove the provider this Spark build ships
+    actually runs a stateful query AND restarts from its checkpoint."""
+
+    def test_stateful_dedup_with_rocksdb_and_restart(self, spark, tmp_path):
+        import shutil
+
+        from exon_duckdb_spark.session import cluster_conf
+        from exon_duckdb_spark.streaming.events import run_to_parquet_sink
+
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        conf = cluster_conf()
+        assert "RocksDBStateStoreProvider" in conf[provider_key]
+        src = tmp_path / "src"
+        src.mkdir()
+        shutil.copy(SF_DIR + "/events.parquet", src / "events_a.parquet")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        old = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, conf[provider_key])
+        try:
+            def drain():
+                s = read_events_stream(spark, str(src), max_files=1)
+                run_to_parquet_sink(
+                    stream_dedup(s.union(s), ["event_id"]).select(
+                        "event_id", "ts", "event_type"
+                    ),
+                    out,
+                    ckpt,
+                )
+
+            drain()
+            n_src = spark.read.parquet(SF_DIR + "/events.parquet").count()
+            got = spark.read.parquet(out)
+            assert got.count() == n_src  # self-union halved by RocksDB state
+            # restart against the same checkpoint: RocksDB state reloads,
+            # no reprocessing, no duplicates
+            drain()
+            assert spark.read.parquet(out).count() == n_src
+        finally:
+            if old is not None:
+                spark.conf.set(provider_key, old)
+            else:
+                spark.conf.unset(provider_key)
+
+
 def test_salted_join_matches_plain(spark):
     from exon_duckdb_spark.operators.relational import salted_join
 
