@@ -1862,6 +1862,40 @@ def q82_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fmt", "width", "height", "channels", "s.pix_sum", "s.pos_checksum")
 
 
+def q83_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL grid mean-pool image features, hash-checked: q75's planted BMP
+    pixels (formula pixel(y,x,c) = (x*7 + y*13 + c*29 + doc_id) % 256),
+    4x4 floor-boundary grid cells, feature = cell_sum/(count*127.5) - 1 in
+    float64 cast float32. Features quantize via floor(f*1000 + 0.5) (the
+    SQ8 cross-engine trick — floor is half-up in both engines, numpy round
+    is banker's) into the pipeline's two stat columns; the oracle replays
+    the integer cell sums and the same affine+cast arithmetically. The md5
+    FAKE path would hash-mismatch — this row proves features are real."""
+    imgs = _synth_images(spark, sf_dir, max_id=64, fmts=("bmp",))
+    feats = ops.image_features(imgs, id_col="id", dims=16)
+    e = feats.select(
+        F.expr("id div 2").alias("doc_id"),
+        F.posexplode("features").alias("k", "f"),
+    )
+    q = F.floor(F.col("f").cast("double") * 1000 + 0.5).cast("bigint")
+    return (
+        e.groupBy("doc_id")
+        .agg(
+            F.sum(q).alias("pix_sum"),
+            F.sum(q * (F.col("k") + 1)).alias("pos_checksum"),
+        )
+        .select(
+            "doc_id",
+            F.lit("feat").alias("fmt"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(16).cast("int").alias("channels"),
+            "pix_sum",
+            "pos_checksum",
+        )
+    )
+
+
 def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM audio decode, hash-checked: plant 16-bit WAV bytes per
     document (sample(i) = (i*13 + doc_id*7) % 65536 - 32768, n = doc_id%50
@@ -2411,11 +2445,13 @@ def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q75m_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image codec pipeline: q75 real pixel decode + q76 resize→re-encode→
     re-decode roundtrip + q82 baseline-JPEG decode (DC-exact plants, so
-    the lossy codec is still hash-checkable), tagged by stage."""
+    the lossy codec is still hash-checkable) + q83 grid mean-pool
+    features, tagged by stage."""
     a = q75_image_decode(spark, sf_dir).select(F.lit("decode").alias("stage"), "*")
     b = q76_image_resize(spark, sf_dir).select(F.lit("resize").alias("stage"), "*")
     c = q82_jpeg_decode(spark, sf_dir).select(F.lit("jpeg").alias("stage"), "*")
-    return a.unionByName(b).unionByName(c)
+    d = q83_image_features(spark, sf_dir).select(F.lit("feat").alias("stage"), "*")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q80m_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3760,6 +3796,49 @@ def _component_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS channels, pix_sum, pos_checksum
             FROM px
         """,
+        # Arithmetic replay of the 4x4 grid mean-pool features (see
+        # q83_image_features): integer cell sums over the q75 BMP formula
+        # pixels, then the identical float64→float32→quantize affine.
+        "q83_image_features": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                     CAST(doc_id % 12 + 4 AS INTEGER) AS h
+              FROM documents WHERE doc_id < 64
+            ),
+            cells AS (
+              SELECT doc_id, w, h, gi, gj,
+                     (gi*h)//4 AS lo_y,
+                     GREATEST(((gi+1)*h)//4, (gi*h)//4 + 1) AS hi_y,
+                     (gj*w)//4 AS lo_x,
+                     GREATEST(((gj+1)*w)//4, (gj*w)//4 + 1) AS hi_x
+              FROM dims,
+                (SELECT UNNEST(range(4)) AS gi) gis,
+                (SELECT UNNEST(range(4)) AS gj) gjs
+            ),
+            sums AS (
+              SELECT doc_id, gi, gj,
+                     SUM((x*7 + y*13 + c*29 + doc_id) % 256) AS s,
+                     COUNT(*) AS n
+              FROM cells,
+                LATERAL (SELECT UNNEST(range(lo_x, hi_x)) AS x) xs,
+                LATERAL (SELECT UNNEST(range(lo_y, hi_y)) AS y) ys,
+                (SELECT UNNEST([0, 1, 2]) AS c) cs
+              GROUP BY doc_id, gi, gj
+            ),
+            q AS (
+              SELECT doc_id, gi*4 + gj AS k,
+                     CAST(FLOOR(
+                       CAST(CAST(s / (n * 127.5) - 1 AS REAL) AS DOUBLE) * 1000
+                       + 0.5) AS BIGINT) AS qv
+              FROM sums
+            )
+            SELECT doc_id, 'feat' AS fmt, CAST(4 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height, CAST(16 AS INTEGER) AS channels,
+                   CAST(SUM(qv) AS BIGINT) AS pix_sum,
+                   CAST(SUM(qv * (k + 1)) AS BIGINT) AS pos_checksum
+            FROM q GROUP BY doc_id
+        """,
         # Arithmetic replay of the planted-WAV formula (see q77_audio_decode):
         # sample(i) = (i*13 + doc_id*7) % 65536 - 32768 over n = doc_id%50+20.
         "q77_audio_decode": """
@@ -4207,6 +4286,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'resize' AS stage, * FROM ({C['q76_image_resize']})
             UNION ALL
             SELECT 'jpeg' AS stage, * FROM ({C['q82_jpeg_decode']})
+            UNION ALL
+            SELECT 'feat' AS stage, * FROM ({C['q83_image_features']})
         """,
         "q77_audio_decode": C["q77_audio_decode"],
         # -- format sources --

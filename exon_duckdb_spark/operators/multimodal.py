@@ -453,23 +453,70 @@ def sample_frames(
 def image_features(
     df: DataFrame, bytes_col: str = "content", id_col: str = "id", dims: int = 16
 ) -> DataFrame:
-    """DETERMINISTIC FAKE feature vector (md5-chain of the bytes) standing in
-    for a real encoder; exercises the array<float> similarity plumbing
-    end-to-end with stable values."""
+    """Feature vector per image: REAL grid mean-pool over decoded pixels for
+    every decodable format (BMP/PNG/GIF/baseline-JPEG), md5-chain FAKE
+    fallback for the undecodable tail — flagged per row via ``is_real`` so
+    downstream similarity can filter or weight.
+
+    Real path: the image is partitioned into a g×g floor-boundary grid
+    (g = isqrt(dims); ``dims`` must be a perfect square), cell value =
+    mean over the cell's pixels and first ≤3 channels, scaled to [-1, 1]
+    as ``sum/(count*127.5) - 1`` in float64 then cast float32. Fully
+    deterministic integer sums underneath, so the oracle's features stage
+    (q75 image pipeline) replays cells arithmetically in SQL. Grid
+    boundaries clamp to ≥1 pixel per cell, so any w,h ≥ 1 works.
+
+    Fake path (undecodable bytes): md5 chain of the blob, values in
+    [-1, 1] — keeps the array<float> similarity plumbing exercisable on
+    any corpus. NULL bytes → NULL features, NULL is_real."""
+    g = int(dims**0.5)
+    if g * g != dims:
+        raise ValueError(f"dims must be a perfect square, got {dims}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, reals = [], []
             for b in pdf[bytes_col]:
                 if b is None:
                     feats.append(None)
+                    reals.append(None)
                     continue
-                h = hashlib.md5(bytes(b)).digest()
-                vals = []
-                while len(vals) < dims:
-                    h = hashlib.md5(h).digest()
-                    vals.extend((x - 128) / 128.0 for x in h)
-                feats.append(vals[:dims])
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+                b = bytes(b)
+                try:
+                    arr = imagecodec.decode_blob(b).astype(np.int64)
+                    h, w, c = arr.shape
+                    plane = arr[:, :, : min(c, 3)]
+                    vals = []
+                    for i in range(g):
+                        lo_y = (i * h) // g
+                        hi_y = max(((i + 1) * h) // g, lo_y + 1)
+                        for j in range(g):
+                            lo_x = (j * w) // g
+                            hi_x = max(((j + 1) * w) // g, lo_x + 1)
+                            block = plane[lo_y:hi_y, lo_x:hi_x]
+                            vals.append(
+                                np.float32(
+                                    int(block.sum()) / (block.size * 127.5) - 1.0
+                                )
+                            )
+                    feats.append(vals)
+                    reals.append(True)
+                except Exception:
+                    hsh = hashlib.md5(b).digest()
+                    vals = []
+                    while len(vals) < dims:
+                        hsh = hashlib.md5(hsh).digest()
+                        vals.extend((x - 128) / 128.0 for x in hsh)
+                    feats.append(vals[:dims])
+                    reals.append(False)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": feats,
+                    "is_real": pd.array(reals, dtype="boolean"),
+                }
+            )
 
-    return df.mapInPandas(run, f"{_id_field(df, id_col)}, features array<float>")
+    return df.mapInPandas(
+        run, f"{_id_field(df, id_col)}, features array<float>, is_real boolean"
+    )

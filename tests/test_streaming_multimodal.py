@@ -206,12 +206,39 @@ class TestMultimodal:
         assert "unsupported" in out[2]["error"]
 
     def test_fake_features_deterministic(self, spark, media):
-        a = {r["id"]: r["features"] for r in image_features(media).collect()}
+        rows_a = {r["id"]: r for r in image_features(media).collect()}
+        a = {i: r["features"] for i, r in rows_a.items()}
         b = {r["id"]: r["features"] for r in image_features(media).collect()}
         assert a == b
         assert len(a[1]) == 16
-        assert a[4] is None
+        assert a[4] is None and rows_a[4]["is_real"] is None
+        # all three decodable-looking-but-broken blobs take the FAKE path
+        # and say so
+        assert all(rows_a[i]["is_real"] is False for i in (1, 2, 3))
         assert all(-1.0 <= x <= 1.0 for x in a[1])
+
+    def test_real_grid_features(self, spark):
+        import numpy as np
+
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        h, w = 6, 10
+        arr = np.zeros((h, w, 3), np.uint8)
+        arr[:, :, 0] = 10
+        arr[:, :, 1] = 20
+        arr[:, :, 2] = 30
+        df = spark.createDataFrame(
+            [(1, bytearray(ic.encode_bmp(arr)))], "id long, content binary"
+        )
+        r = image_features(df, dims=4).collect()[0]
+        assert r["is_real"] is True and len(r["features"]) == 4
+        # constant image: every cell mean over channels = 20
+        exp = float(np.float32(20.0 / 127.5 - 1.0))
+        assert all(abs(x - exp) < 1e-6 for x in r["features"])
+
+    def test_features_rejects_non_square_dims(self, spark, media):
+        with pytest.raises(ValueError, match="perfect square"):
+            image_features(media, dims=15)
 
     def test_resize_surfaces_undecodable_rows(self, media):
         out = {r["id"]: r for r in ops.resize_image(media, 224, 224).collect()}

@@ -1,0 +1,193 @@
+"""Scale-linearity bench: run the text/stream scale-sensitive headline
+queries at sf0.1 and at a 10x materialized scale-up ("sf1"), and record the
+per-query wall ratio.
+
+This is the cheapest honest check that the linear-shuffle claims
+(q28 ngram bands, q80 substring spans, q63 decontaminate, q65 paragraph
+dedup, ...) actually scale ~linearly and nothing goes quadratic.
+
+The 10x corpus is built from the driver's own sf0.1 tables (TESTDATA.md),
+NOT synthesized fresh, with two properties that keep the comparison honest:
+
+- documents: each copy's tokens get a copy-specific prefix (``c<i>_``), so
+  token/shingle sets are DISJOINT across copies. Within-copy duplicate
+  structure is exactly sf0.1's; cross-copy near-duplicates don't exist. A
+  10x run is therefore 10 independent sf0.1 workloads — the operator's
+  candidate-pair counts must grow ~10x, not ~100x. (Plain copies would
+  make every doc a 10-clique of exact dups and measure the data change,
+  not the operator.)
+- events: ids/users/timestamps shift per copy (disjoint sessions/windows),
+  so sessionization and windowed aggregation state also grows ~10x.
+
+Usage: python tools/bench_scale.py [out_json]  (default BENCH_sf1.json)
+Env: SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_sf1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from exon_duckdb_spark.session import get_session  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+COPIES = 10
+
+# the scale-sensitive subset of bench.HEADLINE: text-corpus + stream-state
+# operators whose shuffle/candidate growth is the 100 TB question. Format
+# roundtrips and planted-media queries plant their own fixed-size data and
+# prove nothing about corpus scaling.
+SCALE_SET = [
+    "q20_exact_dedup",
+    "q22_minhash_lsh_pairs",
+    "q23_simhash",
+    "q24_text_stats",
+    "q26_doc_fingerprint",
+    "q28_ngram_jaccard_pairs",
+    "q33_bpe_tokens",
+    "q60_repetition_stats",
+    "q61_quality_filter",
+    "q62_pii_scrub",
+    "q63_decontaminate",
+    "q64_bm25_topk",
+    "q65_paragraph_dedup",
+    "q66_top_ngrams",
+    "q71_chunk_documents",
+    "q72_tfidf_top_terms",
+    "q78_perplexity_score",
+    "q80_duplicated_spans",
+    "q07_events_hourly",
+    "q10_sessionize",
+]
+
+
+def build_scale_dir(spark, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_BUILT_FROM_SF01_X10")
+    if os.path.exists(marker):
+        return
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(COPIES):
+        tag = F.lit(f"c{i}_")
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * max_doc).alias("doc_id"),
+                # prefix every token -> copy-disjoint shingle space
+                F.array_join(
+                    F.transform(F.split(F.col("text"), " "), lambda x: F.concat(tag, x)),
+                    " ",
+                ).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    big_docs = parts[0]
+    for p in parts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    max_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    max_user = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    ts_is_long = dict(ev.dtypes)["ts"] in ("bigint", "long")
+    span_ns = 400 * 24 * 3600 * 1_000_000_000  # > the table's time extent
+    eparts = []
+    for i in range(COPIES):
+        shifted_ts = (
+            F.col("ts") + i * span_ns
+            if ts_is_long
+            else F.col("ts") + F.expr(f"INTERVAL {i * 400} DAYS")
+        )
+        eparts.append(
+            ev.select(
+                (F.col("event_id") + i * max_ev).alias("event_id"),
+                (F.col("user_id") + i * max_user).alias("user_id"),
+                shifted_ts.alias("ts"),
+                *[c for c in ev.columns if c not in ("event_id", "user_id", "ts")],
+            )
+        )
+    big_ev = eparts[0]
+    for p in eparts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    # remaining tables: passthrough links so _t() resolution works if a
+    # query touches them
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "embeddings",
+    ):
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF01, name + ".parquet"), dst)
+    with open(marker, "w") as fh:
+        fh.write("documents+events scaled x10, others symlinked\n")
+
+
+def run_set(spark, sf_dir: str) -> dict[str, float]:
+    registry = entrymod.queries()
+
+    def lookup(name):
+        return getattr(entrymod, name, None) or registry[name]
+
+    for name in SCALE_SET:  # warm: codegen + python workers + page cache
+        lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    times = {}
+    for name in SCALE_SET:
+        t0 = time.time()
+        lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_sf1.json")
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
+    spark = get_session(app_name="bench_scale")
+    build_scale_dir(spark, scale_dir)
+    t01 = run_set(spark, SF01)
+    t1 = run_set(spark, scale_dir)
+    queries = {
+        name: {
+            "sf0.1_sec": t01[name],
+            "sf1_sec": t1[name],
+            "ratio": round(t1[name] / t01[name], 2) if t01[name] > 0 else None,
+        }
+        for name in SCALE_SET
+    }
+    doc = {
+        "metric": "scale_linearity_x10",
+        "copies": COPIES,
+        "construction": "copy-disjoint token prefix (docs) / id+ts shift (events)",
+        "value": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
+        "unit": "x (10x data)",
+        "queries": queries,
+    }
+    print(json.dumps(doc))
+    with open(out_json, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
