@@ -130,9 +130,9 @@ def minhash_lsh_pairs(
     3. self-equi-join on (band, band_hash) → candidates (ONE shuffle)
     4. per-row exact word-set Jaccard on candidates; keep >= threshold
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, distinct (each pair is
+    emitted at its earliest colliding band — no distinct() shuffle).
     """
-    rows_per_band = num_hashes // bands
     # Fused Arrow pass (same rationale as ngram_jaccard_pairs): shingles AND
     # all k minhashes in one UDF with a per-batch shingle-hash cache + numpy
     # affine minima; persisted because band keys and both verify-join sides
@@ -146,23 +146,10 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    band_structs = []
-    for b in range(bands):
-        parts = [
-            F.element_at("_mh", b * rows_per_band + r + 1) for r in range(rows_per_band)
-        ]
-        bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
-        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    bands_long = keyed.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    a = bands_long.alias("a")
-    bb = bands_long.alias("b")
-    cand = (
-        a.join(bb, on=["band", "bh"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    cand = _earliest_band_pairs(
+        _band_assignments(keyed, id_col, num_hashes, bands, with_all=True),
+        id_col,
+        bands,
     )
     # Verify on the same shingle sets the signatures estimate.
     words = keyed.select(F.col(id_col), F.col("wordset"))
@@ -373,25 +360,44 @@ def simhash(
     """Per-document SimHash over word hashes — per-row bit votes, no shuffle.
 
     bit_i = 1 iff sum over words of (2*((h(w) >> i) & 1) - 1) >= 0.
+
+    One fused Arrow pass (same rationale as `_shingle_minhash_udf`): the
+    native form ran `bits` interpreted `aggregate` traversals of the token
+    hash array per row — HOF lambdas evaluate outside codegen, so the
+    measured cost was ~3× this vectorized version (md5 per DISTINCT token
+    via a per-batch cache, then one (n_tokens × bits) numpy vote matrix).
+    Map-only either way; hashes replicate md5_int (60-bit md5 prefix)
+    bit-for-bit so the DuckDB oracle still matches.
     """
-    toks = tokens(text_col)
-    # Two-step projection (same rationale as minhash_signature): hash pass
-    # materializes once, the per-bit votes reference the array column.
-    base = df.select(
-        F.col(id_col), F.transform(toks, lambda w: md5_int(w)).alias("_h")
-    )
+    import hashlib as _hl
 
-    def bit_vote(i: int) -> Column:
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
+    import numpy as np
 
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(bit_vote(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return base.select(F.col(id_col), fp.alias("simhash"))
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def sh(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        out = []
+        for x in s:
+            if x is None:
+                # native form: every bit_vote is NULL, `when` falls through
+                # to 0 for each bit -> fingerprint 0
+                out.append(0)
+                continue
+            toks = x.split(" ")  # mirrors tokens(): split on single space
+            hs = np.empty(len(toks), dtype=np.int64)
+            for i, w in enumerate(toks):
+                v = cache.get(w)
+                if v is None:
+                    v = int(_hl.md5(w.encode()).hexdigest()[:15], 16)
+                    cache[w] = v
+                hs[i] = v
+            votes = (2 * ((hs[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            out.append(int(((votes >= 0).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
 
 
 def _distinct_char_ngrams_udf(n: int):
@@ -529,25 +535,61 @@ def _grams_minhash_udf(n: int, num_hashes: int):
 
 
 def _band_assignments(
-    keyed: DataFrame, id_col: str, num_hashes: int, bands: int
+    keyed: DataFrame, id_col: str, num_hashes: int, bands: int,
+    with_all: bool = False,
 ) -> DataFrame:
     """(id, band, bh) band-key rows from a (id, …, _mh) minhash frame.
 
     Factored out of :func:`ngram_jaccard_pairs` so the skew property tests
     (tests/test_properties.py) can measure the band-bucket distribution the
     join will actually see — every band key depends on the WHOLE gram set,
-    which is the anti-skew guarantee under shared-prefix corpora."""
+    which is the anti-skew guarantee under shared-prefix corpora.
+
+    ``with_all=True`` additionally carries the row's FULL band-hash array
+    (``_bhs``, bands × 8 bytes) through the explode so the candidate join
+    can dedup pairs map-side at their earliest colliding band
+    (:func:`_earliest_band_pairs`) instead of a post-join ``distinct``."""
     rows_per_band = num_hashes // bands
-    band_structs = []
+    bhs = []
     for b in range(bands):
         parts = [
             F.element_at("_mh", b * rows_per_band + r + 1) for r in range(rows_per_band)
         ]
-        bh = md5_int(F.concat_ws(",", *[p.cast("string") for p in parts]))
-        band_structs.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
-    return keyed.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+        bhs.append(md5_int(F.concat_ws(",", *[p.cast("string") for p in parts])))
+    exploded = keyed.select(
+        F.col(id_col), F.array(*bhs).alias("_bhs")
+    ).select(id_col, "_bhs", F.posexplode("_bhs").alias("band", "bh"))
+    cols = [id_col, "band", "bh"] + (["_bhs"] if with_all else [])
+    return exploded.select(*cols)
+
+
+def _earliest_band_pairs(
+    bands_long: DataFrame, id_col: str, bands: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a ``_band_assignments(with_all=True)``
+    frame, each pair emitted EXACTLY once — at the first band where the two
+    rows collide — so no ``distinct`` shuffle is needed afterwards.
+
+    The check is a post-join filter: drop the pair at band k if any band
+    j < k already had equal band hashes. ``bands`` is a plan-time constant,
+    so the check unrolls to a flat OR of literal-index array lookups — it
+    stays inside whole-stage codegen (a slice/zip_with/exists HOF form was
+    measured 2-3× slower: interpreted, allocating two arrays per joined
+    pair). Replaces the candidate-wide ``distinct()`` — at 100 TB that
+    distinct re-shuffles every duplicate candidate pair; this costs
+    bands × 8 bytes per band row in the existing shuffle instead."""
+    a, b = bands_long.alias("a"), bands_long.alias("b")
+    earlier_collides = F.lit(False)
+    for j in range(bands - 1):
+        earlier_collides = earlier_collides | (
+            (F.col("band") > j)
+            & (F.col("a._bhs").getItem(j) == F.col("b._bhs").getItem(j))
+        )
+    return (
+        a.join(b, ["band", "bh"])
+        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & ~earlier_collides)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -596,19 +638,37 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    bands_long = _band_assignments(keyed, id_col, num_hashes, bands)
     if max_bucket is not None:
-        sizes = bands_long.groupBy("band", "bh").count().where(
-            F.col("count") <= max_bucket
-        ).drop("count")
-        bands_long = bands_long.join(sizes, ["band", "bh"])
-    a, bb = bands_long.alias("a"), bands_long.alias("b")
-    cand = (
-        a.join(bb, ["band", "bh"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+        # A dropped bucket may hide a pair's EARLIEST colliding band while a
+        # later band still recovers it, so earliest-band dedup would lose
+        # that pair — keep the distinct() path here. The bucket-size guard
+        # is a window count (one shuffle, and the self-join below reuses the
+        # same (band, bh) exchange) instead of a groupBy + join back.
+        from pyspark.sql import Window
+
+        bands_long = _band_assignments(keyed, id_col, num_hashes, bands)
+        w = Window.partitionBy("band", "bh")
+        bands_long = (
+            bands_long.withColumn("_c", F.count(F.lit(1)).over(w))
+            .where(F.col("_c") <= max_bucket)
+            .drop("_c")
+        )
+        a, bb = bands_long.alias("a"), bands_long.alias("b")
+        cand = (
+            a.join(bb, ["band", "bh"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        cand = _earliest_band_pairs(
+            _band_assignments(keyed, id_col, num_hashes, bands, with_all=True),
+            id_col,
+            bands,
+        )
     grams = keyed.select(F.col(id_col), F.col("grams"))
     j = (
         cand.join(

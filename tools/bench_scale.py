@@ -9,13 +9,19 @@ dedup, ...) actually scale ~linearly and nothing goes quadratic.
 The 10x corpus is built from the driver's own sf0.1 tables (TESTDATA.md),
 NOT synthesized fresh, with two properties that keep the comparison honest:
 
-- documents: each copy's tokens get a copy-specific prefix (``c<i>_``), so
-  token/shingle sets are DISJOINT across copies. Within-copy duplicate
-  structure is exactly sf0.1's; cross-copy near-duplicates don't exist. A
-  10x run is therefore 10 independent sf0.1 workloads — the operator's
-  candidate-pair counts must grow ~10x, not ~100x. (Plain copies would
-  make every doc a 10-clique of exact dups and measure the data change,
-  not the operator.)
+- documents: each copy's text goes through a copy-specific CHARACTER
+  ROTATION (a bijective translate over [a-z], [A-Z], [0-9]), so BOTH word
+  shingles and char n-grams are DISJOINT across copies (a bijection
+  preserves within-copy gram equality/distinctness exactly, so each copy's
+  internal duplicate structure is exactly sf0.1's; cross-copy grams differ
+  except all-punctuation grams). A 10x run is therefore 10 independent
+  sf0.1 workloads — the operator's candidate-pair counts must grow ~10x,
+  not ~100x. The first construction used token PREFIXES (``c<i>_``): that
+  made word shingles disjoint but left char n-grams ~70% shared across
+  copies, so every doc gained ~10 GENUINE char-gram near-duplicates and
+  q28's candidate set (and its 560x measured blow-up) was the data change,
+  not the operator. (Plain copies would likewise make every doc a
+  10-clique of exact dups.)
 - events: ids/users/timestamps shift per copy (disjoint sessions/windows),
   so sessionization and windowed aggregation state also grows ~10x.
 
@@ -69,24 +75,31 @@ SCALE_SET = [
 ]
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_DIGIT = "0123456789"
+
+
+def _rot(s: str, i: int) -> str:
+    return s[i % len(s):] + s[: i % len(s)]
+
+
 def build_scale_dir(spark, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, "_BUILT_FROM_SF01_X10")
+    marker = os.path.join(out_dir, "_BUILT_FROM_SF01_X10_ROT")
     if os.path.exists(marker):
         return
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    src = _LOWER + _UPPER + _DIGIT
     parts = []
     for i in range(COPIES):
-        tag = F.lit(f"c{i}_")
+        # copy-specific bijective char map -> copy-disjoint gram space
+        dst = _rot(_LOWER, i) + _rot(_UPPER, i) + _rot(_DIGIT, i)
         parts.append(
             docs.select(
                 (F.col("doc_id") + i * max_doc).alias("doc_id"),
-                # prefix every token -> copy-disjoint shingle space
-                F.array_join(
-                    F.transform(F.split(F.col("text"), " "), lambda x: F.concat(tag, x)),
-                    " ",
-                ).alias("text"),
+                F.translate(F.col("text"), src, dst).alias("text"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             )
         )
@@ -141,7 +154,7 @@ def build_scale_dir(spark, out_dir: str) -> None:
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF01, name + ".parquet"), dst)
     with open(marker, "w") as fh:
-        fh.write("documents+events scaled x10, others symlinked\n")
+        fh.write("documents (char-rotated) + events scaled x10, others symlinked\n")
 
 
 def run_set(spark, sf_dir: str) -> dict[str, float]:
@@ -178,7 +191,7 @@ def main() -> None:
     doc = {
         "metric": "scale_linearity_x10",
         "copies": COPIES,
-        "construction": "copy-disjoint token prefix (docs) / id+ts shift (events)",
+        "construction": "copy-disjoint char rotation (docs) / id+ts shift (events)",
         "value": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
         "unit": "x (10x data)",
         "queries": queries,
