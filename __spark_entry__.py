@@ -476,6 +476,16 @@ def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.embedding_dup_pairs(emb, threshold=0.35, planes=4)
 
 
+def q83_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: nearest-centroid cluster assignment (same deterministic
+    seed quantizer as the IVF family) then keep/drop within each cluster —
+    drop a vector when a smaller-id cluster-mate has cosine >= 0.4
+    (calibrated: corpus max off-diagonal cosine ≈ 0.51, so real drops
+    occur without collapsing whole clusters)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops.semantic_dedup(emb, threshold=0.4, nlist=16)
+
+
 def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: exact cosine ranking within the query's LSH buckets —
     an equi-join instead of q27's cross join. tables=2 exercises the
@@ -2294,6 +2304,29 @@ def q44m_ivf_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+def q29m_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup family, tagged union: q29 hyperplane-LSH near-dup
+    pairs + q83 SemDeDup cluster-scoped keep/drop decisions — the two
+    embedding-space dedup strategies verify through one driver row."""
+    lsh = q29_embedding_dedup(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("cosine").alias("score"),
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    sem = q83_semantic_dedup(spark, sf_dir).select(
+        F.lit("sem").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("dup_of").alias("id_b"),
+        F.col("dup_cos").alias("score"),
+        F.col("cid"),
+        F.col("keep"),
+    )
+    return lsh.unionByName(sem)
+
+
 def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q58 deterministic hash sampling composed with q67's mix report: the
     dashboard is computed OVER the sampled training mix, so both operators
@@ -2526,7 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_text_analysis": q24m_text_analysis,
         "q27_knn_topk": q27m_knn_topk,
         "q28_ngram_jaccard_pairs": q28_ngram_jaccard_pairs,
-        "q29_embedding_dedup": q29_embedding_dedup,
+        "q29_embedding_dedup": q29m_embedding_dedup,
         "q44_ivf_variants": q44m_ivf_variants,
         "q58_sampled_mix_report": q58m_sampled_mix_report,
         "q60_quality_stats": q60m_quality_stats,
@@ -3104,6 +3137,48 @@ def _component_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        # SemDeDup twin: identical seed quantizer + assignment math as the
+        # IVF oracle (_IVF_SQL); keep/drop = smallest same-cluster mate
+        # with round-6 cosine >= 0.4.
+        "q83_semantic_dedup": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 16)
+            ),
+            asgn AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+                       AS csim
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            clustered AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cid ASC) AS rn
+                FROM asgn)
+              WHERE rn = 1
+            ),
+            dup AS (
+              SELECT * FROM (
+                SELECT b.vec_id AS did, a.vec_id AS dup_of_id,
+                       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])), 6) AS dcos
+                FROM clustered a JOIN clustered b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id)
+              WHERE dcos >= 0.4
+            ),
+            best AS (
+              SELECT did, dup_of_id, dcos FROM (
+                SELECT *, row_number() OVER (PARTITION BY did ORDER BY dup_of_id ASC) AS rn
+                FROM dup)
+              WHERE rn = 1
+            )
+            SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cid,
+                   best.did IS NULL AS keep,
+                   best.dup_of_id AS dup_of, best.dcos AS dup_cos
+            FROM clustered c LEFT JOIN best ON c.vec_id = best.did
         """,
         "q32_ann_topk": f"""
             WITH e AS (
@@ -4181,7 +4256,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lsh' AS variant, * FROM ({C['q32_ann_topk']})
         """,
         "q28_ngram_jaccard_pairs": C["q28_ngram_jaccard_pairs"],
-        "q29_embedding_dedup": C["q29_embedding_dedup"],
+        "q29_embedding_dedup": f"""
+            SELECT 'lsh' AS variant, id_a, id_b, cosine AS score,
+                   CAST(NULL AS INTEGER) AS cid, CAST(NULL AS BOOLEAN) AS keep
+            FROM ({C['q29_embedding_dedup']})
+            UNION ALL
+            SELECT 'sem' AS variant, vec_id AS id_a, dup_of AS id_b,
+                   dup_cos AS score, cid, keep
+            FROM ({C['q83_semantic_dedup']})
+        """,
         "q44_ivf_variants": f"""
             SELECT 'inline' AS variant, * FROM ({C['q44_ivf_ann_topk']})
             UNION ALL

@@ -44,6 +44,7 @@ HEADLINE = [
     "q27_cosine_topk",
     "q28_ngram_jaccard_pairs",
     "q29_embedding_dedup",
+    "q83_semantic_dedup",
     "q32_ann_topk",
     "q33_bpe_tokens",
     "q35_range_band_join",

@@ -14,6 +14,7 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     near_dedup_keep_list,
     ngram_jaccard_pairs,
     paragraph_dedup,
+    semantic_dedup,
     simhash,
 )
 from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql, seeded_hash, seeded_hash_sql  # noqa: F401

@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "embedding_dup_pairs",
+    "semantic_dedup",
     "dedup_clusters",
     "near_dedup_keep_list",
     "decontaminate",
@@ -755,6 +756,92 @@ def embedding_dup_pairs(
     for c in cands[1:]:
         out = out.union(c)
     return out.where(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 0,
+    cents: list | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space
+    coarsely, then deduplicate ONLY within clusters — a document is dropped
+    when a smaller-id member of its own cluster has cosine >= ``threshold``.
+
+    Flow (all Spark-side, quantizer is index metadata):
+      1. nearest-centroid assignment — map-only, broadcast literal
+         centroids, the identical (round-6, ties→smaller cid) math as the
+         IVF family, so one quantizer serves both retrieval and dedup.
+      2. within-cluster candidate pairs — one shuffle keyed by cid; the
+         quadratic term is per-cluster, which is the paper's whole point:
+         size ``nlist`` ∝ corpus so the expected cluster stays bounded
+         (they run k=50k over LAION); at 100 TB the cid shuffle carries
+         (id, vec) and clusters verify independently per task.
+      3. keep decision — min-struct aggregate per dropped id: ``dup_of`` is
+         the SMALLEST cluster-mate over threshold, ``dup_cos`` its cosine.
+
+    ``cents`` takes a prebuilt quantizer (kmeans_refine output); otherwise
+    the deterministic seed quantizer (``nlist`` smallest ids, optionally
+    ``iters`` Lloyd rounds) — deterministic, so a SQL oracle reproduces
+    keep/drop decisions bit-for-bit.
+
+    Returns (id_col, cid, keep, dup_of, dup_cos).
+    """
+    from exon_duckdb_spark.operators.similarity import (
+        _centroid_sim_structs,
+        _norm,
+        _seed_centroids,
+        dot,
+        kmeans_refine,
+    )
+
+    if cents is None:
+        if iters > 0:
+            cents = kmeans_refine(df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col)
+        else:
+            cents = _seed_centroids(df, nlist, vec_col, id_col)
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n")
+    )
+    structs = F.array(*_centroid_sim_structs(cents, F.col("_v"), F.col("_n")))
+    assigned = base.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("_n"),
+        (-F.array_max(structs).getField("nc")).cast("int").alias("cid"),
+    )
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    a = assigned.select(
+        "cid", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_b", "id_a", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+    best = pairs.groupBy("id_b").agg(F.min(F.struct("id_a", "cos")).alias("_m"))
+    return (
+        assigned.select(F.col(id_col), "cid")
+        .join(best, F.col(id_col) == F.col("id_b"), "left")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.col("_m").isNull().alias("keep"),
+            F.col("_m.id_a").alias("dup_of"),
+            F.col("_m.cos").alias("dup_cos"),
+        )
+    )
 
 
 def _window_hash_udf(w: int):

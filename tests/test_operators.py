@@ -284,6 +284,26 @@ def test_embedding_dup_pairs(spark):
     assert out == [(0, 1)]
 
 
+def test_semantic_dedup(spark):
+    """SemDeDup: drops happen only WITHIN a cluster, keeper is the smallest
+    id over the threshold, cross-cluster near-identicals are untouched."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # cluster 0 seed
+        (1, [0.0, 1.0, 0.0, 0.0]),    # cluster 1 seed
+        (2, [0.99, 0.05, 0.0, 0.0]),  # near-dup of 0, same cluster -> drop
+        (3, [0.05, 0.99, 0.0, 0.0]),  # near-dup of 1, same cluster -> drop
+        (4, [0.0, 0.6, 0.0, 0.8]),    # cluster 1 side, far from 1 -> keep
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           ops.semantic_dedup(emb, threshold=0.9, nlist=2).collect()}
+    assert out[0]["keep"] and out[1]["keep"] and out[4]["keep"]
+    assert not out[2]["keep"] and out[2]["dup_of"] == 0
+    assert not out[3]["keep"] and out[3]["dup_of"] == 1
+    assert out[2]["cid"] == 0 and out[3]["cid"] == 1
+    assert out[2]["dup_cos"] >= 0.9
+
+
 def test_dedup_clusters(spark):
     # two chains and a singleton pair: {1,2,3,4} via 1-2,2-3,3-4; {10,11}
     pairs = spark.createDataFrame(
