@@ -44,12 +44,14 @@ from exon_duckdb_spark.session import load_tables
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NOTE: the driver-generated tables are single-file/single-row-group
-    # parquet, so map stages run one task at this SF. Fanning them out with
-    # an upfront repartition was MEASURED SLOWER here (q28 3→31 s, q74
-    # 3→10 s: 32-way python-worker startup + per-task codebook/broadcast
-    # serialization swamps sub-MB inputs) — on a real multi-split layout
-    # the scan parallelizes itself, so the honest shape is to leave the
-    # scan alone.
+    # parquet, so map stages run one task at this SF unless an operator
+    # opts in. A BLANKET upfront repartition here was measured slower for
+    # cheap map-only queries (worker startup + broadcast serialization
+    # swamps sub-MB inputs), so parallelism recovery lives in the operators
+    # that need it: `relational.ensure_parallelism` fans out ONLY when the
+    # scan is under-split AND the operator has UDF work heavy enough to pay
+    # for one tiny shuffle (q28 2.5→1.1 s, q80 1.2→0.84 s at sf0.1); it is
+    # a no-op on any real multi-split layout.
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

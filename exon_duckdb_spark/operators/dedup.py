@@ -139,6 +139,9 @@ def minhash_lsh_pairs(
     # affine minima; persisted because band keys and both verify-join sides
     # read it. minhash_signature (the public signature operator) keeps the
     # pure-expression path.
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
     keyed = df.select(
         F.col(id_col), _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f")
     ).select(
@@ -398,6 +401,9 @@ def simhash(
             out.append(int(((votes >= 0).astype(np.int64) << shifts).sum()))
         return pd.Series(out, dtype="int64")
 
+    # No ensure_parallelism here: simhash is map-only with no downstream
+    # shuffle, and the fused UDF is cheap enough that the fan-out exchange
+    # costs more than it saves (measured 0.42 s vs 0.51 s at sf0.1).
     return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
 
 
@@ -630,6 +636,9 @@ def ngram_jaccard_pairs(
     # over ~10³-gram arrays were the measured hot spot (~3× the UDF cost).
     # Persisted because three consumers read it (band keys + both verify
     # sides); without it the UDF re-runs per consumer.
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
     keyed = df.select(
         F.col(id_col),
         _grams_minhash_udf(n, num_hashes)(text_col).alias("_f"),
@@ -931,9 +940,12 @@ def duplicated_spans(
     Returns (id_col, span_start, span_end, n_windows): token offsets with
     ``span_end`` exclusive.
     """
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
     fused = _window_hash_udf(w)
     wins = (
-        df.select(F.col(id_col), F.explode(fused(F.col(text_col))).alias("e"))
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col), F.explode(fused(F.col(text_col))).alias("e"))
         .select(id_col, F.col("e.i").alias("i"), F.col("e.h").alias("h"))
     )
     dup = (

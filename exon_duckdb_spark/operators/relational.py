@@ -12,7 +12,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "top_k_per_group", "asof_join", "range_join", "salted_join"]
+__all__ = [
+    "sessionize",
+    "top_k_per_group",
+    "asof_join",
+    "range_join",
+    "salted_join",
+    "ensure_parallelism",
+]
+
+
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Fan a narrow-input DataFrame out to the session's configured
+    parallelism IFF its scan produces fewer splits than half of it.
+
+    Single-file/single-row-group inputs (small extracts; the driver's test
+    tables) hand the ENTIRE map stage to one task — an Arrow UDF then runs
+    on one core while the rest idle, and no optimizer setting can split an
+    unsplittable source. The guard makes this scale-honest: on any real
+    multi-split layout (every 100 TB table) the split count already meets
+    the target and this is a NO-OP with no added exchange; when it does
+    fire, the shuffle moves only the raw input bytes, which are tiny *by
+    definition* in the under-split regime. Hash-partitioned on ``key_cols``
+    (deterministic, no round-robin sort pass).
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
 
 
 def sessionize(
