@@ -295,6 +295,13 @@ def decontaminate(
         # The benchmark side selects only the text column (eval suites
         # rarely carry a doc_id; ids ride the join only on the corpus side).
         cols = [F.col(id_col)] if with_id else []
+        if with_id:
+            # corpus side: gram hashing is the heavy map stage — recover
+            # parallelism when the scan is under-split (no-op on real
+            # multi-split corpora; the benchmark side is small by contract)
+            from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+            d = ensure_parallelism(d, id_col)
         toksed = d.select(*cols, tokens(text_col).alias("_toks"))
         grams = F.array_distinct(word_ngrams(F.col("_toks"), n))
         exploded = toksed.select(
