@@ -214,6 +214,34 @@ def pq_encode(
     )
 
 
+def _numpy_lut(codebooks: list[list[list[float]]]):
+    """Arrow-batched LUT UDF for the query side: ``lut[j][k] =
+    round(||q_j - c_jk||², 6)`` via one broadcast subtract per batch.
+
+    Exists for DRIVER-side plan-build cost, not executor speed: the literal
+    expression form constructs m·ksub ``zip_with``+``aggregate`` trees —
+    each lambda conversion is a py4j round trip — measured ~1.5 s of pure
+    Python build time per pq_search call at m=4, ksub=8 (execution was
+    0.6 s). Same rounding convention as :func:`_numpy_encoder` (np.round;
+    a divergence from the fold-order sum needs a value within an ulp of a
+    6-dp boundary — negligible, continuously oracle-checked)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    C = np.array(codebooks, dtype=np.float64)  # m × ksub × dsub
+
+    @pandas_udf("array<array<double>>")
+    def lut_rows(vecs):
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        S = M.reshape(M.shape[0], m, dsub)
+        d = np.round(((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3), 6)
+        return pd.Series([[r.tolist() for r in row] for row in d])
+
+    return lut_rows
+
+
 def pq_search(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -221,6 +249,8 @@ def pq_search(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
+    literal_limit: int = 256,
 ) -> DataFrame:
     """ADC top-k over PQ codes: approximate squared-L2 ranking without ever
     touching corpus vectors.
@@ -232,21 +262,33 @@ def pq_search(
     Smaller distance = nearer; ties break on neighbor id. Self-matches are
     excluded when the query id also appears in the corpus.
 
+    The LUT follows :func:`pq_encode`'s path split (``assign`` /
+    ``literal_limit``): literal Column expressions for small codebooks,
+    an Arrow UDF above the threshold (see :func:`_numpy_lut` — the literal
+    tree's build cost, not run cost, is what it removes).
+
     Returns (query_id, neighbor_id, adc_dist, rank).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sub_l2(_subspace(F.col(vec_col), j, dsub), c)
-                    for c in codebooks[j]
-                ]
-            )
-            for j in range(m)
-        ]
+    ksub = len(codebooks[0])
+    use_numpy = assign == "numpy" or (
+        assign == "auto" and m * ksub * dsub > literal_limit
     )
+    if use_numpy:
+        lut = _numpy_lut(codebooks)(F.col(vec_col))
+    else:
+        lut = F.array(
+            *[
+                F.array(
+                    *[
+                        _sub_l2(_subspace(F.col(vec_col), j, dsub), c)
+                        for c in codebooks[j]
+                    ]
+                )
+                for j in range(m)
+            ]
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         lut.alias("_lut"),
