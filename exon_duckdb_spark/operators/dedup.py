@@ -810,6 +810,7 @@ def semantic_dedup(
     from exon_duckdb_spark.operators.similarity import (
         _centroid_sim_structs,
         _norm,
+        _numpy_assigners,
         _seed_centroids,
         dot,
         kmeans_refine,
@@ -823,12 +824,17 @@ def semantic_dedup(
     base = df.select(
         F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n")
     )
-    structs = F.array(*_centroid_sim_structs(cents, F.col("_v"), F.col("_n")))
+    dims = len(cents[0][1]) if cents else 0
+    if nlist * dims > 512:
+        # same driver-build-cost cutoff as the IVF family: the literal
+        # struct tree costs ~2 py4j round trips per centroid dim to build
+        assign_cid, _ = _numpy_assigners(cents, 1)
+        cid = assign_cid(F.col("_v"))
+    else:
+        structs = F.array(*_centroid_sim_structs(cents, F.col("_v"), F.col("_n")))
+        cid = (-F.array_max(structs).getField("nc")).cast("int")
     assigned = base.select(
-        F.col(id_col),
-        F.col("_v"),
-        F.col("_n"),
-        (-F.array_max(structs).getField("nc")).cast("int").alias("cid"),
+        F.col(id_col), F.col("_v"), F.col("_n"), cid.alias("cid")
     )
     from pyspark import StorageLevel
 

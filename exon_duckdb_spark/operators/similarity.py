@@ -500,7 +500,7 @@ def kmeans_refine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
-    literal_limit: int = 2048,
+    literal_limit: int = 512,
 ) -> list[tuple[int, list[float], float]]:
     """Distributed Lloyd (k-means) refinement of the deterministic seed
     centroids — turns the IVF coarse quantizer from "first nlist vectors"
@@ -570,7 +570,7 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 2,
     assign: str = "auto",
-    literal_limit: int = 2048,
+    literal_limit: int = 512,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the ``nprobe`` nearest inverted lists.
 
@@ -581,8 +581,10 @@ def ivf_topk(
     the driver (nlist × dims floats — index metadata, same as any ANN
     library). List assignment is a map-only pass over the corpus — no
     shuffle, no join — via literal centroid arrays when nlist × dims <=
-    ``literal_limit``, else via an Arrow-batched numpy matmul UDF (the
-    literal plan costs ~6 s of compile at 16×64 and grows linearly;
+    ``literal_limit``, else via an Arrow-batched numpy matmul UDF. The
+    cutoff is calibrated to DRIVER plan-build cost, not executor cost:
+    the literal tree spends ~2 py4j round trips per centroid dim while
+    building (16×64 measured ~2 s of pure Python before any job ran);
     ``assign`` forces 'literal'/'numpy'). Nearness is cosine rounded to
     6dp, ties broken toward the smaller centroid id.
 
@@ -666,7 +668,7 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign: str = "auto",
-    literal_limit: int = 2048,
+    literal_limit: int = 512,
     refine_iters: int = 0,
 ) -> None:
     """Build and PERSIST an IVF-flat index: the build-once/probe-many
