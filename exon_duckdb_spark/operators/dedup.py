@@ -703,6 +703,91 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def _grouped_pairs_kernel(earlier_tables: int, min_dot_frac: float):
+    """applyInPandas kernel: all qualifying (id_a < id_b) pairs WITHIN one
+    LSH bucket / cluster, scored in numpy with the HOF's exact
+    left-to-right float64 fold (see similarity._numpy_codes_udf).
+
+    Emits (id_a, id_b, _dot, _na, _nb) — the UNROUNDED dot plus the two
+    precomputed norms — so the caller applies ``F.round(dot/(na*nb), 6)``
+    JVM-side: output values and the threshold decision stay bit-identical
+    to the expression form (numpy rounds half-to-even, SQL half-up, so
+    rounding must not happen here). ``min_dot_frac`` pre-filters with a
+    0.5e-6 margin below the caller's threshold to bound emission; the
+    caller re-filters exactly on the rounded value.
+
+    ``earlier_tables`` > 0 applies the earliest-colliding-table dedup: a
+    pair whose codes ALSO matched in a previous table is dropped (that
+    table's kernel emitted it).
+
+    Why this shape: a bucket equi-join materializes every candidate pair
+    with BOTH vectors attached (measured 132k pairs × 2×64 floats at
+    sf0.1) and re-evaluates the codes UDF under the join's null filter;
+    grouping shuffles each vector ONCE and the pairwise work is a C-level
+    fold over the bucket matrix — per-bucket cost b², globally linear when
+    planes follow auto_planes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=pdf["_id"].dtype),
+                "id_b": pd.Series(dtype=pdf["_id"].dtype),
+                "_dot": pd.Series(dtype="float64"),
+                "_na": pd.Series(dtype="float64"),
+                "_nb": pd.Series(dtype="float64"),
+            }
+        )
+        b = len(pdf)
+        if b < 2:
+            return empty
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        vecs = pdf["_vec"]
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vecs), dtype=np.int64, count=b
+        )
+        width = int(lens.max())
+        M = np.zeros((b, width), dtype=np.float64)
+        for r, v in enumerate(vecs):
+            if v is not None and len(v):
+                M[r, : len(v)] = np.asarray(v, dtype=np.float64)
+        ii, jj = np.triu_indices(b, k=1)
+        if earlier_tables:
+            codes = np.stack(
+                [np.asarray(c[:earlier_tables], dtype=np.int64) for c in pdf["_codes"]]
+            )
+            keep = ~np.any(codes[ii] == codes[jj], axis=1)
+            ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return empty
+        # unequal-length pairs fold to NULL in the zip_with form → drop
+        # (cosine NULL never passes a >= threshold filter)
+        same_len = lens[ii] == lens[jj]
+        ii, jj = ii[same_len], jj[same_len]
+        if not len(ii):
+            return empty
+        acc = np.zeros(len(ii), dtype=np.float64)
+        for d in range(width):
+            acc += M[ii, d] * M[jj, d]
+        na = pdf["_n"].to_numpy(dtype=np.float64)[ii]
+        nb = pdf["_n"].to_numpy(dtype=np.float64)[jj]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            qual = acc / (na * nb) >= min_dot_frac
+        return pd.DataFrame(
+            {
+                "id_a": pdf["_id"].iloc[ii[qual]].to_numpy(),
+                "id_b": pdf["_id"].iloc[jj[qual]].to_numpy(),
+                "_dot": acc[qual],
+                "_na": na[qual],
+                "_nb": nb[qual],
+            }
+        )
+
+    return kernel
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -712,6 +797,8 @@ def embedding_dup_pairs(
     tables: int = 1,
     n_rows: int | None = None,
     target_bucket: int = 256,
+    dims: int = 64,
+    codes: str = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-LSH bucketing (one shuffle per
     table) then exact cosine verification per candidate.
@@ -722,10 +809,16 @@ def embedding_dup_pairs(
     n²/2^planes. More planes lowers per-table recall; raise ``tables`` to
     compensate (independent hash families, candidates = union over tables).
     With the defaults (planes=8, tables=1) this reproduces the single-table
-    behavior bit-for-bit.
+    behavior bit-for-bit. ``codes`` selects the literal-expression vs
+    Arrow-batched bucket evaluator (bit-identical; see
+    similarity._numpy_codes_udf for the calibration) — the numpy form also
+    scores candidate pairs with the fused left-to-right fold UDF instead of
+    the interpreted per-pair HOF.
     """
     from exon_duckdb_spark.operators.similarity import (
+        _fold_dot_udf,
         _norm,
+        _numpy_codes_udf,
         auto_planes,
         dot,
         hyperplane_bucket,
@@ -734,11 +827,48 @@ def embedding_dup_pairs(
     if planes is None:
         n = n_rows if n_rows is not None else df.count()
         planes = auto_planes(n, target_bucket)
+    use_numpy = codes == "numpy" or (codes == "auto" and tables * planes * dims > 192)
+    if use_numpy:
+        # grouped-kernel path: one shuffle of (id, vec, codes, norm) per
+        # table keyed by that table's bucket; all-pairs scoring happens
+        # INSIDE the bucket task (C-level fold over the bucket matrix), so
+        # candidate pairs never materialize with vectors attached and the
+        # codes UDF runs once per row (the equi-join form re-evaluated it
+        # under the join's null filter and shipped 2 vectors per pair —
+        # measured 132k pairs at sf0.1)
+        cn_udf = _numpy_codes_udf(planes, tables, dims)
+        keyed = df.select(
+            F.col(id_col), F.col(vec_col), cn_udf(F.col(vec_col)).alias("_cn")
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.col("_cn.codes").alias("_codes"),
+            F.col("_cn.n").alias("_n"),
+        )
+        id_dtype = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_dtype}, id_b {id_dtype}, _dot double, _na double, _nb double"
+        parts = []
+        for t in range(tables):
+            kern = _grouped_pairs_kernel(t, threshold - 5e-7)
+            parts.append(
+                keyed.withColumn("_bt", F.col("_codes")[t])
+                .groupBy("_bt")
+                .applyInPandas(kern, out_schema)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        cosine = F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6)
+        return out.select("id_a", "id_b", cosine.alias("cosine")).where(
+            F.col("cosine") >= threshold
+        )
     keyed = df.select(
         F.col(id_col),
         F.col(vec_col),
         *[
-            hyperplane_bucket(F.col(vec_col), planes, table=t).alias(f"bucket_{t}")
+            hyperplane_bucket(F.col(vec_col), planes, dims=dims, table=t).alias(
+                f"bucket_{t}"
+            )
             for t in range(tables)
         ],
         _norm(F.col(vec_col)).alias("_n"),  # once per vector, not per pair
@@ -839,18 +969,25 @@ def semantic_dedup(
     from pyspark import StorageLevel
 
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    a = assigned.select(
-        "cid", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    # within-cluster pairs via the grouped kernel (one cid-keyed shuffle of
+    # (id, vec, norm); all-pairs scoring inside the cluster task with the
+    # bit-identical left-to-right fold) instead of a cid self-join that
+    # ships both vectors per candidate pair — see _grouped_pairs_kernel
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_dtype}, id_b {id_dtype}, _dot double, _na double, _nb double"
     )
-    b = assigned.select(
-        "cid", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    kern = _grouped_pairs_kernel(0, threshold - 5e-7)
+    pairs_raw = (
+        assigned.select(
+            F.col(id_col).alias("_id"), F.col("_v").alias("_vec"), "_n", "cid"
+        )
+        .groupBy("cid")
+        .applyInPandas(kern, out_schema)
     )
-    cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_b", "id_a", cos.alias("cos"))
-        .where(F.col("cos") >= threshold)
+    cos = F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6)
+    pairs = pairs_raw.select("id_b", "id_a", cos.alias("cos")).where(
+        F.col("cos") >= threshold
     )
     best = pairs.groupBy("id_b").agg(F.min(F.struct("id_a", "cos")).alias("_m"))
     return (

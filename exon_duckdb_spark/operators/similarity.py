@@ -324,6 +324,118 @@ def bm25_topk_multi(
     )
 
 
+def _numpy_codes_udf(planes: int, tables: int, dims: int):
+    """Arrow-batched twin of ``hyperplane_bucket`` + ``_norm``: one pandas
+    UDF returning struct<codes: array<int>, n: double> (one LSH code per
+    table, plus the vector norm) per row.
+
+    Bit-parity contract: Catalyst's ``F.aggregate`` folds LEFT-TO-RIGHT in
+    double precision, and a different summation order (numpy matmul's
+    pairwise/SIMD blocking) could flip the sign of a projection that lands
+    within an ulp of zero — which would flip a bucket bit and desync the SQL
+    oracle. So the fold here is an explicit per-dimension loop
+    (``acc += M[:, i] * S[i]``): the identical IEEE op sequence as the HOF,
+    vectorized ACROSS rows instead of along dims. Verified bit-identical on
+    the full sf0.1 corpus (codes, norms, and round-6 pair cosines).
+
+    Why it exists: the literal-tree form costs ~2 py4j round trips per
+    (plane × dim) literal at plan-BUILD time (q32's 8-plane × 64-dim ×
+    2-side tree measured ~1.2 s of driver time per action before any task
+    ran) and evaluates as an interpreted HOF per row; this path is one py4j
+    call, O(1) plan size, and C-speed per batch — the same calibration as
+    the IVF family's ``literal_limit`` cutoff.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    T = tables * planes
+    S = np.empty((dims, T), dtype=np.float64)
+    for t in range(tables):
+        for p in range(planes):
+            S[:, t * planes + p] = plane_signs(p, dims, t)
+
+    @pandas_udf("struct<codes: array<int>, n: double>")
+    def codes_and_norm(vecs):
+        n_rows = len(vecs)
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vecs), dtype=np.int64, count=n_rows
+        )
+        width = int(lens.max()) if n_rows else 0
+        M = np.zeros((n_rows, width), dtype=np.float64)
+        for r, v in enumerate(vecs):
+            if v is not None and len(v):
+                M[r, : len(v)] = np.asarray(v, dtype=np.float64)
+        acc = np.zeros((n_rows, T), dtype=np.float64)
+        nacc = np.zeros(n_rows, dtype=np.float64)
+        for i in range(width):
+            col = M[:, i]
+            if i < dims:
+                acc += col[:, None] * S[i][None, :]
+            nacc += col * col
+        codes = np.zeros((n_rows, tables), dtype=np.int32)
+        for t in range(tables):
+            for p in range(planes):
+                codes[:, t] += (acc[:, t * planes + p] >= 0).astype(np.int32) << p
+        # a NULL vector's projection is NULL, so every when(proj >= 0) bit
+        # falls to otherwise(0) in the HOF form → code 0 (an EMPTY array
+        # folds to 0.0 → every bit set; the zero-filled row reproduces that)
+        null_mask = np.fromiter(
+            (v is None for v in vecs), dtype=bool, count=n_rows
+        )
+        codes[null_mask] = 0
+        norms = np.sqrt(nacc)
+        return pd.DataFrame(
+            {
+                "codes": list(codes),
+                "n": [None if v is None else s for v, s in zip(vecs, norms)],
+            }
+        )
+
+    return codes_and_norm
+
+
+def _fold_dot_udf():
+    """Arrow-batched pair dot product with the HOF's exact left-to-right
+    float64 fold (see ``_numpy_codes_udf`` for why summation order is part
+    of the cross-engine contract). Used on candidate PAIRS after a bucket
+    or cluster join, where the interpreted ``F.aggregate`` fold is the
+    dominant per-pair cost."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(va, vb):
+        n_rows = len(va)
+        # zip_with null-pads the shorter array, so the HOF fold yields NULL
+        # for any unequal-length (or null) pair — replicate exactly.
+        ok = np.fromiter(
+            (
+                a is not None and b is not None and len(a) == len(b)
+                for a, b in zip(va, vb)
+            ),
+            dtype=bool,
+            count=n_rows,
+        )
+        lens = np.fromiter(
+            (len(a) if k else 0 for k, a in zip(ok, va)), dtype=np.int64, count=n_rows
+        )
+        width = int(lens.max()) if n_rows else 0
+        A = np.zeros((n_rows, width), dtype=np.float64)
+        B = np.zeros((n_rows, width), dtype=np.float64)
+        for r, (k, a, b) in enumerate(zip(ok, va, vb)):
+            if k and len(a):
+                A[r, : len(a)] = np.asarray(a, dtype=np.float64)
+                B[r, : len(b)] = np.asarray(b, dtype=np.float64)
+        acc = np.zeros(n_rows, dtype=np.float64)
+        for i in range(width):
+            acc += A[:, i] * B[:, i]
+        return pd.Series([float(v) if k else None for k, v in zip(ok, acc)])
+
+    return pair_dot
+
+
 def _numpy_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):
     """(assign_cid, probe_cids) pandas UDFs with the centroid matrix in the
     closure. Matches the literal path's semantics: cosine rounded to 6dp,
@@ -401,6 +513,8 @@ def ann_topk(
     id_col: str = "vec_id",
     planes: int = 8,
     tables: int = 1,
+    dims: int = 64,
+    codes: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking within the query's LSH bucket.
 
@@ -412,12 +526,42 @@ def ann_topk(
     several tables is kept only at its EARLIEST colliding table — a map-side
     filter over the rows' bucket arrays — so each candidate is scored once
     and no post-scoring distinct/shuffle is needed at all.
+
+    ``codes`` picks the bucket-code evaluator: 'literal' keeps the
+    documented ``hyperplane_bucket`` expression (oracle-shaped, but
+    plan-build cost is ~2 py4j round trips per plane × dim literal and the
+    fold is interpreted per row); 'numpy' is the Arrow-batched twin with the
+    identical left-to-right fold (bit-equal codes/norms, O(1) plan size);
+    'auto' switches to numpy past the same driver-build-cost calibration as
+    the IVF family (q32's 2-table × 4-plane × 64-dim tree measured ~1.2 s
+    of plan build per action; the numpy form ~0 s with identical results).
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
+    use_numpy = codes == "numpy" or (codes == "auto" and tables * planes * dims > 192)
+    codes_udf = _numpy_codes_udf(planes, tables, dims) if use_numpy else None
 
     def bucket_arr(vec: Column) -> Column:
         return F.array(
-            *[hyperplane_bucket(vec, planes, table=t) for t in range(tables)]
+            *[hyperplane_bucket(vec, planes, dims=dims, table=t) for t in range(tables)]
+        )
+
+    def keyed(df: DataFrame, id_alias: str, vec_alias: str, n_alias: str) -> DataFrame:
+        if use_numpy:
+            return df.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                codes_udf(F.col(vec_col)).alias("_cn"),
+            ).select(
+                id_alias,
+                vec_alias,
+                F.col("_cn.codes").alias("_codes"),
+                F.col("_cn.n").alias(n_alias),
+            )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            bucket_arr(F.col(vec_col)).alias("_codes"),
+            _norm(F.col(vec_col)).alias(n_alias),
         )
 
     def exploded_codes() -> Column:
@@ -431,22 +575,12 @@ def ann_topk(
         )
 
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("query_vec"),
-            bucket_arr(F.col(vec_col)).alias("_codes"),
-            _norm(F.col(vec_col)).alias("qn"),
-        )
+        keyed(queries, "query_id", "query_vec", "qn")
         .withColumn("code", exploded_codes())
         .withColumnRenamed("_codes", "q_codes")
     )
     c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("nvec"),
-            bucket_arr(F.col(vec_col)).alias("_codes"),
-            _norm(F.col(vec_col)).alias("nn"),
-        )
+        keyed(corpus, "neighbor_id", "nvec", "nn")
         .withColumn("code", exploded_codes())
         .withColumnRenamed("_codes", "n_codes")
     )
@@ -464,7 +598,8 @@ def ann_topk(
             lambda x: x,
         )
         cand = cand.where(~collided_earlier)
-    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    pair_dot = _fold_dot_udf() if use_numpy else dot
+    sim = pair_dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
     scored = partition_topk(
         scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
