@@ -129,41 +129,96 @@ def quality_filter(
     the token array is materialized once and every metric derives from it.
     ``extra_cols`` passes identity columns (source, lang, …) through for
     downstream grouping without a join back.
+
+    Like :func:`repetition_stats`, the per-doc counting is ONE fused Arrow
+    pass returning raw INTEGER counts only (token count, summed token
+    length, alpha chars, stopword hits, 3-gram totals); every division and
+    ``round(…, 6)`` stays native Column arithmetic so each metric — and the
+    DuckDB oracle — is bit-identical to the old expression form. The HOF
+    form's stopword filter alone was O(tokens × |stopwords|) interpreted
+    ``array_contains`` probes per doc (measured: the fused pass takes q61
+    0.84 s → ~0.35 s at sf0.1).
     """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     from exon_duckdb_spark.operators.text import STOPWORDS
 
+    # NO fan-out here: the map-only (zero-Exchange) plan shape is this
+    # family's scale contract (test_plans::test_quality_ops_are_map_only);
+    # the measured under-split gain was ~0.1 s, not worth an exchange
     extra = list(extra_cols or [])
-    toksed = df.select(
-        F.col(id_col), *[F.col(c) for c in extra],
-        F.col(text_col), tokens(text_col).alias("_toks"),
+    stop = frozenset(STOPWORDS)
+
+    out_type = StructType(
+        [
+            StructField("n_tokens", IntegerType()),
+            StructField("len_sum", LongType()),
+            StructField("alpha_len", IntegerType()),
+            StructField("text_len", IntegerType()),
+            StructField("stop_hits", IntegerType()),
+            StructField("g3_n", IntegerType()),
+            StructField("g3_d", IntegerType()),
+        ]
     )
-    toks = F.col("_toks")
-    t = F.col(text_col)
-    n_tokens = F.size(toks)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    avg_len = F.round(
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)) / n_tokens, 6
-    )
+    cols = ["n_tokens", "len_sum", "alpha_len", "text_len", "stop_hits", "g3_n", "g3_d"]
+
+    @F.pandas_udf(out_type)
+    def metrics(s):
+        non_alpha = re.compile("[^a-zA-Z]")
+        rows = []
+        for x in s:
+            if x is None:
+                # NULL text: size/aggregate over a null array are NULL in
+                # the expression form — emit all-NULL so the when(...)
+                # .otherwise(0.0) guards downstream reproduce it exactly
+                rows.append((None,) * 7)
+                continue
+            toks = x.split(" ")  # mirrors tokens(): split(' '), empties kept
+            n = len(toks)
+            g3 = list(zip(toks, toks[1:], toks[2:])) if n >= 3 else []
+            rows.append(
+                (
+                    n,
+                    sum(map(len, toks)),
+                    len(non_alpha.sub("", x)),
+                    len(x),
+                    sum(1 for w in toks if w in stop),
+                    len(g3),
+                    len(set(g3)),
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    avg_len = F.round(F.col("_m.len_sum") / F.col("_m.n_tokens"), 6)
     # zero guard: an empty doc divides 0/0 — NULL in Spark but NaN/inf under
     # DuckDB's ieee_floating_point_ops, breaking the bit-for-bit oracle
     # contract (keep is false either way; only the metric column diverged)
     alpha = F.when(
-        F.length(t) > 0,
-        F.round(F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / F.length(t), 6),
+        F.col("_m.text_len") > 0, F.round(F.col("_m.alpha_len") / F.col("_m.text_len"), 6)
     ).otherwise(F.lit(0.0))
-    g3 = word_ngrams(toks, 3)
     dup3 = F.when(
-        F.size(g3) > 0, F.round(1.0 - F.size(F.array_distinct(g3)) / F.size(g3), 6)
+        F.col("_m.g3_n") > 0, F.round(1.0 - F.col("_m.g3_d") / F.col("_m.g3_n"), 6)
     ).otherwise(F.lit(0.0))
 
-    m = toksed.select(
+    m = df.select(
         F.col(id_col),
         *[F.col(c) for c in extra],
-        n_tokens.alias("n_tokens"),
+        metrics(F.col(text_col)).alias("_m"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.col("_m.n_tokens").alias("n_tokens"),
         avg_len.alias("avg_token_len"),
         alpha.alias("alpha_ratio"),
-        n_stop.alias("stopword_hits"),
+        F.col("_m.stop_hits").alias("stopword_hits"),
         dup3.alias("dup_3gram_frac"),
     )
     keep = (
