@@ -2395,14 +2395,52 @@ def q62m_pii_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERIES = [(0, ["spark", "merge", "window", "slow"]), (1, ["fast", "shuffle"])]
 
 
-def q64m_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-query BM25 (round-3 verdict #6): a queries DataFrame replaces
-    per-literal-term filter passes — one corpus pass scores every query."""
-    qdf = spark.createDataFrame(
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [(qid, terms) for qid, terms in _BM25_QUERIES],
         "query_id bigint, terms array<string>",
     )
-    return ops.bm25_topk_multi(_t(spark, sf_dir, "documents"), qdf, k=25)
+
+
+def q84_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense retrieval fused with RRF (Cormack et al. 2009)
+    over the EMBEDDED slice of the corpus (documents with an embeddings
+    row): each branch fetches its top-40, scores fuse as Σ 1/(60 + rank),
+    final top-10 per query — the standard RAG retrieval stack."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qv = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    queries = _bm25_queries_df(spark).join(qv, "query_id")
+    return ops.hybrid_topk(corpus, queries, k=10, fetch_k=40)
+
+
+def q64m_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 (round-3 verdict #6) + RRF hybrid retrieval,
+    tagged: 'bm25' rows are one corpus pass scoring every query; 'hybrid'
+    rows fuse the lexical and dense branches with reciprocal-rank fusion
+    (q84)."""
+    a = ops.bm25_topk_multi(
+        _t(spark, sf_dir, "documents"), _bm25_queries_df(spark), k=25
+    ).select(
+        F.lit("bm25").alias("kind"),
+        "query_id",
+        "doc_id",
+        F.col("bm25").alias("score"),
+        "rank",
+    )
+    h = q84_hybrid_retrieval(spark, sf_dir).select(
+        F.lit("hybrid").alias("kind"),
+        "query_id",
+        "doc_id",
+        F.col("rrf").alias("score"),
+        "rank",
+    )
+    return a.union(h)
 
 
 def q66m_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4087,8 +4125,15 @@ def oracle_sql() -> dict[str, str]:
 
     # q64 multi-query BM25: one scored block per query (same math as the
     # single-query oracle), per-term contributions in integer micro-units
-    # so the sum is order-independent on both engines.
-    def bm25_block(qid: int, terms: list[str]) -> str:
+    # so the sum is order-independent on both engines. ``src`` picks the
+    # document universe (full corpus for the bm25 branch, the embedded
+    # slice for the hybrid branch) and ``depth`` the per-query fetch.
+    def bm25_block(
+        qid: int,
+        terms: list[str],
+        src: str = "SELECT doc_id, text FROM documents",
+        depth: int = 25,
+    ) -> str:
         dfs = ", ".join(
             f"sum(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
             for i, t in enumerate(terms)
@@ -4102,7 +4147,7 @@ def oracle_sql() -> dict[str, str]:
         )
         return f"""
             SELECT query_id, doc_id, bm25, rank FROM (
-              WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM ({src})),
               d AS (SELECT doc_id, t, len(t) AS dl FROM tok),
               s AS (SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM d),
               scored AS (
@@ -4112,12 +4157,71 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
                        AS rank
               FROM scored WHERE bm25 > 0.0
-            ) WHERE rank <= 25
+            ) WHERE rank <= {depth}
         """
 
     bm25_multi = "\n            UNION ALL\n".join(
         bm25_block(qid, terms) for qid, terms in _BM25_QUERIES
     )
+
+    # q84 hybrid branch: per-query lex (depth 40, embedded slice) FULL JOIN
+    # per-query dense ranks, RRF Σ 1/(60 + rank), top-10. The two-term RRF
+    # sum has a fixed evaluation order so scores hash-match Spark's.
+    _EMB_DOCS = (
+        "SELECT d.doc_id, d.text FROM documents d "
+        "JOIN embeddings e ON d.doc_id = e.vec_id"
+    )
+
+    def dense_block(qid: int, depth: int = 40) -> str:
+        return f"""
+            SELECT query_id, doc_id, rank FROM (
+              SELECT {qid} AS query_id, c.doc_id,
+                     CAST(row_number() OVER (ORDER BY
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                       c.doc_id ASC) AS INTEGER) AS rank
+              FROM (SELECT e.vec_id AS doc_id, e.embedding
+                    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id) c,
+                   (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
+            ) WHERE rank <= {depth}
+        """
+
+    lex40 = "\n              UNION ALL\n".join(
+        bm25_block(qid, terms, src=_EMB_DOCS, depth=40)
+        for qid, terms in _BM25_QUERIES
+    )
+    dense40 = "\n              UNION ALL\n".join(
+        dense_block(qid) for qid, _ in _BM25_QUERIES
+    )
+    hybrid_sql = f"""
+            SELECT 'hybrid' AS kind, query_id, doc_id, score, rank FROM (
+              WITH lex AS (
+              {lex40}
+              ),
+              dense AS (
+              {dense40}
+              ),
+              hyb AS (
+                SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+                       coalesce(l.doc_id, dn.doc_id) AS doc_id,
+                       round(coalesce(1.0 / (60 + l.rank), 0.0)
+                             + coalesce(1.0 / (60 + dn.rank), 0.0), 6) AS score
+                FROM lex l FULL JOIN dense dn
+                  ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id
+              )
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+              FROM hyb
+            ) WHERE rank <= 10
+        """
+    bm25_multi = f"""
+            SELECT 'bm25' AS kind, query_id, doc_id, bm25 AS score, rank FROM (
+            {bm25_multi}
+            )
+            UNION ALL
+            {hybrid_sql}
+        """
 
     pii_email, pii_ipv4, pii_phone = (
         PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"],

@@ -57,6 +57,7 @@ HEADLINE = [
     "q63_decontaminate",
     "q80_duplicated_spans",
     "q64_bm25_topk",
+    "q84_hybrid_retrieval",
     "q65_paragraph_dedup",
     "q66_top_ngrams",
     "q71_chunk_documents",

@@ -41,6 +41,7 @@ from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     cosine,
     cosine_topk,
     dot,
+    hybrid_topk,
     hyperplane_bucket,
     ivf_build,
     ivf_search,

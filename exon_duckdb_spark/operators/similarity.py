@@ -41,6 +41,7 @@ __all__ = [
     "auto_planes",
     "bm25_topk",
     "bm25_topk_multi",
+    "hybrid_topk",
 ]
 
 
@@ -434,6 +435,94 @@ def _fold_dot_udf():
         return pd.Series([float(v) if k else None for k, v in zip(ok, acc)])
 
     return pair_dot
+
+
+def hybrid_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fetch_k: int | None = None,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher 2009): the standard RAG retrieval stack.
+
+    ``corpus`` carries BOTH ``text_col`` and ``vec_col``; ``queries`` is
+    ``(query_id, terms array<string>, query_vec array<float>)``. Each
+    branch retrieves its top ``fetch_k`` (default 4k) candidates — BM25 via
+    :func:`bm25_topk_multi` (one corpus pass for all queries), dense via
+    broadcast exact cosine with the map-side :func:`partition_topk`
+    reducer — then RRF scores ``Σ 1/(rrf_k + rank)`` over the union.
+    Candidates missing from a branch contribute 0 for it (the standard
+    convention). Unlike :func:`cosine_topk` there is NO self-exclusion:
+    query ids live in their own namespace, not the document id space.
+
+    Scale: both branches are their operators' scale shapes; the fusion
+    full-outer join touches ≤ 2 × fetch_k rows per query (driver-window
+    sized), so fusion cost is independent of corpus size. The two-term RRF
+    sum has a fixed evaluation order, so a SQL oracle reproduces scores
+    bit-for-bit.
+
+    Returns (query_id, ``id_col``, rrf, lex_rank, dense_rank, rank ≤ k).
+    """
+    fetch = fetch_k or 4 * k
+    lex = bm25_topk_multi(
+        corpus,
+        queries.select("query_id", "terms"),
+        k=fetch,
+        text_col=text_col,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+    ).select("query_id", F.col(id_col), F.col("rank").alias("lex_rank"))
+
+    q = queries.select(
+        "query_id",
+        F.col("query_vec"),
+        _norm(F.col("query_vec")).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
+    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col(id_col), F.round(sim, 6).alias("cosine_sim")
+    )
+    scored = partition_topk(
+        scored, fetch, "query_id", "cosine_sim", id_col, ascending=False
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    dense = (
+        scored.withColumn("dense_rank", F.row_number().over(wd))
+        .where(F.col("dense_rank") <= fetch)
+        .select("query_id", F.col(id_col), "dense_rank")
+    )
+
+    fused = lex.join(dense, ["query_id", id_col], "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)),
+        6,
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.select(
+            "query_id", F.col(id_col), rrf.alias("rrf"), "lex_rank", "dense_rank"
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+    )
 
 
 def _numpy_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):

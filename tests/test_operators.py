@@ -692,6 +692,41 @@ class TestRetrievalAndParagraphs:
         assert 3 not in {r["doc_id"] for r in q1}
         assert all(r["rank"] == i + 1 for i, r in enumerate(q1))
 
+    def test_hybrid_topk_rrf_fusion(self, spark):
+        """RRF = Σ 1/(60+rank) over lex ∪ dense candidates: a doc hit by
+        BOTH branches must outrank equal-rank single-branch docs, docs in
+        only one branch still appear, and lex/dense ranks are exposed."""
+        corpus = spark.createDataFrame(
+            [
+                # doc 1: lexically perfect AND vector-identical to query 0
+                (1, "spark shuffle spark", [1.0, 0.0, 0.0, 0.0]),
+                # doc 2: lexical hit only (vector orthogonal)
+                (2, "spark spark spark spark", [0.0, 1.0, 0.0, 0.0]),
+                # doc 3: dense hit only (no query terms)
+                (3, "unrelated words entirely", [0.9, 0.1, 0.0, 0.0]),
+                (4, "padding document text here", [0.0, 0.0, 1.0, 0.0]),
+            ],
+            ["doc_id", "text", "embedding"],
+        )
+        queries = spark.createDataFrame(
+            [(0, ["spark", "shuffle"], [1.0, 0.0, 0.0, 0.0])],
+            "query_id bigint, terms array<string>, query_vec array<double>",
+        )
+        rows = sorted(
+            ops.hybrid_topk(corpus, queries, k=4, fetch_k=4).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["doc_id"] for r in rows][0] == 1  # both branches hit
+        got = {r["doc_id"]: r for r in rows}
+        assert got[3]["lex_rank"] is None and got[3]["dense_rank"] is not None
+        assert got[2]["lex_rank"] is not None
+        # RRF math: doc 1 is rank 1 in dense (cos 1.0) and rank 1 or 2 lex
+        r1 = got[1]
+        expect = round(1.0 / (60 + r1["lex_rank"]) + 1.0 / (60 + r1["dense_rank"]), 6)
+        assert abs(r1["rrf"] - expect) < 1e-9
+        # single-branch docs score exactly one reciprocal term
+        assert abs(got[3]["rrf"] - round(1.0 / (60 + got[3]["dense_rank"]), 6)) < 1e-9
+
     def test_paragraph_dedup_keeps_first_occurrence(self, spark):
         df = spark.createDataFrame(
             [
