@@ -2489,9 +2489,23 @@ def q70m_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q85_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search (Jégou et al. 2011): coarse-assign to 8 inverted
+    lists, PQ-encode the RESIDUALS (4 subspaces × 8 codes; codebook seeds
+    are the first ksub residuals disjoint from the coarse seeds), then
+    probe 2 lists per query with a per-(query, list) residual lookup
+    table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, books, coded = ops.ivfpq_build(emb, nlist=8, m=4, ksub=8, dims=64)
+    return ops.ivfpq_search(
+        coded, emb.where(F.col("vec_id") < 5), cents, books, k=10, nprobe=2
+    )
+
+
 def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization lifecycle: q73 encode (codes per vector) + q74
-    ADC search, tagged; codebooks build once."""
+    ADC search + q85 IVF-PQ residual search, tagged; codebooks build
+    once per family."""
     emb = _t(spark, sf_dir, "embeddings")
     books = ops.pq_codebooks(emb, m=4, ksub=8, dims=64)
     codes = ops.pq_encode(emb, books)
@@ -2512,7 +2526,14 @@ def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").alias("val"),
         "rank",
     )
-    return a.unionByName(b)
+    c = q85_ivfpq_search(spark, sf_dir).select(
+        F.lit("ivfpq").alias("kind"),
+        F.col("query_id").alias("k1"),
+        F.col("neighbor_id").cast("string").alias("k2"),
+        F.col("adc_dist").alias("val"),
+        "rank",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q75m_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2799,6 +2820,96 @@ def _pq_cte() -> str:
                      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, kk ASC) AS rn
               FROM dists
             )
+    """
+
+
+def _ivfpq_sql() -> str:
+    """SQL twin of q85: rebuild the IVF-PQ index (8 coarse seed centroids →
+    residuals → PQ codebooks seeded from residuals ranked 8..16 by id → 4×8
+    residual codebook, round-6 sub-L2 argmin codes) and replay the
+    two-probe ADC search with a per-(query, probed-list) residual LUT.
+    Same rounding conventions as the q73/q74 oracle (_pq_cte)."""
+    return """
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+    ),
+    asgn AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+               AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cid ASC) AS rn
+      FROM asgn
+    ),
+    res AS (
+      SELECT r.vec_id, r.cid,
+             list_transform(range(1, 65),
+                            i -> CAST(r.embedding[i] AS DOUBLE) - c.cvec[i]) AS rv
+      FROM ranked r JOIN cent c USING (cid) WHERE r.rn = 1
+    ),
+    seedr AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kk, rv
+      FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 8 OFFSET 8)
+    ),
+    cb AS (
+      SELECT s.kk, t.j, list_slice(s.rv, t.j*16 + 1, t.j*16 + 16) AS cv
+      FROM seedr s, range(0, 4) t(j)
+    ),
+    sub AS (
+      SELECT r.vec_id, r.cid, t.j, list_slice(r.rv, t.j*16 + 1, t.j*16 + 16) AS sv
+      FROM res r, range(0, 4) t(j)
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.cid, sub.j, cb.kk,
+             round(list_sum(list_transform(range(1, 17),
+                    i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 6) AS d
+      FROM sub JOIN cb USING (j)
+    ),
+    best AS (
+      SELECT vec_id, cid, j, kk,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, kk ASC) AS rn
+      FROM dists
+    ),
+    nb AS (SELECT vec_id, cid, j, kk FROM best WHERE rn = 1),
+    probe AS (
+      SELECT r.vec_id, r.cid, c.cvec, r.embedding
+      FROM ranked r JOIN cent c USING (cid)
+      WHERE r.rn <= 2 AND r.vec_id < 5
+    ),
+    qres AS (
+      SELECT vec_id, cid,
+             list_transform(range(1, 65),
+                            i -> CAST(embedding[i] AS DOUBLE) - cvec[i]) AS rv
+      FROM probe
+    ),
+    qsub AS (
+      SELECT q.vec_id, q.cid, t.j, list_slice(q.rv, t.j*16 + 1, t.j*16 + 16) AS sv
+      FROM qres q, range(0, 4) t(j)
+    ),
+    qd AS (
+      SELECT q.vec_id, q.cid, q.j, cb.kk,
+             round(list_sum(list_transform(range(1, 17),
+                    i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 6) AS d
+      FROM qsub q JOIN cb USING (j)
+    ),
+    adc AS (
+      SELECT qd.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             round(list_sum(list(qd.d ORDER BY qd.j ASC)), 6) AS adc_dist
+      FROM nb JOIN qd ON qd.cid = nb.cid AND qd.j = nb.j AND qd.kk = nb.kk
+      WHERE nb.vec_id != qd.vec_id
+      GROUP BY qd.vec_id, nb.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM adc)
+    WHERE rank <= 10
     """
 
 
@@ -4453,6 +4564,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'hit', query_id, CAST(neighbor_id AS VARCHAR), adc_dist, rank
             FROM ({C['q74_pq_search']})
+            UNION ALL
+            SELECT 'ivfpq', query_id, CAST(neighbor_id AS VARCHAR), adc_dist, rank
+            FROM ({_ivfpq_sql()})
         """,
         "q78_perplexity_score": C["q78_perplexity_score"],
         "q79_sq8_search": C["q79_sq8_search"],

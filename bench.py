@@ -64,6 +64,7 @@ HEADLINE = [
     "q72_tfidf_top_terms",
     "q73_pq_codes",
     "q74_pq_search",
+    "q85_ivfpq_search",
     # alignment (batched DP) + real media decode + LM quality score
     "q40_alignment",
     "q75_image_decode",

@@ -57,6 +57,8 @@ from exon_duckdb_spark.operators.quality import (  # noqa: F401
     word_ngrams,
 )
 from exon_duckdb_spark.operators.pq import (  # noqa: F401
+    ivfpq_build,
+    ivfpq_search,
     pq_codebooks,
     pq_encode,
     pq_search,

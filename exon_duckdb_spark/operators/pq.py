@@ -36,7 +36,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_codebooks", "pq_encode", "pq_search", "sq8_encode", "sq8_search"]
+__all__ = [
+    "pq_codebooks",
+    "pq_encode",
+    "pq_search",
+    "ivfpq_build",
+    "ivfpq_search",
+    "sq8_encode",
+    "sq8_search",
+]
 
 
 def _sub_l2(sub_vec: Column, centroid: list[float]) -> Column:
@@ -313,6 +321,209 @@ def pq_search(
     )
     # map-side top-k per partition first: the rank window's shuffle carries
     # ≤ k × n_partitions rows per query, not the whole scored corpus
+    scored = partition_topk(
+        scored, k, "query_id", "adc_dist", "neighbor_id", ascending=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _numpy_residual_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):
+    """(assign_residual, probe_residuals) pandas UDFs for the IVF-PQ family.
+
+    ``assign_residual(vec)`` → struct<cid int, rv array<double>>: the
+    nearest coarse centroid (cosine rounded to 6 dp, ties toward the
+    smaller cid — the same quantizer math as similarity._numpy_assigners,
+    so one coarse quantizer serves IVF-flat, SemDeDup and IVF-PQ) plus the
+    RESIDUAL ``vec - centroid``. The residual is an elementwise double
+    subtraction — no summation involved, so it is exact and
+    order-independent across engines.
+
+    ``probe_residuals(vec)`` → array of the same struct for the ``nprobe``
+    nearest lists: IVF-PQ's defining property is that the query must be
+    re-expressed relative to EACH probed list's centroid (one LUT per
+    (query, probe)), unlike IVF-flat where one query vector serves all
+    probes.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([c[1] for c in cents], dtype=np.float64)  # nlist × dims
+    cn = np.array([c[2] for c in cents], dtype=np.float64)
+
+    def _sims(vecs):
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        return M, np.round((M @ C.T) / (norms * cn[None, :]), 6)
+
+    @pandas_udf("struct<cid: int, rv: array<double>>")
+    def assign_residual(vecs):
+        M, s = _sims(vecs)
+        cid = np.argmax(s, axis=1)
+        rv = M - C[cid]
+        return pd.DataFrame({"cid": cid.astype("int32"), "rv": list(rv)})
+
+    @pandas_udf("array<struct<cid: int, rv: array<double>>>")
+    def probe_residuals(vecs):
+        M, s = _sims(vecs)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+        out = []
+        for r in range(M.shape[0]):
+            out.append(
+                [
+                    {"cid": int(c), "rv": (M[r] - C[c]).tolist()}
+                    for c in order[r]
+                ]
+            )
+        return pd.Series(out)
+
+    return assign_residual, probe_residuals
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    nlist: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_iters: int = 0,
+    pq_iters: int = 0,
+):
+    """Build a FAISS-style IVF-PQ index (Jégou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search", §IV): coarse-assign
+    each vector to an inverted list, then PQ-encode its RESIDUAL
+    ``v - centroid[cid]`` — residuals cluster much tighter than raw
+    vectors, so the same code budget quantizes them with far less error.
+
+    All three artifacts are deterministic (seed coarse centroids = the
+    ``nlist`` smallest-id vectors; seed codebooks = the ``ksub`` smallest-id
+    RESIDUALS' subvectors; optional Lloyd rounds for either quantizer round
+    to 6 dp), so a SQL oracle rebuilds the index arithmetically.
+
+    Scale: assignment + residual is one map-only Arrow pass; codebook
+    training shuffles index-metadata-sized aggregates; the encoded output
+    is (id, cid, m small ints) — ~32× smaller than the raw vectors, which
+    is what lets a 100 TB embedding store fit a cluster's storage budget.
+
+    Returns ``(cents, codebooks, coded)`` with ``coded = (id_col, cid,
+    code array<int>)``.
+    """
+    from exon_duckdb_spark.operators.similarity import _seed_centroids, kmeans_refine
+
+    if coarse_iters:
+        cents = kmeans_refine(
+            corpus, nlist=nlist, iters=coarse_iters, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        cents = _seed_centroids(corpus, nlist, vec_col, id_col)
+    assign_residual, _ = _numpy_residual_assigners(cents, 1)
+    res = corpus.select(
+        F.col(id_col), assign_residual(F.col(vec_col)).alias("_a")
+    ).select(
+        F.col(id_col), F.col("_a.cid").alias("cid"), F.col("_a.rv").alias("_rv")
+    )
+    # Seed the PQ codebooks from residuals DISJOINT from the coarse seeds:
+    # with the seed quantizer, the nlist smallest-id vectors ARE the
+    # centroids, so their residuals are exactly zero — seeding from them
+    # collapses every codebook to the origin (all codes 0, all ADC
+    # distances equal). Deterministic rule: ids ranked nlist..nlist+ksub
+    # (ORDER BY id OFFSET nlist LIMIT ksub in the SQL oracle).
+    seed_ids = [
+        r[id_col]
+        for r in corpus.select(F.col(id_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(nlist + ksub)
+        .collect()
+    ][nlist:]
+    books = pq_codebooks(
+        res.where(F.col(id_col).isin(seed_ids)),
+        m=m,
+        ksub=ksub,
+        dims=dims,
+        vec_col="_rv",
+        id_col=id_col,
+        iters=0,
+    )
+    if pq_iters:
+        # Lloyd refinement runs over the FULL residual set
+        for _ in range(pq_iters):
+            agg = _lloyd_round_agg(res, books, vec_col="_rv")
+            dsub = dims // m
+            got = {
+                (r["j"], r["code"]): [float(r[f"d{d}"]) for d in range(dsub)]
+                for r in agg.collect()
+            }
+            books = [
+                [got.get((j, k), books[j][k]) for k in range(len(books[j]))]
+                for j in range(m)
+            ]
+    enc = _numpy_encoder(books)
+    coded = res.select(F.col(id_col), "cid", enc(F.col("_rv")).alias("code"))
+    return cents, books, coded
+
+
+def ivfpq_search(
+    coded: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ADC top-k: probe ``nprobe`` inverted lists, rank candidates by
+    table-lookup distance over their residual codes.
+
+    Each (query, probed list) pair gets its OWN lookup table computed from
+    the query's residual against THAT list's centroid — the residual trick
+    that makes IVF-PQ beat flat PQ at equal code budget. The corpus side
+    contributes (cid, code) only — candidate selection is a broadcast
+    equi-join on the list id and the distance is an m-term lookup sum, so
+    at 100 TB the scan reads ~m bytes per vector and the corpus never
+    shuffles; per-query cost is nprobe × m × ksub doubles of broadcast
+    state. Smaller distance = nearer; ties break on neighbor id;
+    self-matches excluded.
+
+    Returns (query_id, neighbor_id, adc_dist, rank ≤ k).
+    """
+    from exon_duckdb_spark.operators.similarity import partition_topk
+
+    _, probe_residuals = _numpy_residual_assigners(cents, nprobe)
+    lut = _numpy_lut(codebooks)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), probe_residuals(F.col(vec_col)).alias("_p")
+        )
+        .select("query_id", F.explode("_p").alias("_pp"))
+        .select(
+            "query_id",
+            F.col("_pp.cid").alias("cid"),
+            F.col("_pp.rv").alias("_qrv"),
+        )
+        .select("query_id", "cid", lut(F.col("_qrv")).alias("_lut"))
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("code"), F.col("_lut"), lambda cj, row: F.element_at(row, cj + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        coded.select(F.col(id_col).alias("neighbor_id"), "cid", "code")
+        .join(F.broadcast(q), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    )
     scored = partition_topk(
         scored, k, "query_id", "adc_dist", "neighbor_id", ascending=True
     )

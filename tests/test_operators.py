@@ -177,6 +177,45 @@ def test_pq_full_codebook_matches_exact_l2(spark):
     assert got == [(i, r + 1) for r, (_, i) in enumerate(exact)]
 
 
+def test_ivfpq_residual_index(spark):
+    """IVF-PQ invariants: every vector lands in a coarse list with an
+    m-length code; codebook seeds are DISJOINT from the coarse seeds (the
+    coarse seeds' residuals are zero — seeding from them collapses the
+    codebooks, the bug this rule prevents); each seed residual encodes to
+    its own code; ADC search ranks contiguously, excludes self, and scores
+    only candidates from probed lists."""
+    import math as m
+
+    rows = [(i, [m.sin(0.7 * i + 0.13 * j) for j in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, books, coded = ops.ivfpq_build(emb, nlist=4, m=2, ksub=4, dims=16)
+    got = {r["vec_id"]: r for r in coded.collect()}
+    assert len(got) == 40
+    assert all(0 <= r["cid"] < 4 and len(r["code"]) == 2 for r in got.values())
+    # codebooks seeded from residuals of ids 4..7 (disjoint from coarse
+    # seeds 0..3) → non-degenerate: at least two distinct codes in use
+    assert len({tuple(r["code"]) for r in got.values()}) > 1
+    # seed residual k encodes to code [k, k] (it IS sub-centroid k)
+    for k, vid in enumerate(range(4, 8)):
+        assert got[vid]["code"] == [k, k]
+    out = ops.ivfpq_search(
+        coded, emb.where(F.col("vec_id") < 3), cents, books, k=5, nprobe=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # probed lists per query: the candidate set must come from ≤2 cids
+    cid_of = {v: r["cid"] for v, r in got.items()}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r["neighbor_id"] != qid for r in rs)
+        assert all(r["adc_dist"] >= 0 for r in rs)
+        assert len({cid_of[r["neighbor_id"]] for r in rs}) <= 2
+        # distances non-decreasing with rank
+        assert all(rs[i]["adc_dist"] <= rs[i + 1]["adc_dist"] for i in range(len(rs) - 1))
+
+
 def test_pq_numpy_encode_matches_literal(spark):
     import math as m
 
