@@ -413,14 +413,27 @@ def ivfpq_build(
     Returns ``(cents, codebooks, coded)`` with ``coded = (id_col, cid,
     code array<int>)``.
     """
-    from exon_duckdb_spark.operators.similarity import _seed_centroids, kmeans_refine
+    import math
 
+    from exon_duckdb_spark.operators.similarity import kmeans_refine
+
+    # ONE driver collect serves both quantizers: the first nlist rows are
+    # the coarse seed centroids, the next ksub rows' ids pick the PQ seed
+    # residuals (index metadata, like any ANN library's training sample)
+    head = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(nlist + ksub)
+        .collect()
+    )
+    cents = [
+        (i, [float(v) for v in r[vec_col]], math.sqrt(sum(float(v) ** 2 for v in r[vec_col])))
+        for i, r in enumerate(head[:nlist])
+    ]
     if coarse_iters:
         cents = kmeans_refine(
             corpus, nlist=nlist, iters=coarse_iters, vec_col=vec_col, id_col=id_col
         )
-    else:
-        cents = _seed_centroids(corpus, nlist, vec_col, id_col)
     assign_residual, _ = _numpy_residual_assigners(cents, 1)
     res = corpus.select(
         F.col(id_col), assign_residual(F.col(vec_col)).alias("_a")
@@ -433,13 +446,7 @@ def ivfpq_build(
     # collapses every codebook to the origin (all codes 0, all ADC
     # distances equal). Deterministic rule: ids ranked nlist..nlist+ksub
     # (ORDER BY id OFFSET nlist LIMIT ksub in the SQL oracle).
-    seed_ids = [
-        r[id_col]
-        for r in corpus.select(F.col(id_col))
-        .orderBy(F.col(id_col).asc())
-        .limit(nlist + ksub)
-        .collect()
-    ][nlist:]
+    seed_ids = [r[id_col] for r in head[nlist:]]
     books = pq_codebooks(
         res.where(F.col(id_col).isin(seed_ids)),
         m=m,
