@@ -2757,16 +2757,21 @@ def _char_lsh_pairs_oracle(
             f"SELECT doc_id, {b} AS band, {md5_int_sql(f'CONCAT({concat})')} AS bh FROM sig"
         )
     bands_sql = "\n              UNION ALL\n              ".join(band_rows)
+    # Verify runs on the DISTINCT 32-bit gram-hash set — the exact space
+    # the minhash signatures estimate; the Spark side applies the identical
+    # md5_int32, so a hash collision is reproduced bit-for-bit here too.
     jac = (
-        "len(list_intersect(wa.grams, wb.grams)) * 1.0 / "
-        "(len(wa.grams) + len(wb.grams) - len(list_intersect(wa.grams, wb.grams)))"
+        "len(list_intersect(wa.gh, wb.gh)) * 1.0 / "
+        "(len(wa.gh) + len(wb.gh) - len(list_intersect(wa.gh, wb.gh)))"
     )
     grams = (
         f"list_distinct(list_transform(generate_series(1, greatest(length(text) - {n - 1}, 0)), "
         f"i -> substr(text, i, {n})))"
     )
+    gh = f"list_distinct(list_transform(grams, g -> {md5_int32_sql('g')}))"
     return f"""
-            WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),
+            WITH g0 AS (SELECT doc_id, {grams} AS grams FROM documents),
+            g AS (SELECT doc_id, grams, {gh} AS gh FROM g0),
             sh AS (SELECT doc_id, unnest(grams) AS w FROM g),
             sig AS (
               SELECT doc_id, {mins}

@@ -518,7 +518,7 @@ def _grams_minhash_udf(n: int, num_hashes: int):
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
     out_type = StructType(
         [
-            StructField("grams", ArrayType(StringType())),
+            StructField("gh", ArrayType(LongType())),
             StructField("mh", ArrayType(LongType())),
         ]
     )
@@ -537,13 +537,18 @@ def _grams_minhash_udf(n: int, num_hashes: int):
         out_g, out_m = [], []
         for x in s:
             grams = list({x[i : i + n] for i in range(max(len(x) - n + 1, 0))})
-            out_g.append(grams)
             if grams:
                 hs = np.array([h(g) for g in grams], dtype=np.int64)
+                # verify runs on the DISTINCT 32-bit gram-hash set — the
+                # exact space the minhash signatures estimate; ~10× lighter
+                # than shipping gram strings (8-byte longs, no string
+                # serialization through the exchanges)
+                out_g.append(np.unique(hs).tolist())
                 out_m.append(((A * hs[None, :] + B) % MERSENNE31).min(axis=1).tolist())
             else:
+                out_g.append([])
                 out_m.append([None] * len(coeffs))
-        return pd.DataFrame({"grams": out_g, "mh": out_m})
+        return pd.DataFrame({"gh": out_g, "mh": out_m})
 
     return f
 
@@ -624,8 +629,9 @@ def ngram_jaccard_pairs(
     and one bucket goes quadratic. A band key here depends on the WHOLE gram
     set (min over grams per hash), so shared prefixes don't collide unless
     the documents really are near-duplicates. Flow: per-row gram minhash (no
-    shuffle) → band-key equi-join (one shuffle) → exact char-n-gram Jaccard
-    verify per candidate. Identical texts still share every band by design —
+    shuffle) → one band-keyed shuffle per band → exact char-n-gram Jaccard
+    verify INSIDE the bucket task (grouped Arrow kernel; earliest-band
+    dedup in-kernel). Identical texts still share every band by design —
     run :func:`exact_dedup` first so literal duplicates don't re-pair here.
 
     ``max_bucket`` (optional) drops band buckets larger than the cap before
@@ -638,11 +644,16 @@ def ngram_jaccard_pairs(
     have high background Jaccard on same-language text (band keys collide
     for unrelated docs); n=5 keeps the candidate set near-linear.
     """
-    # One Arrow pass computes grams AND all minhashes (numpy affine minima
-    # over md5-cached gram hashes) — k interpreted higher-order transforms
-    # over ~10³-gram arrays were the measured hot spot (~3× the UDF cost).
-    # Persisted because three consumers read it (band keys + both verify
-    # sides); without it the UDF re-runs per consumer.
+    # One Arrow pass computes the distinct gram-HASH set AND all minhashes
+    # (numpy affine minima over md5-cached gram hashes) — k interpreted
+    # higher-order transforms over ~10³-gram arrays were the measured hot
+    # spot (~3× the UDF cost). The verify stage runs on the 32-bit hash
+    # SET rather than gram strings: that is exactly the space the minhash
+    # signatures estimate, it ships 8-byte longs instead of n-char strings
+    # through the exchanges (~10× lighter), and the SQL oracle applies the
+    # identical md5_int32 so any hash collision is reproduced bit-for-bit
+    # on both engines. Persisted because three consumers read it (band
+    # keys + both verify sides); without it the UDF re-runs per consumer.
     from exon_duckdb_spark.operators.relational import ensure_parallelism
 
     df = ensure_parallelism(df, id_col)
@@ -650,7 +661,7 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         _grams_minhash_udf(n, num_hashes)(text_col).alias("_f"),
     ).select(
-        F.col(id_col), F.col("_f.grams").alias("grams"), F.col("_f.mh").alias("_mh")
+        F.col(id_col), F.col("_f.gh").alias("gh"), F.col("_f.mh").alias("_mh")
     )
     from pyspark import StorageLevel
 
@@ -686,13 +697,13 @@ def ngram_jaccard_pairs(
             id_col,
             bands,
         )
-    grams = keyed.select(F.col(id_col), F.col("grams"))
+    ghs = keyed.select(F.col(id_col), F.col("gh"))
     j = (
         cand.join(
-            grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "g_a"),
+            ghs.withColumnRenamed(id_col, "id_a").withColumnRenamed("gh", "g_a"),
             "id_a",
         ).join(
-            grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "g_b"),
+            ghs.withColumnRenamed(id_col, "id_b").withColumnRenamed("gh", "g_b"),
             "id_b",
         )
     )

@@ -25,6 +25,16 @@ NOT synthesized fresh, with two properties that keep the comparison honest:
 - events: ids/users/timestamps shift per copy (disjoint sessions/windows),
   so sessionization and windowed aggregation state also grows ~10x.
 
+A second measured lesson (round 4): even with perfectly copy-disjoint
+grams, the number of LSH band collisions is a HEAVY-TAILED functional of
+the fixed md5 hash family against the corpus gram pool — ten structurally
+identical copies (bijectively rotated text, identical pairwise Jaccards)
+drew 17k..232k candidates each, because which pool gram receives the
+smallest hash value decides collisions for thousands of doc pairs at
+once. Operators must therefore keep the PER-CANDIDATE cost tiny (q28's
+verify now intersects distinct 32-bit gram-hash sets instead of gram
+strings) rather than assume the expected candidate count.
+
 Usage: python tools/bench_scale.py [out_json]  (default BENCH_sf1.json)
 Env: SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_sf1), SPARK_GRAFT_CPUS.
 """
@@ -78,6 +88,16 @@ SCALE_SET = [
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 _DIGIT = "0123456789"
+# One combined rotation ring over letters+digits+common punctuation.
+# Per-CLASS rotation (the first construction) left digit and punctuation
+# grams looking like OTHER valid grams (rot('12345')='23456', '...' fixed),
+# which created genuine cross-copy near-duplicates: q28's candidate pairs
+# measured 25x for 10x docs — a data artifact, not operator quadraticity.
+# Rotating one class-mixing ring (step 7, coprime to 75) maps almost every
+# gram to a copy-specific alien string; only space-only grams survive.
+# Spaces and newlines are never touched, so token boundaries, paragraph
+# splits and whitespace statistics are identical in every copy.
+_RING = _LOWER + _UPPER + _DIGIT + ".,;:!?()'\"-"
 
 
 def _rot(s: str, i: int) -> str:
@@ -86,16 +106,16 @@ def _rot(s: str, i: int) -> str:
 
 def build_scale_dir(spark, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, "_BUILT_FROM_SF01_X10_ROT")
+    marker = os.path.join(out_dir, "_BUILT_FROM_SF01_X10_RING")
     if os.path.exists(marker):
         return
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    src = _LOWER + _UPPER + _DIGIT
+    src = _RING
     parts = []
     for i in range(COPIES):
         # copy-specific bijective char map -> copy-disjoint gram space
-        dst = _rot(_LOWER, i) + _rot(_UPPER, i) + _rot(_DIGIT, i)
+        dst = _rot(_RING, i * 7)
         parts.append(
             docs.select(
                 (F.col("doc_id") + i * max_doc).alias("doc_id"),
@@ -157,16 +177,121 @@ def build_scale_dir(spark, out_dir: str) -> None:
         fh.write("documents (char-rotated) + events scaled x10, others symlinked\n")
 
 
+def build_scale_embeddings(spark, out_dir: str) -> None:
+    """10x embeddings: per-copy CYCLIC DIMENSION ROTATION + id offset.
+
+    A rotation is an orthogonal permutation, so each copy's internal
+    geometry (norms, pairwise cosines up to fold-order ulps) is exactly
+    sf0.1's — the within-copy near-dup structure replicates 10x. Cross-copy
+    cosines are decorrelated (not provably sub-threshold: a rotated twin
+    can land near another vector by chance, so candidate counts grow
+    ~10x plus noise, which is the property the linearity check needs).
+    Own marker: upgrades a dir built before embeddings scaling existed
+    (replaces the passthrough symlink)."""
+    marker = os.path.join(out_dir, "_BUILT_EMB_X10_ROT")
+    if os.path.exists(marker):
+        return
+    dst_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(dst_path):
+        os.unlink(dst_path)
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dims = len(emb.select("embedding").first()[0])
+    parts = []
+    for i in range(COPIES):
+        s = (i * 7) % dims
+        rotated = (
+            F.col("embedding")
+            if s == 0
+            else F.concat(
+                F.slice("embedding", s + 1, dims - s), F.slice("embedding", 1, s)
+            )
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * max_id).alias("vec_id"),
+                rotated.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(dst_path)
+    with open(marker, "w") as fh:
+        fh.write("embeddings scaled x10 via per-copy dimension rotation\n")
+
+
+# --- embedding-family scale queries -----------------------------------------
+# The contract queries pin their LSH/cluster parameters for oracle
+# reproducibility; at 10x data those fixed knobs would (by design) grow
+# bucket joins quadratically. These variants exercise the operators' actual
+# scale knobs — auto_planes / nlist ∝ n — which is how a 100 TB run would
+# call them.
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def emb_dedup_auto(spark, sf_dir):
+    from exon_duckdb_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    return embedding_dup_pairs(
+        emb, threshold=0.35, planes=None, n_rows=emb.count(), target_bucket=256
+    )
+
+
+def ann_topk_auto(spark, sf_dir):
+    from exon_duckdb_spark.operators.similarity import ann_topk, auto_planes
+
+    emb = _emb(spark, sf_dir)
+    planes = auto_planes(emb.count(), target_bucket=256)
+    return ann_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, planes=planes, tables=2
+    )
+
+
+def semantic_dedup_scaled(spark, sf_dir):
+    from exon_duckdb_spark.operators.dedup import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    nlist = max(16, emb.count() // 125)  # expected cluster stays ~125
+    return semantic_dedup(emb, threshold=0.4, nlist=nlist)
+
+
+def ivfpq_scaled(spark, sf_dir):
+    from exon_duckdb_spark.operators.pq import ivfpq_build, ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    cents, books, coded = ivfpq_build(emb, nlist=8, m=4, ksub=8, dims=64)
+    return ivfpq_search(
+        coded, emb.where(F.col("vec_id") < 5), cents, books, k=10, nprobe=2
+    )
+
+
+EMB_SET = {
+    "emb_dedup_auto_planes": emb_dedup_auto,
+    "ann_topk_auto_planes": ann_topk_auto,
+    "semantic_dedup_nlist_scaled": semantic_dedup_scaled,
+    "ivfpq_search": ivfpq_scaled,
+}
+
+
 def run_set(spark, sf_dir: str) -> dict[str, float]:
     registry = entrymod.queries()
 
     def lookup(name):
+        if name in EMB_SET:
+            return EMB_SET[name]
         return getattr(entrymod, name, None) or registry[name]
 
-    for name in SCALE_SET:  # warm: codegen + python workers + page cache
+    names = SCALE_SET + list(EMB_SET)
+    for name in names:  # warm: codegen + python workers + page cache
         lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
     times = {}
-    for name in SCALE_SET:
+    for name in names:
         t0 = time.time()
         lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
@@ -178,6 +303,7 @@ def main() -> None:
     scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
     spark = get_session(app_name="bench_scale")
     build_scale_dir(spark, scale_dir)
+    build_scale_embeddings(spark, scale_dir)
     t01 = run_set(spark, SF01)
     t1 = run_set(spark, scale_dir)
     queries = {
@@ -186,12 +312,12 @@ def main() -> None:
             "sf1_sec": t1[name],
             "ratio": round(t1[name] / t01[name], 2) if t01[name] > 0 else None,
         }
-        for name in SCALE_SET
+        for name in SCALE_SET + list(EMB_SET)
     }
     doc = {
         "metric": "scale_linearity_x10",
         "copies": COPIES,
-        "construction": "copy-disjoint char rotation (docs) / id+ts shift (events)",
+        "construction": "copy-disjoint char rotation (docs) / id+ts shift (events) / dim rotation (embeddings)",
         "value": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
         "unit": "x (10x data)",
         "queries": queries,
