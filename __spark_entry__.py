@@ -682,6 +682,56 @@ def q38_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream watermarked interval join (click→purchase attribution
+    within 30 min): two file streams over the same events table, inner
+    interval join, append-mode memory sink. The batch SQL oracle replays
+    the identical equi+range join (withWatermark is a no-op in batch)."""
+    import uuid
+
+    from exon_duckdb_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_interval_join,
+    )
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        key_col="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        within_minutes=30,
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(joined, name, output_mode="append")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
 def q39_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, hash-checked end-to-end: synthesize real PNG/WAV
     header bytes per document (binary column), run the header parsers in
@@ -2122,7 +2172,16 @@ def q07m_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.lit(None).cast("bigint").alias("n_users"),
     )
-    return a.unionByName(b)
+    c = q86_stream_attribution(spark, sf_dir).select(
+        F.lit("attrib").alias("mode"),
+        F.col("click_ts").alias("t_start"),
+        F.col("purchase_ts").alias("t_end"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("click_id").alias("n_events"),
+        F.col("purchase_id").cast("double").alias("total_value"),
+        F.lit(None).cast("bigint").alias("n_users"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q08m_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4398,6 +4457,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'stream', window_start, window_end, event_type, n_events,
                    total_value, CAST(NULL AS BIGINT)
             FROM ({C['q38_stream_windowed_counts']})
+            UNION ALL
+            SELECT 'attrib',
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S'),
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S'),
+                   CAST(c.user_id AS VARCHAR),
+                   c.event_id,
+                   CAST(p.event_id AS DOUBLE),
+                   CAST(NULL AS BIGINT)
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
         """,
         "q08_grouping_sets": f"""
             SELECT 'rollup' AS mode, l_returnflag AS k1, l_linestatus AS k2,

@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "read_events_stream",
     "windowed_counts",
+    "stream_interval_join",
     "stream_dedup",
     "sessionize_stream",
     "SESSION_SCHEMA",
@@ -102,6 +103,46 @@ def windowed_counts(
             "total_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within_minutes: int = 30,
+    watermark_minutes: int = 60,
+) -> DataFrame:
+    """Watermarked stream–stream interval join — the attribution shape:
+    each RIGHT event (e.g. a purchase) pairs with the LEFT events (e.g.
+    clicks) of the same key whose timestamp precedes it by at most
+    ``within_minutes``.
+
+    Both sides carry event-time watermarks AND the join condition bounds
+    each side's timestamp relative to the other — the two requirements
+    that let Spark's symmetric hash join EVICT state: without them the
+    join buffers both streams forever. State per key is bounded by
+    ``watermark_minutes + within_minutes`` of events, so at 100 TB/day the
+    store holds a sliding interval, not history. Output mode is append
+    (inner stream–stream joins emit exactly-once per matched pair).
+
+    Column names must be disjoint across the two sides except ``key_col``
+    (rename before calling — the sides often derive from the same source).
+    Works identically on batch DataFrames: ``withWatermark`` is a no-op in
+    batch, which is how the SQL oracle verifies the same plan.
+    """
+    l = left.withWatermark(left_ts, f"{watermark_minutes} minutes")
+    r = right.withWatermark(right_ts, f"{watermark_minutes} minutes")
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] > l[left_ts])
+        & (
+            r[right_ts]
+            <= l[left_ts] + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return l.join(r, cond, "inner").drop(r[key_col])
 
 
 def stream_dedup(

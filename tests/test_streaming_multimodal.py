@@ -102,6 +102,62 @@ class TestStreaming:
         assert n_unique == n_batch
 
 
+    def test_stream_interval_join_matches_batch_range_join(self, spark):
+        """The watermarked stream-stream interval join must emit exactly the
+        pairs a batch equi+range join produces (append-mode inner join is
+        exactly-once per matched pair; watermark is a no-op in batch)."""
+        from exon_duckdb_spark.streaming.events import stream_interval_join
+
+        def sides(df):
+            clicks = df.where(F.col("event_type") == "click").select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            purchases = df.where(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            return clicks, purchases
+
+        stream = read_events_stream(spark, SF_DIR)
+        out = run_to_memory_sink(
+            stream_interval_join(
+                *sides(stream),
+                key_col="user_id",
+                left_ts="click_ts",
+                right_ts="purchase_ts",
+                within_minutes=30,
+            ),
+            "attr_test",
+            output_mode="append",
+        )
+        got = {
+            (r["user_id"], r["click_id"], r["purchase_id"])
+            for r in out.collect()
+        }
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        bdf = spark.read.parquet(SF_DIR + "/events.parquet")
+        ts_type = dict(bdf.dtypes)["ts"]
+        if ts_type == "bigint":
+            bdf = bdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        c, p = sides(bdf)
+        exact = {
+            (r["user_id"], r["click_id"], r["purchase_id"])
+            for r in c.join(
+                p,
+                (c["user_id"] == p["user_id"])
+                & (p["purchase_ts"] > c["click_ts"])
+                & (
+                    p["purchase_ts"]
+                    <= c["click_ts"] + F.expr("INTERVAL 30 MINUTES")
+                ),
+            ).collect()
+        }
+        assert got == exact and len(got) > 0
+
+
 class TestRocksDBStateStore:
     """cluster_conf prescribes the RocksDB state store for corpus-scale
     stateful streams (billions of dedup/session keys don't fit the default
