@@ -2389,17 +2389,23 @@ def q29m_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q58 deterministic hash sampling composed with q67's mix report: the
-    dashboard is computed OVER the sampled training mix, so both operators
-    verify through one result."""
+    """q58 deterministic hash sampling + temperature-flattened mixture
+    sampling (XLM-R §3.1 recipe), each composed with q67's mix report: the
+    dashboard is computed OVER the sampled training mix, so all three
+    operators verify through one result."""
     docs = _t(spark, sf_dir, "documents")
-    kept = ops.hash_sample(
+    strat = ops.hash_sample(
         docs,
         {"en": 0.8, "de": 0.5, "es": 0.25, "zh": 0.1},
         strata_col="lang",
         salt="mix1",
     )
-    return ops.source_mix_report(kept)
+    tmix = ops.temperature_mix(
+        docs, group_col="source", tau=0.7, budget_frac=0.5, salt="tmix"
+    )
+    a = ops.source_mix_report(strat).select(F.lit("strat").alias("mode"), "*")
+    b = ops.source_mix_report(tmix).select(F.lit("tmix").alias("mode"), "*")
+    return a.unionByName(b)
 
 
 def q60m_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4296,7 +4302,29 @@ def oracle_sql() -> dict[str, str]:
                     < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
                                 WHEN 'es' THEN 250000 WHEN 'zh' THEN 100000 END
             )"""
-    sampled_mix = sql67.replace("WITH tok AS", f"WITH {kept_cte}, tok AS", 1)
+    strat_mix = sql67.replace("WITH tok AS", f"WITH {kept_cte}, tok AS", 1)
+    # temperature-mix twin: per-source micro-thresholds from group counts
+    # (rate ∝ share^0.7, capped at 1, budget 0.5; floor(x*1e6 + 0.5) —
+    # half-up micro rounding absorbs pow() last-ulp differences)
+    tmix_cte = f"""tcnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            ttot AS (SELECT sum(n) AS nn FROM tcnt),
+            tz AS (SELECT sum(pow(n * 1.0 / nn, 0.7)) AS z FROM tcnt, ttot),
+            trate AS (
+              SELECT c.source,
+                     CAST(floor(least(1.0, 0.5 * nn * (pow(c.n * 1.0 / nn, 0.7) / z) / c.n)
+                                * 1000000 + 0.5) AS BIGINT) AS micro
+              FROM tcnt c, ttot, tz),
+            kept AS (
+              SELECT d.* FROM documents d JOIN trate r USING (source)
+              WHERE {md5_int_sql("concat('tmix', ':', CAST(doc_id AS VARCHAR))")} % 1000000
+                    < r.micro
+            )"""
+    tmix_mix = sql67.replace("WITH tok AS", f"WITH {tmix_cte}, tok AS", 1)
+    sampled_mix = f"""
+            SELECT 'strat' AS mode, * FROM ({strat_mix})
+            UNION ALL
+            SELECT 'tmix' AS mode, * FROM ({tmix_mix})
+        """
 
     # q64 multi-query BM25: one scored block per query (same math as the
     # single-query oracle), per-term contributions in integer micro-units

@@ -71,6 +71,7 @@ from exon_duckdb_spark.operators.text import (  # noqa: F401
     chunk_documents,
     doc_fingerprint,
     hash_sample,
+    temperature_mix,
     language_id,
     pack_sequences,
     text_stats,

@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "hash_sample",
+    "temperature_mix",
     "top_ngrams",
     "pack_sequences",
     "chunk_documents",
@@ -64,6 +65,61 @@ def hash_sample(
         limit = thresholds.getItem(F.col(strata_col))
         return df.where(limit.isNotNull() & (bucket < limit))
     return df.where(bucket < int(fraction * SAMPLE_BUCKETS))
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    tau: float = 0.7,
+    budget_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the multilingual-LM data
+    recipe (exponential smoothing in mBERT; Conneau et al. 2020 XLM-R
+    §3.1): group ``g`` with corpus share ``p_g`` is sampled with
+    probability ∝ ``p_g^tau``. ``tau < 1`` flattens the mix (upsamples
+    tail groups, downsamples dominant ones); ``tau = 1`` is proportional;
+    ``tau = 0`` is uniform across groups. ``budget_frac`` sets the total
+    kept fraction; per-group rates cap at 1 (this operator samples, it
+    does not replicate rows).
+
+    Shape: ONE tiny group-count aggregate collected to the driver (index
+    metadata — the group space is sources/languages, not rows); the keep
+    decision is the same md5-bucket filter as :func:`hash_sample` — map
+    only, deterministic under retries, nesting across budgets. Rates are
+    embedded as INTEGER micro-thresholds computed with floor(x + 0.5)
+    (cross-engine bit-parity: a SQL oracle recomputing pow() can differ in
+    the last ulp, which the half-up micro rounding absorbs).
+    """
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return df.where(F.lit(False))
+    weights = {g: (n / total) ** tau for g, n in counts.items()}
+    z = sum(weights.values())
+    import math
+
+    micro = {
+        g: int(
+            math.floor(
+                min(1.0, budget_frac * total * (weights[g] / z) / n) * SAMPLE_BUCKETS
+                + 0.5
+            )
+        )
+        for g, n in counts.items()
+    }
+    bucket = md5_int(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    ) % SAMPLE_BUCKETS
+    thresholds = F.create_map(
+        *[F.lit(x) for kv in micro.items() for x in kv]
+    )
+    limit = thresholds.getItem(F.col(group_col))
+    return df.where(limit.isNotNull() & (bucket < limit))
+
 
 # Small deterministic English-ish stopword list used for quality scoring.
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]

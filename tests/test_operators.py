@@ -540,6 +540,34 @@ class TestDedupScale:
         )
         assert lit == npy and len(lit) == 15
 
+    def test_temperature_mix_flattens_shares(self, spark):
+        """tau=1 samples every group at the flat budget rate; tau<1
+        upsamples tail groups relative to dominant ones; the keep decision
+        is deterministic (same rows across calls)."""
+        from exon_duckdb_spark.operators.text import temperature_mix
+
+        rows = [(i, "big" if i % 10 else "small") for i in range(4000)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        n = {r["source"]: r["n"] for r in
+             df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # tau=1 → proportional: every group keeps ~budget_frac of itself
+        t1 = temperature_mix(df, tau=1.0, budget_frac=0.5)
+        k1 = {r["source"]: r["n"] for r in
+              t1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for g in n:
+            assert abs(k1[g] / n[g] - 0.5) < 0.05, (g, k1[g], n[g])
+        # tau=0.3 → flattened: the small group's keep RATE must exceed the
+        # big group's (upsampled tail), totals still ≈ budget
+        t3 = temperature_mix(df, tau=0.3, budget_frac=0.5)
+        k3 = {r["source"]: r["n"] for r in
+              t3.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert k3["small"] / n["small"] > k3["big"] / n["big"]
+        # deterministic: identical subset on re-run
+        ids_a = {r["doc_id"] for r in t3.select("doc_id").collect()}
+        ids_b = {r["doc_id"] for r in
+                 temperature_mix(df, tau=0.3, budget_frac=0.5).select("doc_id").collect()}
+        assert ids_a == ids_b
+
     def test_hash_sample_deterministic_and_nested(self, spark):
         """Same (key, salt) → same subset; smaller fractions nest inside
         larger ones; per-stratum dict applies per-language rates."""
