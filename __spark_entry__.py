@@ -2481,7 +2481,7 @@ def q84_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     queries = _bm25_queries_df(spark).join(qv, "query_id")
-    return ops.hybrid_topk(corpus, queries, k=10, fetch_k=40)
+    return ops.hybrid_topk(corpus, queries, k=10, fetch_k=40, cache_corpus=True)
 
 
 def q64m_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -448,9 +448,16 @@ def hybrid_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    cache_corpus: bool = False,
 ) -> DataFrame:
     """Hybrid lexical + dense retrieval fused with Reciprocal Rank Fusion
     (Cormack, Clarke & Buettcher 2009): the standard RAG retrieval stack.
+
+    ``cache_corpus`` persists the corpus across the two branches (each
+    branch scans it once — lex reads text, dense reads vectors); worth it
+    when the corpus is itself a computed join (measured ~20% off the q84
+    contract query), skip it when the corpus is a plain table scan at a
+    scale where caching is costlier than the second read.
 
     ``corpus`` carries BOTH ``text_col`` and ``vec_col``; ``queries`` is
     ``(query_id, terms array<string>, query_vec array<float>)``. Each
@@ -471,6 +478,10 @@ def hybrid_topk(
     Returns (query_id, ``id_col``, rrf, lex_rank, dense_rank, rank ≤ k).
     """
     fetch = fetch_k or 4 * k
+    if cache_corpus:
+        from pyspark import StorageLevel
+
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     lex = bm25_topk_multi(
         corpus,
         queries.select("query_id", "terms"),
