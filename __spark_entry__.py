@@ -2508,9 +2508,19 @@ def q64m_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(h)
 
 
+def q87_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster topic report: coarse embedding clusters (the IVF-family seed
+    quantizer, nlist=8) described by their top-5 TF-IDF terms, with each
+    CLUSTER scored as one document — the inspection step of a
+    SemDeDup-style curation pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops.cluster_topics(docs, emb, nlist=8, top_terms=5)
+
+
 def q66m_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level term statistics: q66 global top 2-grams + q72
-    per-document TF-IDF keywords, tagged."""
+    per-document TF-IDF keywords + q87 cluster topic report, tagged."""
     a = q66_top_ngrams(spark, sf_dir).select(
         F.lit("corpus_2gram").alias("kind"),
         F.col("gram").alias("k1"),
@@ -2527,7 +2537,15 @@ def q66m_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").alias("val"),
         "rank",
     )
-    return a.unionByName(b)
+    c = q87_cluster_topics(spark, sf_dir).select(
+        F.lit("ctopics").alias("kind"),
+        F.col("cid").cast("string").alias("k1"),
+        F.col("term").alias("k2"),
+        "n",
+        F.col("score").alias("val"),
+        "rank",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q70m_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4651,6 +4669,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'tfidf', CAST(doc_id AS VARCHAR), term, tf, tfidf, rank
             FROM ({C['q72_tfidf_top_terms']})
+            UNION ALL
+            SELECT 'ctopics', CAST(cid AS VARCHAR), term, n, score, rank FROM (
+              WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id ASC LIMIT 8)
+              ),
+              asgn AS (
+                SELECT e.vec_id, c.cid,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    c.cvec), 6) AS csim
+                FROM embeddings e CROSS JOIN cent c
+              ),
+              cdoc AS (
+                SELECT vec_id AS doc_id, cid FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY csim DESC, cid ASC) AS rn
+                  FROM asgn) WHERE rn = 1
+              ),
+              trm AS (
+                SELECT c.cid, unnest(string_split(d.text, ' ')) AS term
+                FROM documents d JOIN cdoc c USING (doc_id)
+              ),
+              cnt AS (SELECT cid, term, count(*) AS n FROM trm GROUP BY cid, term),
+              dfreq AS (SELECT term, count(*) AS df FROM cnt GROUP BY term),
+              scored AS (
+                SELECT cid, term, n, round(n * ln(8.0 / df), 6) AS score
+                FROM cnt JOIN dfreq USING (term)
+              )
+              SELECT cid, term, n, score,
+                     CAST(row_number() OVER (PARTITION BY cid
+                            ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "q70_chunk_pack": f"""
             SELECT 'pack' AS kind, doc_id, source AS aux, n_tokens AS n_tok,

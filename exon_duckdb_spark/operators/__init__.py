@@ -67,6 +67,7 @@ from exon_duckdb_spark.operators.pq import (  # noqa: F401
 )
 from exon_duckdb_spark.operators.text import (  # noqa: F401
     bpe_token_count,
+    cluster_topics,
     bpe_tokens,
     chunk_documents,
     doc_fingerprint,

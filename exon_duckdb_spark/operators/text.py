@@ -23,6 +23,7 @@ __all__ = [
     "doc_fingerprint",
     "hash_sample",
     "temperature_mix",
+    "cluster_topics",
     "top_ngrams",
     "pack_sequences",
     "chunk_documents",
@@ -119,6 +120,63 @@ def temperature_mix(
     )
     limit = thresholds.getItem(F.col(group_col))
     return df.where(limit.isNotNull() & (bucket < limit))
+
+
+def cluster_topics(
+    docs: DataFrame,
+    emb: DataFrame,
+    nlist: int = 8,
+    top_terms: int = 5,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    cents: list | None = None,
+) -> DataFrame:
+    """Cluster topic report — the curation step behind SemDeDup-style
+    pipelines: coarse-cluster the embedding space, then describe each
+    cluster by its top TF-IDF terms (each CLUSTER is one "document":
+    tf = term count within the cluster, idf = ln(nlist / clusters
+    containing the term) — a term present in every cluster scores exactly
+    0, which drops stopwords without a list).
+
+    Assignment is the SAME deterministic quantizer as the IVF / SemDeDup
+    family (seed = nlist smallest-id vectors, cosine rounded to 6 dp, ties
+    to the smaller cid; pass ``cents`` from ``kmeans_refine`` for a trained
+    quantizer), so one index serves retrieval, dedup and inspection.
+
+    Shape: map-only Arrow assignment (quantizer broadcast in the UDF
+    closure) + an id-keyed join to attach texts + ONE (cid, term) count
+    shuffle with partial aggregation; the rank windows run over
+    nlist × |vocab-per-cluster| rows — report-sized, not corpus-sized.
+    Returns (cid, term, n, score, rank ≤ top_terms).
+    """
+    from exon_duckdb_spark.operators.similarity import (
+        _numpy_assigners,
+        _seed_centroids,
+    )
+    from pyspark.sql import Window
+
+    if cents is None:
+        cents = _seed_centroids(emb, nlist, vec_col, vec_id_col)
+    assign_cid, _ = _numpy_assigners(cents, 1)
+    assigned = emb.select(
+        F.col(vec_id_col).alias(doc_id_col), assign_cid(F.col(vec_col)).alias("cid")
+    )
+    cnt = (
+        docs.join(assigned, doc_id_col)
+        .select("cid", F.explode(tokens(text_col)).alias("term"))
+        .groupBy("cid", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    dfreq = cnt.groupBy("term").agg(F.count("*").alias("_df"))
+    score = F.round(F.col("n") * F.log(F.lit(float(nlist)) / F.col("_df")), 6)
+    scored = cnt.join(dfreq, "term").select("cid", "term", "n", score.alias("score"))
+    w = Window.partitionBy("cid").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_terms)
+    )
 
 
 # Small deterministic English-ish stopword list used for quality scoring.
