@@ -2024,6 +2024,27 @@ def q78_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.perplexity_score(_t(spark, sf_dir, "documents"))
 
 
+def q88_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one BIGRAM LM score — one Markov order up from
+    q78 toward CCNet's KenLM filter; catches shuffled/templated junk whose
+    word histogram looks fine but whose word ORDER is broken."""
+    return ops.bigram_perplexity_score(_t(spark, sf_dir, "documents"))
+
+
+def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram + bigram LM quality scores, tagged (both self-trained; the
+    oracle replays both training passes in SQL)."""
+    a = q78_perplexity_score(spark, sf_dir).select(
+        F.lit("uni").alias("mode"), "doc_id", "avg_logprob",
+        F.col("n_tokens").alias("n"),
+    )
+    b = q88_bigram_perplexity(spark, sf_dir).select(
+        F.lit("bi").alias("mode"), "doc_id", "avg_logprob",
+        F.col("n_transitions").alias("n"),
+    )
+    return a.unionByName(b)
+
+
 def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detect → cut: duplicated_spans feeds remove_spans, yielding the
     deduplicated text plus removal accounting per document — the full
@@ -2712,7 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_term_stats": q66m_term_stats,
         "q70_chunk_pack": q70m_chunk_pack,
         "q73_pq_pipeline": q73m_pq_pipeline,
-        "q78_perplexity_score": q78_perplexity_score,
+        "q78_perplexity_score": q78m_perplexity,
         "q79_sq8_search": q79_sq8_search,
         "q80_substring_dedup": q80m_substring_dedup,
         # -- multimodal --
@@ -4171,19 +4192,47 @@ def _component_sql() -> dict[str, str]:
             GROUP BY doc_id, sample_rate, n
         """,
         "q78_perplexity_score": """
-            WITH tf AS (
-              SELECT doc_id, t AS tok, count(*) AS tf
-              FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
-              GROUP BY doc_id, t
-            ),
-            cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
-            stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM cnts)
-            SELECT doc_id,
-                   round(SUM(ln((cnt + 1) * 1.0 / (total + vocab)) * tf) / SUM(tf), 6)
-                     AS avg_logprob,
-                   CAST(SUM(tf) AS BIGINT) AS n_tokens
-            FROM tf JOIN cnts USING (tok), stats
-            GROUP BY doc_id
+            SELECT 'uni' AS mode, doc_id, avg_logprob, n FROM (
+              WITH tf AS (
+                SELECT doc_id, t AS tok, count(*) AS tf
+                FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+                GROUP BY doc_id, t
+              ),
+              cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
+              stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM cnts)
+              SELECT doc_id,
+                     round(SUM(ln((cnt + 1) * 1.0 / (total + vocab)) * tf) / SUM(tf), 6)
+                       AS avg_logprob,
+                     CAST(SUM(tf) AS BIGINT) AS n
+              FROM tf JOIN cnts USING (tok), stats
+              GROUP BY doc_id
+            )
+            UNION ALL
+            SELECT 'bi', doc_id, avg_logprob, n FROM (
+              WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              bg AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(generate_series(1, len(t) - 1),
+                                i -> concat(t[i], ' ', t[i+1]))
+                         ELSE []::VARCHAR[] END) AS b
+                FROM tok
+              ),
+              tf2 AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+              c2 AS (SELECT b, SUM(tf) AS c2 FROM tf2 GROUP BY b),
+              uni AS (
+                SELECT t1 AS tok, count(*) AS c1
+                FROM (SELECT UNNEST(string_split(text, ' ')) AS t1 FROM documents)
+                GROUP BY t1
+              ),
+              st AS (SELECT COUNT(*) AS vocab FROM uni)
+              SELECT doc_id,
+                     round(SUM(ln((c2 + 1) * 1.0 / (c1 + vocab)) * tf) / SUM(tf), 6)
+                       AS avg_logprob,
+                     CAST(SUM(tf) AS BIGINT) AS n
+              FROM tf2 JOIN c2 USING (b)
+              JOIN uni ON uni.tok = split_part(b, ' ', 1), st
+              GROUP BY doc_id
+            )
         """,
         # SQ8 replay: same floor(x/s + 0.5) quantizer, cosine over the raw
         # int codes (the per-vector scale cancels out of cosine).

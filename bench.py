@@ -72,6 +72,7 @@ HEADLINE = [
     "q82_jpeg_decode",
     "q77_audio_decode",
     "q78_perplexity_score",
+    "q88_bigram_perplexity",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

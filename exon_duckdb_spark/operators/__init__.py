@@ -49,6 +49,7 @@ from exon_duckdb_spark.operators.similarity import (  # noqa: F401
     kmeans_refine,
 )
 from exon_duckdb_spark.operators.quality import (  # noqa: F401
+    bigram_perplexity_score,
     perplexity_score,
     pii_scrub,
     quality_filter,

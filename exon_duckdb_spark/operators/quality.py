@@ -26,6 +26,7 @@ __all__ = [
     "source_mix_report",
     "pii_scrub",
     "perplexity_score",
+    "bigram_perplexity_score",
     "PII_PATTERNS",
 ]
 
@@ -309,6 +310,64 @@ def perplexity_score(
             ).alias("avg_logprob"),
             F.sum("_tf").cast("bigint").alias("n_tokens"),
         )
+    )
+
+
+def bigram_perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained add-one BIGRAM LM score per document — one Markov
+    order up from :func:`perplexity_score` toward CCNet's KenLM filter:
+    ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with context counts
+    approximated by the full unigram counts (the same training pass the
+    unigram model uses; the approximation counts final-position tokens as
+    context mass — an end-padding convention, identical in the oracle).
+
+    ``avg_logprob`` = mean ln P over the document's ``n_tokens − 1``
+    transitions. Bigram scores separate shuffled/templated junk that a
+    unigram cannot (same word histogram, broken word ORDER). Documents
+    with fewer than 2 tokens have no transitions and are omitted.
+
+    Scale: one (doc, bigram) tf shuffle, a bigram-keyed count join — the
+    bigram table is NOT broadcastable at corpus scale, so this is a
+    shuffle join on the bigram key — one context-keyed join against the
+    unigram counts, one id-keyed weighted average. All linear, no UDF.
+    """
+    from pyspark import StorageLevel
+
+    from exon_duckdb_spark.operators.text import tokens as _tokens
+
+    toksed = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    tf2 = (
+        toksed.select(
+            F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("_bg")
+        )
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = tf2.groupBy("_bg").agg(F.sum("_tf").alias("_c2"))
+    uni = (
+        df.select(F.explode(_tokens(text_col)).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count("*").alias("_c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = uni.agg(F.count("*").alias("_vocab"))
+    logp = F.log(
+        (F.col("_c2") + 1).cast("double") / (F.col("_c1") + F.col("_vocab"))
+    )
+    scored = (
+        tf2.join(c2, "_bg")
+        .withColumn("_w1", F.substring_index(F.col("_bg"), " ", 1))
+        .join(uni, "_w1")
+        .crossJoin(F.broadcast(stats))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(logp * F.col("_tf")) / F.sum("_tf"), 6).alias("avg_logprob"),
+        F.sum("_tf").cast("bigint").alias("n_transitions"),
     )
 
 
