@@ -995,6 +995,29 @@ def test_perplexity_score_ranks_gibberish_low(spark):
     assert n[0] == 12 and n[100] == 5
 
 
+def test_bigram_perplexity_sees_word_order(spark):
+    """The bigram LM must separate a doc with SHUFFLED word order from the
+    fluent original even though their unigram histograms are identical —
+    the capability the unigram scorer lacks by construction."""
+    fluent = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over quick lazy fox the brown jumps"  # same bag of words
+    rows = [(i, fluent) for i in range(10)]
+    rows.append((100, shuffled))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r["doc_id"]: r["avg_logprob"] for r in ops.perplexity_score(df).collect()}
+    # unigram: identical histograms → (near-)identical scores
+    assert abs(uni[100] - uni[0]) < 1e-9
+    bi = {r["doc_id"]: r["avg_logprob"]
+          for r in ops.bigram_perplexity_score(df).collect()}
+    assert bi[100] < bi[0] < 0  # shuffled word order scores strictly lower
+    n = {r["doc_id"]: r["n_transitions"]
+         for r in ops.bigram_perplexity_score(df).collect()}
+    assert n[0] == 8 and n[100] == 8
+    # docs with < 2 tokens have no transitions and are omitted
+    one = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    assert ops.bigram_perplexity_score(one).count() == 0
+
+
 def test_sq8_quantization_near_exact_ranking(spark):
     """SQ8 (int8, per-vector scale) must reproduce exact cosine ranking on
     well-separated vectors, and codes must be within [-127, 127] with the
