@@ -995,6 +995,35 @@ def test_perplexity_score_ranks_gibberish_low(spark):
     assert n[0] == 12 and n[100] == 5
 
 
+def test_cluster_topics_reports_discriminative_terms(spark):
+    """Clusters built around two orthogonal embedding directions must each
+    surface THEIR OWN vocabulary: a term present in every cluster has
+    idf = ln(nlist/nlist) = 0 and can never outrank cluster-specific
+    terms."""
+    from exon_duckdb_spark.operators.text import cluster_topics
+
+    rows, vecs = [], []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "shared alpha alpha genome genome genome"))
+            vecs.append((i, [1.0, 0.0, 0.0, 0.0]))
+        else:
+            rows.append((i, "shared beta beta spectra spectra spectra"))
+            vecs.append((i, [0.0, 1.0, 0.0, 0.0]))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cluster_topics(docs, emb, nlist=2, top_terms=2)
+    by_cid = {}
+    for r in out.collect():
+        by_cid.setdefault(r["cid"], []).append((r["rank"], r["term"], r["score"]))
+    assert set(by_cid) == {0, 1}
+    # seed centroids are vec 0 ([1,0,..], even docs) and vec 1 (odd docs)
+    top = {cid: sorted(v)[0][1] for cid, v in by_cid.items()}
+    assert top[0] == "genome" and top[1] == "spectra"
+    # 'shared' appears in both clusters → idf 0 → never in the top terms
+    assert all(t != "shared" for v in by_cid.values() for _, t, _ in v)
+
+
 def test_bigram_perplexity_sees_word_order(spark):
     """The bigram LM must separate a doc with SHUFFLED word order from the
     fluent original even though their unigram histograms are identical —
