@@ -74,11 +74,13 @@ SCALE_SET = [
     "q62_pii_scrub",
     "q63_decontaminate",
     "q64_bm25_topk",
+    "q84_hybrid_retrieval",
     "q65_paragraph_dedup",
     "q66_top_ngrams",
     "q71_chunk_documents",
     "q72_tfidf_top_terms",
     "q78_perplexity_score",
+    "q88_bigram_perplexity",
     "q80_duplicated_spans",
     "q07_events_hourly",
     "q10_sessionize",
