@@ -95,6 +95,10 @@ def temperature_mix(
     counts = {
         r[group_col]: r["n"]
         for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        # a NULL group can't key a literal map; rows with a NULL group fall
+        # out through the limit.isNotNull() filter (same convention as
+        # hash_sample's missing-strata behavior)
+        if r[group_col] is not None
     }
     total = sum(counts.values())
     if not total:
