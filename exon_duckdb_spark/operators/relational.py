@@ -22,7 +22,86 @@ __all__ = [
 ]
 
 
-def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('128MB', '4194304b', '4m')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the file-scan partition count from the plan's input files,
+    replicating ``FilePartition.maxSplitBytes`` + greedy bin-packing, with
+    NO RDD materialization (``df.rdd.getNumPartitions()`` costs a py4j
+    round trip plus a full physical-planning pass per call; ``inputFiles``
+    is analysis-only).
+
+    Returns ``None`` when the plan has no file inputs — an upstream
+    exchange already fanned the data out to ``shuffle.partitions``, so
+    treating that as "already parallel" matches what the RDD probe saw —
+    or when a file can't be stat'ed (unregistered remote scheme).
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    from exon_duckdb_spark.sources import splits as _splits
+
+    sizes: list[int] = []
+    for f in files:
+        try:
+            if f.startswith("file:"):
+                sizes.append(os.path.getsize(unquote(urlparse(f).path)))
+            elif _splits.is_uri(f):
+                sizes.append(_splits.file_size(f))
+            else:
+                sizes.append(os.path.getsize(f))
+        except Exception:
+            return None
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    try:
+        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        min_pn = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = max(1, min(max_pb, max(open_cost, total // max(min_pn, 1))))
+    chunks: list[int] = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            chunks.append(min(max_split, s - off))
+            off += max_split
+        if s == 0:
+            chunks.append(0)
+    chunks.sort(reverse=True)
+    parts, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += c + open_cost
+    return parts + (1 if cur > 0 else 0)
+
+
+def ensure_parallelism(df: DataFrame, *key_cols: str, n_splits: int | None = None) -> DataFrame:
     """Fan a narrow-input DataFrame out to the session's configured
     parallelism IFF its scan produces fewer splits than half of it.
 
@@ -35,10 +114,15 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     fire, the shuffle moves only the raw input bytes, which are tiny *by
     definition* in the under-split regime. Hash-partitioned on ``key_cols``
     (deterministic, no round-robin sort pass).
+
+    The split count comes from ``n_splits`` when the caller already knows
+    it, else from a stat-based estimate of the plan's input files — never
+    from ``df.rdd`` (see ``_estimated_scan_splits``).
     """
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+    splits = n_splits if n_splits is not None else _estimated_scan_splits(df)
+    if splits is None or splits >= max(target // 2, 2):
         return df
     return df.repartition(target, *[F.col(c) for c in key_cols])
 

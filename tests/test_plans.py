@@ -155,3 +155,41 @@ def test_bm25_corpus_side_never_shuffles(spark):
     # formatted mode details each node as "(N) Exchange\n...\nArguments: ..."
     for m in _re.finditer(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", p):
         assert "SinglePartition" in m.group(1), m.group(1)
+
+
+def test_ensure_parallelism_probes_without_rdd(spark):
+    """VERDICT r4 item #7: the under-split guard must not materialize the
+    RDD (py4j + full physical-planning pass per call). The stat-based
+    estimator must (a) see single-split tiny scans so the fan-out still
+    fires, (b) return None for non-file plans (treated as already
+    parallel), (c) honor an explicit n_splits hint."""
+    from exon_duckdb_spark.operators.relational import (
+        _estimated_scan_splits,
+        ensure_parallelism,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert _estimated_scan_splits(docs) == 1
+    fanned = ensure_parallelism(docs, "doc_id")
+    assert "Exchange" in explain_formatted(fanned)
+
+    assert _estimated_scan_splits(spark.range(10)) is None
+    # hint path: caller-known split count suppresses the estimate
+    hinted = ensure_parallelism(docs, "doc_id", n_splits=64)
+    assert "Exchange" not in explain_formatted(hinted)
+
+    # source check: the guard itself must never touch df.rdd (docstrings
+    # may cite it as the thing being avoided — compare code tokens only)
+    import inspect
+    import io
+    import tokenize
+
+    import exon_duckdb_spark.operators.relational as rel
+
+    src = inspect.getsource(rel)
+    code_tokens = [
+        t.string
+        for t in tokenize.generate_tokens(io.StringIO(src).readline)
+        if t.type == tokenize.NAME
+    ]
+    assert "rdd" not in code_tokens
