@@ -2846,10 +2846,17 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0
 
 
 def _char_lsh_pairs_oracle(
-    n: int = 5, num_hashes: int = 16, bands: int = 4, threshold: float = 0.6
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    max_bucket: int = 64,
 ) -> str:
     """Oracle twin of operators.dedup.ngram_jaccard_pairs (char n-gram
-    minhash band blocking + exact gram Jaccard)."""
+    minhash band blocking + gram-hash-set Jaccard verify), including the
+    deterministic per-(band, bh) bucket truncation to the ``max_bucket``
+    smallest doc_ids (row_number mirror of the Spark window) so the two
+    engines agree even on a corpus where the cap fires."""
     rows = num_hashes // bands
     mins = _minhash_mins_sql(num_hashes)
     band_rows = []
@@ -2884,9 +2891,17 @@ def _char_lsh_pairs_oracle(
             bands AS (
               {bands_sql}
             ),
+            bandsc AS (
+              SELECT doc_id, band, bh FROM (
+                SELECT doc_id, band, bh,
+                       row_number() OVER (PARTITION BY band, bh
+                                          ORDER BY doc_id ASC) AS rn
+                FROM bands
+              ) WHERE rn <= {max_bucket}
+            ),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.bh = b.bh
               WHERE a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, round({jac}, 6) AS jaccard

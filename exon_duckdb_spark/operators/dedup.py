@@ -619,7 +619,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Character n-gram Jaccard near-dup pairs, blocked by MinHash bands of
     the gram set.
@@ -628,21 +628,41 @@ def ngram_jaccard_pairs(
     on boilerplate-heavy corpora where millions of documents share a prefix
     and one bucket goes quadratic. A band key here depends on the WHOLE gram
     set (min over grams per hash), so shared prefixes don't collide unless
-    the documents really are near-duplicates. Flow: per-row gram minhash (no
-    shuffle) → one band-keyed shuffle per band → exact char-n-gram Jaccard
-    verify INSIDE the bucket task (grouped Arrow kernel; earliest-band
-    dedup in-kernel). Identical texts still share every band by design —
-    run :func:`exact_dedup` first so literal duplicates don't re-pair here.
+    the documents really are near-duplicates. Flow: one Arrow pass per row
+    computes the distinct 32-bit gram-hash set AND the minhash signature →
+    band keys → one band-keyed self-join over capped buckets → candidate
+    ``distinct`` → Jaccard verify as a post-join ``array_intersect`` over
+    the two 8-byte gram-hash sets (NOT gram strings: md5_int32 collisions
+    can merge distinct grams, so ``jaccard`` is a collision-tolerant
+    approximation over the hash space — the SQL oracle applies the same
+    md5_int32, reproducing any collision bit-for-bit). Identical texts
+    still share every band by design — run :func:`exact_dedup` first so
+    literal duplicates don't re-pair here.
 
-    ``max_bucket`` (optional) drops band buckets larger than the cap before
-    the self-join — a hard guard against residual skew; dropped buckets only
-    lose candidates that other bands can still recover.
+    ``max_bucket`` (default 64) bounds the heavy tail of band-bucket sizes
+    BEFORE the self-join: each (band, bh) bucket is deterministically
+    truncated to its ``max_bucket`` smallest ids (``row_number`` in the
+    same exchange the join reuses), so one unlucky minhash draw — a pool
+    gram whose tiny hash value wins a whole band for thousands of docs, the
+    measured cause of the sf1 candidate blow-up (tools/bench_scale.py) —
+    costs at most ``max_bucket²/2`` pairs instead of going quadratic.
+    Unlike a drop-the-bucket guard, truncation keeps ``max_bucket``
+    representatives per band of a GENUINE giant near-dup family, so its
+    pairs (and cluster connectivity via :func:`dedup_clusters`) survive;
+    pairs whose members were truncated out of every colliding band are the
+    only recall loss. ``max_bucket=None`` disables the cap and switches to
+    earliest-band map-side pair dedup (no candidate ``distinct``), which is
+    only safe when no bucket can go quadratic.
 
     Calibration: collision probability is 1-(1-j^r)^b with r = num_hashes //
     bands rows per band — the S-curve midpoint sits at (1/b)^(1/r) ≈ 0.71
     for the defaults (16, 4), matching thresholds in 0.6-0.9. Char 3-grams
     have high background Jaccard on same-language text (band keys collide
-    for unrelated docs); n=5 keeps the candidate set near-linear.
+    for unrelated docs); n=5 keeps the candidate set near-linear. The cap
+    default sits above every bucket the contract corpora produce (measured
+    max 51 at sf0.1, 8 at sf0.001) so their outputs are cap-invariant,
+    while the 10× scale corpus (max bucket 425) gets its candidate volume
+    cut 799k → 327k.
     """
     # One Arrow pass computes the distinct gram-HASH set AND all minhashes
     # (numpy affine minima over md5-cached gram hashes) — k interpreted
@@ -667,28 +687,35 @@ def ngram_jaccard_pairs(
 
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
-        # A dropped bucket may hide a pair's EARLIEST colliding band while a
-        # later band still recovers it, so earliest-band dedup would lose
-        # that pair — keep the distinct() path here. The bucket-size guard
-        # is a window count (one shuffle, and the self-join below reuses the
-        # same (band, bh) exchange) instead of a groupBy + join back.
-        from pyspark.sql import Window
-
-        bands_long = _band_assignments(keyed, id_col, num_hashes, bands)
-        w = Window.partitionBy("band", "bh")
-        bands_long = (
-            bands_long.withColumn("_c", F.count(F.lit(1)).over(w))
-            .where(F.col("_c") <= max_bucket)
-            .drop("_c")
-        )
-        a, bb = bands_long.alias("a"), bands_long.alias("b")
+        # A truncated bucket may hide a pair's EARLIEST colliding band while
+        # a later band still recovers it, so earliest-band dedup would be
+        # lossy here — candidates dedup through a distinct() whose volume
+        # the cap bounds at max_bucket²/2 per bucket. Truncation keeps the
+        # max_bucket SMALLEST ids (deterministic; a count-based whole-bucket
+        # drop would erase genuine giant near-dup families instead of
+        # keeping representatives). One (band, bh) exchange collects each
+        # bucket's id list and generates its capped pairs in-task — a
+        # windowed self-join was measured ~2× slower at sf0.1 (the window
+        # sort + both join sides re-derive the band lineage).
         cand = (
-            a.join(bb, ["band", "bh"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
+            _band_assignments(keyed, id_col, num_hashes, bands)
+            .groupBy("band", "bh")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket
+                ).alias("_ids")
             )
+            .where(F.size("_ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(_ids, (x, i) -> "
+                        "transform(slice(_ids, i + 2, size(_ids)), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
             .distinct()
         )
     else:
