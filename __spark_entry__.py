@@ -499,15 +499,26 @@ def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing, hash-checked: synthesize a real
-    ISO-BMFF header per document with duration (doc_id % 30 + 1) seconds,
-    fan out 4 frames per video via sample_frames (mvhd header parse +
-    mapInPandas one-to-many), and emit the sampled timestamps. The oracle
-    recomputes the timestamps arithmetically, so the byte construction AND
-    the mvhd walk must both be right for the hashes to match."""
+    """Video frame sampling, hash-checked, two tagged codec branches.
+
+    'mp4': synthesize a real ISO-BMFF header per document with duration
+    (doc_id % 30 + 1) seconds; sample_frames parses mvhd for timing but
+    the frame stays the labeled md5 fake (is_real=false, 16 bytes) — the
+    honest stub for codecs the container can't decode.
+
+    'avi' (doc_id < 48): plant a REAL MJPEG AVI per document — doc_id%5+2
+    source frames at 25 fps (dwMicroSecPerFrame=40000), each frame a
+    DC-exact grayscale JPEG (q82's construction shifted by 7*frame_index,
+    quality 50, so huffman + dequant + IDCT reproduce the plant EXACTLY).
+    sample_frames walks the RIFF chunks, picks the bucket-midpoint source
+    chunk floor(n_src*(i+0.5)/4), and decodes real pixels (is_real=true).
+    The oracle replays timing AND per-frame pixel sums arithmetically, so
+    the AVI writer, the RIFF walk, the frame selection and the JPEG codec
+    must all be right for the hashes to match."""
     import struct as _struct
     from collections.abc import Iterator as _It
 
+    import numpy as _np
     import pandas as _pd
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -530,14 +541,72 @@ def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
+    def synth_avi(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators import jpegcodec as _jc
+        from exon_duckdb_spark.operators.multimodal import encode_avi_mjpeg
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 3 + 2) * 8, (did % 2 + 2) * 8
+                bx = _np.arange(w) // 8
+                by = _np.arange(h) // 8
+                frames = [
+                    _jc.encode_jpeg(
+                        (
+                            128
+                            + 2
+                            * (
+                                (bx[None, :] * 5 + by[:, None] * 11 + did + 7 * f)
+                                % 60
+                                - 30
+                            )
+                        ).astype(_np.uint8),
+                        quality=50,
+                    )
+                    for f in range(did % 5 + 2)
+                ]
+                blobs.append(
+                    encode_avi_mjpeg(frames, us_per_frame=40000, width=w, height=h)
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
     vids = docs.mapInPandas(synth, "doc_id long, content binary")
-    frames = ops.sample_frames(vids, n_frames=4, id_col="doc_id")
-    return frames.select(
+    f_mp4 = ops.sample_frames(vids, n_frames=4, id_col="doc_id").select(
+        F.lit("mp4").alias("codec"),
         "doc_id",
         "frame_index",
         F.round("timestamp_s", 6).alias("timestamp_s"),
         F.length("frame").cast("int").alias("frame_size"),
+        "width",
+        "height",
+        "channels",
+        F.lit(None).cast("long").alias("pix_sum"),
+        F.lit(None).cast("long").alias("pos_checksum"),
+        "is_real",
     )
+    avis = docs.where(F.col("doc_id") < 48).mapInPandas(
+        synth_avi, "doc_id long, content binary"
+    )
+    f_avi = (
+        ops.sample_frames(avis, n_frames=4, id_col="doc_id")
+        .withColumn("s", _pix_stats("frame"))
+        .select(
+            F.lit("avi").alias("codec"),
+            "doc_id",
+            "frame_index",
+            F.round("timestamp_s", 6).alias("timestamp_s"),
+            F.length("frame").cast("int").alias("frame_size"),
+            "width",
+            "height",
+            "channels",
+            "s.pix_sum",
+            "s.pos_checksum",
+            "is_real",
+        )
+    )
+    return f_mp4.unionByName(f_avi)
 
 
 def q44_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3552,12 +3621,61 @@ def _component_sql() -> dict[str, str]:
                               * 1.0 / 512) AS BIGINT) AS pack_id
             FROM d
         """,
+        # Arithmetic replay of BOTH q45 branches: mp4 timestamps from the
+        # planted mvhd duration; avi timing (n_src frames at 25 fps), the
+        # bucket-midpoint source-frame choice floor(n_src*(i+0.5)/4), and
+        # the DC-exact MJPEG pixel sums pixel(x,y) = 128 + 2*(((x//8)*5 +
+        # (y//8)*11 + doc_id + 7*src) % 60 - 30).
         "q45_frame_sample": """
-            SELECT d.doc_id,
-                   CAST(t.i AS INTEGER) AS frame_index,
-                   round((d.doc_id % 30 + 1) * (t.i + 0.5) / 4, 6) AS timestamp_s,
-                   CAST(16 AS INTEGER) AS frame_size
-            FROM documents d, range(0, 4) t(i)
+            WITH mp4 AS (
+              SELECT 'mp4' AS codec, d.doc_id,
+                     CAST(t.i AS INTEGER) AS frame_index,
+                     round((d.doc_id % 30 + 1) * (t.i + 0.5) / 4, 6) AS timestamp_s,
+                     CAST(16 AS INTEGER) AS frame_size,
+                     CAST(NULL AS INTEGER) AS width,
+                     CAST(NULL AS INTEGER) AS height,
+                     CAST(NULL AS INTEGER) AS channels,
+                     CAST(NULL AS BIGINT) AS pix_sum,
+                     CAST(NULL AS BIGINT) AS pos_checksum,
+                     FALSE AS is_real
+              FROM documents d, range(0, 4) t(i)
+            ),
+            avid AS (
+              SELECT doc_id,
+                     CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS w,
+                     CAST((doc_id % 2 + 2) * 8 AS INTEGER) AS h,
+                     doc_id % 5 + 2 AS n_src
+              FROM documents WHERE doc_id < 48
+            ),
+            sel AS (
+              SELECT a.doc_id, a.w, a.h,
+                     CAST(t.i AS INTEGER) AS frame_index,
+                     round(a.n_src * 40000 / 1000000.0 * (t.i + 0.5) / 4, 6)
+                       AS timestamp_s,
+                     LEAST(CAST(floor(a.n_src * (t.i + 0.5) / 4) AS BIGINT),
+                           a.n_src - 1) AS src
+              FROM avid a, range(0, 4) t(i)
+            ),
+            px AS (
+              SELECT s.doc_id, s.frame_index, s.timestamp_s, s.w, s.h,
+                     CAST(SUM(128 + 2*(((x//8)*5 + (y//8)*11 + s.doc_id
+                                        + 7*s.src) % 60 - 30)) AS BIGINT)
+                       AS pix_sum,
+                     CAST(SUM((128 + 2*(((x//8)*5 + (y//8)*11 + s.doc_id
+                                         + 7*s.src) % 60 - 30))
+                              * (y*s.w + x + 1)) AS BIGINT) AS pos_checksum
+              FROM sel s,
+                LATERAL (SELECT UNNEST(range(s.w)) AS x) xs,
+                LATERAL (SELECT UNNEST(range(s.h)) AS y) ys
+              GROUP BY s.doc_id, s.frame_index, s.timestamp_s, s.w, s.h
+            )
+            SELECT * FROM mp4
+            UNION ALL
+            SELECT 'avi' AS codec, doc_id, frame_index, timestamp_s,
+                   CAST(w*h AS INTEGER) AS frame_size, w AS width,
+                   h AS height, CAST(1 AS INTEGER) AS channels,
+                   pix_sum, pos_checksum, TRUE AS is_real
+            FROM px
         """,
         "q44_ivf_ann_topk": _IVF_SQL,
         "q68_ivf_persisted_search": _IVF_SQL,

@@ -22,8 +22,10 @@ from exon_duckdb_spark.operators.multimodal import (  # noqa: F401
     attach_media_metadata,
     decode_audio,
     decode_image,
+    encode_avi_mjpeg,
     image_features,
     mp4_duration,
+    parse_avi_mjpeg,
     resize_image,
     sample_frames,
     sniff_mime,

@@ -9,10 +9,12 @@ pure Python from the public container specs. ``decode_image`` and
 :mod:`imagecodec` — struct + stdlib zlib + numpy, incl. a full GIF LZW
 decoder) and baseline sequential JPEG (:mod:`jpegcodec` — huffman +
 dequant + vectorized IDCT + YCbCr, per ITU-T T.81); ``decode_audio`` is
-REAL for PCM WAV. The remaining undecodable tail (progressive/arithmetic
-JPEG) yields a per-row error string naming the mode, and
-``image_features`` still offers a deterministic md5-based FAKE embedding
-so similarity plumbing is exercisable without any decodable pixels.
+REAL for PCM WAV, and ``sample_frames`` extracts REAL pixels from
+MJPEG-in-AVI video (RIFF chunk walk + the same JPEG codec). The remaining
+undecodable tail (progressive/arithmetic JPEG, non-MJPEG video codecs)
+yields per-row error strings / ``is_real=false`` fakes, so similarity
+plumbing is exercisable without any decodable pixels and a 100 TB sweep
+surfaces its undecodable tail instead of dying.
 """
 
 from __future__ import annotations
@@ -39,6 +41,8 @@ __all__ = [
     "decode_audio",
     "decode_wav",
     "encode_wav",
+    "parse_avi_mjpeg",
+    "encode_avi_mjpeg",
     "image_features",
     "sample_frames",
     "MEDIA_META_SCHEMA",
@@ -408,6 +412,91 @@ def decode_audio(
     )
 
 
+def parse_avi_mjpeg(b: bytes) -> tuple[int, list[bytes]]:
+    """Parse a RIFF/AVI container → (microseconds_per_frame, frames) where
+    each frame is the raw bytes of one video chunk (MJPEG: a complete JPEG
+    per chunk). Pure struct walk of the public AVI RIFF layout (MSDN
+    AVIMAINHEADER / OpenDML): ``LIST hdrl`` carries ``avih`` whose first
+    u32 is dwMicroSecPerFrame; ``LIST movi`` carries the stream-0 video
+    chunks ``00dc``/``00db`` (optionally nested in ``rec `` lists). The
+    ``idx1`` index is ignored — frames are recovered by the chunk walk
+    itself, so a missing/stale index can't corrupt sampling. Raises
+    ValueError on non-AVI bytes or an AVI with no video chunks."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal us_per_frame
+        i = lo
+        while i + 8 <= hi:
+            cid = b[i : i + 4]
+            size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            end = i + 8 + size
+            if end > hi:
+                break  # truncated chunk: stop rather than read garbage
+            if cid == b"LIST":
+                # list payload = [listtype 4cc][subchunks]
+                walk(i + 12, end)
+            elif cid == b"avih" and size >= 4:
+                us_per_frame = struct.unpack("<I", b[i + 8 : i + 12])[0]
+            elif cid in (b"00dc", b"00db"):
+                frames.append(b[i + 8 : end])
+            i = end + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    if not frames:
+        raise ValueError("AVI has no stream-0 video chunks")
+    return us_per_frame, frames
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes],
+    us_per_frame: int = 40000,
+    width: int = 0,
+    height: int = 0,
+) -> bytes:
+    """Encode JPEG frame blobs as a minimal spec-shaped MJPEG AVI —
+    deterministic byte-for-byte (fixed chunk order, zero'd optional
+    fields). Emits RIFF('AVI ', LIST hdrl(avih, LIST strl(strh 'vids'/
+    'MJPG', strf BITMAPINFOHEADER)), LIST movi('00dc' per frame), idx1) —
+    enough structure that standard players and :func:`parse_avi_mjpeg`
+    agree on the frame list and timing."""
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload + b"\x00" * (
+            len(payload) & 1
+        )
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    n = len(frames)
+    rate = round(1e6 / us_per_frame) if us_per_frame else 0
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, rate, 0, n, 0, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00dc", f) for f in frames]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx, off = [], 4  # offsets are relative to the 'movi' 4cc
+    for f, c in zip(frames, movi_chunks):
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += len(c)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,
@@ -415,22 +504,67 @@ def sample_frames(
     id_col: str = "id",
 ) -> DataFrame:
     """Uniform video frame sampling: one input row fans out to ``n_frames``
-    rows (id, frame_index, timestamp_s, frame binary).
+    rows (id, frame_index, timestamp_s, width, height, channels,
+    frame binary, is_real boolean).
 
-    The Spark side is real: duration comes from the actual ``moov/mvhd``
-    header (:func:`mp4_duration`), timestamps are the bucket midpoints
-    ``duration * (i + 0.5) / n``, and the fan-out is an Arrow-batched
-    ``mapInPandas`` (one-to-many, binary never leaves the executor — the
-    shape a 100 TB video pipeline needs). Only the pixel extraction is
-    stubbed: ``frame`` is a DETERMINISTIC FAKE (md5 of bytes + index)
-    standing in for the decoder this container doesn't ship. Non-MP4 or
-    header-less blobs yield zero rows."""
+    REAL pixels for MJPEG-in-AVI: :func:`parse_avi_mjpeg` walks the RIFF
+    chunks, timing comes from ``avih.dwMicroSecPerFrame`` × chunk count,
+    the source chunk for output slot ``i`` is the one under the bucket
+    midpoint (``floor(total * (i + 0.5) / n)``), and its JPEG decodes
+    through the pure-numpy T.81 codec (:mod:`jpegcodec`) to raw row-major
+    uint8 in ``frame`` with real width/height/channels and
+    ``is_real=true``. The fan-out is an Arrow-batched ``mapInPandas``
+    (one-to-many, binary never leaves the executor — the shape a 100 TB
+    video pipeline needs).
+
+    Non-MJPEG codecs (ISO-BMFF/H.264 etc.) keep the honest stub: duration
+    is still real (``moov/mvhd`` header via :func:`mp4_duration`),
+    timestamps are the same bucket midpoints, but ``frame`` is a
+    DETERMINISTIC FAKE (md5 of bytes + index), dims NULL, and
+    ``is_real=false`` — flagged per row like :func:`image_features` so
+    downstream consumers can filter. An AVI chunk whose JPEG fails to
+    decode (e.g. progressive) degrades to the same flagged fake. Blobs
+    that are neither (no parsable container) yield zero rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss, frames = [], [], [], []
+            ids, idxs, tss = [], [], []
+            ws, hs, cs, frames, reals = [], [], [], [], []
             for vid, b in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(b) if b is not None else None
+                if b is None:
+                    continue
+                try:
+                    upf, chunks = parse_avi_mjpeg(b)
+                except ValueError:
+                    upf, chunks = 0, None
+                if chunks is not None and upf > 0:
+                    dur = len(chunks) * upf / 1e6
+                    for i in range(n_frames):
+                        src = min(
+                            int(len(chunks) * (i + 0.5) / n_frames),
+                            len(chunks) - 1,
+                        )
+                        ids.append(vid)
+                        idxs.append(i)
+                        tss.append(dur * (i + 0.5) / n_frames)
+                        try:
+                            arr = imagecodec.decode_blob(chunks[src])
+                            h, w, c = arr.shape
+                            ws.append(w)
+                            hs.append(h)
+                            cs.append(c)
+                            frames.append(arr.tobytes())
+                            reals.append(True)
+                        except Exception:
+                            ws.append(None)
+                            hs.append(None)
+                            cs.append(None)
+                            frames.append(
+                                hashlib.md5(b + i.to_bytes(4, "big")).digest()
+                            )
+                            reals.append(False)
+                    continue
                 dur = mp4_duration(b)
                 if dur is None:
                     continue
@@ -438,15 +572,28 @@ def sample_frames(
                     ids.append(vid)
                     idxs.append(i)
                     tss.append(dur * (i + 0.5) / n_frames)
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
                     frames.append(hashlib.md5(b + i.to_bytes(4, "big")).digest())
+                    reals.append(False)
             yield pd.DataFrame(
-                {id_col: ids, "frame_index": idxs, "timestamp_s": tss, "frame": frames}
+                {
+                    id_col: ids,
+                    "frame_index": idxs,
+                    "timestamp_s": tss,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "frame": frames,
+                    "is_real": pd.array(reals, dtype="boolean"),
+                }
             )
 
     return df.mapInPandas(
         run,
         f"{_id_field(df, id_col)}, frame_index int, timestamp_s double, "
-        "frame binary",
+        "width int, height int, channels int, frame binary, is_real boolean",
     )
 
 

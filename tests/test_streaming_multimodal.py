@@ -355,9 +355,82 @@ class TestFrameSampling:
         assert [got[i]["timestamp_s"] for i in range(4)] == [1.0, 3.0, 5.0, 7.0]
         frames = [bytes(got[i]["frame"]) for i in range(4)]
         assert len(set(frames)) == 4 and all(len(f) == 16 for f in frames)
+        # non-MJPEG codec: honest fake, flagged per row, dims NULL
+        assert all(r["is_real"] is False and r["width"] is None for r in out)
         # deterministic across runs
         again = ops.sample_frames(df, n_frames=4).collect()
         assert sorted(map(str, again)) == sorted(map(str, out))
+
+    @staticmethod
+    def _mjpeg_avi(n_src: int, w: int = 24, h: int = 16, seed: int = 0) -> bytes:
+        import numpy as np
+
+        from exon_duckdb_spark.operators import jpegcodec as jc
+
+        bx, by = np.arange(w) // 8, np.arange(h) // 8
+        frames = [
+            jc.encode_jpeg(
+                (
+                    128
+                    + 2 * ((bx[None, :] * 5 + by[:, None] * 11 + seed + 7 * f) % 60 - 30)
+                ).astype(np.uint8),
+                quality=50,
+            )
+            for f in range(n_src)
+        ]
+        return ops.encode_avi_mjpeg(frames, us_per_frame=40000, width=w, height=h)
+
+    def test_avi_roundtrip_and_timing(self):
+        blob = self._mjpeg_avi(5)
+        upf, frames = ops.parse_avi_mjpeg(blob)
+        assert upf == 40000 and len(frames) == 5
+        assert all(f[:2] == b"\xff\xd8" for f in frames)
+        for bad in (b"", b"RIFF\x04\x00\x00\x00WAVE", b"RIFF\x04\x00\x00\x00AVI "):
+            try:
+                ops.parse_avi_mjpeg(bad)
+                raise AssertionError("expected ValueError")
+            except ValueError:
+                pass
+
+    def test_sample_frames_mjpeg_real_pixels(self, spark):
+        """MJPEG-in-AVI: frame carries REAL decoded pixels (DC-exact plant
+        so the expected bytes are arithmetic), dims filled, is_real=true,
+        and the bucket-midpoint source selection floor(n*(i+0.5)/4)."""
+        import numpy as np
+
+        df = spark.createDataFrame(
+            [(7, bytearray(self._mjpeg_avi(5, seed=3)))], "id long, content binary"
+        )
+        out = {r["frame_index"]: r for r in ops.sample_frames(df, n_frames=4).collect()}
+        assert len(out) == 4
+        # duration = 5 * 40000us = 0.2s; midpoints at 0.025, 0.075, ...
+        assert [round(out[i]["timestamp_s"], 6) for i in range(4)] == [
+            0.025, 0.075, 0.125, 0.175,
+        ]
+        bx, by = np.arange(24) // 8, np.arange(16) // 8
+        for i in range(4):
+            r = out[i]
+            assert r["is_real"] is True
+            assert (r["width"], r["height"], r["channels"]) == (24, 16, 1)
+            src = min(int(5 * (i + 0.5) / 4), 4)
+            want = (
+                128 + 2 * ((bx[None, :] * 5 + by[:, None] * 11 + 3 + 7 * src) % 60 - 30)
+            ).astype(np.uint8)
+            got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 24)
+            assert (got == want).all()
+
+    def test_sample_frames_undecodable_avi_frame_degrades(self, spark):
+        """An AVI whose chunks aren't decodable JPEG keeps real timing but
+        flags the md5 fake per frame instead of failing the task."""
+        blob = ops.encode_avi_mjpeg([b"\xff\xd8 not really jpeg"] * 3)
+        df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+        out = ops.sample_frames(df, n_frames=2).collect()
+        assert len(out) == 2
+        assert all(
+            r["is_real"] is False and len(bytes(r["frame"])) == 16 and r["width"] is None
+            for r in out
+        )
+        assert [round(r["timestamp_s"], 3) for r in sorted(out, key=lambda r: r["frame_index"])] == [0.03, 0.09]
 
 
 class TestStreamingQuality:
