@@ -1950,10 +1950,12 @@ def q82_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     128 makes DC quantization exact at quality 50 (q00=16 divides 8*s for
     even s), so huffman + dequant + IDCT reproduce the plant EXACTLY and
     the oracle can recompute pixels arithmetically — construction AND
-    codec must both be right for hashes to match. restart_interval =
-    doc_id % 3 exercises the DRI/RSTn decode path on two-thirds of the
-    images (restarts must not change decoded pixels). Map-only end to
-    end, like q75."""
+    codec must both be right for hashes to match. Even doc_ids encode
+    baseline with restart_interval = doc_id % 3 (the DRI/RSTn decode
+    path); odd doc_ids encode PROGRESSIVE (SOF2 spectral selection +
+    successive approximation) — both layouts must reproduce the same
+    planted pixels for the shared hash to match. Map-only end to end,
+    like q75."""
     from collections.abc import Iterator as _It
 
     import numpy as _np
@@ -1978,6 +1980,8 @@ def q82_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(did)
                 blobs.append(
                     _jc.encode_jpeg(img, quality=50, restart_interval=did % 3)
+                    if did % 2 == 0
+                    else _jc.encode_jpeg(img, quality=50, progressive=True)
                 )
             yield _pd.DataFrame({"id": ids, "content": blobs})
 

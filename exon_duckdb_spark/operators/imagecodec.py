@@ -249,9 +249,9 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_blob(b: bytes) -> np.ndarray:
-    """Decode a BMP, PNG, GIF or baseline JPEG blob by magic; raises
-    ValueError on other formats (and on progressive/arithmetic JPEG,
-    with the mode named)."""
+    """Decode a BMP, PNG, GIF or JPEG (baseline or progressive) blob by
+    magic; raises ValueError on other formats (and on arithmetic-coded/
+    lossless/12-bit JPEG, with the mode named)."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b.startswith(_PNG_SIG):

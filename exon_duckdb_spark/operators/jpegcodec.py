@@ -9,10 +9,14 @@ JFIF YCbCr<->RGB, and 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling with
 box-average down- and nearest-repeat up-sampling. No reference analog —
 the reference (wheretrue/exon-duckdb) has no media surface at all.
 
-Scope: BASELINE ONLY. Progressive (SOF2), arithmetic coding (SOF9+),
-12-bit precision and hierarchical modes raise ValueError with the mode
-named, so a 100 TB sweep reports its undecodable tail precisely.
-Restart markers (DRI/RSTn) are supported on decode.
+Scope: baseline sequential (SOF0/1) AND progressive (SOF2, Annex G —
+spectral selection + successive approximation, EOB-runs, refinement
+correction bits) on decode; the encoder emits either layout (progressive
+via a fixed scan script, one successive-approximation level). Arithmetic
+coding (SOF9+), 12-bit precision and hierarchical modes raise ValueError
+with the mode named, so a 100 TB sweep reports its undecodable tail
+precisely. Restart markers (DRI/RSTn) are supported on sequential decode
+and in progressive scans.
 
 Correctness story (test_imagecodec.py):
 - the entropy layer is proven LOSSLESS: decoder-recovered quantized
@@ -291,9 +295,13 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF/JPEG blob to (h, w, c) uint8 —
-    c=3 RGB for color scans, c=1 for grayscale. Raises ValueError (with the
-    mode named) on progressive/arithmetic/12-bit streams."""
+    """Decode a baseline sequential (SOF0/1) or progressive (SOF2)
+    JFIF/JPEG blob to (h, w, c) uint8 — c=3 RGB for color scans, c=1 for
+    grayscale. Progressive scans (spectral selection + successive
+    approximation, T.81 Annex G) accumulate into per-component coefficient
+    stores across multiple SOS segments before one shared dequant + IDCT.
+    Raises ValueError (with the mode named) on arithmetic/lossless/12-bit
+    streams."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG file (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -301,6 +309,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(cid, H, V, tq), ...]
+    progressive = False
+    prog_stores = None  # per-component zigzag coefficient grids, SOF2 only
     i = 2
     n = len(b)
     while i + 4 <= n:
@@ -337,7 +347,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, vals)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (baseline is 8-bit)")
@@ -346,11 +356,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * ci)
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported: baseline decoder")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG mode (SOF{marker - 0xC0}): baseline decoder"
+                f"unsupported JPEG mode (SOF{marker - 0xC0}): "
+                "sequential/progressive huffman decoder"
             )
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
@@ -360,10 +370,23 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tables = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan.append((cs, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                b, i, frame, scan, qtables, huff_dc, huff_ac, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    b, i, frame, scan, qtables, huff_dc, huff_ac, restart_interval
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if prog_stores is None:
+                prog_stores = _alloc_stores(frame)
+            i = _progressive_scan(
+                b, i, frame, scan, ss, se, ahal >> 4, ahal & 0x0F,
+                prog_stores, huff_dc, huff_ac, restart_interval,
             )
         # APPn/COM/others: skipped
+    if progressive and prog_stores is not None:
+        h, w, comps = frame
+        meta = [(ch, cv, tq) for _cid, ch, cv, tq in comps]
+        return _reconstruct(h, w, meta, prog_stores, qtables)
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
@@ -416,15 +439,24 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, restart_interva
                             blk[k] = _extend(reader.receive(size), size)
                             k += 1
             mcu_count += 1
-    # dequant + IDCT per component (vectorized over all blocks), then
-    # crop to the component's true extent and upsample to full resolution
+    return _reconstruct(
+        h, w, [(ch, cv, tq) for ch, cv, _d, _a, tq in meta], stores, qtables
+    )
+
+
+def _reconstruct(h, w, meta, stores, qtables):
+    """Shared dequant + IDCT + upsample + color-convert tail: per-component
+    zigzag coefficient grids (by, bx, 64) → (h, w, c) uint8. Used by both
+    the sequential single-scan path and the progressive accumulator."""
+    hmax = max(c[0] for c in meta)
+    vmax = max(c[1] for c in meta)
     planes = []
-    for ci, (ch, cv, _d, _a, tq) in enumerate(meta):
+    for ci, (ch, cv, tq) in enumerate(meta):
         qt_zz = qtables[tq].reshape(64)[_ZIGZAG]  # natural -> zigzag order
         coefs = stores[ci].reshape(-1, 64) * qt_zz
         nat = coefs[:, _UNZIGZAG]  # zigzag -> natural
         blocks = _idct(nat.reshape(-1, 8, 8).astype(np.float64))
-        by, bx = mcuy * cv, mcux * ch
+        by, bx = stores[ci].shape[:2]
         plane = (
             blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
@@ -447,6 +479,195 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, restart_interva
     bl = y + 1.772 * cb
     rgb = np.stack([r, g, bl], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G): each SOS carries one spectral band at
+# one bit of successive approximation; coefficients accumulate across scans
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_stores(frame):
+    """One zigzag-order coefficient grid per component, MCU-padded like the
+    sequential path so interleaved DC scans can address padded blocks."""
+    _h, _w, comps = frame
+    _hmax, _vmax, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
+        for _cid, ch, cv, _tq in comps
+    ]
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker at/after pos (skips entropy bytes,
+    0xFF00 stuffing, 0xFF fill bytes, and stray RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF:
+            nxt = b[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart marker between/after scans
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _progressive_scan(
+    b, pos, frame, scan, ss, se, ah, al, stores, huff_dc, huff_ac, restart_interval
+):
+    """Decode one progressive SOS into the coefficient stores; returns the
+    byte offset of the next marker. DC scans (Ss=0) may interleave several
+    components (MCU order); AC scans are single-component in raster order
+    over the component's REAL block grid (not the MCU-padded one). First
+    passes (Ah=0) decode magnitudes shifted left by Al; refinement passes
+    (Ah>0) add one bit of precision per coefficient, with the EOB-run and
+    correction-bit protocol of G.1.2.3."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    comp_idx = {c[0]: i for i, c in enumerate(comps)}
+    reader = _BitReader(b, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("corrupt progressive JPEG: DC scan with Se != 0")
+        members = []  # (store, dc_table_or_None)
+        for cs, td, _ta in scan:
+            ci = comp_idx[cs]
+            members.append((stores[ci], comps[ci][1], comps[ci][2],
+                            huff_dc[td] if ah == 0 else None))
+        preds = [0] * len(members)
+        mcu_count = 0
+        if len(scan) == 1:
+            store, ch, cv, dc_t = members[0]
+            cbx = -(-(-(-w * ch // hmax)) // 8)
+            cby = -(-(-(-h * cv // vmax)) // 8)
+            grid = [(0, byi, bxi) for byi in range(cby) for bxi in range(cbx)]
+        else:
+            grid = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for mi, (_s, ch, cv, _t) in enumerate(members):
+                        for v in range(cv):
+                            for u in range(ch):
+                                grid.append((mi, my * cv + v, mx * ch + u))
+        per_mcu = (
+            1 if len(scan) == 1 else sum(ch * cv for _s, ch, cv, _t in members)
+        )
+        for gi, (mi, byi, bxi) in enumerate(grid):
+            if (
+                restart_interval
+                and gi
+                and gi % (restart_interval * per_mcu) == 0
+            ):
+                reader.align_restart()
+                preds = [0] * len(members)
+            store, _ch, _cv, dc_t = members[mi]
+            blk = store[byi, bxi]
+            if ah == 0:
+                s = reader.decode_symbol(dc_t)
+                diff = _extend(reader.receive(s), s)
+                preds[mi] += diff
+                blk[0] = preds[mi] << al
+            elif reader.read_bit():
+                blk[0] |= 1 << al
+    else:
+        if len(scan) != 1:
+            raise ValueError("corrupt progressive JPEG: interleaved AC scan")
+        if se > 63 or ss > se:
+            raise ValueError("corrupt progressive JPEG: bad spectral band")
+        cs, _td, ta = scan[0]
+        ci = comp_idx[cs]
+        _cid, ch, cv, _tq = comps[ci]
+        store = stores[ci]
+        ac_t = huff_ac[ta]
+        cbx = -(-(-(-w * ch // hmax)) // 8)
+        cby = -(-(-(-h * cv // vmax)) // 8)
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        blocks = 0
+        for byi in range(cby):
+            for bxi in range(cbx):
+                if restart_interval and blocks and blocks % restart_interval == 0:
+                    reader.align_restart()
+                    eobrun = 0
+                blocks += 1
+                blk = store[byi, bxi]
+                if ah == 0:  # first pass for this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("corrupt JPEG: AC band overrun")
+                        blk[k] = _extend(reader.receive(s), s) << al
+                        k += 1
+                else:  # refinement pass (G.1.2.3, libjpeg structure)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.decode_symbol(ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    break
+                                # r == 15: skip 16 zero-history coefficients
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "corrupt JPEG: refinement amplitude != 1"
+                                    )
+                                newval = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                coef = int(blk[k])
+                                if coef:
+                                    if reader.read_bit() and not (coef & p1):
+                                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun:
+                        while k <= se:
+                            coef = int(blk[k])
+                            if coef and reader.read_bit() and not (coef & p1):
+                                blk[k] = coef + (p1 if coef >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    return _next_marker(b, reader.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +756,106 @@ def _encode_blocks(
             writer.write(code, length)
 
 
+def _emit_dc_first(writer, zz, order, comp_of, dc_codes, al):
+    """Progressive DC first scan: diff-code (DC >> Al) in MCU order (the
+    point transform for DC is an arithmetic shift, G.1.2.1)."""
+    preds = [0] * (int(comp_of.max()) + 1 if comp_of.size else 1)
+    for bi in order:
+        ci = int(comp_of[bi])
+        v = int(zz[bi, 0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        size = abs(diff).bit_length()
+        code, length = dc_codes[ci][size]
+        writer.write(code, length)
+        if size:
+            writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+
+def _emit_dc_refine(writer, zz, order, al):
+    for bi in order:
+        writer.write((int(zz[bi, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(writer, zz, block_ids, ac, ss, se, al):
+    """Progressive AC first scan over one band: run-length code the point
+    transformed values sign*(|v| >> Al); trailing zeros close with EOB
+    (EOB-run of 1 — the K.3 tables carry no longer run symbols)."""
+    for bi in block_ids:
+        band = zz[bi, ss : se + 1]
+        run = 0
+        nz = np.nonzero(band)[0]
+        vals = []
+        if nz.size:
+            for off in nz:
+                v = int(band[off])
+                t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                vals.append((int(off), t))
+        last = -1
+        prev = -1
+        for off, t in vals:
+            if t == 0:
+                continue
+            run = off - prev - 1
+            prev = off
+            while run > 15:
+                code, length = ac[0xF0]
+                writer.write(code, length)
+                run -= 16
+            mag = abs(t)
+            size = mag.bit_length()
+            code, length = ac[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(t if t >= 0 else t + (1 << size) - 1, size)
+            last = off
+        if last < se - ss:
+            code, length = ac[0x00]  # EOB (run of 1)
+            writer.write(code, length)
+
+
+def _emit_ac_refine(writer, zz, block_ids, ac, ss, se, al):
+    """Progressive AC refinement (G.1.2.3, the libjpeg structure): newly
+    significant coefficients emit (run<<4)|1 + sign, already-nonzero ones
+    queue correction bits that flush after the next symbol; trailing state
+    closes with EOB + its buffered bits. EOB-runs never span blocks (run of
+    1 each), matching the K.3 table's symbol set."""
+    p1 = 1 << al
+    for bi in block_ids:
+        band = zz[bi, ss : se + 1]
+        absv = np.abs(band.astype(np.int64)) >> al
+        newly = np.nonzero(absv == 1)[0]
+        eob = int(newly[-1]) if newly.size else -1
+        r = 0
+        br: list[int] = []
+        for k in range(band.shape[0]):
+            t = int(absv[k])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                code, length = ac[0xF0]
+                writer.write(code, length)
+                r -= 16
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+            if t > 1:  # nonzero history: correction bit only
+                br.append(t & 1)
+                continue
+            code, length = ac[(r << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if int(band[k]) >= 0 else 0, 1)
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            code, length = ac[0x00]  # EOB closes the trailing run
+            writer.write(code, length)
+            for bit in br:
+                writer.write(bit, 1)
+
+
 def _plane_to_zz(plane: np.ndarray, qt: np.ndarray) -> tuple[np.ndarray, int, int]:
     """Level-shift, pad to 8-multiples (edge replicate), DCT, quantize,
     zigzag. Returns (blocks_zz (by*bx, 64) int32, by, bx)."""
@@ -557,13 +878,22 @@ def encode_jpeg(
     quality: int = 50,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB uint8 as a
     baseline sequential JFIF/JPEG with the K.3 typical Huffman tables.
     ``subsampling``: '444' (no chroma subsampling, default — deterministic
     and simplest for oracle replay) or '420' (2x2 box-average chroma).
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs.
+    ``progressive`` emits SOF2 with a fixed scan script — interleaved DC
+    first at Al=1, per-component AC bands (1-5, 6-63) first at Al=1, then
+    DC and AC refinements to Al=0 — exercising spectral selection AND one
+    level of successive approximation; quantized coefficients are
+    identical to the sequential stream (same DCT/quant path), only the
+    entropy layout differs. Progressive + restart_interval is rejected.
     Deterministic byte-for-byte for a given argument tuple."""
+    if progressive and restart_interval:
+        raise ValueError("progressive encoder does not emit restart markers")
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -658,19 +988,6 @@ def encode_jpeg(
         ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
         dc_codes += [dc_c, dc_c]
         ac_codes += [ac_c, ac_c]
-    writer = _BitWriter()
-    blocks_per_mcu = 1 if len(planes) == 1 else sum(sh * sv for sh, sv in samp)
-    _encode_blocks(
-        writer,
-        zz,
-        np.asarray(order, np.int64),
-        dc_codes,
-        ac_codes,
-        comp_of,
-        blocks_per_mcu,
-        restart_interval,
-    )
-    writer.flush()
     # ---- containers
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -688,7 +1005,9 @@ def encode_jpeg(
     for ci in range(nc):
         sh, sv = samp[ci]
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     def _dht(tc, th, bits, vals):
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
@@ -697,13 +1016,79 @@ def encode_jpeg(
     if not gray:
         out += _dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += _dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([nc])
+    if not progressive:
+        writer = _BitWriter()
+        blocks_per_mcu = 1 if len(planes) == 1 else sum(sh * sv for sh, sv in samp)
+        _encode_blocks(
+            writer,
+            zz,
+            np.asarray(order, np.int64),
+            dc_codes,
+            ac_codes,
+            comp_of,
+            blocks_per_mcu,
+            restart_interval,
+        )
+        writer.flush()
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        sos = bytes([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
+        sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += writer.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+    # ---- progressive scan script
+    order_arr = np.asarray(order, np.int64)
+
+    def _real_blocks(ci: int) -> list[int]:
+        # AC scans are non-interleaved over the component's REAL block
+        # grid; the MCU-padding blocks exist only for interleaved DC scans
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        chh = -(-h * sv // vmax)
+        cbx, cby = -(-cw // 8), -(-chh // 8)
+        _need_by, need_bx = grids[ci]
+        return [
+            offsets[ci] + byi * need_bx + bxi
+            for byi in range(cby)
+            for bxi in range(cbx)
+        ]
+
+    def _sos(scomps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scomps)])
+        for cid, td, ta in scomps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1) for ci in range(nc)]
+    scans = []  # (sos_header, emit_fn)
+    w1 = _BitWriter()
+    _emit_dc_first(w1, zz, order_arr, comp_of, dc_codes, 1)
+    scans.append((_sos(all_comps, 0, 0, 0, 1), w1))
     for ci in range(nc):
-        sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += writer.out
+        blocks = _real_blocks(ci)
+        act = ac_codes[ci]
+        for ss_b, se_b in ((1, 5), (6, 63)):
+            wb = _BitWriter()
+            _emit_ac_first(wb, zz, blocks, act, ss_b, se_b, 1)
+            scans.append((_sos([all_comps[ci]], ss_b, se_b, 0, 1), wb))
+    wd = _BitWriter()
+    _emit_dc_refine(wd, zz, order_arr, 0)
+    scans.append((_sos(all_comps, 0, 0, 1, 0), wd))
+    for ci in range(nc):
+        blocks = _real_blocks(ci)
+        act = ac_codes[ci]
+        for ss_b, se_b in ((1, 5), (6, 63)):
+            wb = _BitWriter()
+            _emit_ac_refine(wb, zz, blocks, act, ss_b, se_b, 0)
+            scans.append((_sos([all_comps[ci]], ss_b, se_b, 1, 0), wb))
+    for sos_hdr, wb in scans:
+        wb.flush()
+        out += sos_hdr
+        out += wb.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -216,13 +216,14 @@ def decode_image(
     pixels binary, error string).
 
     REAL for BMP (24/32-bit uncompressed), PNG (8-bit, all filters),
-    GIF (87a/89a first frame, full LZW) and baseline sequential JPEG
+    GIF (87a/89a first frame, full LZW), baseline sequential JPEG
     (SOF0: huffman + dequant + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
-    markers) via the pure-Python codecs in :mod:`imagecodec` /
+    markers) and progressive JPEG (SOF2 spectral selection + successive
+    approximation) via the pure-Python codecs in :mod:`imagecodec` /
     :mod:`jpegcodec` — no external codec library. The residual tail
-    (progressive/arithmetic JPEG) yields a NULL-pixel row with ``error``
-    naming the mode, so a 100 TB sweep surfaces its undecodable tail
-    instead of dying. ``pixels`` is raw RGB(A) bytes
+    (arithmetic-coded/lossless/12-bit JPEG) yields a NULL-pixel row with
+    ``error`` naming the mode, so a 100 TB sweep surfaces its
+    undecodable tail instead of dying. ``pixels`` is raw RGB(A) bytes
     (row-major, top-down) rather than array<float>: 4× smaller on the wire,
     and zero-copy reshapeable to (h, w, c) uint8 in any downstream UDF."""
 
@@ -523,7 +524,7 @@ def sample_frames(
     DETERMINISTIC FAKE (md5 of bytes + index), dims NULL, and
     ``is_real=false`` — flagged per row like :func:`image_features` so
     downstream consumers can filter. An AVI chunk whose JPEG fails to
-    decode (e.g. progressive) degrades to the same flagged fake. Blobs
+    decode (e.g. arithmetic-coded) degrades to the same flagged fake. Blobs
     that are neither (no parsable container) yield zero rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -344,14 +344,92 @@ class TestJpeg:
             J.decode_jpeg(J.encode_jpeg(c, 75, "420", restart_interval=2)),
         )
 
-    def test_progressive_rejected_by_name(self):
+    def test_progressive_decodes_identical_to_sequential(self):
+        """SOF2 spectral selection + one level of successive approximation:
+        the quantized coefficients are the same as the sequential stream,
+        so decoded pixels must match bit-for-bit across gray/color, odd
+        dims, both subsamplings, and a quality sweep."""
         from exon_duckdb_spark.operators import jpegcodec as J
 
-        blob = bytearray(J.encode_jpeg(self._dc_only(8, 8), 50))
-        sof = blob.find(b"\xff\xc0")
-        blob[sof + 1] = 0xC2  # flip SOF0 -> SOF2
-        with pytest.raises(ValueError, match="progressive"):
-            J.decode_jpeg(bytes(blob))
+        rng = np.random.RandomState(11)
+        cases = [
+            (rng.randint(0, 256, (16, 24)).astype(np.uint8), "444", 50),
+            (rng.randint(0, 256, (9, 13)).astype(np.uint8), "444", 90),
+            (rng.randint(0, 256, (22, 31, 3)).astype(np.uint8), "444", 75),
+            (rng.randint(0, 256, (21, 19, 3)).astype(np.uint8), "420", 60),
+        ]
+        for img, sub, q in cases:
+            seq = J.decode_jpeg(J.encode_jpeg(img, q, subsampling=sub))
+            pro = J.decode_jpeg(J.encode_jpeg(img, q, subsampling=sub, progressive=True))
+            assert np.array_equal(seq, pro), (img.shape, sub, q)
+
+    def test_progressive_dc_exact_plant(self):
+        """The DC-exact plant family (constant 8x8 blocks, even offsets at
+        quality 50) must roundtrip EXACTLY through the progressive layout
+        too — DC first at Al=1 plus one refinement bit reassembles the
+        full DC value."""
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        img = self._dc_only(32, 24)
+        dec = J.decode_jpeg(J.encode_jpeg(img, 50, progressive=True))
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_progressive_eobrun_spans_blocks(self):
+        """Hand-assembled SOF2 stream with a custom AC table carrying the
+        EOBRUN-length-2 symbol (0x10), covering the eobrun>1 decode path
+        the in-repo encoder never emits (K.3 tables stop at EOB)."""
+        import struct as st
+
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + st.pack(">H", 2 + len(body)) + body
+
+        # all-ones quant table (zigzag order = natural for constant 1s)
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+        # SOF2: 8-bit, 24 high, 16 wide, 1 comp (id 1, 1x1 sampling, qt 0)
+        out += seg(0xC2, st.pack(">BHHB", 8, 24, 16, 1) + bytes([1, 0x11, 0]))
+        # DC table: symbols 0..2 at length 2 (canonical)
+        out += seg(0xC4, bytes([0x00]) + bytes([0, 3] + [0] * 14) + bytes([0, 1, 2]))
+        # AC table: symbols {0x00 EOB, 0x10 EOBRUN2-3, 0x01 run0/size1} at len 2
+        out += seg(0xC4, bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x00, 0x10, 0x01]))
+        # DC first scan (Al=0): six blocks (3x2 grid), all diffs 0 -> DC=0.
+        # Canonical codes at length 2 for 3 symbols: 00->sym0, 01->sym1, 10->sym2.
+        dc_bits = "00" * 6
+        pad = (8 - len(dc_bits) % 8) % 8
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+        out += int(dc_bits + "1" * pad, 2).to_bytes((len(dc_bits) + pad) // 8, "big")
+        # AC first scan (Ss=1 Se=63 Al=0): block0 coef k=1 -> +1;
+        # then EOBRUN symbol 0x10 + 1 appended bit '1' -> run of 3 blocks;
+        # then block4 coef k=1 -> -1; block5 EOB (0x00).
+        # codes: 00=EOB(0x00), 01=0x10, 10=0x01
+        ac_bits = (
+            "10" + "1"          # blk0: (run0,size1) value bit 1 -> +1, k=2
+            + "00"              #       EOB closes blk0
+            + "01" + "1"        # EOBRUN: (1<<1) + 1 = 3 blocks (blk1..3)
+            + "10" + "0"        # blk4: (run0,size1) value bit 0 -> -1
+            + "00"              #       EOB closes blk4
+            + "00"              # blk5: EOB (empty)
+        )
+        pad = (8 - len(ac_bits) % 8) % 8
+        out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+        out += int(ac_bits + "1" * pad, 2).to_bytes((len(ac_bits) + pad) // 8, "big")
+        out += b"\xff\xd9"
+        dec = J.decode_jpeg(bytes(out))
+        assert dec.shape == (24, 16, 1)
+        # rebuild expectation: per block, zigzag coef 1 (natural (0,1)) = v
+        blocks = {0: 1, 4: -1}  # block index (row-major 3 rows x 2 cols) -> coef
+        coefs = np.zeros((6, 64), np.int64)
+        for bi, v in blocks.items():
+            coefs[bi, 1] = v
+        nat = coefs[:, J._UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        px = J._idct(nat)
+        want = (
+            px.reshape(3, 2, 8, 8).transpose(0, 2, 1, 3).reshape(24, 16)
+        )
+        want = np.clip(np.round(want + 128.0), 0, 255).astype(np.uint8)
+        assert np.array_equal(dec[:, :, 0], want)
 
     def test_deterministic_bytes(self):
         from exon_duckdb_spark.operators import jpegcodec as J
