@@ -4356,10 +4356,12 @@ def _component_sql() -> dict[str, str]:
               ),
               tf2 AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
               c2 AS (SELECT b, SUM(tf) AS c2 FROM tf2 GROUP BY b),
+              -- context counts are the exact MLE denominator derived from
+              -- the bigram table itself (sum tf by first word), mirroring
+              -- the engine's single-corpus-scan derivation
               uni AS (
-                SELECT t1 AS tok, count(*) AS c1
-                FROM (SELECT UNNEST(string_split(text, ' ')) AS t1 FROM documents)
-                GROUP BY t1
+                SELECT split_part(b, ' ', 1) AS tok, SUM(tf) AS c1
+                FROM tf2 GROUP BY split_part(b, ' ', 1)
               ),
               st AS (SELECT COUNT(*) AS vocab FROM uni)
               SELECT doc_id,

@@ -325,10 +325,11 @@ def bigram_perplexity_score(
 ) -> DataFrame:
     """Corpus-trained add-one BIGRAM LM score per document — one Markov
     order up from :func:`perplexity_score` toward CCNet's KenLM filter:
-    ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with context counts
-    approximated by the full unigram counts (the same training pass the
-    unigram model uses; the approximation counts final-position tokens as
-    context mass — an end-padding convention, identical in the oracle).
+    ``P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)``. Context counts are the
+    exact MLE denominator ``c(w1) = Σ_w2 c(w1 w2)`` — aggregated off the
+    persisted bigram table itself (``sum(_tf) group by first word``), not
+    a second tokenization of the raw text, so the corpus is scanned ONCE;
+    ``V`` is the context vocabulary (distinct observed ``w1``).
 
     ``avg_logprob`` = mean ln P over the document's ``n_tokens − 1``
     transitions. Bigram scores separate shuffled/templated junk that a
@@ -338,7 +339,9 @@ def bigram_perplexity_score(
     Scale: one (doc, bigram) tf shuffle, a bigram-keyed count join — the
     bigram table is NOT broadcastable at corpus scale, so this is a
     shuffle join on the bigram key — one context-keyed join against the
-    unigram counts, one id-keyed weighted average. All linear, no UDF.
+    bigram-derived context counts, one id-keyed weighted average. All
+    linear, no UDF, single corpus scan (test_plans.py pins the scan
+    count).
     """
     from pyspark import StorageLevel
 
@@ -360,9 +363,10 @@ def bigram_perplexity_score(
     )
     c2 = tf2.groupBy("_bg").agg(F.sum("_tf").alias("_c2"))
     uni = (
-        df.select(F.explode(_tokens(text_col)).alias("_w1"))
-        .groupBy("_w1")
-        .agg(F.count("*").alias("_c1"))
+        tf2.groupBy(
+            F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
+        )
+        .agg(F.sum("_tf").alias("_c1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = uni.agg(F.count("*").alias("_vocab"))

@@ -193,3 +193,29 @@ def test_ensure_parallelism_probes_without_rdd(spark):
         if t.type == tokenize.NAME
     ]
     assert "rdd" not in code_tokens
+
+
+def test_bigram_contexts_derive_from_bigram_table(spark):
+    """VERDICT r4 item #5: bigram_perplexity_score must serve context
+    counts (and V) from the persisted bigram table — ONE corpus scan in
+    the whole plan. Formatted explain assigns every physical node a
+    stable id and prints the cached tf2 subtree once per InMemoryTableScan
+    reference, so the invariant is 'all Scan parquet mentions are the SAME
+    node', not 'one mention'."""
+    import re as _re
+
+    df = entry.q78_perplexity_score(spark, SF)  # uni + bi branches union
+    p = explain_formatted(df)
+    ids = set(_re.findall(r"Scan parquet\s*\((\d+)\)", p))
+    ids |= set(_re.findall(r"\((\d+)\) Scan parquet", p))
+    # the union carries the unigram branch's own scan: 2 distinct scans
+    # total (one per branch), NOT 3 (the old raw-text context pass)
+    assert len(ids) == 2, sorted(ids)
+
+    from exon_duckdb_spark import operators as ops
+
+    bi = ops.bigram_perplexity_score(spark.read.parquet(f"{SF}/documents.parquet"))
+    pb = explain_formatted(bi)
+    ids = set(_re.findall(r"Scan parquet\s*\((\d+)\)", pb))
+    ids |= set(_re.findall(r"\((\d+)\) Scan parquet", pb))
+    assert len(ids) == 1, sorted(ids)
