@@ -178,6 +178,60 @@ class TestAlignment:
                 pen, cig = _affine_align(r["t"], r["p"], 0, 4, 6, 2)
                 assert r["cigar"] == cig and r["score"] == -float(pen)
 
+    def test_banded_routing_matches_scalar_reference(self):
+        """VERDICT r4 item #6: the banded score path (probe band +
+        escape-cost certificate + escalation/full fallback) must be EXACT —
+        every routed score equals the scalar oracle, across mutation rates
+        (probe-certified), moderate divergence (escalated bands), random
+        pairs (full fallback), length skews, suffix overlaps, empties, and
+        penalty regimes including negative match, zero gap_open, and the
+        gap_open<0 guard that bypasses banding entirely."""
+        import random
+
+        from exon_duckdb_spark.functions.alignment import (
+            _affine_align,
+            _route_scores,
+        )
+
+        random.seed(31)
+        rnd = lambda n: "".join(random.choice("ACGT") for _ in range(n))
+
+        def mutate(s, rate):
+            out = []
+            for c in s:
+                r = random.random()
+                if r < rate / 3:
+                    continue
+                if r < 2 * rate / 3:
+                    out.append(random.choice("ACGT"))
+                    out.append(c)
+                elif r < rate:
+                    out.append(random.choice("ACGT"))
+                else:
+                    out.append(c)
+            return "".join(out)
+
+        cases = []
+        for _ in range(80):
+            n = random.randint(0, 220)
+            a = rnd(n)
+            kind = random.random()
+            if kind < 0.4:
+                cases.append((a, mutate(a, random.choice([0.01, 0.05, 0.15, 0.3]))))
+            elif kind < 0.6:
+                cases.append((a, rnd(random.randint(0, 220))))
+            elif kind < 0.8:
+                cases.append((a, a[random.randint(0, n):] if n else ""))
+            else:
+                cases.append((a, a))
+        cases += [("", ""), ("A", ""), ("", "ACGT"), ("AACC", "AAACC"),
+                  ("ACGT" * 50, "ACGT" * 30)]
+        for pens in [(0, 4, 6, 2), (-2, 4, 6, 2), (0, 1, 10, 1),
+                     (-5, -1, 0, 3), (0, 4, 2, 1), (0, 4, -1, 2)]:
+            got = _route_scores([a for a, b in cases], [b for a, b in cases], *pens)
+            for i, (a, b) in enumerate(cases):
+                assert got[i] == _affine_align(a, b, *pens)[0], (pens, i, a, b)
+
     def test_large_penalties_promote_to_int64(self, spark):
         """User-supplied penalties big enough to wrap int32 cells must
         promote the batched DP to int64 and still match the scalar oracle
