@@ -104,7 +104,11 @@ def temperature_mix(
     if not total:
         return df.where(F.lit(False))
     weights = {g: (n / total) ** tau for g, n in counts.items()}
-    z = sum(weights.values())
+    # sum in sorted group-key order: collect() row order is
+    # partition-order-nondeterministic, and a different float summation
+    # order could flip a keep threshold that lands exactly on a 0.5-micro
+    # rounding boundary across runs (or vs the oracle's fixed order)
+    z = sum(weights[g] for g in sorted(weights, key=str))
     import math
 
     micro = {

@@ -131,6 +131,18 @@ def stream_interval_join(
     (rename before calling — the sides often derive from the same source).
     Works identically on batch DataFrames: ``withWatermark`` is a no-op in
     batch, which is how the SQL oracle verifies the same plan.
+
+    Batch-oracle equivalence caveat for STREAMING replays of finite file
+    sources: the identical-result claim assumes the drain does not advance
+    the watermark past late cross-file data. With ``maxFilesPerTrigger=1``
+    over multiple part-files whose timestamps interleave out of order, a
+    pair whose left side sits in a later file than its right side can be
+    evicted before it arrives, and the streamed result would drop pairs
+    the batch oracle keeps. Replays that must match an oracle should
+    drain in ONE microbatch (default trigger, no maxFilesPerTrigger cap)
+    or feed time-ordered files; the q07 'attrib' contract branch holds
+    because its events table is a single file. Production attribution
+    accepts the watermark's lateness contract by definition.
     """
     l = left.withWatermark(left_ts, f"{watermark_minutes} minutes")
     r = right.withWatermark(right_ts, f"{watermark_minutes} minutes")
