@@ -374,6 +374,44 @@ class TestJpeg:
         dec = J.decode_jpeg(J.encode_jpeg(img, 50, progressive=True))
         assert np.array_equal(dec[:, :, 0], img)
 
+    def test_progressive_restart_markers_reset_state(self):
+        """Hand-assembled SOF2 stream with DRI=2: RSTn between MCU pairs in
+        BOTH the DC scan (predictor must reset — without the reset blk2's
+        DC becomes 6 and its pixels decode 129, not 128) and the AC scan
+        (eobrun must reset). Discriminating by construction."""
+        import struct as st
+
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + st.pack(">H", 2 + len(body)) + body
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+        out += seg(0xC2, st.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xC4, bytes([0x00]) + bytes([0, 3] + [0] * 14) + bytes([0, 1, 2]))
+        out += seg(0xC4, bytes([0x10]) + bytes([0, 3] + [0] * 14) + bytes([0x00, 0x10, 0x01]))
+        out += seg(0xDD, st.pack(">H", 2))  # restart interval 2
+        # DC scan: per half, blk diff=3 (sym 2 = code '10', bits '11') then
+        # diff=0 (sym 0 = '00'); predictor resets at RST0
+        half = "10" + "11" + "00"
+        pad = (8 - len(half) % 8) % 8
+        ec = int(half + "1" * pad, 2).to_bytes((len(half) + pad) // 8, "big")
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+        out += ec + b"\xff\xd0" + ec
+        # AC scan: 2 EOBs per half, RST1 between
+        acb = "0000"
+        pad = (8 - len(acb) % 8) % 8
+        eca = int(acb + "1" * pad, 2).to_bytes((len(acb) + pad) // 8, "big")
+        out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+        out += eca + b"\xff\xd1" + eca
+        out += b"\xff\xd9"
+        dec = J.decode_jpeg(bytes(out))
+        assert dec.shape == (8, 32, 1)
+        # DC=3 everywhere (quant 1): 128 + 3/8 -> 128 in every block; a
+        # missed predictor reset yields DC=6 -> 129 in the second half
+        assert set(np.unique(dec)) == {128}
+
     def test_progressive_eobrun_spans_blocks(self):
         """Hand-assembled SOF2 stream with a custom AC table carrying the
         EOBRUN-length-2 symbol (0x10), covering the eobrun>1 decode path
