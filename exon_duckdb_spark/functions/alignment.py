@@ -549,14 +549,22 @@ def _route_scores(
     rest = probe_idx[~done]
     if not rest.size:
         return out
-    # smallest power-of-two w whose escape bound covers the probe score
+    # Smallest power-of-two w whose escape bound STRICTLY exceeds the probe
+    # score. Strict matters: the escalated call runs over a different slab
+    # subset, so its slab-shared band need not CONTAIN the probe band — at
+    # LB(w) == s8 a path outside band(w) (possibly the probe's own optimal
+    # path) could tie the optimum while the w-band misses it. LB(w) > s8
+    # ≥ S_true forces the optimum strictly inside band(w), no containment
+    # assumption needed. (The probe-certification above is safe at
+    # equality because the probe RETURNS its own in-band score: an
+    # out-of-band tie at LB(8) == s8 cannot change the minimum.)
     w = np.full(rest.size, 2 * _BAND_W0, dtype=np.int64)
     srest = s8[~done]
     for _ in range(64):
         lb = _escape_lower_bounds(
             w, a_lens[rest], b_lens[rest], match, mismatch, gap_open, gap_ext
         )
-        todo = (lb < srest) & (w < minlen[rest])
+        todo = (lb <= srest) & (w < minlen[rest])
         if not todo.any():
             break
         w[todo] *= 2

@@ -693,18 +693,23 @@ def ngram_jaccard_pairs(
         # the cap bounds at max_bucket²/2 per bucket. Truncation keeps the
         # max_bucket SMALLEST ids (deterministic; a count-based whole-bucket
         # drop would erase genuine giant near-dup families instead of
-        # keeping representatives). One (band, bh) exchange collects each
-        # bucket's id list and generates its capped pairs in-task — a
-        # windowed self-join was measured ~2× slower at sf0.1 (the window
-        # sort + both join sides re-derive the band lineage).
+        # keeping representatives). The truncation itself is a row_number
+        # window — SortExec SPILLS, so the adversarial mega-bucket this
+        # guard defends against streams through disk instead of
+        # materializing in one collect_list aggregation buffer — and the
+        # following ≤ max_bucket collect_list reuses the same (band, bh)
+        # exchange, generating each bucket's capped pairs in-task (a
+        # windowed SELF-JOIN was measured ~2× slower at sf0.1: both join
+        # sides re-derive the band lineage).
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bh").orderBy(F.col(id_col).asc())
         cand = (
             _band_assignments(keyed, id_col, num_hashes, bands)
+            .withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") <= max_bucket)
             .groupBy("band", "bh")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket
-                ).alias("_ids")
-            )
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
             .where(F.size("_ids") >= 2)
             .select(
                 F.explode(

@@ -351,6 +351,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (baseline is 8-bit)")
+            if h == 0 or w == 0:
+                # checked here so BOTH entropy layouts reject it — the
+                # progressive path would otherwise return an empty pixel
+                # array as a "successful" decode
+                raise ValueError("corrupt JPEG: zero dimension")
             comps = []
             for ci in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * ci)

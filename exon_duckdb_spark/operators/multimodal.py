@@ -539,7 +539,13 @@ def sample_frames(
                     upf, chunks = parse_avi_mjpeg(b)
                 except ValueError:
                     upf, chunks = 0, None
-                if chunks is not None and upf > 0:
+                if chunks is not None:
+                    if upf <= 0:
+                        # real AVIs may write dwMicroSecPerFrame=0 and keep
+                        # timing in strh only; frames are still extractable
+                        # — assume the de-facto 25 fps rather than silently
+                        # dropping the video from the sweep
+                        upf = 40000
                     dur = len(chunks) * upf / 1e6
                     for i in range(n_frames):
                         src = min(

@@ -23,14 +23,18 @@ __all__ = [
 
 
 def _conf_bytes(spark, key: str, default: int) -> int:
-    """Parse a Spark byte-size conf value ('128MB', '4194304b', '4m')."""
+    """Parse a Spark byte-size conf value ('128MB', '4194304b', '4m') —
+    the full Spark suffix set through petabytes, so a site's '1t'
+    maxPartitionBytes doesn't silently fall back to the default."""
     try:
         raw = str(spark.conf.get(key)).strip().lower()
     except Exception:
         return default
     mult = 1
-    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suffix, m in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                      ("mb", 1 << 20), ("kb", 1 << 10),
+                      ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+                      ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
         if raw.endswith(suffix):
             raw, mult = raw[: -len(suffix)], m
             break
@@ -40,6 +44,13 @@ def _conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+# extensions Spark treats as non-splittable whole-file reads: one task per
+# file regardless of size (Hadoop codec splittability; bgzf-based formats
+# go through this package's own split planner, not Spark scans)
+_UNSPLITTABLE_EXTS = (".gz", ".gzip", ".zst", ".zstd", ".bz2", ".lz4",
+                      ".snappy", ".deflate", ".xz")
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Estimate the file-scan partition count from the plan's input files,
     replicating ``FilePartition.maxSplitBytes`` + greedy bin-packing, with
@@ -47,10 +58,19 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     round trip plus a full physical-planning pass per call; ``inputFiles``
     is analysis-only).
 
-    Returns ``None`` when the plan has no file inputs — an upstream
-    exchange already fanned the data out to ``shuffle.partitions``, so
-    treating that as "already parallel" matches what the RDD probe saw —
-    or when a file can't be stat'ed (unregistered remote scheme).
+    Returns ``None`` when the plan has no file inputs and can't run
+    locally — an upstream exchange already fanned the data out to
+    ``shuffle.partitions``, and ``createDataFrame`` corpora parallelize to
+    ``defaultParallelism`` slices (LogicalRDD), so "already parallel"
+    matches what the RDD probe saw — or when a file can't be stat'ed
+    (unregistered remote scheme). A no-file plan that IS a driver-local
+    relation (``df.isLocal()``, analysis-only) reports 1 split: it
+    executes as a single local scan. Non-splittable compressed files
+    (.gz, .zst, …) enter the bin-packing as one whole-file chunk
+    regardless of size, matching Spark's scan behavior — chunking them by
+    maxSplitBytes would overestimate parallelism in exactly the
+    single-gz-member case the guard targets, while tiny ones still pack
+    together.
     """
     import os
     from urllib.parse import unquote, urlparse
@@ -60,31 +80,41 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     except Exception:
         return None
     if not files:
-        return None
+        try:
+            return 1 if df.isLocal() else None
+        except Exception:
+            return None
     spark = df.sparkSession
     from exon_duckdb_spark.sources import splits as _splits
 
-    sizes: list[int] = []
+    sizes: list[tuple[int, bool]] = []  # (bytes, splittable)
     for f in files:
+        splittable = not f.lower().endswith(_UNSPLITTABLE_EXTS)
         try:
             if f.startswith("file:"):
-                sizes.append(os.path.getsize(unquote(urlparse(f).path)))
+                sz = os.path.getsize(unquote(urlparse(f).path))
             elif _splits.is_uri(f):
-                sizes.append(_splits.file_size(f))
+                sz = _splits.file_size(f)
             else:
-                sizes.append(os.path.getsize(f))
+                sz = os.path.getsize(f)
         except Exception:
             return None
+        sizes.append((sz, splittable))
     open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
     max_pb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
     try:
         min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
     except Exception:
         min_pn = spark.sparkContext.defaultParallelism
-    total = sum(sizes) + open_cost * len(sizes)
+    total = sum(s for s, _ in sizes) + open_cost * len(sizes)
     max_split = max(1, min(max_pb, max(open_cost, total // max(min_pn, 1))))
     chunks: list[int] = []
-    for s in sizes:
+    for s, splittable in sizes:
+        if not splittable:
+            # one whole-file chunk: Spark can't split it, but small ones
+            # still greedy-pack together with their neighbors
+            chunks.append(s)
+            continue
         off = 0
         while off < s:
             chunks.append(min(max_split, s - off))

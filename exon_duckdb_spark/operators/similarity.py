@@ -567,8 +567,12 @@ def hybrid_topk(
     if cache_corpus:
         # the result is <= k rows per query — eagerly materialize it so the
         # projection cache can be dropped NOW instead of leaking for the
-        # session lifetime (repeated bench calls used to stack persists)
-        out = out.localCheckpoint(eager=True)
+        # session lifetime (repeated bench calls used to stack persists).
+        # _materialize picks a RELIABLE checkpoint when a checkpoint dir is
+        # configured: localCheckpoint blocks die with their executor.
+        from exon_duckdb_spark.operators.dedup import _materialize
+
+        out = _materialize(out)
         base.unpersist()
     return out
 

@@ -178,6 +178,27 @@ def test_ensure_parallelism_probes_without_rdd(spark):
     hinted = ensure_parallelism(docs, "doc_id", n_splits=64)
     assert "Exchange" not in explain_formatted(hinted)
 
+    # (d) non-splittable compression: a gz bigger than maxPartitionBytes is
+    # still ONE split (round-5 review: chunking it would skip the fan-out
+    # in exactly the single-gz-member regime the guard exists for)
+    import gzip
+    import json as _json
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "docs.json.gz")
+    with gzip.open(p, "wt") as fh:
+        for i in range(5000):
+            fh.write(_json.dumps({"doc_id": i, "text": "lorem ipsum " * 30}) + "\n")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        gdf = spark.read.json(p)
+        assert _estimated_scan_splits(gdf) == 1
+        assert "Exchange" in explain_formatted(ensure_parallelism(gdf, "doc_id"))
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
     # source check: the guard itself must never touch df.rdd (docstrings
     # may cite it as the thing being avoided — compare code tokens only)
     import inspect

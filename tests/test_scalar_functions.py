@@ -232,6 +232,35 @@ class TestAlignment:
             for i, (a, b) in enumerate(cases):
                 assert got[i] == _affine_align(a, b, *pens)[0], (pens, i, a, b)
 
+    def test_banded_escalation_tie_is_exact(self):
+        """Regression (round-5 review): a block-swap pair (P+Q, Q+P),
+        |P|=17, has its optimum at EXACTLY LB(16)=80 with diagonal
+        excursion ±17. Batched with extreme-delta mates that widen the
+        probe slab band, the probe finds the swap path (s8=80) but the
+        escalated w=16 band — run over a different slab subset — cannot
+        represent it (S_16=192). A non-strict stop (LB(w) >= s8) returned
+        192 silently; the strict LB(w) > s8 stop escalates to w=32 and
+        returns the true 80."""
+        import random
+
+        from exon_duckdb_spark.functions.alignment import (
+            _affine_align,
+            _route_scores,
+        )
+
+        random.seed(3)
+        rnd = lambda n: "".join(random.choice("ACGT") for _ in range(n))
+        P, Q = rnd(17), rnd(60)
+        a, b = P + Q, Q + P
+        batch_a, batch_b = [a], [b]
+        for d in (-20, 20):
+            s = rnd(80)
+            batch_a.append(s)
+            batch_b.append(s[: 80 + d] if d < 0 else s + rnd(d))
+        got = _route_scores(batch_a, batch_b, 0, 4, 6, 2)
+        for i, (x, y) in enumerate(zip(batch_a, batch_b)):
+            assert got[i] == _affine_align(x, y, 0, 4, 6, 2)[0], (i, got[i])
+
     def test_large_penalties_promote_to_int64(self, spark):
         """User-supplied penalties big enough to wrap int32 cells must
         promote the batched DP to int64 and still match the scalar oracle

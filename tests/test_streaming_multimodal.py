@@ -419,6 +419,31 @@ class TestFrameSampling:
             got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 24)
             assert (got == want).all()
 
+    def test_avi_zero_microsec_per_frame_still_samples(self, spark):
+        """A valid MJPEG AVI writing dwMicroSecPerFrame=0 (timing kept in
+        strh only — real muxers do this) must still yield frames at the
+        de-facto 25 fps default, not silently vanish from the sweep
+        (round-5 review)."""
+        import numpy as np
+
+        from exon_duckdb_spark.operators import jpegcodec as jc
+
+        bx, by = np.arange(16) // 8, np.arange(16) // 8
+        frames = [
+            jc.encode_jpeg(
+                (128 + 2 * ((bx[None, :] * 5 + by[:, None] * 11) % 60 - 30)).astype(
+                    np.uint8
+                ),
+                quality=50,
+            )
+        ] * 2
+        blob = ops.encode_avi_mjpeg(frames, us_per_frame=0, width=16, height=16)
+        df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+        out = ops.sample_frames(df, n_frames=2).collect()
+        assert len(out) == 2 and all(r["is_real"] for r in out)
+        # 2 frames at assumed 25 fps -> dur 0.08, midpoints 0.02 / 0.06
+        assert sorted(round(r["timestamp_s"], 3) for r in out) == [0.02, 0.06]
+
     def test_avi_parser_survives_malformed_bytes(self):
         """A 100 TB crawl contains every corruption; the RIFF walk must
         return frames or raise ValueError — never crash with another
