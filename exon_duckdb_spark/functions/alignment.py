@@ -33,10 +33,14 @@ uncertified pairs escalate once to the certified band or the full DP —
 exact by proof, not heuristic (see _route_scores). Measured score/s on
 3%-mutated 150 bp pairs (the read-vs-reference workload WFA2 targets):
 ~15,600/s banded vs ~4,850/s full DP — 3.2×; fully-random pairs fall
-back to full DP at ~0.8× (one wasted probe). CIGAR stays full-DP
-(~1,500/s; it needs the whole (n, B, m) tables for traceback). All paths
-are bit-identical to the scalar reference implementation (_affine_align),
-which stays as the test oracle.
+back to full DP at ~0.8× (one wasted probe). The CIGAR path bands too —
+full-history band-coordinate tables + band traceback under a STRICT
+certificate (required so tie decisions, not just scores, provably match
+the full tables): 2%-mutated 1 kb pairs measure ~196 CIGAR/s banded vs
+~21/s full (9.3×, table fill was the bottleneck); 150 bp runs ~2,400/s
+(traceback-bound). All paths are bit-identical — scores AND CIGARs — to
+the scalar reference implementation (_affine_align), which stays as the
+test oracle.
 """
 
 from __future__ import annotations
@@ -411,6 +415,132 @@ def _banded_scores(
     return out
 
 
+def _banded_tables(
+    a_codes: np.ndarray,
+    b_codes: np.ndarray,
+    a_lens: np.ndarray,
+    b_lens: np.ndarray,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_ext: int,
+    w: int,
+):
+    """Full-history twin of :func:`_banded_scores`: keeps every row of the
+    three band-coordinate planes for CIGAR traceback. Returns
+    (M, X, Y, lo) with tables transposed to (pair, row, band_col) views.
+
+    CIGAR parity proof sketch (why banded traceback equals the full DP's
+    CIGAR, not just its score, under the STRICT certificate LB(w) > S):
+    every cell ON an optimal path carries its exact full-DP value (its
+    prefix path is a subpath of an in-band optimal path), and at any
+    traceback tie the tying predecessor extends to a complete path of
+    optimal cost, which the strict certificate forces in-band — so its
+    banded value is exact too. Banded values elsewhere are only ever
+    LARGER, which cannot create a false tie (the on-path value already
+    lower-bounds the comparison). Hence every tie decision matches the
+    full tables' and the CIGAR is bit-identical — property-tested."""
+    B, n_max = a_codes.shape
+    m_max = b_codes.shape[1]
+    deltas = b_lens - a_lens
+    lo = int(min(0, deltas.min())) - w
+    hi = int(max(0, deltas.max())) + w
+    W = hi - lo + 1
+    dt = _dp_dtype(match, mismatch, gap_open, gap_ext, n_max, m_max)
+    karr = np.arange(W, dtype=dt)
+    kint = np.arange(W, dtype=np.int64)
+    off = 1 - lo
+    b_pad = np.full((B, off + n_max + max(hi, 0) + 1), -2, dtype=np.int32)
+    b_pad[:, off : off + m_max] = b_codes
+    M = np.full((n_max + 1, B, W), _INF, dtype=dt)
+    X = np.full((n_max + 1, B, W), _INF, dtype=dt)
+    Y = np.full((n_max + 1, B, W), _INF, dtype=dt)
+    j0 = lo + kint
+    M[0, :, -lo] = 0
+    x0 = (gap_open + gap_ext * j0).astype(dt)
+    X[0] = np.where(
+        (j0 >= 1)[None, :] & (j0[None, :] <= b_lens[:, None]), x0[None, :], _INF
+    )
+    scan_off = (gap_open - gap_ext * karr).astype(dt)
+    ext_k = (gap_ext * karr).astype(dt)
+    sub = np.empty((B, W), dtype=dt)
+    t1 = np.empty((B, W), dtype=dt)
+    for i in range(1, n_max + 1):
+        jrow = i + lo + kint
+        bwin = b_pad[:, off + i + lo - 1 : off + i + lo - 1 + W]
+        eq = bwin == a_codes[:, i - 1 : i]
+        np.multiply(eq, match - mismatch, out=sub, casting="unsafe")
+        sub += mismatch
+        np.minimum(M[i - 1], X[i - 1], out=t1)
+        np.minimum(t1, Y[i - 1], out=t1)
+        np.add(t1, sub, out=M[i])
+        np.add(Y[i - 1][:, 1:], gap_ext, out=Y[i][:, :-1])
+        np.add(M[i - 1][:, 1:], gap_open + gap_ext, out=t1[:, :-1])
+        np.minimum(Y[i][:, :-1], t1[:, :-1], out=Y[i][:, :-1])
+        Y[i][:, -1] = _INF
+        invalid = (jrow < 0)[None, :] | (jrow[None, :] > b_lens[:, None])
+        M[i][invalid] = _INF
+        Y[i][invalid] = _INF
+        if 0 <= -lo - i < W:
+            M[i][:, -lo - i] = _INF
+            Y[i][:, -lo - i] = dt(gap_open + gap_ext * i)
+        np.add(M[i], scan_off, out=t1)
+        np.minimum.accumulate(t1, axis=1, out=t1)
+        np.add(t1, ext_k, out=X[i])
+        X[i][invalid] = _INF
+        if 0 <= -lo - i < W:
+            X[i][:, -lo - i] = _INF
+    return M.transpose(1, 0, 2), X.transpose(1, 0, 2), Y.transpose(1, 0, 2), lo
+
+
+def _traceback_banded(M, X, Y, n, m, lo, gap_open, gap_ext) -> str:
+    """CIGAR traceback over one pair's BAND-COORDINATE tables (k = j−i−lo):
+    M's predecessor keeps the same k one row up, X's is k−1 in-row, Y's is
+    k+1 one row up. Same tie rules as :func:`_traceback`; see
+    :func:`_banded_tables` for why the decisions (and hence the CIGAR)
+    match the full DP exactly. Index guards keep stray out-of-band reads
+    from wrapping numpy indices — an in-band path never takes them."""
+    Wd = M.shape[1]
+    ops: list[str] = []
+    i, j = n, m
+    k = j - i - lo
+    state = int(np.argmin([M[n, k], X[n, k], Y[n, k]]))
+    while i > 0 or j > 0:
+        k = j - i - lo
+        if i == 0:
+            ops.append("D")
+            j -= 1
+        elif j == 0:
+            ops.append("I")
+            i -= 1
+        elif state == 0:
+            ops.append("M")
+            pm, px, py = M[i - 1, k], X[i - 1, k], Y[i - 1, k]
+            lo_v = min(pm, px, py)
+            state = 1 if px == lo_v else (2 if py == lo_v else 0)
+            i, j = i - 1, j - 1
+        elif state == 1:
+            ops.append("D")
+            if k - 1 >= 0 and X[i, k] == M[i, k - 1] + gap_open + gap_ext:
+                state = 0
+            j -= 1
+        else:
+            ops.append("I")
+            if k + 1 < Wd and Y[i, k] == M[i - 1, k + 1] + gap_open + gap_ext:
+                state = 0
+            i -= 1
+    ops.reverse()
+    out: list[str] = []
+    p = 0
+    while p < len(ops):
+        run = 1
+        while p + run < len(ops) and ops[p + run] == ops[p]:
+            run += 1
+        out.append(f"{run}{ops[p]}")
+        p += run
+    return "".join(out)
+
+
 def _traceback(M, X, Y, n: int, m: int, gap_open: int, gap_ext: int) -> str:
     """CIGAR traceback over one pair's tables (same tie rules as
     _affine_align: prefer gap states stepping backward, so ties place gaps
@@ -577,21 +707,96 @@ def _route_scores(
     return out
 
 
+def _route_cigars(
+    a_list: list, b_list: list, match: int, mismatch: int, gap_open: int, gap_ext: int
+) -> list[str]:
+    """CIGAR twin of :func:`_route_scores`: probe → STRICT certificate →
+    banded tables + banded traceback, full tables for the rest. Strictness
+    (LB > probe score even at the probe width) is required here where the
+    score path tolerates equality: an out-of-band path TYING the optimum
+    could be the one the full traceback's tie rules pick, so certified
+    CIGAR bands must exclude out-of-band optima entirely (proof sketch in
+    _banded_tables). Output CIGARs are bit-identical to the full DP's."""
+    B = len(a_list)
+    a_lens = np.fromiter(map(len, a_list), np.int64, count=B)
+    b_lens = np.fromiter(map(len, b_list), np.int64, count=B)
+    out: list[str] = [None] * B
+
+    def run_full(idx) -> None:
+        al = [a_list[i] for i in idx]
+        bl = [b_list[i] for i in idx]
+        M, X, Y = _batch_tables(
+            _encode(al, -1), _encode(bl, -2), match, mismatch, gap_open, gap_ext
+        )
+        for r, i in enumerate(idx):
+            out[i] = _traceback(
+                M[r], X[r], Y[r], len(al[r]), len(bl[r]), gap_open, gap_ext
+            )
+
+    if gap_open < 0 or gap_ext <= 0:
+        run_full(list(range(B)))
+        return out
+    minlen = np.minimum(a_lens, b_lens)
+    delta = np.abs(b_lens - a_lens)
+    full0 = (_BAND_W0 >= minlen) | (2 * _BAND_W0 + delta + 1 >= b_lens + 1)
+    probe_idx = np.nonzero(~full0)[0]
+    w_of = np.zeros(B, np.int64)  # 0 = full DP
+    if probe_idx.size:
+        al = [a_list[i] for i in probe_idx]
+        bl = [b_list[i] for i in probe_idx]
+        s8 = _banded_scores(
+            _encode(al, -1), _encode(bl, -2), a_lens[probe_idx], b_lens[probe_idx],
+            match, mismatch, gap_open, gap_ext, _BAND_W0,
+        )
+        w = np.full(probe_idx.size, _BAND_W0, dtype=np.int64)
+        for _ in range(64):
+            lb = _escape_lower_bounds(
+                w, a_lens[probe_idx], b_lens[probe_idx],
+                match, mismatch, gap_open, gap_ext,
+            )
+            todo = (lb <= s8) & (w < minlen[probe_idx])
+            if not todo.any():
+                break
+            w[todo] *= 2
+        lb = _escape_lower_bounds(
+            w, a_lens[probe_idx], b_lens[probe_idx],
+            match, mismatch, gap_open, gap_ext,
+        )
+        banded_ok = (
+            (lb > s8)
+            & (w < minlen[probe_idx])
+            & (2 * w + delta[probe_idx] + 1 < b_lens[probe_idx] + 1)
+        )
+        w_of[probe_idx[banded_ok]] = w[banded_ok]
+    idx_full = np.nonzero(w_of == 0)[0]
+    if idx_full.size:
+        run_full(list(idx_full))
+    for wv in np.unique(w_of[w_of > 0]):
+        idx = np.nonzero(w_of == wv)[0]
+        al = [a_list[i] for i in idx]
+        bl = [b_list[i] for i in idx]
+        M, X, Y, lo = _banded_tables(
+            _encode(al, -1), _encode(bl, -2), a_lens[idx], b_lens[idx],
+            match, mismatch, gap_open, gap_ext, int(wv),
+        )
+        for r, i in enumerate(idx):
+            out[i] = _traceback_banded(
+                M[r], X[r], Y[r], len(al[r]), len(bl[r]), lo, gap_open, gap_ext
+            )
+    return out
+
+
 def _make_string_udf(match: int, mismatch: int, gap_open: int, gap_ext: int):
     @pandas_udf("string")
     def _align_str(text: pd.Series, pattern: pd.Series) -> pd.Series:
         texts, patterns = list(text), list(pattern)
         out = [None] * len(texts)
         for orig, a_list, b_list in _batched_pairs(texts, patterns):
-            M, X, Y = _batch_tables(
-                _encode(a_list, -1), _encode(b_list, -2),
-                match, mismatch, gap_open, gap_ext,
+            cigs = _route_cigars(
+                a_list, b_list, match, mismatch, gap_open, gap_ext
             )
             for r, k in enumerate(orig):
-                out[k] = _traceback(
-                    M[r], X[r], Y[r], len(a_list[r]), len(b_list[r]),
-                    gap_open, gap_ext,
-                )
+                out[k] = cigs[r]
         return pd.Series(out)
 
     return _align_str

@@ -232,6 +232,55 @@ class TestAlignment:
             for i, (a, b) in enumerate(cases):
                 assert got[i] == _affine_align(a, b, *pens)[0], (pens, i, a, b)
 
+    def test_banded_cigar_matches_scalar_reference(self):
+        """The banded CIGAR path (probe + STRICT certificate + band-
+        coordinate tables/traceback) must reproduce the scalar oracle's
+        CIGAR BIT-FOR-BIT — tie decisions included — across mutation
+        rates, random pairs (full fallback), suffix overlaps, the
+        block-swap tie case, and penalty regimes."""
+        import random
+
+        from exon_duckdb_spark.functions.alignment import (
+            _affine_align,
+            _route_cigars,
+        )
+
+        random.seed(17)
+        rnd = lambda n: "".join(random.choice("ACGT") for _ in range(n))
+
+        def mutate(s, rate):
+            out = []
+            for c in s:
+                r = random.random()
+                if r < rate / 3:
+                    continue
+                if r < 2 * rate / 3:
+                    out.append(random.choice("ACGT"))
+                    out.append(c)
+                elif r < rate:
+                    out.append(random.choice("ACGT"))
+                else:
+                    out.append(c)
+            return "".join(out)
+
+        cases = []
+        for _ in range(50):
+            n = random.randint(0, 200)
+            a = rnd(n)
+            kind = random.random()
+            if kind < 0.5:
+                cases.append((a, mutate(a, random.choice([0.02, 0.1, 0.3]))))
+            elif kind < 0.7:
+                cases.append((a, rnd(random.randint(0, 200))))
+            else:
+                cases.append((a, a[random.randint(0, n):] if n else ""))
+        P, Q = rnd(17), rnd(60)
+        cases += [("", ""), ("A", ""), ("AACC", "AAACC"), (P + Q, Q + P)]
+        for pens in [(0, 4, 6, 2), (-2, 4, 6, 2), (0, 1, 10, 1)]:
+            got = _route_cigars([a for a, b in cases], [b for a, b in cases], *pens)
+            for i, (a, b) in enumerate(cases):
+                assert got[i] == _affine_align(a, b, *pens)[1], (pens, i, a, b)
+
     def test_banded_escalation_tie_is_exact(self):
         """Regression (round-5 review): a block-swap pair (P+Q, Q+P),
         |P|=17, has its optimum at EXACTLY LB(16)=80 with diagonal
