@@ -470,6 +470,38 @@ def q28_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ngram_jaccard_pairs(docs, n=5, threshold=0.6, num_hashes=16, bands=4)
 
 
+def q89_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs under EDIT-DISTANCE semantics: the same char-gram
+    band blocking as q28 proposes candidates; verify = Spark's native
+    BOUNDED levenshtein (O(max_dist·L) early-exit, codegen) <= 10 — the
+    fuzzy-match join a dedup pipeline needs when 'near-duplicate' is
+    defined by edits, not set overlap. The oracle replays blocking AND
+    DuckDB's levenshtein, pinning the two engines' distance functions
+    against each other."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.edit_distance_pairs(docs, max_dist=10)
+
+
+def q28m_chargram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-gram-blocked near-dup pairs under BOTH verify semantics,
+    tagged: 'jaccard' = gram-hash-set Jaccard >= 0.6 (q28), 'edit' =
+    levenshtein <= 10 (q89) — one blocking pass family, two distance
+    models."""
+    a = q28_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.lit("jaccard").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").cast("double").alias("val"),
+    )
+    b = q89_edit_distance_pairs(spark, sf_dir).select(
+        F.lit("edit").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("edit_distance").cast("double").alias("val"),
+    )
+    return a.unionByName(b)
+
+
 def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: hyperplane-LSH bucket (one shuffle)
     then exact cosine within bucket. Threshold 0.35 is calibrated to this
@@ -2796,7 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_minhash_pipeline": q22m_minhash_pipeline,
         "q24_text_analysis": q24m_text_analysis,
         "q27_knn_topk": q27m_knn_topk,
-        "q28_ngram_jaccard_pairs": q28_ngram_jaccard_pairs,
+        "q28_ngram_jaccard_pairs": q28m_chargram_pairs,
         "q29_embedding_dedup": q29m_embedding_dedup,
         "q44_ivf_variants": q44m_ivf_variants,
         "q58_sampled_mix_report": q58m_sampled_mix_report,
@@ -2924,12 +2956,16 @@ def _char_lsh_pairs_oracle(
     bands: int = 4,
     threshold: float = 0.6,
     max_bucket: int = 64,
+    verify: str = "jaccard",
+    max_dist: int = 10,
 ) -> str:
-    """Oracle twin of operators.dedup.ngram_jaccard_pairs (char n-gram
-    minhash band blocking + gram-hash-set Jaccard verify), including the
-    deterministic per-(band, bh) bucket truncation to the ``max_bucket``
-    smallest doc_ids (row_number mirror of the Spark window) so the two
-    engines agree even on a corpus where the cap fires."""
+    """Oracle twin of operators.dedup.ngram_jaccard_pairs /
+    edit_distance_pairs (char n-gram minhash band blocking + the selected
+    verify: gram-hash-set Jaccard, or unit-cost levenshtein for
+    ``verify='edit'``), including the deterministic per-(band, bh) bucket
+    truncation to the ``max_bucket`` smallest doc_ids (row_number mirror
+    of the Spark window) so the two engines agree even on a corpus where
+    the cap fires."""
     rows = num_hashes // bands
     mins = _minhash_mins_sql(num_hashes)
     band_rows = []
@@ -2977,11 +3013,17 @@ def _char_lsh_pairs_oracle(
               FROM bandsc a JOIN bandsc b ON a.band = b.band AND a.bh = b.bh
               WHERE a.doc_id < b.doc_id
             )
-            SELECT id_a, id_b, round({jac}, 6) AS jaccard
-            FROM cand
-            JOIN g wa ON wa.doc_id = id_a
-            JOIN g wb ON wb.doc_id = id_b
-            WHERE round({jac}, 6) >= {threshold}
+            {"SELECT id_a, id_b, levenshtein(da.text, db.text) AS edit_distance"
+             " FROM cand"
+             " JOIN documents da ON da.doc_id = id_a"
+             " JOIN documents db ON db.doc_id = id_b"
+             f" WHERE levenshtein(da.text, db.text) <= {max_dist}"
+             if verify == "edit" else
+             f"SELECT id_a, id_b, round({jac}, 6) AS jaccard"
+             " FROM cand"
+             " JOIN g wa ON wa.doc_id = id_a"
+             " JOIN g wb ON wb.doc_id = id_b"
+             f" WHERE round({jac}, 6) >= {threshold}"}
         """
 
 
@@ -4782,7 +4824,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'lsh' AS variant, * FROM ({C['q32_ann_topk']})
         """,
-        "q28_ngram_jaccard_pairs": C["q28_ngram_jaccard_pairs"],
+        # both verify semantics over the shared char-gram band blocking:
+        # gram-hash-set Jaccard (q28) + DuckDB levenshtein (q89)
+        "q28_ngram_jaccard_pairs": f"""
+            SELECT 'jaccard' AS kind, id_a, id_b, CAST(jaccard AS DOUBLE) AS val
+            FROM ({C["q28_ngram_jaccard_pairs"]})
+            UNION ALL
+            SELECT 'edit', id_a, id_b, CAST(edit_distance AS DOUBLE)
+            FROM ({_char_lsh_pairs_oracle(verify="edit", max_dist=10)})
+        """,
         "q29_embedding_dedup": f"""
             SELECT 'lsh' AS variant, id_a, id_b, cosine AS score,
                    CAST(NULL AS INTEGER) AS cid, CAST(NULL AS BOOLEAN) AS keep

@@ -43,6 +43,7 @@ HEADLINE = [
     "q26_doc_fingerprint",
     "q27_cosine_topk",
     "q28_ngram_jaccard_pairs",
+    "q89_edit_distance_pairs",
     "q29_embedding_dedup",
     "q83_semantic_dedup",
     "q32_ann_topk",

@@ -12,6 +12,7 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signature,
     near_dedup_keep_list,
+    edit_distance_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
     semantic_dedup,

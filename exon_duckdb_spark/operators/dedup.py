@@ -39,6 +39,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "edit_distance_pairs",
     "embedding_dup_pairs",
     "semantic_dedup",
     "dedup_clusters",
@@ -611,6 +612,94 @@ def _earliest_band_pairs(
     )
 
 
+def _capped_band_candidates(
+    bands_long: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Distinct candidate pairs from (id, band, bh) assignments with the
+    deterministic per-bucket truncation. A truncated bucket may hide a
+    pair's EARLIEST colliding band while a later band still recovers it,
+    so earliest-band dedup would be lossy here — candidates dedup through
+    a distinct() whose volume the cap bounds at max_bucket²/2 per bucket.
+    Truncation keeps the max_bucket SMALLEST ids (deterministic; a
+    count-based whole-bucket drop would erase genuine giant near-dup
+    families instead of keeping representatives). The truncation itself is
+    a row_number window — SortExec SPILLS, so the adversarial mega-bucket
+    this guard defends against streams through disk instead of
+    materializing in one collect_list aggregation buffer — and the
+    following ≤ max_bucket collect_list reuses the same (band, bh)
+    exchange, generating each bucket's capped pairs in-task (a windowed
+    SELF-JOIN was measured ~2× slower at sf0.1: both join sides re-derive
+    the band lineage). Shared by the Jaccard and edit-distance verifiers."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bh").orderBy(F.col(id_col).asc())
+    return (
+        bands_long.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") <= max_bucket)
+        .groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs under EDIT-DISTANCE semantics: the same
+    char-n-gram minhash band blocking as :func:`ngram_jaccard_pairs`
+    proposes candidates, then each candidate verifies with Spark's native
+    BOUNDED levenshtein — ``levenshtein(a, b, max_dist)`` is
+    O(max_dist · L) with early exit and runs in whole-stage codegen, vs
+    the O(L²) full DP an unbounded distance would cost.
+
+    Returns (id_a, id_b, edit_distance ≤ max_dist). Recall is the
+    blocker's: a single edit touches at most ``n`` char n-grams, so a
+    distance-d pair keeps gram Jaccard ≥ (L − nd)/(L + nd) and
+    band-collides with the S-curve probability at that similarity —
+    for d ≪ L/n the collision probability is ~1. Scale shape: candidates
+    are bounded by the band cap (see :func:`_capped_band_candidates`);
+    raw text joins only to candidates, never self-joins.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        _grams_minhash_udf(n, num_hashes)(text_col).alias("_f"),
+    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    cand = _capped_band_candidates(
+        _band_assignments(keyed, id_col, num_hashes, bands), id_col, max_bucket
+    )
+    texts = df.select(F.col(id_col), F.col(text_col))
+    j = cand.join(
+        texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_t_a"),
+        "id_a",
+    ).join(
+        texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_t_b"),
+        "id_b",
+    )
+    lev = F.levenshtein(F.col("_t_a"), F.col("_t_b"), int(max_dist))
+    return (
+        j.select("id_a", "id_b", lev.alias("edit_distance"))
+        .where(F.col("edit_distance") >= 0)  # bounded form returns -1 past the cap
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -687,41 +776,8 @@ def ngram_jaccard_pairs(
 
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
-        # A truncated bucket may hide a pair's EARLIEST colliding band while
-        # a later band still recovers it, so earliest-band dedup would be
-        # lossy here — candidates dedup through a distinct() whose volume
-        # the cap bounds at max_bucket²/2 per bucket. Truncation keeps the
-        # max_bucket SMALLEST ids (deterministic; a count-based whole-bucket
-        # drop would erase genuine giant near-dup families instead of
-        # keeping representatives). The truncation itself is a row_number
-        # window — SortExec SPILLS, so the adversarial mega-bucket this
-        # guard defends against streams through disk instead of
-        # materializing in one collect_list aggregation buffer — and the
-        # following ≤ max_bucket collect_list reuses the same (band, bh)
-        # exchange, generating each bucket's capped pairs in-task (a
-        # windowed SELF-JOIN was measured ~2× slower at sf0.1: both join
-        # sides re-derive the band lineage).
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy("band", "bh").orderBy(F.col(id_col).asc())
-        cand = (
-            _band_assignments(keyed, id_col, num_hashes, bands)
-            .withColumn("_rn", F.row_number().over(wb))
-            .where(F.col("_rn") <= max_bucket)
-            .groupBy("band", "bh")
-            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-            .where(F.size("_ids") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(_ids, (x, i) -> "
-                        "transform(slice(_ids, i + 2, size(_ids)), "
-                        "y -> struct(x AS id_a, y AS id_b))))"
-                    )
-                ).alias("p")
-            )
-            .select("p.id_a", "p.id_b")
-            .distinct()
+        cand = _capped_band_candidates(
+            _band_assignments(keyed, id_col, num_hashes, bands), id_col, max_bucket
         )
     else:
         cand = _earliest_band_pairs(

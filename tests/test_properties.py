@@ -452,6 +452,38 @@ class TestLshSkewAndScale:
         assert len(seen) <= 4 * self.CAP
         assert all(0 <= i < 3 * self.CAP for i in seen)
 
+    def test_edit_distance_pairs_verifies_planted_edits(self, spark):
+        """edit_distance_pairs must recall planted small-edit pairs with
+        the EXACT unit-cost distance, exclude pairs past max_dist (the
+        bounded levenshtein returns -1 there), and not pair unrelated
+        docs."""
+        import random
+
+        random.seed(7)
+        base = "".join(random.choice("abcdefgh ") for _ in range(300))
+        rows = [(0, base)]
+        # doc 1: two substitutions -> distance 2
+        b1 = list(base)
+        b1[40], b1[200] = "z", "z"
+        rows.append((1, "".join(b1)))
+        # doc 2: one deletion + one insertion -> distance 2
+        rows.append((2, base[:90] + base[91:150] + "q" + base[150:]))
+        # doc 3: 40 substitutions -> past max_dist, blocked or filtered out
+        b3 = list(base)
+        for i in range(0, 200, 5):
+            b3[i] = "z"
+        rows.append((3, "".join(b3)))
+        # unrelated doc
+        rows.append((4, "".join(random.choice("qrstuvwx ") for _ in range(300))))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["edit_distance"]
+            for r in ops.edit_distance_pairs(df, max_dist=10).collect()
+        }
+        assert got[(0, 1)] == 2 and got[(0, 2)] == 2
+        assert (1, 2) in got  # both near base -> near each other
+        assert all(3 not in p and 4 not in p for p in got)
+
     def test_auto_planes_holds_bucket_cost_linear(self, spark):
         from exon_duckdb_spark.operators.similarity import auto_planes
 
