@@ -2568,8 +2568,17 @@ def q62m_pii_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark,
         n=8,
     )
+    # the AUDIT view of the same pass: per-doc overlap mass, not just the
+    # keep bit — kept == (n_contaminated == 0) by construction, which the
+    # shared hash makes the oracle enforce
+    report = ops.contamination_report(
+        scrubbed.select("doc_id", F.col("redacted_text").alias("text")),
+        benchmark,
+        n=8,
+    )
     return (
         scrubbed.join(kept.select("doc_id", F.lit(True).alias("kept")), "doc_id", "left")
+        .join(report, "doc_id")
         .select(
             "doc_id",
             "n_email",
@@ -2577,6 +2586,9 @@ def q62m_pii_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phone",
             F.md5("redacted_text").alias("redacted_md5"),
             F.coalesce("kept", F.lit(False)).alias("kept"),
+            "n_grams",
+            "n_contaminated",
+            "contamination",
         )
     )
 
@@ -4893,11 +4905,23 @@ def oracle_sql() -> dict[str, str]:
                          FROM scrub)),
             bg AS (SELECT DISTINCT unnest({ngram8}) AS g
                    FROM (SELECT string_split(text, ' ') AS t FROM bench)),
-            bad AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
-            SELECT doc_id, n_email, n_ipv4, n_phone,
+            bad AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg)),
+            -- audit counts over the SAME 60-bit hash space the engine
+            -- joins on (a collision would merge grams identically)
+            cg2 AS (SELECT DISTINCT doc_id, g FROM cg),
+            bgh AS (SELECT DISTINCT {md5_int_sql("g")} AS h FROM bg),
+            rep AS (SELECT doc_id, count(*) AS n_grams,
+                           sum(CASE WHEN {md5_int_sql("g")} IN (SELECT h FROM bgh)
+                                    THEN 1 ELSE 0 END) AS n_contaminated
+                    FROM cg2 GROUP BY doc_id)
+            SELECT s.doc_id, n_email, n_ipv4, n_phone,
                    md5(redacted_text) AS redacted_md5,
-                   (doc_id NOT IN (SELECT doc_id FROM bad)) AS kept
-            FROM scrub
+                   (s.doc_id NOT IN (SELECT doc_id FROM bad)) AS kept,
+                   CAST(COALESCE(r.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(r.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   round(COALESCE(r.n_contaminated * 1.0 / r.n_grams, 0.0), 6)
+                     AS contamination
+            FROM scrub s LEFT JOIN rep r ON s.doc_id = r.doc_id
         """,
         "q64_bm25_multi": bm25_multi,
         "q66_term_stats": f"""

@@ -4,6 +4,7 @@ relational helpers. See each module's docstring for the scale design."""
 from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     duplicated_spans,
     remove_spans,
+    contamination_report,
     decontaminate,
     dedup_clusters,
     embedding_dup_pairs,

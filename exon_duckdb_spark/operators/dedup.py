@@ -45,6 +45,7 @@ __all__ = [
     "dedup_clusters",
     "near_dedup_keep_list",
     "decontaminate",
+    "contamination_report",
     "paragraph_dedup",
     "duplicated_spans",
     "remove_spans",
@@ -320,6 +321,74 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated, on=id_col, how="left_anti")
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document contamination AUDIT: (id, n_grams, n_contaminated,
+    contamination) where ``contamination`` is the fraction of the
+    document's DISTINCT word ``n``-grams that appear in the benchmark set.
+    :func:`decontaminate` answers drop-or-keep on ANY overlap; threshold
+    tuning and leakage audits need the overlap MASS — a doc quoting one
+    benchmark sentence and a verbatim benchmark copy both "overlap", but
+    only the report tells them apart.
+
+    Same scale shape as :func:`decontaminate`: both sides reduce to
+    distinct 60-bit n-gram hashes (corpus side distinct WITHIN each doc),
+    the benchmark side broadcasts, and the join carries (hash, id) only —
+    never text. Counts are over the hash space, so an md5 collision merges
+    grams identically in the SQL oracle (which applies the same hash).
+    Docs with fewer than ``n`` tokens report (0, 0, 0.0).
+    """
+    from exon_duckdb_spark.operators.quality import word_ngrams
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    d = ensure_parallelism(df, id_col)
+    toksed = d.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    grams = F.array_distinct(word_ngrams(F.col("_toks"), n))
+    corpus_grams = toksed.select(
+        F.col(id_col), F.explode(F.transform(grams, md5_int)).alias("gram_hash")
+    )
+    btoks = benchmark.select(tokens(text_col).alias("_toks"))
+    bgrams = F.array_distinct(word_ngrams(F.col("_toks"), n))
+    bench_hashes = (
+        btoks.select(F.explode(F.transform(bgrams, md5_int)).alias("gram_hash"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_hashes = F.broadcast(bench_hashes)
+    per_doc = (
+        corpus_grams.join(bench_hashes, "gram_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(
+                    F.col("n_contaminated") / F.col("n_grams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("contamination"),
+        )
+    )
 
 
 def paragraph_dedup(

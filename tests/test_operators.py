@@ -666,6 +666,40 @@ class TestQuality:
         )
         assert kept == [2, 3]
 
+    def test_contamination_report_counts_overlap_mass(self, spark):
+        """The audit twin of decontaminate: exact distinct-gram counts and
+        overlap fraction per doc; zero-gram docs report (0, 0, 0.0); the
+        keep decision is recoverable as n_contaminated == 0."""
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # 3 of its 3 distinct 8-grams hit the benchmark (verbatim span)
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota extra"),
+                # 10 tokens -> 3 grams, 1 hits (the benchmark's first 8-gram)
+                (2, "x alpha beta gamma delta epsilon zeta eta theta y"),
+                (3, "completely unrelated words that overlap with nothing at all"),
+                (4, "short doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in ops.contamination_report(corpus, bench, n=8).collect()
+        }
+        assert (rows[1]["n_grams"], rows[1]["n_contaminated"]) == (3, 2)
+        assert (rows[2]["n_grams"], rows[2]["n_contaminated"]) == (3, 1)
+        assert rows[2]["contamination"] == round(1 / 3, 6)
+        assert (rows[3]["n_contaminated"], rows[3]["contamination"]) == (0, 0.0)
+        assert (rows[4]["n_grams"], rows[4]["contamination"]) == (0, 0.0)
+        kept = {d for d, r in rows.items() if r["n_contaminated"] == 0}
+        drop_kept = {
+            r["doc_id"] for r in ops.decontaminate(corpus, bench, n=8).collect()
+        }
+        assert kept == drop_kept
+
     def test_decontaminate_benchmark_without_id_column(self, spark):
         # benchmark side only needs text — eval suites rarely carry doc_id
         bench = spark.createDataFrame(
