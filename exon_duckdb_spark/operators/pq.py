@@ -98,8 +98,21 @@ def pq_codebooks(
         [[float(v) for v in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
         for j in range(m)
     ]
+    return _lloyd_refine(corpus, books, iters, vec_col)
+
+
+def _lloyd_refine(
+    df: DataFrame, books: list[list[list[float]]], iters: int, vec_col: str
+) -> list[list[list[float]]]:
+    """Run ``iters`` Lloyd rounds over ``df`` starting from ``books`` —
+    the ONE copy of the refinement convention (empty codes keep their
+    previous centroid; refined values round to 6 dp per round), shared by
+    flat-PQ training and ivfpq_build's residual refinement so the two can
+    never silently diverge from the SQL oracle's replay."""
+    m = len(books)
+    dsub = len(books[0][0]) if books and books[0] else 0
     for _ in range(iters):
-        agg = _lloyd_round_agg(corpus, books, vec_col=vec_col)
+        agg = _lloyd_round_agg(df, books, vec_col=vec_col)
         got = {
             (r["j"], r["code"]): [float(r[f"d{d}"]) for d in range(dsub)]
             for r in agg.collect()
@@ -160,11 +173,30 @@ def _pq_code_struct(vec: Column, j: int, dsub: int, centroids: list[list[float]]
     return F.array_min(structs).getField("k")
 
 
+def _stack_valid(vecs, width: int):
+    """(ok_mask, (n, width) float64 matrix) from an Arrow vector column:
+    rows that are NULL or not exactly ``width`` long are zero-filled and
+    masked out, so callers emit NULL for them instead of crashing the task.
+    The literal-expression paths NULL-propagate on bad rows; the numpy
+    paths must match (same contract as similarity._numpy_codes_udf)."""
+    import numpy as np
+
+    n = len(vecs)
+    ok = np.fromiter(
+        (v is not None and len(v) == width for v in vecs), dtype=bool, count=n
+    )
+    M = np.zeros((n, width), dtype=np.float64)
+    for r, v in enumerate(vecs):
+        if ok[r]:
+            M[r] = np.asarray(v, dtype=np.float64)
+    return ok, M
+
+
 def _numpy_encoder(codebooks: list[list[list[float]]]):
     """Arrow-batched encode UDF: one (n, m, 1, dsub) − (1, m, ksub, dsub)
     broadcast subtract + argmin per batch. Matches the literal path's
     semantics (distances rounded to 6 dp; np.argmin takes the FIRST min,
-    i.e. ties toward the smaller code)."""
+    i.e. ties toward the smaller code; NULL/ragged vectors yield NULL)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -174,10 +206,11 @@ def _numpy_encoder(codebooks: list[list[list[float]]]):
 
     @pandas_udf("array<int>")
     def encode_codes(vecs):
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        ok, M = _stack_valid(vecs, m * dsub)
         S = M.reshape(M.shape[0], m, dsub)
         d = np.round(((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3), 6)
-        return pd.Series(list(np.argmin(d, axis=2).astype("int32")))
+        codes = np.argmin(d, axis=2).astype("int32")
+        return pd.Series([c if k else None for k, c in zip(ok, codes)])
 
     return encode_codes
 
@@ -214,10 +247,19 @@ def pq_encode(
     if use_numpy:
         enc = _numpy_encoder(codebooks)
         return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("code"))
+    # NULL/ragged vectors must yield NULL codes, matching the numpy path —
+    # unguarded, array_min over null-distance structs silently emits code 0
+    guard = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == m * dsub)
     return corpus.select(
         F.col(id_col),
-        F.array(
-            *[_pq_code_struct(F.col(vec_col), j, dsub, codebooks[j]) for j in range(m)]
+        F.when(
+            guard,
+            F.array(
+                *[
+                    _pq_code_struct(F.col(vec_col), j, dsub, codebooks[j])
+                    for j in range(m)
+                ]
+            ),
         ).alias("code"),
     )
 
@@ -242,10 +284,12 @@ def _numpy_lut(codebooks: list[list[list[float]]]):
 
     @pandas_udf("array<array<double>>")
     def lut_rows(vecs):
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        ok, M = _stack_valid(vecs, m * dsub)
         S = M.reshape(M.shape[0], m, dsub)
         d = np.round(((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3), 6)
-        return pd.Series([[r.tolist() for r in row] for row in d])
+        return pd.Series(
+            [[r.tolist() for r in row] if k else None for k, row in zip(ok, d)]
+        )
 
     return lut_rows
 
@@ -355,23 +399,33 @@ def _numpy_residual_assigners(cents: list[tuple[int, list[float], float]], nprob
     cn = np.array([c[2] for c in cents], dtype=np.float64)
 
     def _sims(vecs):
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        return M, np.round((M @ C.T) / (norms * cn[None, :]), 6)
+        ok, M = _stack_valid(vecs, C.shape[1])
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return ok, M, np.round((M @ C.T) / (norms * cn[None, :]), 6)
 
     @pandas_udf("struct<cid: int, rv: array<double>>")
     def assign_residual(vecs):
-        M, s = _sims(vecs)
+        ok, M, s = _sims(vecs)
         cid = np.argmax(s, axis=1)
         rv = M - C[cid]
-        return pd.DataFrame({"cid": cid.astype("int32"), "rv": list(rv)})
+        return pd.DataFrame(
+            {
+                "cid": pd.array(
+                    [int(c) if k else None for k, c in zip(ok, cid)], dtype="Int32"
+                ),
+                "rv": [list(r) if k else None for k, r in zip(ok, rv)],
+            }
+        )
 
     @pandas_udf("array<struct<cid: int, rv: array<double>>>")
     def probe_residuals(vecs):
-        M, s = _sims(vecs)
+        ok, M, s = _sims(vecs)
         order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
         out = []
         for r in range(M.shape[0]):
+            if not ok[r]:
+                out.append(None)
+                continue
             out.append(
                 [
                     {"cid": int(c), "rv": (M[r] - C[c]).tolist()}
@@ -426,6 +480,13 @@ def ivfpq_build(
         .limit(nlist + ksub)
         .collect()
     )
+    if len(head) < nlist + ksub:
+        # without this the empty/short seed slice surfaces much later as an
+        # opaque IndexError from the codebook trainer
+        raise ValueError(
+            f"ivfpq_build needs at least nlist + ksub = {nlist + ksub} corpus "
+            f"rows to seed both quantizers, got {len(head)}"
+        )
     cents = [
         (i, [float(v) for v in r[vec_col]], math.sqrt(sum(float(v) ** 2 for v in r[vec_col])))
         for i, r in enumerate(head[:nlist])
@@ -457,18 +518,9 @@ def ivfpq_build(
         iters=0,
     )
     if pq_iters:
-        # Lloyd refinement runs over the FULL residual set
-        for _ in range(pq_iters):
-            agg = _lloyd_round_agg(res, books, vec_col="_rv")
-            dsub = dims // m
-            got = {
-                (r["j"], r["code"]): [float(r[f"d{d}"]) for d in range(dsub)]
-                for r in agg.collect()
-            }
-            books = [
-                [got.get((j, k), books[j][k]) for k in range(len(books[j]))]
-                for j in range(m)
-            ]
+        # Lloyd refinement over the FULL residual set — same shared helper
+        # (and hence the same convention) as pq_codebooks
+        books = _lloyd_refine(res, books, pq_iters, vec_col="_rv")
     enc = _numpy_encoder(books)
     coded = res.select(F.col(id_col), "cid", enc(F.col("_rv")).alias("code"))
     return cents, books, coded

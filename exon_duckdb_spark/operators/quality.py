@@ -282,6 +282,13 @@ def perplexity_score(
     construction — the model is self-trained, so the join is inner and
     loses nothing), one id-keyed weighted-average aggregation. Three
     linear shuffles, no driver data path, no UDF.
+
+    Cache lifecycle: the intermediate count tables persist lazily and the
+    CALLER owns their release (the per-doc output is corpus-sized, so the
+    eager materialize-then-unpersist pattern hybrid_topk uses would cost a
+    full extra materialization here). Identical repeated plans dedupe in
+    the CacheManager; pipelines scoring MANY distinct corpora in one
+    session should ``spark.catalog.clearCache()`` between corpora.
     """
     from pyspark import StorageLevel
 
@@ -341,7 +348,9 @@ def bigram_perplexity_score(
     shuffle join on the bigram key — one context-keyed join against the
     bigram-derived context counts, one id-keyed weighted average. All
     linear, no UDF, single corpus scan (test_plans.py pins the scan
-    count).
+    count). Cache lifecycle: as in :func:`perplexity_score`, the persisted
+    tf2/context tables are caller-owned (corpus-sized output rules out
+    eager release); identical repeated plans dedupe in the CacheManager.
     """
     from pyspark import StorageLevel
 

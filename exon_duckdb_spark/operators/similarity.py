@@ -114,18 +114,29 @@ def partition_topk(
     global top-k per group equals the top-k of the per-partition top-ks, so
     this Arrow-batched map-only pass cuts the window's input to ≤ k ×
     n_partitions rows per group first. Ties break on ``tie_col`` ascending,
-    matching every caller's window ordering, so results are identical."""
+    matching every caller's window ordering, so results are identical.
+
+    The fold is INCREMENTAL per Arrow batch — each batch merges with the
+    running per-group head(k) — so task memory is O(groups · k + one
+    batch), never the whole scored partition: the huge-partition regime
+    (billions of scored rows per task) is exactly what this reducer exists
+    for, and materializing it in pandas first would OOM the executor."""
     schema = scored.schema
 
     def reduce_part(batches):
         import pandas as _pd
 
-        acc = [pdf for pdf in batches]
-        if not acc:
-            return
-        pdf = _pd.concat(acc, ignore_index=True) if len(acc) > 1 else acc[0]
-        pdf = pdf.sort_values([order_col, tie_col], ascending=[ascending, True])
-        yield pdf.groupby(group_col, sort=False).head(k)
+        run = None
+        for pdf in batches:
+            merged = (
+                pdf if run is None else _pd.concat([run, pdf], ignore_index=True)
+            )
+            merged = merged.sort_values(
+                [order_col, tie_col], ascending=[ascending, True]
+            )
+            run = merged.groupby(group_col, sort=False).head(k)
+        if run is not None:
+            yield run
 
     return scored.mapInPandas(reduce_part, schema)
 
@@ -580,31 +591,38 @@ def hybrid_topk(
 def _numpy_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):
     """(assign_cid, probe_cids) pandas UDFs with the centroid matrix in the
     closure. Matches the literal path's semantics: cosine rounded to 6dp,
-    ties toward the smaller centroid id (argmax returns the first max)."""
+    ties toward the smaller centroid id (argmax returns the first max),
+    and NULL/ragged vectors yield NULL instead of crashing the task."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from exon_duckdb_spark.operators.pq import _stack_valid
+
     C = np.array([c[1] for c in cents], dtype=np.float64)  # nlist × dims
     cn = np.array([c[2] for c in cents], dtype=np.float64)
 
-    def _sims(vecs: "pd.Series") -> "np.ndarray":
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        return np.round((M @ C.T) / (norms * cn[None, :]), 6)
+    def _sims(vecs: "pd.Series"):
+        ok, M = _stack_valid(vecs, C.shape[1])
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return ok, np.round((M @ C.T) / (norms * cn[None, :]), 6)
 
     # NB: no parameter annotations — `from __future__ import annotations`
     # turns them into strings pandas_udf can't resolve for a local import
     @pandas_udf("int")
     def assign_cid(vecs):
-        return pd.Series(np.argmax(_sims(vecs), axis=1).astype("int32"))
+        ok, s = _sims(vecs)
+        cid = np.argmax(s, axis=1)
+        return pd.Series(
+            pd.array([int(c) if k else None for k, c in zip(ok, cid)], dtype="Int32")
+        )
 
     @pandas_udf("array<int>")
     def probe_cids(vecs):
-        s = _sims(vecs)
+        ok, s = _sims(vecs)
         # sort by (sim desc, cid asc): stable argsort on -sim keeps cid order
-        order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order.astype("int32")))
+        order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series([o if k else None for k, o in zip(ok, order)])
 
     return assign_cid, probe_cids
 
@@ -874,6 +892,11 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank), self-matches excluded.
     """
     cents = _seed_centroids(corpus, nlist, vec_col, id_col)
+    # clamp BEFORE the literal slice: F.slice(sorted, -nprobe, nprobe) on an
+    # array shorter than nprobe resolves a negative start and silently
+    # returns EMPTY probes (zero results, no error); the numpy argsort path
+    # clamps naturally, so the two paths would otherwise disagree
+    nprobe = min(nprobe, len(cents)) if cents else nprobe
 
     dims = len(cents[0][1]) if cents else 0
     # Literal-array assignment compiles O(nlist × dims) expression nodes
@@ -1023,6 +1046,9 @@ def ivf_search(
     """
     cent_rows = spark.read.parquet(path + "/centroids").orderBy("cid").collect()
     cents = [(r["cid"], [float(v) for v in r["cvec"]], float(r["cnorm"])) for r in cent_rows]
+    # same silent-empty-slice guard as ivf_topk: an index with fewer lists
+    # than nprobe must probe them all, not none
+    nprobe = min(nprobe, len(cents)) if cents else nprobe
 
     probes = F.slice(
         F.array_sort(F.array(*_centroid_sim_structs(cents, F.col("query_vec"), F.col("qn")))),

@@ -54,6 +54,15 @@ def hash_sample(
     ``strata_col`` values (language up/down-sampling); strata missing from
     the dict are dropped.
     """
+    import math
+
+    def micro(f: float) -> int:
+        # half-up micro rounding, the same cross-engine convention
+        # temperature_mix documents: int() truncation would drop the
+        # boundary bucket whenever fraction·1e6 lands a hair under an
+        # integer in float64 (0.29 → 289999.99999999994 → 289999)
+        return int(math.floor(f * SAMPLE_BUCKETS + 0.5))
+
     bucket = md5_int(
         F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
     ) % SAMPLE_BUCKETS
@@ -61,11 +70,11 @@ def hash_sample(
         if strata_col is None:
             raise ValueError("per-stratum fractions require strata_col")
         thresholds = F.create_map(
-            *[F.lit(x) for kv in fraction.items() for x in (kv[0], int(kv[1] * SAMPLE_BUCKETS))]
+            *[F.lit(x) for kv in fraction.items() for x in (kv[0], micro(kv[1]))]
         )
         limit = thresholds.getItem(F.col(strata_col))
         return df.where(limit.isNotNull() & (bucket < limit))
-    return df.where(bucket < int(fraction * SAMPLE_BUCKETS))
+    return df.where(bucket < micro(fraction))
 
 def temperature_mix(
     df: DataFrame,
@@ -234,7 +243,10 @@ def bpe_token_count(text: Column | str) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality stats: token count, char count, average token
-    length, stopword ratio, alpha ratio. Map-only; no shuffle."""
+    length, stopword ratio, alpha ratio. Map-only; no shuffle. Zero-length
+    denominators yield NULL ratios on BOTH engines (Spark non-ANSI division
+    and DuckDB's default x/0 are each NULL), so empty docs stay
+    oracle-consistent without an explicit guard."""
     toks = tokens(text_col)
     t = F.col(text_col)
     n_tokens = F.size(toks)

@@ -131,6 +131,54 @@ def test_ivf_topk_full_probe_matches_exact(spark):
     assert key(ivf) == key(exact)
 
 
+def test_ivf_topk_nprobe_exceeding_nlist_probes_all(spark):
+    """Round-5 review: the literal probe path's F.slice(sorted, -nprobe,
+    nprobe) silently returned EMPTY probes (zero results, no error) when
+    nprobe > centroid count; nprobe must clamp so a tiny corpus still
+    searches. Both assignment paths must agree."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    for assign in ("literal", "numpy"):
+        out = ops.ivf_topk(emb, q, k=3, nlist=8, nprobe=5, assign=assign).collect()
+        assert len(out) == 1 and out[0]["neighbor_id"] == 1, (assign, out)
+
+
+def test_vector_udf_paths_null_propagate(spark):
+    """Round-5 review: the numpy assignment/encode UDFs crashed the task on
+    NULL or wrong-length vectors while the literal paths NULL-propagate —
+    assign='auto' must not flip between success and job failure on
+    codebook size. NULL rows yield NULL outputs on both paths."""
+    import math as m
+
+    rows = [(i, [m.sin(0.3 * i + j) for j in range(8)]) for i in range(10)]
+    rows += [(90, None), (91, [1.0, 2.0])]  # null + ragged
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = ops.pq_codebooks(emb.where(F.col("vec_id") < 10), m=2, ksub=4, dims=8)
+    for assign in ("literal", "numpy"):
+        codes = {
+            r["vec_id"]: r["code"]
+            for r in ops.pq_encode(emb, books, assign=assign).collect()
+        }
+        assert codes[90] is None, assign
+        assert all(codes[i] is not None for i in range(10)), assign
+    # coarse assigners (numpy path) on the same corpus
+    from exon_duckdb_spark.operators.similarity import (
+        _numpy_assigners,
+        _seed_centroids,
+    )
+
+    cents = _seed_centroids(emb.where(F.col("vec_id") < 10), 4, "embedding", "vec_id")
+    assign_cid, probe_cids = _numpy_assigners(cents, 2)
+    got = emb.select(
+        "vec_id", assign_cid("embedding").alias("cid"), probe_cids("embedding").alias("p")
+    ).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    assert by_id[90]["cid"] is None and by_id[90]["p"] is None
+    assert by_id[91]["cid"] is None and by_id[91]["p"] is None
+    assert all(by_id[i]["cid"] is not None for i in range(10))
+
+
 def test_ivf_topk_prunes_to_probed_lists(spark):
     # nprobe=1: query 0 probes only centroid 0's list, which holds {0, 3}
     # (vec 1 assigns to its own list, vec 2 lands with the nearer centroid 1)
