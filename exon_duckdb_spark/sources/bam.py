@@ -188,7 +188,15 @@ def _parse_bam_split(split: FileSplit) -> Iterator[dict]:
 
 def _parse_bam_stream(split: FileSplit) -> Iterator[dict]:
     """Sequential whole-stream parse (plain-gzip or uncompressed BAM)."""
-    comp = split.compression or "gzip"
+    comp = split.compression
+    if comp is None:
+        # sniff: an UNCOMPRESSED .bam reaches here with compression None,
+        # and force-wrapping it in gzip raised BadGzipFile instead of
+        # parsing the file the docstring promises to handle
+        from exon_duckdb_spark.sources.splits import open_binary
+
+        with open_binary(split.path) as probe:
+            comp = "gzip" if probe.read(2) == b"\x1f\x8b" else None
     with open_maybe_compressed(split.path, comp) as f:
         magic = f.read(4)
         if magic != b"BAM\x01":
@@ -359,12 +367,17 @@ def plan_bam_query_splits(
     """Splits a BAM region query must scan: all splits, pruned by the .bai
     index when one sits next to the file (reference: BAI-backed I/O pruning
     in rust/src/bam_query_reader.rs:63). Exposed for testability."""
+    from exon_duckdb_spark.sources.bgzf import is_bgzf
     from exon_duckdb_spark.sources.splits import path_exists as _path_exists
     from exon_duckdb_spark.sources.splits import plan_splits
 
     splits = plan_splits(path, "none", splittable=True, split_bytes=split_bytes)
     bai_path = path + ".bai"
-    if not _path_exists(bai_path):
+    # same guard as the VCF/BCF planners: a stale .bai next to a non-BGZF
+    # file would prune with meaningless virtual offsets — for a plain-gzip
+    # BAM only the start==0 split yields anything, so a bad prune could
+    # silently return zero rows
+    if not _path_exists(bai_path) or not is_bgzf(path):
         return splits
     chrom, r_start, r_end = parse_region(region)
     refs = _bam_refs(path)
@@ -383,17 +396,11 @@ def bam_query(spark: SparkSession, path: str, region: str) -> DataFrame:
     indexed chunks are pruned before the scan (I/O-level pruning, same role
     as the reference's index); the exact overlap filter below keeps
     semantics index-independent."""
-    from pyspark.sql import functions as F
+    from exon_duckdb_spark.sources.vcf import region_filter
 
     splits = plan_bam_query_splits(path, region)
     if not splits:
         df = read_bam(spark, path).limit(0)
     else:
         df = read_bam(spark, path, _splits=splits)
-    chrom, r_start, r_end = parse_region(region)
-    cond = df.reference == chrom
-    if r_start is not None:
-        cond = cond & (df.end >= r_start)
-    if r_end is not None:
-        cond = cond & (df.start <= r_end)
-    return df.where(cond)
+    return df.where(region_filter(df.reference, df.start, df.end, region))

@@ -207,13 +207,26 @@ def _decode_site(buf: bytes, info_meta, contigs) -> dict:
         key_id, off = _decode_typed(buf, off)
         val, off = _decode_typed(buf, off)
         meta = info_meta.get(key_id)
-        if meta is None:
-            continue
+        if meta is None or meta[2].startswith("__"):
+            continue  # unknown id or a FILTER/FORMAT dictionary entry
         name, number, vtype = meta
         if vtype == "Flag":
             info[name] = True
         else:
             info[name] = val
+    # render the decoded FILTER ids as the VCF-style ';'-joined names
+    # (empty vector -> None, matching '.'); id 0 is the implicit PASS
+    if filters is None or filters == []:
+        filter_out = None
+    else:
+        ids = filters if isinstance(filters, list) else [filters]
+        names = []
+        for i in ids:
+            meta = info_meta.get(i)
+            names.append(
+                meta[0] if meta is not None else ("PASS" if i == 0 else str(i))
+            )
+        filter_out = ";".join(names) if names else None
     # missing float qual is encoded as a specific NaN
     import math
 
@@ -227,7 +240,7 @@ def _decode_site(buf: bytes, info_meta, contigs) -> dict:
         "ref": ref,
         "alt": alt,
         "qual": qual_out,
-        "filter": None,
+        "filter": filter_out,
         "info": info,
     }
 
@@ -282,27 +295,49 @@ def bcf_bind(path: str):
     contigs: list[str] = []
     info_meta: dict[int, tuple[str, str, str]] = {}
     dict_idx = 0
-    seen: dict[str, bool] = {}
+    # Implicit-dictionary reconstruction follows the BCF2.2 / htslib
+    # convention for headers WITHOUT IDX= annotations: PASS is always
+    # entry 0 (whether or not a ##FILTER=<ID=PASS> line exists), ids are
+    # assigned in order of first appearance across FILTER/INFO/FORMAT, and
+    # an ID shared by several classes occupies ONE entry (a fresh index
+    # per duplicate line would shift every later entry and silently mis-
+    # map INFO keys). Explicit IDX= wins where present (our own writer's
+    # contract). FILTER/FORMAT entries carry a sentinel vtype so the
+    # filter column can render names without a second dictionary.
+    dict_of: dict[str, int] = {"PASS": 0}
+    seen_info: set[int] = set()
     for line in text.splitlines():
         if line.startswith("##contig=<ID="):
             m = _re.match(r"##contig=<ID=([^,>]+)", line)
             if m:
                 contigs.append(m.group(1))
         elif line.startswith("##FILTER=") or line.startswith("##INFO=") or line.startswith("##FORMAT="):
+            id_m = _re.match(r"##(FILTER|INFO|FORMAT)=<ID=([^,>]+)", line)
+            if not id_m:
+                continue
+            kind, name = id_m.group(1), id_m.group(2)
             idm = _re.search(r"IDX=(\d+)", line)
-            m = _INFO_RE.match(line) if line.startswith("##INFO=") else None
-            idx = int(idm.group(1)) if idm else dict_idx
-            if line.startswith("##FILTER=<ID=PASS") and idm is None:
-                idx = 0
-            if m:
-                name, number, vtype = m.group(1), m.group(2), m.group(3)
-                if name not in seen:
-                    info_meta[idx] = (name, number, vtype)
-                    seen[name] = True
-            dict_idx = max(dict_idx, idx) + 1
+            if idm:
+                idx = int(idm.group(1))
+                dict_of[name] = idx
+                dict_idx = max(dict_idx, idx + 1)
+            elif name in dict_of:
+                idx = dict_of[name]
+            else:
+                idx = max(dict_idx, 1)  # 0 is the implicit PASS
+                dict_of[name] = idx
+                dict_idx = idx + 1
+            m = _INFO_RE.match(line) if kind == "INFO" else None
+            if m and idx not in seen_info:
+                info_meta[idx] = (m.group(1), m.group(2), m.group(3))
+                seen_info.add(idx)
+            elif idx not in info_meta:
+                info_meta[idx] = (name, "", f"__{kind}__")
 
     info_fields = []
     for _, (name, number, vtype) in sorted(info_meta.items()):
+        if vtype.startswith("__"):
+            continue  # FILTER/FORMAT dictionary entries, not INFO columns
         if vtype == "Flag" or number == "0":
             dt: T.DataType = T.BooleanType()
         elif number == "1":
@@ -424,11 +459,16 @@ def plan_bcf_query_splits(
 
 
 def _bcf_contigs(path: str) -> list[str]:
-    """Contig names from the BCF header (driver-side peek)."""
+    """Contig names from the BCF header (driver-side peek). Goes through
+    the open_binary filesystem seam like every other header peek, so
+    object-store URIs work (a bare gzip.open would treat the URI as a
+    local filename)."""
     import gzip as _gzip
     import re as _re
 
-    with _gzip.open(path, "rb") as fh:
+    from exon_duckdb_spark.sources.splits import open_binary
+
+    with open_binary(path) as raw, _gzip.open(raw, "rb") as fh:
         if fh.read(5)[:3] != b"BCF":
             return []
         (l_text,) = struct.unpack("<I", fh.read(4))

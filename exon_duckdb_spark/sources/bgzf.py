@@ -193,6 +193,15 @@ class BgzfBuf:
         return self.mark_coffsets[i] if i < len(self.mark_coffsets) else None
 
     def drop_before(self, abs_pos: int) -> None:
+        # NEVER advance base past the loaded end: callers skip over bytes
+        # they don't read (BCF l_indiv genotype blocks), so abs_pos may
+        # point into NOT-YET-LOADED data — setting base there would record
+        # the next loaded block at a wrong absolute position and the skip
+        # would land mid-genotype, yielding garbage records (silent
+        # corruption; only triggered once >1 MiB accumulated, so small
+        # test files never tripped it). The unloaded tail is dropped by a
+        # later call once it has streamed through.
+        abs_pos = min(abs_pos, self.base + len(self.buf))
         cut = abs_pos - self.base
         if cut > 1 << 20:
             keep = bisect_right(self.marks, abs_pos) - 1
@@ -297,14 +306,26 @@ def merge_voffset_ranges(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]
 
 
 def prune_splits_to_ranges(splits, ranges: list[tuple[int, int]]):
-    """Splits overlapping any compressed range (correctness never depends on
-    this — exact filters run after the scan)."""
-    kept = []
-    for s in splits:
-        s_end = s.start + s.length
-        if any(lo < s_end and s.start < hi for lo, hi in ranges):
-            kept.append(s)
-    return kept
+    """Splits overlapping any compressed range, PLUS each kept split's
+    immediate file-order predecessor. The predecessor rule is a
+    correctness requirement for record boundary ownership (round-5
+    review): a record starting exactly at byte 0 of a kept split's anchor
+    block is YIELDED by the previous split (the next-split-discards-its-
+    first-record convention), and that anchor is by definition the first
+    block at-or-after the predecessor's end — so pruning the predecessor
+    while keeping its successor would silently drop the boundary record.
+    One extra split per contiguous kept run buys the guarantee. (The
+    post-scan exact filters keep pruning correctness-neutral for every
+    record a kept split YIELDS — this rule guards which split yields it
+    at all.)"""
+    ordered = sorted(splits, key=lambda s: s.start)
+    keep_idx = {
+        i
+        for i, s in enumerate(ordered)
+        if any(lo < s.start + s.length and s.start < hi for lo, hi in ranges)
+    }
+    keep_idx |= {i - 1 for i in keep_idx if i > 0}
+    return [s for i, s in enumerate(ordered) if i in keep_idx]
 
 
 def read_binning_index(f, n_ref: int) -> list[dict[int, list[tuple[int, int]]]]:

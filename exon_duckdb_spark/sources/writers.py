@@ -233,9 +233,17 @@ def to_vcf(df: DataFrame, path: str, header: str, compression: str | None = None
         raise ValueError("VCF header must start with ## meta lines")
     if "#CHROM" not in header:
         htext += "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
-    p = path.removeprefix("file://")
-    with open(os.path.join(p, "00000_header.vcf"), "w") as fh:
-        fh.write(htext)
+    from exon_duckdb_spark.sources.splits import is_uri, open_output
+
+    if is_uri(path) and not path.startswith("file://"):
+        # object-store seam: a bare open() would treat the URI as a local
+        # filename and fail AFTER the data part-files were written
+        with open_output(path.rstrip("/") + "/00000_header.vcf") as fh:
+            fh.write(htext.encode())
+    else:
+        p = path.removeprefix("file://")
+        with open(os.path.join(p, "00000_header.vcf"), "w") as fh:
+            fh.write(htext)
 
 
 def to_hmm_dom_tbl(df: DataFrame, path: str, compression: str | None = None) -> None:
@@ -291,10 +299,24 @@ def write_partition_files(df: DataFrame, path: str, render, ext: str) -> int:
     import os
     import shutil
 
-    p = path.removeprefix("file://")
-    if os.path.isdir(p):
-        shutil.rmtree(p)
-    os.makedirs(p, exist_ok=True)
+    from exon_duckdb_spark.sources.splits import is_uri
+
+    remote = is_uri(path) and not path.startswith("file://")
+    if remote:
+        from pyarrow import fs as pafs
+
+        from exon_duckdb_spark.sources.splits import _fs
+
+        fs, inner = _fs(path)
+        if fs.get_file_info([inner])[0].type == pafs.FileType.Directory:
+            fs.delete_dir(inner)
+        fs.create_dir(inner, recursive=True)
+        p = path.rstrip("/")
+    else:
+        p = path.removeprefix("file://")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        os.makedirs(p, exist_ok=True)
 
     def _write(batches):
         import pandas as pd
@@ -305,9 +327,17 @@ def write_partition_files(df: DataFrame, path: str, render, ext: str) -> int:
             rows.extend(pdf.to_dict("records"))
         if rows:
             pid = TaskContext.get().partitionId()
-            out = os.path.join(p, f"part-{pid:05d}{ext}")
-            with open(out, "wb") as fh:
-                fh.write(render(rows))
+            if remote:
+                # executors open the object store through the same seam
+                # (per-scheme factories must be registered on executors —
+                # see DEPLOY.md §3)
+                from exon_duckdb_spark.sources.splits import open_output
+
+                with open_output(f"{p}/part-{pid:05d}{ext}") as fh:
+                    fh.write(render(rows))
+            else:
+                with open(os.path.join(p, f"part-{pid:05d}{ext}"), "wb") as fh:
+                    fh.write(render(rows))
         yield pd.DataFrame({"n": [len(rows)]})
 
     from pyspark.sql import functions as _F
@@ -416,10 +446,12 @@ def _render_bam(rows: list[dict], refs: list[tuple[str, int]], block_bytes: int 
             rid,
             pos0,
             len(nb),
-            int(r.get("mapping_quality") or 0),
+            # _null, not `or 0`: pandas renders NULL ints as NaN, which is
+            # truthy and crashes int() (to_sam coalesces the same columns)
+            0 if _null(r.get("mapping_quality")) else int(r["mapping_quality"]),
             0,  # bin (only meaningful with an index; readers ignore it)
             len(ops),
-            int(r.get("flag") or 0),
+            0 if _null(r.get("flag")) else int(r["flag"]),
             len(seq),
             mate_rid,
             -1,

@@ -141,3 +141,49 @@ class TestBgzfVcf:
 
     def test_missing_chrom(self, spark, bgzf_vcf):
         assert vcf_query(spark, bgzf_vcf, "chrZ").count() == 0
+
+
+class TestBgzfBufSkipSafety:
+    def test_drop_before_past_loaded_end_stays_consistent(self):
+        """Round-5 review: BCF-style readers SKIP bytes they never get()
+        (l_indiv genotype blocks) and then drop_before(next_record). When
+        the skip target lay beyond the loaded end AND >1 MiB had
+        accumulated, base jumped past unloaded data and the next block was
+        recorded at a wrong absolute position — garbage records, silently.
+        The clamp keeps every loaded block's absolute position truthful."""
+        import io
+        import random
+
+        from exon_duckdb_spark.sources.bgzf import BgzfBuf, bgzf_compress
+
+        data = bytes((i * 31 + (i >> 8)) & 0xFF for i in range(3 * 1024 * 1024))
+        blob = bgzf_compress(data, block_bytes=4096)
+        buf = BgzfBuf(io.BytesIO(blob), 0, len(blob))
+        assert buf.get(0, 16) == data[:16]
+        target = 2 * 1024 * 1024 + 123  # far past the loaded end
+        buf.drop_before(target)
+        assert buf.get(target, 64) == data[target : target + 64]
+        # interleaved read/skip/drop, the BCF record-loop access pattern
+        buf2 = BgzfBuf(io.BytesIO(blob), 0, len(blob))
+        random.seed(2)
+        pos = 0
+        while pos < len(data) - 256:
+            n = random.randint(1, 200)
+            assert buf2.get(pos, n) == data[pos : pos + n], pos
+            pos += n + random.randint(0, 5000)
+            buf2.drop_before(pos)
+
+
+def test_prune_keeps_boundary_record_owner():
+    """Round-5 review: a record starting exactly at byte 0 of a range's
+    first block is YIELDED by the previous split (boundary-ownership
+    convention), whose byte range can end up to one max BGZF block before
+    the range begins. Pruning must keep that owner."""
+    from exon_duckdb_spark.sources.bgzf import prune_splits_to_ranges
+    from exon_duckdb_spark.sources.splits import FileSplit
+
+    P = FileSplit(path="x", start=0, length=100, compression=None)
+    S = FileSplit(path="x", start=100, length=100, compression=None)
+    far = FileSplit(path="x", start=400_000, length=100, compression=None)
+    kept = prune_splits_to_ranges([P, S, far], [(100, 150)])
+    assert P in kept and S in kept and far not in kept

@@ -487,3 +487,57 @@ class TestBcf:
         assert bcf_query(spark, bcf_file, "1").count() == 1
         assert bcf_query(spark, bcf_file, "1:9999919").count() == 1
         assert bcf_query(spark, bcf_file, "2").count() == 0
+
+
+class TestBcfImplicitDictionary:
+    def test_no_idx_header_follows_htslib_dictionary(self, tmp_path):
+        """Round-5 review: headers WITHOUT IDX= must reconstruct the
+        implicit dictionary per BCF2.2/htslib — PASS is entry 0 even with
+        no PASS line, ids assign in order of first appearance, and an ID
+        shared across FILTER/INFO/FORMAT occupies ONE entry (the old
+        fresh-index-per-line logic shifted every later id and mismapped
+        INFO keys). Also covers the FILTER column decode (was hardcoded
+        None)."""
+        import struct
+
+        from exon_duckdb_spark.sources.bcf import bcf_bind, parse_bcf_records
+        from exon_duckdb_spark.sources.bgzf import bgzf_compress
+        from exon_duckdb_spark.sources.splits import FileSplit
+        from exon_duckdb_spark.sources.writers import (
+            _bcf_typed_int,
+            _bcf_typed_str,
+        )
+
+        header = "\n".join([
+            "##fileformat=VCFv4.2",
+            '##FILTER=<ID=q10,Description="low qual">',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">',
+            '##INFO=<ID=AF,Number=1,Type=Integer,Description="af">',
+            "##contig=<ID=chr1>",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        ]) + "\n"
+        htext = header.encode() + b"\x00"
+        rec = bytearray()
+        rec += struct.pack("<iii", 0, 9, 1)
+        rec += struct.pack("<I", 0x7F800001)  # missing qual
+        rec += struct.pack("<I", (1 << 16) | 2)  # n_allele=1, n_info=2
+        rec += struct.pack("<I", 0)
+        rec += b"\x07"  # id '.'
+        rec += _bcf_typed_str("A")
+        rec += bytes([0x21, 1, 0])  # FILTER int8 vector [q10, PASS]
+        rec += _bcf_typed_int(2) + _bcf_typed_int(7)  # DP (shared idx 2)
+        rec += _bcf_typed_int(3) + _bcf_typed_int(5)  # AF (idx 3)
+        body = b"BCF\x02\x02" + struct.pack("<I", len(htext)) + htext
+        body += struct.pack("<II", len(rec), 0) + rec
+        blob = bgzf_compress(body)
+        p = tmp_path / "noidx.bcf"
+        p.write_bytes(blob)
+        contigs, info_meta, info_fields, _schema = bcf_bind(str(p))
+        assert info_meta[1][0] == "q10" and info_meta[1][2] == "__FILTER__"
+        assert info_meta[2] == ("DP", "1", "Integer")  # FORMAT DP shared
+        assert info_meta[3] == ("AF", "1", "Integer")
+        split = FileSplit(path=str(p), start=0, length=len(blob), compression=None)
+        (row,) = parse_bcf_records(split, info_meta, contigs, info_fields)
+        assert row["filter"] == "q10;PASS"
+        assert row["info"] == {"DP": 7, "AF": 5}
