@@ -25,17 +25,12 @@ def _parse_fasta_split(split: FileSplit) -> Iterator[dict]:
     end = split.start + split.length
     with open_maybe_compressed(split.path, split.compression) as f:
         if split.compression is None and split.start > 0:
-            # scan forward to the first record head at-or-after start
+            # scan forward to the first record head at-or-after start:
+            # align to a line boundary with one seek + readline (the same
+            # shape fastq.py uses — a per-byte read(1) loop costs one
+            # filesystem call per byte on pyarrow URI streams)
             f.seek(split.start - 1)
-            chunk = f.read(1)
-            # align to a line boundary, then find a '>' line
-            offset = split.start
-            if chunk != b"\n":
-                while True:
-                    c = f.read(1)
-                    offset += 1
-                    if not c or c == b"\n":
-                        break
+            offset = split.start - 1 + len(f.readline())
         else:
             offset = 0
 

@@ -42,17 +42,17 @@ def _parse_genbank_split(split: FileSplit) -> Iterator[dict]:
             rec["_seq_parts"] = seq_parts
             m = _LOCUS_RE.match(line)
             if m:
-                rec["name"] = m.group(1).decode()
-                rec["molecule_type"] = m.group(2).decode()
-                rec["topology"] = m.group(3).decode() if m.group(3) else "linear"
-                rec["division"] = m.group(4).decode() if m.group(4) else None
-                rec["date"] = m.group(5).decode() if m.group(5) else None
+                rec["name"] = m.group(1).decode("utf-8", "replace")
+                rec["molecule_type"] = m.group(2).decode("utf-8", "replace")
+                rec["topology"] = m.group(3).decode("utf-8", "replace") if m.group(3) else "linear"
+                rec["division"] = m.group(4).decode("utf-8", "replace") if m.group(4) else None
+                rec["date"] = m.group(5).decode("utf-8", "replace") if m.group(5) else None
             section = None
             continue
         if rec is None:
             continue
         if line.startswith(b"//"):
-            rec["sequence"] = b"".join(rec.pop("_seq_parts")).decode() or None
+            rec["sequence"] = b"".join(rec.pop("_seq_parts")).decode("utf-8", "replace") or None
             yield {k: v for k, v in rec.items() if not k.startswith("_")}
             rec = None
             section = None
@@ -60,8 +60,8 @@ def _parse_genbank_split(split: FileSplit) -> Iterator[dict]:
 
         if line[:1] not in (b" ", b"") and not line.startswith(b"ORIGIN"):
             key, _, val = line.partition(b" ")
-            section = key.decode()
-            val = val.strip().decode()
+            section = key.decode("utf-8", "replace")
+            val = val.strip().decode("utf-8", "replace")
             mapping = {
                 "DEFINITION": "definition",
                 "ACCESSION": "accession",
@@ -92,22 +92,42 @@ def _parse_genbank_split(split: FileSplit) -> Iterator[dict]:
                 # new feature: 5-space indent, kind at col 5
                 kind, _, loc = stripped.partition(b" ")
                 feature = {
-                    "kind": kind.decode(),
-                    "location": loc.strip().decode(),
+                    "kind": kind.decode("utf-8", "replace"),
+                    "location": loc.strip().decode("utf-8", "replace"),
                     "qualifiers": {},
                 }
                 rec["features"].append(feature)
                 qual_key = None
             elif stripped.startswith(b"/") and feature is not None:
                 k, eq, v = stripped[1:].partition(b"=")
-                qual_key = k.decode()
-                feature["qualifiers"][qual_key] = v.strip(b'"').decode() if eq else ""
+                qual_key = k.decode("utf-8", "replace")
+                feature["qualifiers"][qual_key] = v.strip(b'"').decode("utf-8", "replace") if eq else ""
             elif feature is not None:
-                cont = stripped.decode()
+                cont = stripped.decode("utf-8", "replace")
                 if qual_key:
                     feature["qualifiers"][qual_key] += " " + cont.strip('"')
                 else:
                     feature["location"] += cont
+        elif section == "REFERENCE":
+            # TITLE is an indented sub-key of each REFERENCE block
+            # ("  TITLE     Complete mitochondrial genome ..."); multiple
+            # references' titles join with '; ', continuations (indented
+            # ~12 cols, vs sub-keys at 2-3) append with a space
+            indent = len(line) - len(line.lstrip(b" "))
+            stripped = line.strip()
+            skey, _, sval = stripped.partition(b" ")
+            if indent <= 4 and skey in (
+                b"AUTHORS", b"TITLE", b"JOURNAL", b"PUBMED", b"MEDLINE",
+                b"REMARK", b"CONSRTM",
+            ):
+                rec["_ref_sub"] = skey
+                if skey == b"TITLE":
+                    t = sval.strip().decode("utf-8", "replace")
+                    rec["titles"] = (
+                        t if rec["titles"] is None else rec["titles"] + "; " + t
+                    )
+            elif rec.get("_ref_sub") == b"TITLE" and rec["titles"] is not None:
+                rec["titles"] += " " + stripped.decode("utf-8", "replace")
         elif section in ("DEFINITION", "COMMENT", "SOURCE", "KEYWORDS", "CONTIG", "DBLINK"):
             col = {
                 "DEFINITION": "definition",
@@ -117,8 +137,16 @@ def _parse_genbank_split(split: FileSplit) -> Iterator[dict]:
                 "CONTIG": "contig",
                 "DBLINK": "dblink",
             }[section]
-            cont = line.strip().decode()
+            cont = line.strip().decode("utf-8", "replace")
             rec[col] = cont if rec[col] is None else rec[col] + " " + cont
+    if rec is not None:
+        # truncated file whose last record lacks the '//' terminator:
+        # yield what was parsed instead of silently dropping the record
+        # (splits are whole files here, so end-of-lines IS end-of-file)
+        rec["sequence"] = (
+            b"".join(rec.pop("_seq_parts")).decode("utf-8", "replace") or None
+        )
+        yield {k: v for k, v in rec.items() if not k.startswith("_")}
 
 
 def read_genbank(spark: SparkSession, path: str | list[str]) -> DataFrame:

@@ -51,6 +51,13 @@ def _parse_mzml_split(split: FileSplit) -> Iterator[dict]:
     with open_maybe_compressed(split.path, split.compression) as f:
         for _, elem in ET.iterparse(f, events=("end",)):
             if _local(elem.tag) != "spectrum":
+                # release completed chromatograms too — their base64
+                # payloads otherwise accumulate until EOF even though only
+                # spectra are yielded. (Do NOT clear 'binary' here: inner
+                # end-events fire BEFORE the enclosing spectrum's, and the
+                # spectrum decode still needs those payloads.)
+                if _local(elem.tag) == "chromatogram":
+                    elem.clear()
                 continue
             spec_id = elem.get("id")
             # spectrum-level cvParams: DIRECT children only (the ones inside

@@ -47,10 +47,16 @@ _GFF_RAW = "seqname string, source string, type string, start long, end long, sc
 def _read_gff_like(spark: SparkSession, path: str, last_col: str, attr_parse) -> DataFrame:
     raw = (
         spark.read.option("sep", "\t")
+        .option("quote", "")
         .option("comment", "#")
         .schema(_GFF_RAW.replace("phase_raw", f"{last_col}_raw"))
         .csv(path)
     )
+    # GFF3 files may end with a '##FASTA' section; the directive line is
+    # comment-skipped but the sequence lines after it are not — they parse
+    # as 1-field rows (no tabs), so requiring the mandatory numeric
+    # coordinates drops exactly them (every real feature row carries both)
+    raw = raw.where(F.col("start").isNotNull() & F.col("end").isNotNull())
     return raw.select(
         "seqname",
         "source",
@@ -80,12 +86,15 @@ def read_gff_raw(spark: SparkSession, path: str) -> DataFrame:
     raw-test golden keeps '.' score and prints phase '0' literally)."""
     return (
         spark.read.option("sep", "\t")
+        .option("quote", "")
         .option("comment", "#")
         .schema(
             "seqid string, source string, type string, start long, end long, "
             "score string, strand string, phase string, attributes string"
         )
         .csv(path)
+        # drop '##FASTA' trailer sequence lines (see _read_gff_like)
+        .where(F.col("start").isNotNull() & F.col("end").isNotNull())
     )
 
 
@@ -119,7 +128,13 @@ def read_bed(spark: SparkSession, path: str) -> DataFrame:
     """BED (≤12 col) with the reference's normalizations: 0-based start /
     thick_start shifted to 1-based; '.', score 0 and color 0 → NULL
     (test_bed_io.test:5-17)."""
-    raw = spark.read.option("sep", "\t").option("comment", "#").schema(_BED_RAW).csv(path)
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("quote", "")
+        .option("comment", "#")
+        .schema(_BED_RAW)
+        .csv(path)
+    )
     zero_null = lambda c: F.when((c == ".") | (c == "0"), F.lit(None)).otherwise(c)  # noqa: E731
     df = raw.select(
         F.col("c0").alias("reference_sequence_name"),
@@ -153,7 +168,8 @@ def read_sam(spark: SparkSession, path: str) -> DataFrame:
     Header lines start with '@' → native comment skipping.
     """
     raw = (
-        spark.read.option("sep", "\t").option("comment", "@").schema(_SAM_RAW).csv(path)
+        spark.read.option("sep", "\t")
+        .option("quote", "").option("comment", "@").schema(_SAM_RAW).csv(path)
     )
     star_null = lambda c: F.when(c == "*", F.lit(None)).otherwise(c)  # noqa: E731
     cigar = star_null(F.col("cigar_raw"))

@@ -32,7 +32,12 @@ __all__ = [
 ]
 
 
-def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files: int = 1,
+    schema: "T.StructType | None" = None,
+) -> DataFrame:
     """File-based stream of the events table, `ts` normalised to a
     microsecond timestamp. ``events_dir`` is a DIRECTORY (Spark's file
     stream contract); only files named events*.parquet are picked up.
@@ -49,8 +54,32 @@ def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1)
     the producer hasn't written its first file yet) the probe read throws
     'Unable to infer schema'; fall back to the known static events schema
     (micros variant) so the stream can start and pick files up as they
-    arrive."""
+    arrive. CAVEATS the caller should know: (a) the empty-dir fallback
+    pins the MICROS variant — a producer that will write TIMESTAMP(NANOS)
+    files into an initially-empty directory should pass ``schema``
+    explicitly (bigint ts + the div-1000 repair below) or write one file
+    before stream start; (b) ``nanosAsLong`` is a SESSION-level conf that
+    must stay set for the stream's lifetime (streams evaluate lazily), so
+    this call leaves it set — subsequent batch reads of TIMESTAMP(NANOS)
+    parquet in the same session will surface bigint nanos."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = _probe_events_schema(spark, events_dir)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(events_dir)
+    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def _probe_events_schema(spark: SparkSession, events_dir: str):
     try:
         probe = spark.read.option("pathGlobFilter", "events*.parquet").parquet(
             events_dir
@@ -69,18 +98,7 @@ def read_events_stream(spark: SparkSession, events_dir: str, max_files: int = 1)
                 T.StructField("props", T.StringType()),
             ]
         )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(events_dir)
-    )
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return schema
 
 
 def windowed_counts(
@@ -217,7 +235,13 @@ def _session_fn(
             out_rows.append((user_id, start, last, n))
             start, last, n = t, t, 1
         else:
-            last = t
+            # ts_list sorts within THIS batch only; an out-of-order event
+            # from a later micro-batch may precede the open session's
+            # bounds — it joins the session without regressing its end
+            # (the old `last = t` moved session_end backwards in time and
+            # could spuriously close the session on the next event)
+            start = min(start, t)
+            last = max(last, t)
             n += 1
     state.update((start, last, n))
     if close_idle:

@@ -195,3 +195,50 @@ class TestHmm:
         assert r["evalue"] == pytest.approx(1.1e-09)
         assert r["acc"] == pytest.approx(0.87)
         assert r["description"] == "hypothetical protein"
+
+
+class TestRound5SourceHardening:
+    def test_sam_quote_character_preserved(self, spark, tmp_path):
+        """Round-5 review: Spark CSV's default quote char silently
+        stripped '\"' from fields — a quality string like '\"II\"'
+        (legal Phred+33) lost two characters with no error."""
+        from exon_duckdb_spark.sources.tsv import read_sam
+
+        p = tmp_path / "q.sam"
+        p.write_text('@HD\tVN:1.6\nr1\t0\tchr1\t10\t60\t4M\t*\t0\t0\tACGT\t"II"\n')
+        row = read_sam(spark, str(p)).collect()[0]
+        assert row["quality_score"] == '"II"'
+
+    def test_gff_fasta_trailer_dropped(self, spark, tmp_path):
+        """A spec-conformant GFF3 '##FASTA' trailer must not produce junk
+        feature rows (sequence lines parse as 1-field rows)."""
+        from exon_duckdb_spark.sources.tsv import read_gff, read_gff_raw
+
+        p = tmp_path / "x.gff"
+        p.write_text(
+            "chr1\tsrc\tgene\t1\t10\t.\t+\t.\tID=a\n"
+            "##FASTA\n>chr1\nACGTACGTACGT\nACGT\n"
+        )
+        assert read_gff(spark, str(p)).count() == 1
+        assert read_gff_raw(spark, str(p)).count() == 1
+
+    def test_genbank_titles_and_truncated_record(self, spark, tmp_path):
+        """REFERENCE/TITLE blocks populate the titles column (was always
+        NULL) and a final record missing its '//' terminator still
+        yields."""
+        from exon_duckdb_spark.sources.genbank import read_genbank
+
+        p = tmp_path / "x.gb"
+        p.write_text(
+            "LOCUS       AB1 20 bp DNA linear VRT 01-AUG-2013\n"
+            "REFERENCE   1  (bases 1 to 20)\n"
+            "  TITLE     Genome of the\n"
+            "            example organism\n"
+            "  JOURNAL   Nature 1 (2013)\n"
+            "ORIGIN\n        1 gttaatgtag\n//\n"
+            "LOCUS       TRUNC 10 bp DNA linear VRT 01-AUG-2013\n"
+            "ORIGIN\n        1 acgt\n"
+        )
+        rows = {r["name"]: r for r in read_genbank(spark, str(p)).collect()}
+        assert rows["AB1"]["titles"] == "Genome of the example organism"
+        assert rows["TRUNC"]["sequence"] == "acgt"

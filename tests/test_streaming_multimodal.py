@@ -489,6 +489,54 @@ class TestFrameSampling:
         assert [round(r["timestamp_s"], 3) for r in sorted(out, key=lambda r: r["frame_index"])] == [0.03, 0.09]
 
 
+class TestSessionLateEvents:
+    def test_cross_batch_late_event_does_not_regress_session_end(self):
+        """Round-5 review: ts sort is per micro-batch, so a late event in
+        a later batch ran `last = t` and moved session_end BACKWARDS —
+        the next event could then spuriously close the session. Late
+        events must join without regressing the bounds."""
+        import pandas as pd
+
+        from exon_duckdb_spark.streaming.events import _session_fn
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+                self.hasTimedOut = False
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+            def remove(self):
+                self._v = None
+
+            def setTimeoutDuration(self, ms):
+                pass
+
+        def batch(*ts):
+            return iter([pd.DataFrame({"ts": [pd.Timestamp(t) for t in ts]})])
+
+        st = FakeState()
+        list(_session_fn((1,), batch("2024-01-01 10:00", "2024-01-01 10:05"), st))
+        start, last, n = st.get
+        # batch 2: a late 10:01 event + a 10:33 event. 10:33 is 28min after
+        # the true session end (10:05) -> SAME session; the old bug
+        # measured 32min from the regressed 10:01 and closed it.
+        out = list(_session_fn((1,), batch("2024-01-01 10:01", "2024-01-01 10:33"), st))
+        assert out == []  # nothing closed
+        start, last, n = st.get
+        assert pd.Timestamp(last, unit="us") == pd.Timestamp("2024-01-01 10:33")
+        assert n == 4
+
+
 class TestStreamingQuality:
     """The quality/PII operators are pure map-only Column expressions, so
     they must run UNCHANGED on a streaming DataFrame — the standard
