@@ -186,8 +186,15 @@ def register_sql_functions(spark: SparkSession) -> None:
     )
 
 
-def _make_read_udtf(parse_import: str, schema_import: str):
-    """UDTF class reading every record of path (single-task convenience)."""
+def _make_read_udtf(parse_import: str, schema_import: str, splittable: bool):
+    """UDTF class reading every record of path (single-task convenience).
+
+    ``splittable`` must be True ONLY for parsers that honor the FileSplit
+    byte range (fasta/fastq/bam scan-ahead from split.start). Whole-file
+    parsers (the pyparse line parsers, genbank, mzml) ignore the range, so
+    planning them splittable would emit every record once per 128MB split
+    on large files — they get one whole-file split instead.
+    """
     import importlib
 
     from pyspark.sql.functions import udtf
@@ -203,59 +210,72 @@ def _make_read_udtf(parse_import: str, schema_import: str):
             parse = getattr(importlib.import_module(mod), fn)
             from exon_duckdb_spark.sources.splits import plan_splits
 
-            for split in plan_splits(path, compression):
+            for split in plan_splits(path, compression, splittable=splittable):
                 for rec in parse(split):
                     yield tuple(rec.get(n) for n in names)
 
     return udtf(_ReadUDTF, returnType=ddl)
 
 
+# name → (parser, schema, splittable). splittable only where the parser
+# honors FileSplit byte ranges (see _make_read_udtf).
 _TABLE_FUNCS = {
     "read_fasta": (
         "exon_duckdb_spark.sources.fasta:_parse_fasta_split",
         "exon_duckdb_spark.sources.schemas:FASTA_SCHEMA",
+        True,
     ),
     "read_fastq": (
         "exon_duckdb_spark.sources.fastq:_parse_fastq_split",
         "exon_duckdb_spark.sources.schemas:FASTQ_SCHEMA",
+        True,
     ),
     "read_genbank": (
         "exon_duckdb_spark.sources.genbank:_parse_genbank_split",
         "exon_duckdb_spark.sources.schemas:GENBANK_SCHEMA",
+        False,
     ),
     "read_mzml": (
         "exon_duckdb_spark.sources.mzml:_parse_mzml_split",
         "exon_duckdb_spark.sources.schemas:MZML_SCHEMA",
+        False,
     ),
     "read_bam_file_records": (
         "exon_duckdb_spark.sources.bam:_parse_bam_split",
         "exon_duckdb_spark.sources.schemas:SAM_SCHEMA",
+        True,
     ),
     # python mirrors of the native-csv scans (tsv.py) so every reference
-    # SQL name runs verbatim
+    # SQL name runs verbatim; the line parsers read whole files
     "read_gff": (
         "exon_duckdb_spark.sources.pyparse:parse_gff_split",
         "exon_duckdb_spark.sources.schemas:GFF_SCHEMA",
+        False,
     ),
     "read_gff_raw": (
         "exon_duckdb_spark.sources.pyparse:parse_gff_raw_split",
         "exon_duckdb_spark.sources.schemas:GFF_RAW_SCHEMA",
+        False,
     ),
     "read_gtf": (
         "exon_duckdb_spark.sources.pyparse:parse_gtf_split",
         "exon_duckdb_spark.sources.schemas:GTF_SCHEMA",
+        False,
     ),
     "read_bed_file": (
         "exon_duckdb_spark.sources.pyparse:parse_bed_split",
         "exon_duckdb_spark.sources.schemas:BED_SCHEMA",
+        False,
     ),
     "read_sam_file_records": (
         "exon_duckdb_spark.sources.pyparse:parse_sam_split",
         "exon_duckdb_spark.sources.schemas:SAM_SCHEMA",
+        False,
     ),
     "read_hmm_dom_tbl_out": (
         "exon_duckdb_spark.sources.pyparse:parse_hmm_split",
         "exon_duckdb_spark.sources.schemas:HMM_DOMTAB_SCHEMA",
+        False,
     ),
 }
 
@@ -391,24 +411,28 @@ def _make_region_udtf(kind: str):
                 splits = plan_vcf_query_splits(path, region)
                 if splits is None:
                     splits = plan_splits(path, "auto_detect", splittable=False)
-                for split in splits:
-                    from exon_duckdb_spark.sources.bgzf import (
-                        is_bgzf,
-                        parse_bgzf_lines_split,
-                    )
+                from exon_duckdb_spark.sources.bgzf import (
+                    is_bgzf,
+                    parse_bgzf_lines_split,
+                )
 
+                for split in splits:
+                    # parse_bgzf_lines_split already yields newline-stripped
+                    # str values — consume them directly (no bytes round-trip)
                     lines = (
-                        (r["value"].encode() for r in parse_bgzf_lines_split(split))
+                        (r["value"] for r in parse_bgzf_lines_split(split))
                         if is_bgzf(split.path)
-                        else read_split_lines(split)
+                        else (
+                            ln.rstrip(b"\r\n").decode("utf-8", "replace")
+                            for ln in read_split_lines(split)
+                        )
                     )
                     for line in lines:
-                        line = line.rstrip(b"\r\n")
-                        if not line or line.startswith(b"#"):
+                        if not line or line.startswith("#"):
                             continue
-                        rec = parse_vcf_record_fields(
-                            line.decode("utf-8", "replace").split("\t"), info_fields
-                        )
+                        rec = parse_vcf_record_fields(line.split("\t"), info_fields)
+                        if rec["pos"] is None:
+                            continue
                         end = rec["pos"] + len(rec["ref"] or "x") - 1
                         if overlaps(rec["chrom"], rec["pos"], end):
                             rec["info"] = tuple(
@@ -452,8 +476,8 @@ def _make_acknowledgements_udtf():
 
 
 def register_table_functions(spark: SparkSession) -> None:
-    for name, (parse_import, schema_import) in _TABLE_FUNCS.items():
-        spark.udtf.register(name, _make_read_udtf(parse_import, schema_import))
+    for name, (parse_import, schema_import, splittable) in _TABLE_FUNCS.items():
+        spark.udtf.register(name, _make_read_udtf(parse_import, schema_import, splittable))
     spark.udtf.register(
         "exondb_third_party_acknowledgements", _make_acknowledgements_udtf()
     )

@@ -5,6 +5,13 @@ the same code scales to a real cluster: AQE for runtime re-planning (skew
 joins, partition coalescing), Arrow for every Python<->JVM hop, UTC session
 timezone so timestamp semantics are deterministic across engines (the DuckDB
 oracle is naive-UTC).
+
+ANSI mode stays at the Spark 4 default (enabled): SQL arithmetic/cast error
+contracts match the host engine a reference user expects. File readers are
+the one place ANSI-by-default would turn spec-valid malformed *data* into
+job aborts, so the readers use ``try_cast``/size-guards at each raw
+cast/index site (vcf.py, pyparse.py) — null-on-error read semantics without
+weakening the engine-wide error contract.
 """
 
 from __future__ import annotations

@@ -57,6 +57,11 @@ def _gff_like(split: FileSplit, last_col: str, attr_fn) -> Iterator[dict]:
         if not line or line.startswith(b"#"):
             continue
         f = line.decode("utf-8", "replace").split("\t")
+        # GFF3 '##FASTA' trailer: sequence lines have no tab-separated
+        # coordinates — requiring both mandatory coordinates drops exactly
+        # them, mirroring tsv.py's start/end IS NOT NULL filter.
+        if len(f) < 5 or f[3] in (".", "") or f[4] in (".", ""):
+            continue
         f += [""] * (9 - len(f))
         yield {
             "seqname": _dot(f[0]),
@@ -88,6 +93,9 @@ def parse_gff_raw_split(split: FileSplit) -> Iterator[dict]:
         if not line or line.startswith(b"#"):
             continue
         f = line.decode("utf-8", "replace").split("\t")
+        # drop '##FASTA' trailer sequence lines (see _gff_like)
+        if len(f) < 5 or f[3] in (".", "") or f[4] in (".", ""):
+            continue
         f += [""] * (9 - len(f))
         yield {
             "seqid": f[0],
@@ -174,10 +182,18 @@ def parse_vcf_record_fields(f: list[str], info_fields) -> dict:
             entries[k] = v if eq else None
 
     def _cast(v: str, t: str):
-        if t == "Integer":
-            return int(v)
-        if t == "Float":
-            return float(v)
+        # '.' is the VCF missing-value marker (scalar or per list element);
+        # malformed values null out instead of killing the task — mirrors
+        # _info_col's try_cast semantics in the DataFrame path.
+        if v == ".":
+            return None
+        try:
+            if t == "Integer":
+                return int(v)
+            if t == "Float":
+                return float(v)
+        except ValueError:
+            return None
         return v
 
     info = {}
@@ -186,20 +202,28 @@ def parse_vcf_record_fields(f: list[str], info_fields) -> dict:
             info[fld.id] = fld.id in entries
         else:
             raw = entries.get(fld.id)
-            if raw in (None, ""):
+            # a bare '.' value is whole-field-missing → NULL (not [NULL]),
+            # matching _info_col's pre-split '.' check
+            if raw in (None, "", "."):
                 info[fld.id] = None
             elif fld.number == "1":
                 info[fld.id] = _cast(raw, fld.type)
             else:
                 info[fld.id] = [_cast(v, fld.type) for v in raw.split(",")]
+    def _try(v: str, conv):
+        try:
+            return conv(v)
+        except ValueError:
+            return None
+
     qual = f[5] if len(f) > 5 else "."
     return {
         "chrom": f[0],
-        "pos": int(f[1]),
+        "pos": _try(f[1], int) if len(f) > 1 else None,
         "id": _dot(f[2]) if len(f) > 2 else None,
         "ref": f[3] if len(f) > 3 else None,
         "alt": None if len(f) < 5 or f[4] == "." else f[4].split(","),
-        "qual": float(qual) if qual != "." else None,
+        "qual": _try(qual, float) if qual != "." else None,
         "filter": _dot(f[6]) if len(f) > 6 else None,
         "info": info,
         "formats": f[8] if len(f) > 8 else None,

@@ -17,7 +17,6 @@ are block-splittable via sources/bgzf.py.
 
 from __future__ import annotations
 
-import gzip
 import re
 from dataclasses import dataclass
 
@@ -43,12 +42,13 @@ def _peek_info_fields(path: str) -> list[InfoField]:
     multi-file VCF with differing headers; match single-file behavior)."""
     import io
 
-    from exon_duckdb_spark.sources.splits import open_binary
+    from exon_duckdb_spark.sources.splits import open_maybe_compressed
 
     f0 = expand_paths(path)[0]
     comp = detect_compression(f0, "auto_detect")
-    raw = open_binary(f0)
-    fh_bin = gzip.GzipFile(fileobj=raw) if comp == "gzip" else raw
+    # open_maybe_compressed covers the full compression matrix (gzip AND
+    # zstd) — the same codec path every reader uses for data bytes.
+    fh_bin = open_maybe_compressed(f0, comp)
     fields: list[InfoField] = []
     with io.TextIOWrapper(io.BufferedReader(fh_bin)) as fh:
         for line in fh:
@@ -70,15 +70,25 @@ def _scalar_type(vcf_type: str) -> str:
 
 
 def _info_col(info: Column, f: InfoField) -> Column:
+    """One INFO field as a typed column.
+
+    The VCF spec's missing-value marker ``.`` (scalar or per list element,
+    e.g. ``MQ=.`` / ``CAF=0.5,.``) decodes as NULL; ``try_cast`` keeps a
+    malformed value in one record from aborting the whole scan under
+    Spark 4's default ANSI mode (pre-ANSI null-on-error read semantics,
+    matching the pyparse SQL mirror)."""
     key = re.escape(f.id)
     if f.type == "Flag" or f.number == "0":
         return info.rlike(f"(^|;){key}(;|=|$)")
     raw = F.regexp_extract(info, f"(^|;){key}=([^;]*)", 2)
-    raw = F.when(raw == "", F.lit(None)).otherwise(raw)
-    if f.number == "1":
-        return raw.cast(_scalar_type(f.type))
+    raw = F.when((raw == "") | (raw == "."), F.lit(None)).otherwise(raw)
     st = _scalar_type(f.type)
-    return F.transform(F.split(raw, ","), lambda v: v.cast(st))
+    if f.number == "1":
+        return raw.try_cast(st)
+    return F.transform(
+        F.split(raw, ","),
+        lambda v: F.when(v == ".", F.lit(None)).otherwise(v).try_cast(st),
+    )
 
 
 def _vcf_lines(spark: SparkSession, path: str, splits=None) -> DataFrame:
@@ -133,25 +143,31 @@ def read_vcf(spark: SparkSession, path: str, _splits=None) -> DataFrame:
     """VCF records: (chrom, pos, id, ref, alt, qual, filter, info, formats,
     genotypes) with info struct fields from the ##INFO header."""
     info_fields = _peek_info_fields(path)
-    lines = _vcf_lines(spark, path, _splits).where(~F.col("value").startswith("#"))
+    # blank lines (hand-edited/concatenated files) would otherwise index
+    # past the single empty token under ANSI mode — drop them with the
+    # header lines; every remaining getItem is size-guarded the same way.
+    lines = _vcf_lines(spark, path, _splits).where(
+        (F.length(F.col("value")) > 0) & ~F.col("value").startswith("#")
+    )
     p = F.split(F.col("value"), "\t")
+    item = lambda i: F.when(F.size(p) > i, p.getItem(i))  # noqa: E731
     dot_null = lambda c: F.when(c == ".", F.lit(None)).otherwise(c)  # noqa: E731
-    info_raw = p.getItem(7)
+    info_raw = item(7)
     info_struct = F.struct(
         *[_info_col(info_raw, f).alias(f.id) for f in info_fields]
     ) if info_fields else F.lit(None).cast("struct<>")
     return lines.select(
         p.getItem(0).alias("chrom"),
-        p.getItem(1).cast("long").alias("pos"),
-        dot_null(p.getItem(2)).alias("id"),
-        p.getItem(3).alias("ref"),
-        F.when(p.getItem(4) == ".", F.lit(None))
-        .otherwise(F.split(p.getItem(4), ","))
+        item(1).try_cast("long").alias("pos"),
+        dot_null(item(2)).alias("id"),
+        item(3).alias("ref"),
+        F.when(item(4) == ".", F.lit(None))
+        .otherwise(F.split(item(4), ","))
         .alias("alt"),
-        dot_null(p.getItem(5)).cast("float").alias("qual"),
-        dot_null(p.getItem(6)).alias("filter"),
+        dot_null(item(5)).try_cast("float").alias("qual"),
+        dot_null(item(6)).alias("filter"),
         info_struct.alias("info"),
-        F.when(F.size(p) > 8, p.getItem(8)).alias("formats"),
+        item(8).alias("formats"),
         F.when(F.size(p) > 9, F.slice(p, 10, F.greatest(F.size(p) - 9, F.lit(0))))
         .alias("genotypes"),
     )
