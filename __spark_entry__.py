@@ -485,21 +485,13 @@ def q89_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28m_chargram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-gram-blocked near-dup pairs under BOTH verify semantics,
     tagged: 'jaccard' = gram-hash-set Jaccard >= 0.6 (q28), 'edit' =
-    levenshtein <= 10 (q89) — one blocking pass family, two distance
-    models."""
-    a = q28_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.lit("jaccard").alias("kind"),
-        "id_a",
-        "id_b",
-        F.col("jaccard").cast("double").alias("val"),
+    levenshtein <= 10 (q89) — ONE blocking pass (gram extraction, minhash,
+    band self-join run once; ops.chargram_near_dup_pairs), two distance
+    models. Row-identical to unioning q28 + q89."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.chargram_near_dup_pairs(
+        docs, n=5, jaccard_threshold=0.6, max_dist=10, num_hashes=16, bands=4
     )
-    b = q89_edit_distance_pairs(spark, sf_dir).select(
-        F.lit("edit").alias("kind"),
-        "id_a",
-        "id_b",
-        F.col("edit_distance").cast("double").alias("val"),
-    )
-    return a.unionByName(b)
 
 
 def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,7 +660,6 @@ def q33_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FASTQ writer → split-parallel reader round trip, hash-checked against
     the documents table (same trick as q30)."""
-    import hashlib as _hl
 
     from exon_duckdb_spark.sources.fastq import read_fastq
     from exon_duckdb_spark.sources.writers import to_fastq
@@ -681,7 +672,7 @@ def q34_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.alias("sequence"),
         F.repeat(F.lit("I"), F.length(seq)).alias("quality_scores"),
     ).where(F.length("sequence") > 0)
-    out = f"/tmp/spark_graft_scratch/fastq_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    out = _scratch("fastq", sf_dir)
     to_fastq(d, out)
     rf = read_fastq(spark, out)
     scores = fx.quality_score_string_to_list(F.col("quality_scores"))
@@ -713,7 +704,6 @@ def q30_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer) → read_fasta (split-parallel reader) → summarize. The oracle
     reproduces the same values straight from the documents table, so the
     whole writer+parser round trip is hash-checked."""
-    import hashlib as _hl
 
     from exon_duckdb_spark.sources.fasta import read_fasta
     from exon_duckdb_spark.sources.writers import to_fasta
@@ -724,7 +714,7 @@ def q30_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("description"),
         _seq_spark().alias("sequence"),
     ).where(F.length("sequence") > 0)
-    out = f"/tmp/spark_graft_scratch/fasta_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    out = _scratch("fasta", sf_dir)
     to_fasta(d, out)
     rf = read_fasta(spark, out)
     return rf.select(
@@ -949,7 +939,6 @@ def q42_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_gff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GFF writer → reader round trip (distributed text sink, native csv
     scan, attribute-map re-serialization), hash-checked from documents."""
-    import hashlib as _hl
 
     from exon_duckdb_spark.sources.tsv import read_gff
     from exon_duckdb_spark.sources.writers import to_gff
@@ -972,7 +961,7 @@ def q43_gff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.array(F.col("doc_id").cast("string")), F.array(F.col("lang"))),
         ).alias("attributes"),
     )
-    out = f"/tmp/spark_graft_scratch/gff_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    out = _scratch("gff", sf_dir)
     to_gff(d, out)
     rg = read_gff(spark, out)
     return rg.select(
@@ -1835,10 +1824,9 @@ def q69_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means refinement round (per-dim avg aggregates, no explode) before
     the partitioned index write, then the same pruned search as q68. The
     oracle unrolls the refinement iteration in SQL."""
-    import hashlib as _hl
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = f"/tmp/spark_graft_scratch/ivfk_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    idx = _scratch("ivfk", sf_dir)
     ops.ivf_build(emb, idx, nlist=8, refine_iters=1)
     queries = emb.where(F.col("vec_id") < 10)
     return ops.ivf_search(spark, idx, queries, k=5, nprobe=2)
@@ -1849,10 +1837,9 @@ def q68_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted lists as cid-PARTITIONED parquet, ivf_search prunes unprobed
     list directories at plan time (the vector analog of the reference's
     BAI/tabix region queries). Same math as q44, so the same oracle."""
-    import hashlib as _hl
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = f"/tmp/spark_graft_scratch/ivf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}"
+    idx = _scratch("ivf", sf_dir)
     ops.ivf_build(emb, idx, nlist=16)
     queries = emb.where(F.col("vec_id") < 10)
     return ops.ivf_search(spark, idx, queries, k=5, nprobe=2)
@@ -3324,7 +3311,9 @@ def _component_sql() -> dict[str, str]:
         """,
         "q13_quality_decode": """
             SELECT doc_id,
-                   CAST(list_sum(scores) AS BIGINT) AS qual_sum,
+                   -- COALESCE: DuckDB list_sum([]) is NULL, Spark's
+                   -- F.aggregate with init 0 gives 0 on an empty text
+                   CAST(COALESCE(list_sum(scores), 0) AS BIGINT) AS qual_sum,
                    CAST(list_min(scores) AS INTEGER) AS qual_min,
                    CAST(list_max(scores) AS INTEGER) AS qual_max,
                    CAST(len(scores) AS BIGINT) AS qual_len

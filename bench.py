@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -84,32 +85,51 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_session(app_name="bench")
+def parse_sf(sf_dir: str) -> float:
+    """Scale factor from a dir name: the last 'sf<number>' token
+    (handles 'sf0.1', 'spark_graft_sf1', ...); 0.0 when the name carries
+    no sf tag (custom data dirs must not crash the bench)."""
+    m = re.findall(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m[-1]) if m else 0.0
 
-    # HEADLINE names resolve to the fine-grained q* functions (module
-    # attributes) first, falling back to the consolidated queries()
-    # registry. The fine-grained names keep bench timings comparable
-    # round-over-round even though the round-4 contract registry merged
-    # many of them into composed verification queries.
+
+def make_lookup():
+    """Query resolver shared with tools/bench_scale.py: fine-grained q*
+    module attributes first (keeps timings comparable round-over-round),
+    falling back to the consolidated queries() registry."""
     registry = entrymod.queries()
 
     def lookup(name):
         return getattr(entrymod, name, None) or registry[name]
 
-    if not os.environ.get("SPARK_GRAFT_COLD"):
-        for name in HEADLINE:
-            lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return lookup
 
+
+def run_queries(spark, sf_dir: str, names, warm: bool = True, lookup=None) -> dict[str, float]:
+    """Warm (untimed) + timed noop-sink pass over ``names`` — the one
+    measurement harness, imported by tools/bench_scale.py so both benches
+    measure the same way. ``lookup`` overrides the resolver (bench_scale
+    injects its embedding-scale variants)."""
+    lookup = lookup or make_lookup()
+    if warm:
+        for name in names:
+            lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = lookup(name)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
+    return times
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = parse_sf(sf_dir)
+    spark = get_session(app_name="bench")
+    times = run_queries(
+        spark, sf_dir, HEADLINE, warm=not os.environ.get("SPARK_GRAFT_COLD")
+    )
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -13,6 +13,7 @@ from exon_duckdb_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signature,
     near_dedup_keep_list,
+    chargram_near_dup_pairs,
     edit_distance_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,

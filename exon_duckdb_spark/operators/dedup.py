@@ -769,6 +769,82 @@ def edit_distance_pairs(
     )
 
 
+def chargram_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    jaccard_threshold: float = 0.8,
+    max_dist: int = 10,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Both near-dup verifies over ONE char-gram band-blocking pass.
+
+    :func:`ngram_jaccard_pairs` and :func:`edit_distance_pairs` share their
+    most expensive stage — gram extraction, minhashing, band keys, the
+    capped bucket self-join — differing only in the verify predicate.
+    Calling them separately executes that stage twice; this runs the
+    blocking once (keyed signatures and the candidate set each persisted,
+    both have two consumers) and emits a tagged union:
+    (kind='jaccard'|'edit', id_a, id_b, val) where val is the rounded
+    gram-hash-set Jaccard (>= ``jaccard_threshold``) or the bounded
+    levenshtein distance (<= ``max_dist``) cast to double.
+
+    Row-for-row identical to unioning the two single-verify operators at
+    the same blocking parameters — pinned by tests and the SQL oracle.
+    """
+    from pyspark import StorageLevel
+
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
+    keyed = df.select(
+        F.col(id_col),
+        _grams_minhash_udf(n, num_hashes)(text_col).alias("_f"),
+    ).select(
+        F.col(id_col), F.col("_f.gh").alias("gh"), F.col("_f.mh").alias("_mh")
+    )
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _capped_band_candidates(
+        _band_assignments(keyed, id_col, num_hashes, bands), id_col, max_bucket
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ghs = keyed.select(F.col(id_col), F.col("gh"))
+    jac = cand.join(
+        ghs.withColumnRenamed(id_col, "id_a").withColumnRenamed("gh", "g_a"), "id_a"
+    ).join(
+        ghs.withColumnRenamed(id_col, "id_b").withColumnRenamed("gh", "g_b"), "id_b"
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    jac = jac.select(
+        F.lit("jaccard").alias("kind"),
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).cast("double").alias("val"),
+    ).where(F.col("val") >= jaccard_threshold)
+
+    texts = df.select(F.col(id_col), F.col(text_col))
+    ed = cand.join(
+        texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_t_a"),
+        "id_a",
+    ).join(
+        texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_t_b"),
+        "id_b",
+    )
+    lev = F.levenshtein(F.col("_t_a"), F.col("_t_b"), int(max_dist))
+    ed = ed.select(
+        F.lit("edit").alias("kind"),
+        "id_a",
+        "id_b",
+        lev.cast("double").alias("val"),
+    ).where(F.col("val") >= 0)  # bounded levenshtein returns -1 past the cap
+
+    return jac.unionByName(ed)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

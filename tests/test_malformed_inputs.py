@@ -171,3 +171,24 @@ class TestUdtfSplitPlanning:
         first = list(parse_gff_split(FileSplit(str(p), 0, size // 2, None)))
         second = list(parse_gff_split(FileSplit(str(p), size // 2, size - size // 2, None)))
         assert len(first) == len(second) == 2
+
+
+class TestHarnessGuards:
+    """bench.py / tools robustness: no crash on custom dir names, no silent
+    no-op correctness runs."""
+
+    def test_parse_sf_variants(self):
+        from bench import parse_sf
+
+        assert parse_sf("/root/testdata/sf0.1") == 0.1
+        assert parse_sf("/root/testdata/sf0.01/") == 0.01
+        assert parse_sf("/tmp/spark_graft_sf1") == 1.0
+        assert parse_sf("/data/events_v2") == 0.0  # no sf tag: no crash
+
+    def test_check_oracle_rejects_unknown_names(self):
+        import pytest as _pytest
+
+        from tools.check_oracle import run_checks
+
+        with _pytest.raises(SystemExit, match="unknown query name"):
+            run_checks("/root/testdata/sf0.001", only={"q49_vcf_roundtrp"}, spark=object())

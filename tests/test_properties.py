@@ -484,6 +484,37 @@ class TestLshSkewAndScale:
         assert (1, 2) in got  # both near base -> near each other
         assert all(3 not in p and 4 not in p for p in got)
 
+    def test_chargram_fused_matches_union_of_singles(self, spark):
+        """chargram_near_dup_pairs (one blocking pass, both verifies) must
+        be row-identical to unioning ngram_jaccard_pairs and
+        edit_distance_pairs at the same blocking parameters."""
+        import random
+
+        random.seed(11)
+        base = "".join(random.choice("abcdefgh ") for _ in range(300))
+        rows = [(0, base)]
+        b1 = list(base)
+        b1[40], b1[200] = "z", "z"
+        rows.append((1, "".join(b1)))  # distance 2, high jaccard
+        rows.append((2, base[:150] + "qqqqq" + base[150:]))  # insertion block
+        rows.append((3, "".join(random.choice("qrstuvwx ") for _ in range(300))))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+        fused = {
+            (r["kind"], r["id_a"], r["id_b"], r["val"])
+            for r in ops.chargram_near_dup_pairs(
+                df, jaccard_threshold=0.6, max_dist=10
+            ).collect()
+        }
+        singles = {
+            ("jaccard", r["id_a"], r["id_b"], float(r["jaccard"]))
+            for r in ops.ngram_jaccard_pairs(df, threshold=0.6).collect()
+        } | {
+            ("edit", r["id_a"], r["id_b"], float(r["edit_distance"]))
+            for r in ops.edit_distance_pairs(df, max_dist=10).collect()
+        }
+        assert fused == singles and fused  # identical and non-empty
+
     def test_auto_planes_holds_bucket_cost_linear(self, spark):
         from exon_duckdb_spark.operators.similarity import auto_planes
 

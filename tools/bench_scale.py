@@ -44,14 +44,12 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-import __spark_entry__ as entrymod  # noqa: E402
 from exon_duckdb_spark.session import get_session  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
@@ -236,34 +234,40 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def emb_dedup_auto(spark, sf_dir):
+# each takes (spark, sf_dir, n_rows): the corpus row count is measured ONCE
+# per dir OUTSIDE the timed window (a full-scan count() inside query
+# construction would charge the count to the very per-query ratios this
+# file exists to establish).
+
+
+def emb_dedup_auto(spark, sf_dir, n_rows):
     from exon_duckdb_spark.operators.dedup import embedding_dup_pairs
 
     emb = _emb(spark, sf_dir)
     return embedding_dup_pairs(
-        emb, threshold=0.35, planes=None, n_rows=emb.count(), target_bucket=256
+        emb, threshold=0.35, planes=None, n_rows=n_rows, target_bucket=256
     )
 
 
-def ann_topk_auto(spark, sf_dir):
+def ann_topk_auto(spark, sf_dir, n_rows):
     from exon_duckdb_spark.operators.similarity import ann_topk, auto_planes
 
     emb = _emb(spark, sf_dir)
-    planes = auto_planes(emb.count(), target_bucket=256)
+    planes = auto_planes(n_rows, target_bucket=256)
     return ann_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, planes=planes, tables=2
     )
 
 
-def semantic_dedup_scaled(spark, sf_dir):
+def semantic_dedup_scaled(spark, sf_dir, n_rows):
     from exon_duckdb_spark.operators.dedup import semantic_dedup
 
     emb = _emb(spark, sf_dir)
-    nlist = max(16, emb.count() // 125)  # expected cluster stays ~125
+    nlist = max(16, n_rows // 125)  # expected cluster stays ~125
     return semantic_dedup(emb, threshold=0.4, nlist=nlist)
 
 
-def ivfpq_scaled(spark, sf_dir):
+def ivfpq_scaled(spark, sf_dir, n_rows):
     from exon_duckdb_spark.operators.pq import ivfpq_build, ivfpq_search
 
     emb = _emb(spark, sf_dir)
@@ -282,22 +286,23 @@ EMB_SET = {
 
 
 def run_set(spark, sf_dir: str) -> dict[str, float]:
-    registry = entrymod.queries()
+    """Measure SCALE_SET + EMB_SET at one dir through bench.run_queries —
+    the same warm+timed harness the headline bench uses, so the two benches
+    cannot drift apart in methodology."""
+    from bench import make_lookup, run_queries
+
+    n_rows = _emb(spark, sf_dir).count()  # once per dir, outside the timers
+    base_lookup = make_lookup()
 
     def lookup(name):
         if name in EMB_SET:
-            return EMB_SET[name]
-        return getattr(entrymod, name, None) or registry[name]
+            fn = EMB_SET[name]
+            return lambda sp, d: fn(sp, d, n_rows)
+        return base_lookup(name)
 
-    names = SCALE_SET + list(EMB_SET)
-    for name in names:  # warm: codegen + python workers + page cache
-        lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    times = {}
-    for name in names:
-        t0 = time.time()
-        lookup(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+    return run_queries(
+        spark, sf_dir, SCALE_SET + list(EMB_SET), warm=True, lookup=lookup
+    )
 
 
 def main() -> None:

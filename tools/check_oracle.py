@@ -83,6 +83,14 @@ def run_checks(
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            # a typo'd filter must not report "0 failures" over zero checks
+            raise SystemExit(
+                f"unknown query name(s) {sorted(unknown)} — not in queries(); "
+                f"valid names: {sorted(queries)}"
+            )
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
