@@ -1764,6 +1764,38 @@ def q65_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.paragraph_dedup(pages, id_col="page_id")
 
 
+def q90_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level boilerplate removal (CCNet/RefinedWeb line
+    dedup): every doc gets the planted cookie banner, a quarter get a
+    'Share this article' footer — both appear in >= 2 distinct docs, so
+    they are cut from EVERY document (including the first; contrast q65's
+    keep-first paragraph semantics); each doc's own text line survives
+    unless the corpus planted it as an exact duplicate elsewhere."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit(_BOILER + "\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 1, F.lit("\nShare this article")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return ops.boilerplate_line_removal(planted, min_df=2)
+
+
+def q91_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie 2023) for the whole corpus against an
+    in-corpus exemplar set (the English docs): hashed-unigram bag models,
+    add-one smoothing, kept = importance ratio > 1. English and
+    English-adjacent docs score positive; disjoint-vocabulary docs score
+    negative — the data-selection signal a 100 TB pretraining pipeline
+    computes before sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    return ops.dsir_importance(docs, docs.where(F.col("lang") == "en"))
+
+
 def q66_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level most-frequent 2-grams (map-side partial agg + global
     top-k) — the vocabulary/contamination screen over documents."""
@@ -2364,7 +2396,8 @@ def q14m_sam_cigar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup family: q20 batch hash-groupBy + q59 streaming
-    dropDuplicatesWithinWatermark + q65 global paragraph dedup, tagged."""
+    dropDuplicatesWithinWatermark + q65 global paragraph dedup + q90
+    cross-document line-level boilerplate removal, tagged."""
     a = q20_exact_dedup(spark, sf_dir).select(
         F.lit("exact").alias("kind"),
         F.col("content_hash").alias("k1"),
@@ -2383,7 +2416,13 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("dedup_text")).alias("k2"),
         F.lit(None).cast("bigint").alias("n"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = q90_boilerplate_lines(spark, sf_dir).select(
+        F.lit("boiler").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.md5(F.col("clean_text")).alias("k2"),
+        F.col("n_removed").cast("bigint").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2429,8 +2468,9 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis battery collated on doc_id: q24 stats,
     q25 language ID, q26 fingerprint, q23 simhash, q13 phred decode, q33
-    token counts. Each constituent operator stays a map-only pass; the 1:1
-    id joins here are verification collation only."""
+    token counts, q91 DSIR importance vs the English exemplar set. Each
+    constituent operator stays a map-only pass except DSIR's bucket-count
+    aggregates; the 1:1 id joins here are verification collation only."""
     out = (
         q24_text_stats(spark, sf_dir)
         .join(q25_language_id(spark, sf_dir), "doc_id")
@@ -2440,6 +2480,12 @@ def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             q33_bpe_tokens(spark, sf_dir).select(
                 "doc_id", "n_bpe_tokens", "chars_per_bpe_token"
+            ),
+            "doc_id",
+        )
+        .join(
+            q91_dsir_importance(spark, sf_dir).select(
+                "doc_id", "dsir_logw", F.col("kept").alias("dsir_kept")
             ),
             "doc_id",
         )
@@ -4189,6 +4235,67 @@ def _component_sql() -> dict[str, str]:
             SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS dedup_text
             FROM kept WHERE rn = 1 GROUP BY page_id
         """,
+        # line-level boilerplate removal: same plant as the Spark side
+        # (banner on every doc, share footer on doc_id % 4 == 1); a line in
+        # >= 2 distinct docs is cut everywhere, survivors rejoin in order
+        "q90_boilerplate_lines": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     concat('{_BOILER}', chr(10), text,
+                            CASE WHEN doc_id % 4 = 1
+                                 THEN concat(chr(10), 'Share this article')
+                                 ELSE '' END) AS text
+              FROM documents),
+            lns AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+              FROM planted),
+            ldf AS (
+              SELECT line FROM lns GROUP BY line
+              HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lns l ANTI JOIN ldf USING (line)),
+            agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(string_split(p.text, chr(10))) - coalesce(a.n_kept, 0)
+                        AS INTEGER) AS n_removed
+            FROM planted p LEFT JOIN agg a USING (doc_id)
+        """,
+        # DSIR hashed-unigram importance weights vs the English exemplar
+        # docs; bucket hash and add-one smoothing replayed exactly, kept
+        # compares the 6dp-ROUNDED weight on both engines
+        "q91_dsir_importance": f"""
+            WITH rawtok AS (
+              SELECT doc_id,
+                     {md5_int32_sql('tok')} % 8192 AS b
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)),
+            tartok AS (
+              SELECT {md5_int32_sql('tok')} % 8192 AS b
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE lang = 'en')),
+            tf AS (SELECT doc_id, b, count(*) AS tf FROM rawtok GROUP BY doc_id, b),
+            cr AS (SELECT b, sum(tf) AS nr FROM tf GROUP BY b),
+            ct AS (SELECT b, count(*) AS nt FROM tartok GROUP BY b),
+            tot AS (SELECT (SELECT sum(nr) FROM cr) AS r_total,
+                           (SELECT sum(nt) FROM ct) AS t_total),
+            ratio AS (
+              SELECT coalesce(cr.b, ct.b) AS b,
+                     ln((coalesce(nt, 0) + 1.0) / (t_total + 8192.0))
+                     - ln((coalesce(nr, 0) + 1.0) / (r_total + 8192.0)) AS logr
+              FROM cr FULL OUTER JOIN ct ON cr.b = ct.b, tot)
+            SELECT doc_id,
+                   round(sum(tf * logr), 6) AS dsir_logw,
+                   CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf * logr), 6) > 0 AS kept
+            FROM tf JOIN ratio USING (b) GROUP BY doc_id
+        """,
         "q66_top_ngrams": """
             WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
             g AS (SELECT unnest(CASE WHEN len(t) >= 2
@@ -4793,6 +4900,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'paragraph', page_id, md5(dedup_text), CAST(NULL AS BIGINT)
             FROM ({C['q65_paragraph_dedup']})
+            UNION ALL
+            SELECT 'boiler', CAST(doc_id AS VARCHAR), md5(clean_text),
+                   CAST(n_removed AS BIGINT)
+            FROM ({C['q90_boilerplate_lines']})
         """,
         "q22_minhash_pipeline": f"""
             SELECT 'sig' AS kind, doc_id AS k1, CONCAT({sig_concat}) AS k2,
@@ -4812,13 +4923,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.*, b.predicted_lang, b.score_en, b.score_de, b.score_es,
                    b.score_zh, c.fingerprint, d.simhash,
                    e.qual_sum, e.qual_min, e.qual_max, e.qual_len,
-                   f.n_bpe_tokens, f.chars_per_bpe_token
+                   f.n_bpe_tokens, f.chars_per_bpe_token,
+                   g.dsir_logw, g.kept AS dsir_kept
             FROM ({C['q24_text_stats']}) a
             JOIN ({C['q25_language_id']}) b USING (doc_id)
             JOIN ({C['q26_doc_fingerprint']}) c USING (doc_id)
             JOIN ({C['q23_simhash']}) d USING (doc_id)
             JOIN ({C['q13_quality_decode']}) e USING (doc_id)
             JOIN ({C['q33_bpe_tokens']}) f USING (doc_id)
+            JOIN ({C['q91_dsir_importance']}) g USING (doc_id)
         """,
         "q27_knn_topk": f"""
             SELECT 'exact' AS variant, * FROM ({C['q27_cosine_topk']})

@@ -47,6 +47,7 @@ __all__ = [
     "decontaminate",
     "contamination_report",
     "paragraph_dedup",
+    "boilerplate_line_removal",
     "duplicated_spans",
     "remove_spans",
 ]
@@ -435,6 +436,72 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_line_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal (the CCNet/RefinedWeb
+    line-dedup flavor): a line whose content appears in at least ``min_df``
+    DISTINCT documents is boilerplate — cookie banners, nav menus, share
+    footers — and is removed from EVERY document (unlike
+    :func:`paragraph_dedup`, which keeps the first occurrence). Returns
+    (id, clean_text, n_removed): surviving lines rejoined in original
+    order, empty string when nothing survives.
+
+    Scale design, three linear shuffles:
+    1. document-frequency per line — a two-phase ``countDistinct`` hash
+       aggregate keyed on the line, so the 100 M-document cookie banner is
+       partial-aggregated map-side and never materializes its id list in
+       one buffer (a collect_list/collect_set per line would);
+    2. a LEFT ANTI join of the exploded lines against the boilerplate
+       set (same line key; both sides stream);
+    3. one groupBy(id) reassembly carrying only SURVIVING lines.
+    Keys are the line strings themselves, not hashes: the line already
+    rides shuffle 2, and exactness costs nothing extra (a hash-keyed
+    variant could merge two distinct lines on a collision and silently
+    delete a unique line).
+
+    Blank lines dedup like any other content: a corpus with ≥ ``min_df``
+    documents containing blank separator lines removes them — consistent
+    with treating 'appears everywhere' as boilerplate; run with documents
+    pre-split on blank lines if paragraph structure must survive.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    boiler = (
+        lines.groupBy("_line")
+        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_line")
+    )
+    kept = lines.join(boiler, "_line", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("_n_lines")
+    )
+    return totals.join(clean, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
@@ -563,7 +630,7 @@ def _shingle_minhash_udf(shingle: int, num_hashes: int):
     return f
 
 
-def _grams_minhash_udf(n: int, num_hashes: int):
+def _grams_minhash_udf(n: int, num_hashes: int, with_gh: bool = True):
     """Arrow UDF: text → (distinct char n-grams, minhash vector).
 
     Gram hashes replicate md5_int32 (first 8 md5 hex chars) through a
@@ -571,6 +638,10 @@ def _grams_minhash_udf(n: int, num_hashes: int):
     so the md5 count is ~|distinct grams|, not |grams|. The k affine minima
     run as one numpy broadcast per row. Empty gram sets yield NULL
     minhashes (matching array_min over an empty array).
+
+    ``with_gh=False`` emits empty gram-hash arrays: callers whose verify
+    predicate never reads the gram set (edit-distance blocking) skip
+    serializing ~200 longs/doc through Arrow and the downstream exchange.
     """
     import hashlib as _hl
 
@@ -613,7 +684,7 @@ def _grams_minhash_udf(n: int, num_hashes: int):
                 # exact space the minhash signatures estimate; ~10× lighter
                 # than shipping gram strings (8-byte longs, no string
                 # serialization through the exchanges)
-                out_g.append(np.unique(hs).tolist())
+                out_g.append(np.unique(hs).tolist() if with_gh else [])
                 out_m.append(((A * hs[None, :] + B) % MERSENNE31).min(axis=1).tolist())
             else:
                 out_g.append([])
@@ -749,7 +820,7 @@ def edit_distance_pairs(
     """
     keyed = df.select(
         F.col(id_col),
-        _grams_minhash_udf(n, num_hashes)(text_col).alias("_f"),
+        _grams_minhash_udf(n, num_hashes, with_gh=False)(text_col).alias("_f"),
     ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
     cand = _capped_band_candidates(
         _band_assignments(keyed, id_col, num_hashes, bands), id_col, max_bucket

@@ -394,6 +394,89 @@ def bigram_perplexity_score(
     )
 
 
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document of ``raw`` by how much more likely it is under a
+    bag-of-hashed-unigrams model of ``target`` than under the same model
+    of ``raw`` itself — the standard recipe for skewing a web-scale corpus
+    toward a high-quality exemplar set (Wikipedia, books, a curated
+    domain) without training a classifier.
+
+    Features are whitespace tokens hashed into ``buckets`` slots
+    (md5-based so a SQL oracle reproduces them); both models are
+    add-``alpha`` smoothed over the bucket space. Per document:
+
+        dsir_logw = Σ_b tf(b) · [ ln p_target(b) − ln p_raw(b) ]
+
+    rounded 6 dp; ``kept`` = dsir_logw > 0 after rounding (importance
+    ratio > 1 — more target-like than raw-like). The paper resamples with
+    Gumbel-top-k over these weights; composing the returned weights with
+    :func:`exon_duckdb_spark.operators.text.hash_sample` or a calibrated
+    threshold is the deterministic, shuffle-free scale path — a global
+    top-k over 100 TB of weights would be a full sort for no modeling
+    gain.
+
+    Scale design: two bucket-keyed count aggregations (map-side partial,
+    key space ≤ ``buckets``), a bucket-space full-outer join producing the
+    log-ratio table (≤ ``buckets`` rows — broadcast), then one (doc,
+    bucket) tf shuffle joined against that broadcast and reduced per doc.
+    Totals ride a broadcast 1-row stats frame, not a driver collect. All
+    linear; the corpus text is read once per side.
+    """
+    from exon_duckdb_spark.operators.hashing import md5_int32
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    raw = ensure_parallelism(raw, id_col)
+    bucket = lambda c: (md5_int32(c) % buckets).alias("_b")  # noqa: E731
+
+    tok_r = raw.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).select(F.col(id_col), bucket(F.col("_tok")))
+    tok_t = target.select(F.explode(tokens(text_col)).alias("_tok")).select(
+        bucket(F.col("_tok"))
+    )
+    tf = tok_r.groupBy(id_col, "_b").agg(F.count("*").alias("_tf"))
+    cr = tf.groupBy("_b").agg(F.sum("_tf").alias("_nr"))
+    ct = tok_t.groupBy("_b").agg(F.count("*").alias("_nt"))
+    stats_r = cr.agg(F.sum("_nr").alias("_R"))
+    stats_t = ct.agg(F.sum("_nt").alias("_T"))
+    ratio = (
+        cr.join(ct, "_b", "full_outer")
+        .crossJoin(F.broadcast(stats_r))
+        .crossJoin(F.broadcast(stats_t))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_nt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_T") + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_nr"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_R") + F.lit(alpha * buckets))
+                )
+            ).alias("_logr"),
+        )
+    )
+    scored = tf.join(F.broadcast(ratio), "_b")
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(F.col("_tf") * F.col("_logr")), 6).alias("dsir_logw"),
+        F.sum("_tf").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.col(id_col),
+        "dsir_logw",
+        "n_tokens",
+        (F.col("dsir_logw") > 0).alias("kept"),
+    )
+
+
 # Regexes restricted to syntax Java regex (Spark) and RE2 (DuckDB) evaluate
 # identically: explicit character classes, bounded repetition, \\b word
 # boundaries. No backreferences, no lookaround (RE2 has neither).

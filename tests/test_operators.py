@@ -1208,3 +1208,73 @@ def test_detect_cut_composition_removes_all_duplicate_windows(spark):
     )
     again = ops.duplicated_spans(cut, w=4, min_count=2)
     assert again.count() == 0
+
+
+def test_boilerplate_line_removal_strips_cross_doc_lines(spark):
+    """Lines in >= min_df distinct docs vanish from EVERY doc (including
+    the first occurrence — the contrast with paragraph_dedup); unique
+    lines survive in original order; a fully-boilerplate doc comes back as
+    an empty string with full removal accounting."""
+    banner = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, banner + "\nunique one\nShare this\nunique two"),
+            (2, banner + "\nonly here"),
+            (3, "Share this\n" + banner),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ops.boilerplate_line_removal(docs, min_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "unique one\nunique two"
+    assert out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "only here" and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2
+
+
+def test_boilerplate_line_removal_repeated_line_within_one_doc_survives(spark):
+    """df counts DISTINCT documents: a line repeated twice inside ONE doc
+    is not boilerplate (both copies survive)."""
+    docs = spark.createDataFrame(
+        [(1, "echo\nmiddle\necho"), (2, "other")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in ops.boilerplate_line_removal(docs, min_df=2).collect()
+    }
+    assert out[1] == "echo\nmiddle\necho"
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs sharing the target's vocabulary score positive (kept); docs in
+    a disjoint vocabulary score negative — the DSIR selection direction."""
+    target = spark.createDataFrame(
+        [(100 + i, "physics theorem proof lemma") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "physics theorem proof"),
+            (2, "buy cheap pills now"),
+            (3, "theorem lemma proof physics proof"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ops.dsir_importance(raw, target).collect()}
+    assert out[1]["kept"] and out[3]["kept"]
+    assert not out[2]["kept"]
+    assert out[3]["dsir_logw"] > out[1]["dsir_logw"] > 0 > out[2]["dsir_logw"]
+    assert out[2]["n_tokens"] == 4
+
+
+def test_dsir_importance_weight_is_token_count_linear(spark):
+    """Doubling a doc's tokens doubles its log-weight (bag-of-words sum,
+    not a mean) — pins the Σ tf·logr contract the oracle replays."""
+    target = spark.createDataFrame([(9, "alpha beta")], ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta alpha beta")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["dsir_logw"] for r in ops.dsir_importance(raw, target).collect()}
+    assert abs(out[2] - 2 * out[1]) < 1e-5
