@@ -134,11 +134,45 @@ def run_queries(
     return times
 
 
+def calibrate(spark, passes: int = 3) -> dict[str, float]:
+    """Data-independent host-speed probes, run warm, min over ``passes``:
+    'calib_cpu' is a generated-range codegen aggregation (pure JVM compute),
+    'calib_shuffle' a generated-range exchange + hash aggregate. Neither
+    touches the repo's operators or any input data, so round-over-round
+    drift in these numbers measures the HOST (CPU steal, scheduler, disk),
+    not the code — divide headline totals by the calib ratio before
+    reading a cross-round delta as a plan change. Motivated by a round-5
+    host that ran every untouched query ~20-25% slower than round 4's.
+    """
+    cpu_df = spark.range(50_000_000).selectExpr(
+        "sum(id * 2654435761 % 1000000007) AS s"
+    )
+    shuf_df = (
+        spark.range(2_000_000)
+        .selectExpr("id % 100000 AS k")
+        .groupBy("k")
+        .count()
+        .selectExpr("sum(count) AS s")
+    )
+    out: dict[str, float] = {}
+    for name, df in [("calib_cpu", cpu_df), ("calib_shuffle", shuf_df)]:
+        df.write.mode("overwrite").format("noop").save()  # warm
+        best = None
+        for _ in range(passes):
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = parse_sf(sf_dir)
     passes = int(os.environ.get("SPARK_GRAFT_PASSES", "2"))
     spark = get_session(app_name="bench")
+    calib = calibrate(spark)
     times = run_queries(
         spark,
         sf_dir,
@@ -156,6 +190,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "passes": passes,
+                **calib,
             }
         )
     )
