@@ -2756,14 +2756,29 @@ def q85_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: ADC shortlist (fetch_k=20) re-scored with exact
+    cosine against the original vectors and re-ranked to k=5 — the recall
+    recovery stage standard ANN stacks bolt onto a PQ index."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ops.pq_codebooks(emb, m=4, ksub=8, dims=64)
+    codes = ops.pq_encode(emb, books)
+    return ops.pq_search_rerank(
+        emb, codes, emb.where(F.col("vec_id") < 5), books, k=5, fetch_k=20
+    )
+
+
 def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization lifecycle: q73 encode (codes per vector) + q74
-    ADC search + q85 IVF-PQ residual search, tagged; codebooks build
-    once per family."""
+    ADC search + q92 exact re-rank of the ADC shortlist + q85 IVF-PQ
+    residual search, tagged; codebooks build once per family."""
     emb = _t(spark, sf_dir, "embeddings")
     books = ops.pq_codebooks(emb, m=4, ksub=8, dims=64)
     codes = ops.pq_encode(emb, books)
     hits = ops.pq_search(codes, emb.where(F.col("vec_id") < 5), books, k=10)
+    rer = ops.pq_search_rerank(
+        emb, codes, emb.where(F.col("vec_id") < 5), books, k=5, fetch_k=20
+    )
     a = codes.select(
         F.lit("code").alias("kind"),
         F.col("vec_id").alias("k1"),
@@ -2787,7 +2802,14 @@ def q73m_pq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").alias("val"),
         "rank",
     )
-    return a.unionByName(b).unionByName(c)
+    d = rer.select(
+        F.lit("rerank").alias("kind"),
+        F.col("query_id").alias("k1"),
+        F.col("neighbor_id").cast("string").alias("k2"),
+        F.col("cosine_sim").alias("val"),
+        "rank",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q75m_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3104,6 +3126,46 @@ def _pq_cte() -> str:
                      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, kk ASC) AS rn
               FROM dists
             )
+    """
+
+
+def _pq_rerank_sql() -> str:
+    """SQL twin of q92: replay the q74 ADC ranking to a fetch_k=20
+    shortlist, then re-score the shortlist with exact round-6 cosine
+    against the original vectors and re-rank to k=5 — the two-stage
+    retrieval contract of ops.pq_search_rerank."""
+    return f"""
+            WITH {_pq_cte()},
+            nb AS (SELECT vec_id, j, kk FROM best WHERE rn = 1),
+            adc AS (
+              SELECT qd.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                     round(list_sum(list(qd.d ORDER BY qd.j ASC)), 6) AS adc_dist
+              FROM nb JOIN dists qd ON qd.j = nb.j AND qd.kk = nb.kk
+              WHERE qd.vec_id < 5 AND nb.vec_id != qd.vec_id
+              GROUP BY qd.vec_id, nb.vec_id
+            ),
+            short AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist ASC, neighbor_id ASC) AS arnk
+                FROM adc)
+              WHERE arnk <= 20
+            ),
+            rer AS (
+              SELECT s.query_id, s.neighbor_id,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])), 6)
+                       AS cosine_sim
+              FROM short s
+              JOIN embeddings q ON q.vec_id = s.query_id
+              JOIN embeddings c ON c.vec_id = s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER)
+                          AS rank
+              FROM rer)
+            WHERE rank <= 5
     """
 
 
@@ -5089,6 +5151,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivfpq', query_id, CAST(neighbor_id AS VARCHAR), adc_dist, rank
             FROM ({_ivfpq_sql()})
+            UNION ALL
+            SELECT 'rerank', query_id, CAST(neighbor_id AS VARCHAR), cosine_sim, rank
+            FROM ({_pq_rerank_sql()})
         """,
         "q78_perplexity_score": C["q78_perplexity_score"],
         "q79_sq8_search": C["q79_sq8_search"],

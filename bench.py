@@ -71,6 +71,7 @@ HEADLINE = [
     "q72_tfidf_top_terms",
     "q73_pq_codes",
     "q74_pq_search",
+    "q92_pq_rerank",
     "q85_ivfpq_search",
     # alignment (batched DP) + real media decode + LM quality score
     "q40_alignment",

@@ -40,6 +40,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "pq_search",
+    "pq_search_rerank",
     "ivfpq_build",
     "ivfpq_search",
     "sq8_encode",
@@ -372,6 +373,73 @@ def pq_search(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_search_rerank(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    fetch_k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assign: str = "auto",
+) -> DataFrame:
+    """Two-stage retrieval: ADC shortlist, then EXACT cosine re-rank of the
+    shortlist against the original vectors (the re-ranking stage of Jégou
+    2011 §V-A — ADC's quantization error mostly perturbs the ORDER of
+    close neighbors, so re-scoring a ``fetch_k`` shortlist with exact
+    similarity recovers most of the exact top-k at a cost proportional to
+    the shortlist, not the corpus).
+
+    Scale shape: stage 1 is :func:`pq_search` (corpus ships (id, m-byte
+    code) only); stage 2 joins the ≤ queries × ``fetch_k`` shortlist
+    against the corpus vectors on the neighbor id — an id-keyed join whose
+    probe side is shortlist-sized, so the full-precision vectors of only
+    the candidates are ever read — then broadcasts the query vectors and
+    re-ranks per query. The corpus never self-joins and vectors never
+    cross-join.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank ≤ k).
+    """
+    from exon_duckdb_spark.operators.similarity import _norm, dot
+
+    fetch = fetch_k or 4 * k
+    shortlist = pq_search(
+        corpus_codes,
+        queries,
+        codebooks,
+        k=fetch,
+        vec_col=vec_col,
+        id_col=id_col,
+        assign=assign,
+    ).select("query_id", "neighbor_id")
+    cand = shortlist.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+            _norm(F.col(vec_col)).alias("_nn"),
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    sim = F.round(
+        dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")), 6
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id", "neighbor_id", sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def _numpy_residual_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):

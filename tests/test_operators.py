@@ -1278,3 +1278,44 @@ def test_dsir_importance_weight_is_token_count_linear(spark):
     )
     out = {r["doc_id"]: r["dsir_logw"] for r in ops.dsir_importance(raw, target).collect()}
     assert abs(out[2] - 2 * out[1]) < 1e-5
+
+
+def test_pq_search_rerank_recovers_exact_ranking(spark):
+    """With a shortlist covering the whole corpus, the re-rank stage must
+    reproduce exact cosine_topk (same ids, same rounded sims, same ranks)
+    regardless of how badly ADC quantization scrambled stage-1 order."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = ops.pq_codebooks(emb, m=4, ksub=4, dims=16)
+    codes = ops.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 3)
+    rer = ops.pq_search_rerank(
+        emb, codes, queries, books, k=5, fetch_k=19
+    ).collect()
+    exact = ops.cosine_topk(emb, queries, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = {key(r): (r["neighbor_id"], r["cosine_sim"]) for r in rer}
+    want = {key(r): (r["neighbor_id"], r["cosine_sim"]) for r in exact}
+    assert got == want
+
+
+def test_pq_search_rerank_bounded_by_fetch_k(spark):
+    """Stage-2 candidates come ONLY from the ADC shortlist: with fetch_k
+    = k every returned neighbor must be in stage 1's top-k."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(15)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = ops.pq_codebooks(emb, m=4, ksub=4, dims=16)
+    codes = ops.pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") == 0)
+    stage1 = {
+        r["neighbor_id"]
+        for r in ops.pq_search(codes, queries, books, k=4).collect()
+    }
+    rer = ops.pq_search_rerank(emb, codes, queries, books, k=4, fetch_k=4).collect()
+    assert {r["neighbor_id"] for r in rer} <= stage1
