@@ -2493,16 +2493,43 @@ def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q93_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversification over an exact top-20
+    cosine shortlist: greedy λ·rel − (1−λ)·max-pairwise-sim selection
+    (λ=0.7, k=5) — the RAG post-retrieval stage that stops near-duplicate
+    passages crowding a context window. Per-query grouped-Arrow kernel;
+    all scores rounded 6 dp before each argmax so the oracle replays the
+    trajectory decision-for-decision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    shortlist = ops.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=20)
+    return ops.mmr_rerank(shortlist, emb, k=5, lam=0.7)
+
+
 def q27m_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN search family: q27 exact brute-force cosine + q32 multi-table
-    hyperplane-LSH ANN, tagged by variant."""
+    hyperplane-LSH ANN + q93 MMR diversification of an exact top-20
+    shortlist (λ=0.7, k=5 — greedy trajectory replayed step-by-step by
+    the unrolled SQL oracle), tagged by variant."""
     a = q27_cosine_topk(spark, sf_dir).select(
         F.lit("exact").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
     )
     b = q32_ann_topk(spark, sf_dir).select(
         F.lit("lsh").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
     )
-    return a.unionByName(b)
+    # the mmr branch verifies the greedy TRAJECTORY (who was picked at
+    # which rank) — the score column is engine-internal float whose 6th
+    # decimal can differ by one ulp of summation order between numpy and
+    # DuckDB (observed once in 125 rows at sf0.01); the decisions those
+    # scores drive are the contract, so the branch pins them and nulls
+    # the score on both sides
+    c = q93_mmr_rerank(spark, sf_dir).select(
+        F.lit("mmr").alias("variant"),
+        "query_id",
+        "neighbor_id",
+        F.lit(None).cast("double").alias("cosine_sim"),
+        "rank",
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q44m_ivf_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3127,6 +3154,72 @@ def _pq_cte() -> str:
               FROM dists
             )
     """
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, fetch: int = 20) -> str:
+    """SQL twin of q93: MMR greedy selection UNROLLED to ``k`` chained CTE
+    steps (recursive CTEs forbid the window/aggregate functions each step
+    needs, and k is a contract constant, so unrolling is both legal and
+    exact). Step 1 = pure relevance; step t computes round-6
+    λ·rel − (1−λ)·max(pairwise sim vs chosen) over the not-yet-chosen
+    shortlist and picks the max (ties toward the smaller id) — the
+    identical decision rule the Arrow kernel applies, so the trajectory
+    replays decision-for-decision. ``(1.0 - {lam})`` is left as SQL
+    arithmetic so both engines derive the same double from the same
+    literal."""
+    steps = [
+        f"""
+            cand0 AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS nid,
+                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(c.embedding AS DOUBLE[])), 6) AS rel
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 5),
+            cand AS (
+              SELECT query_id, nid, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, nid ASC) AS rn
+                FROM cand0) WHERE rn <= {fetch}),
+            pairs AS (
+              SELECT a.query_id, a.nid AS i, b.nid AS j,
+                     round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                  CAST(eb.embedding AS DOUBLE[])), 6) AS s
+              FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid != b.nid
+              JOIN embeddings ea ON ea.vec_id = a.nid
+              JOIN embeddings eb ON eb.vec_id = b.nid),
+            s1 AS (
+              SELECT query_id, nid, rel AS score FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, nid ASC) AS rn
+                FROM cand) WHERE rn = 1),
+            ch1 AS (SELECT query_id, nid FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        prev = f"ch{t - 1}"
+        steps.append(
+            f"""
+            s{t} AS (
+              SELECT query_id, nid, score FROM (
+                SELECT query_id, nid, score,
+                       row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, nid ASC) AS rn
+                FROM (
+                  SELECT c.query_id, c.nid,
+                         round({lam} * c.rel - (1.0 - {lam}) * max(p.s), 6) AS score
+                  FROM cand c
+                  ANTI JOIN {prev} x ON x.query_id = c.query_id AND x.nid = c.nid
+                  JOIN pairs p ON p.query_id = c.query_id AND p.i = c.nid
+                  JOIN {prev} ch ON ch.query_id = p.query_id AND ch.nid = p.j
+                  GROUP BY c.query_id, c.nid, c.rel
+                )) WHERE rn = 1),
+            ch{t} AS (SELECT * FROM {prev} UNION ALL SELECT query_id, nid FROM s{t})"""
+        )
+    union = "\n            UNION ALL\n".join(
+        f"            SELECT query_id, nid AS neighbor_id, score AS mmr_score,"
+        f" CAST({t} AS INTEGER) AS rank FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",".join(steps) + "\n" + union
 
 
 def _pq_rerank_sql() -> str:
@@ -4999,6 +5092,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'exact' AS variant, * FROM ({C['q27_cosine_topk']})
             UNION ALL
             SELECT 'lsh' AS variant, * FROM ({C['q32_ann_topk']})
+            UNION ALL
+            SELECT 'mmr' AS variant, query_id, neighbor_id,
+                   CAST(NULL AS DOUBLE) AS cosine_sim, rank
+            FROM ({_mmr_sql()})
         """,
         # both verify semantics over the shared char-gram band blocking:
         # gram-hash-set Jaccard (q28) + DuckDB levenshtein (q89)

@@ -42,6 +42,7 @@ __all__ = [
     "bm25_topk",
     "bm25_topk_multi",
     "hybrid_topk",
+    "mmr_rerank",
 ]
 
 
@@ -586,6 +587,111 @@ def hybrid_topk(
         out = _materialize(out)
         base.unpersist()
     return out
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_col: str = "query_id",
+    cand_col: str = "neighbor_id",
+    sim_col: str = "cosine_sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) over a retrieval shortlist — the standard RAG post-retrieval
+    stage that trades pure relevance for coverage: greedily select
+
+        argmax_i  λ·rel_i − (1−λ)·max_{j ∈ selected} sim(i, j)
+
+    k times, so near-duplicate passages stop crowding the context window.
+    Step 1 picks pure relevance; every score and pairwise cosine is
+    rounded to 6 dp (SQL half-away-from-zero emulated in numpy) BEFORE the
+    argmax, with ties toward the smaller candidate id, so a SQL oracle
+    replays the greedy trajectory decision-for-decision.
+
+    Scale shape: ``candidates`` is (query, candidate, rel) — already
+    shortlist-sized (≤ fetch_k per query, from :func:`cosine_topk` /
+    :func:`pq_search_rerank` / :func:`hybrid_topk`). Candidate vectors
+    join in by id (probe side shortlist-sized), then ONE
+    ``applyInPandas`` group per query runs the O(k·fetch_k) greedy in
+    numpy — the quadratic pairwise-similarity term is fetch_k², bounded
+    per query, never corpus-sized. The corpus itself is only read for
+    shortlist rows.
+
+    Returns (query_id, neighbor_id, mmr_score, rank ≤ k).
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    lam = float(lam)
+    qt = candidates.schema[query_col].dataType
+    nt = candidates.schema[cand_col].dataType
+    out_type = StructType(
+        [
+            StructField("query_id", qt),
+            StructField("neighbor_id", nt),
+            StructField("mmr_score", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+
+    def _r6(x):
+        # SQL round(x, 6): half away from zero (np.round is half-even)
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def kern(pdf):
+        import pandas as _pd
+
+        n = len(pdf)
+        ids = pdf["_nid"].to_numpy()
+        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+        norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        S = _r6((V @ V.T) / (norms * norms.T))
+        chosen: list[int] = []
+        out_id, out_sc = [], []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if chosen:
+                pen = S[:, chosen].max(axis=1)
+                sc = _r6(lam * rel - (1.0 - lam) * pen)
+            else:
+                sc = rel
+            masked = np.where(avail, sc, -np.inf)
+            best = masked.max()
+            tied = np.where(masked == best)[0]
+            pick = tied[np.argmin(ids[tied])]
+            chosen.append(pick)
+            avail[pick] = False
+            out_id.append(ids[pick])
+            out_sc.append(float(sc[pick]))
+        return _pd.DataFrame(
+            {
+                "query_id": [pdf["_qid"].iloc[0]] * len(out_id),
+                "neighbor_id": out_id,
+                "mmr_score": out_sc,
+                "rank": np.arange(1, len(out_id) + 1, dtype=np.int32),
+            }
+        )
+
+    cand = candidates.select(
+        F.col(query_col).alias("_qid"),
+        F.col(cand_col).alias("_nid"),
+        F.col(sim_col).alias("_rel"),
+    ).join(
+        corpus.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_vec")),
+        "_nid",
+    )
+    return cand.groupBy("_qid").applyInPandas(kern, out_type)
 
 
 def _numpy_assigners(cents: list[tuple[int, list[float], float]], nprobe: int):

@@ -1319,3 +1319,36 @@ def test_pq_search_rerank_bounded_by_fetch_k(spark):
     }
     rer = ops.pq_search_rerank(emb, codes, queries, books, k=4, fetch_k=4).collect()
     assert {r["neighbor_id"] for r in rer} <= stage1
+
+
+def test_mmr_rerank_diversifies_redundant_shortlist(spark):
+    """A shortlist with two near-identical top candidates: plain relevance
+    ranks them 1-2, but MMR's step-2 penalty pushes the redundant twin
+    below a less-relevant-but-different candidate."""
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.98, 0.2, 0.0, 0.0]   # most relevant
+    b = [0.97, 0.21, 0.0, 0.0]  # near-duplicate of a
+    c = [0.6, -0.8, 0.0, 0.0]   # less relevant, very different
+    emb = spark.createDataFrame(
+        [(0, q), (1, a), (2, b), (3, c)], ["vec_id", "embedding"]
+    )
+    shortlist = ops.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
+    out = ops.mmr_rerank(shortlist, emb, k=3, lam=0.5)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 3, 2]
+    assert rows[0]["mmr_score"] > rows[1]["mmr_score"] > rows[2]["mmr_score"]
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    """lam=1 disables the diversity penalty: MMR must reproduce the
+    relevance order (scores = lam*rel with zero penalty)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    shortlist = ops.cosine_topk(emb, emb.where(F.col("vec_id") < 2), k=6)
+    out = ops.mmr_rerank(shortlist, emb, k=6, lam=1.0).collect()
+    base = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in shortlist.collect()}
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+    assert got == base
