@@ -2489,6 +2489,12 @@ def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        .join(
+            q94_normalize_text(spark, sf_dir).select(
+                "doc_id", F.md5("norm_text").alias("norm_md5")
+            ),
+            "doc_id",
+        )
     )
     return out
 
@@ -2503,6 +2509,21 @@ def q93_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     shortlist = ops.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=20)
     return ops.mmr_rerank(shortlist, emb, k=5, lam=0.7)
+
+
+# messy normalization plant: decomposed accents (e + combining acute),
+# case variance, tab + multi-space runs, trailing whitespace — NFC/lower/
+# collapse each do real work on every planted row
+_NORM_PLANT = "  Café   MENU\tÉclair "
+
+
+def q94_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (NFC + lowercase + whitespace collapse
+    + trim) over documents with a planted messy suffix; the oracle replays
+    the identical composition via nfc_normalize/lower/regexp_replace."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn("text", F.concat(F.col("text"), F.lit(_NORM_PLANT)))
+    return ops.normalize_text(planted)
 
 
 def q27m_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4422,6 +4443,16 @@ def _component_sql() -> dict[str, str]:
                         AS INTEGER) AS n_removed
             FROM planted p LEFT JOIN agg a USING (doc_id)
         """,
+        # canonical normalization: NFC (utf8proc == unicodedata, both
+        # Unicode-conformant) → lower → ASCII-whitespace collapse → trim,
+        # over the same decomposed-accent plant the Spark side appends
+        "q94_normalize_text": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(
+                        concat(text, '{_NORM_PLANT}'))),
+                        '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
         # DSIR hashed-unigram importance weights vs the English exemplar
         # docs; bucket hash and add-one smoothing replayed exactly, kept
         # compares the 6dp-ROUNDED weight on both engines
@@ -5079,7 +5110,7 @@ def oracle_sql() -> dict[str, str]:
                    b.score_zh, c.fingerprint, d.simhash,
                    e.qual_sum, e.qual_min, e.qual_max, e.qual_len,
                    f.n_bpe_tokens, f.chars_per_bpe_token,
-                   g.dsir_logw, g.kept AS dsir_kept
+                   g.dsir_logw, g.kept AS dsir_kept, h.norm_md5
             FROM ({C['q24_text_stats']}) a
             JOIN ({C['q25_language_id']}) b USING (doc_id)
             JOIN ({C['q26_doc_fingerprint']}) c USING (doc_id)
@@ -5087,6 +5118,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({C['q13_quality_decode']}) e USING (doc_id)
             JOIN ({C['q33_bpe_tokens']}) f USING (doc_id)
             JOIN ({C['q91_dsir_importance']}) g USING (doc_id)
+            JOIN (SELECT doc_id, md5(norm_text) AS norm_md5
+                  FROM ({C['q94_normalize_text']})) h USING (doc_id)
         """,
         "q27_knn_topk": f"""
             SELECT 'exact' AS variant, * FROM ({C['q27_cosine_topk']})

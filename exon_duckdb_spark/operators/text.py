@@ -19,6 +19,7 @@ __all__ = [
     "bpe_tokens",
     "bpe_token_count",
     "text_stats",
+    "normalize_text",
     "language_id",
     "doc_fingerprint",
     "hash_sample",
@@ -239,6 +240,37 @@ def bpe_token_count(text: Column | str) -> Column:
     budget estimator a training pipeline runs over every document
     (map-only, codegen)."""
     return F.size(bpe_tokens(text))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization — the stage every dedup/quality
+    pipeline runs FIRST so that byte-different renderings of the same
+    text ('Cafe\\u0301' decomposed vs 'Café' composed, case variants,
+    ragged whitespace) hash/shingle identically downstream: Unicode NFC
+    composition, lowercase, ASCII-whitespace runs collapsed to one space,
+    ends trimmed. Returns (id, norm_text).
+
+    Map-only. NFC runs as an Arrow-batched UDF (Spark has no NFC builtin;
+    Python's unicodedata and DuckDB's utf8proc both implement the Unicode
+    normalization standard, so outputs are byte-identical); lowercase and
+    the whitespace collapse stay JVM-side. Operation order is pinned —
+    NFC, then lower, then collapse — and the SQL oracle applies the same
+    composition (nfc_normalize → lower → regexp_replace → trim).
+    """
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    normd = F.trim(
+        F.regexp_replace(F.lower(_nfc(F.col(text_col))), "[ \\t\\n\\r]+", " ")
+    )
+    return df.select(F.col(id_col), normd.alias("norm_text"))
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

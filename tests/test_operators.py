@@ -1352,3 +1352,18 @@ def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
     base = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in shortlist.collect()}
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
     assert got == base
+
+
+def test_normalize_text_composes_cases_and_whitespace(spark):
+    """NFC composes decomposed accents, lowercase folds case, whitespace
+    runs collapse, ends trim — so byte-different renderings of the same
+    text normalize to identical strings."""
+    decomposed = "Café   MENU\t\tÉclair \n"
+    composed = "café menu éclair"
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, "cafÉ menu éclair".replace("É", "é"))],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in ops.normalize_text(docs).collect()}
+    assert out[1] == composed
+    assert out[1] == out[2]

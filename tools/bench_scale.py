@@ -66,6 +66,10 @@ SCALE_SET = [
     "q24_text_stats",
     "q26_doc_fingerprint",
     "q28_ngram_jaccard_pairs",
+    "q89_edit_distance_pairs",
+    "q90_boilerplate_lines",
+    "q91_dsir_importance",
+    "q94_normalize_text",
     "q33_bpe_tokens",
     "q60_repetition_stats",
     "q61_quality_filter",
@@ -277,11 +281,42 @@ def ivfpq_scaled(spark, sf_dir, n_rows):
     )
 
 
+def pq_rerank_scaled(spark, sf_dir, n_rows):
+    """Two-stage PQ retrieval at scale: stage 1 ADC scans the 10x corpus
+    codes; stage 2's exact re-rank must stay SHORTLIST-sized (fetch_k per
+    query) regardless of corpus growth — the ratio pins that."""
+    from exon_duckdb_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    books = pq_codebooks(emb, m=4, ksub=8, dims=64)
+    codes = pq_encode(emb, books)
+    return pq_search_rerank(
+        emb, codes, emb.where(F.col("vec_id") < 5), books, k=5, fetch_k=20
+    )
+
+
+def mmr_scaled(spark, sf_dir, n_rows):
+    """MMR over an exact top-20 shortlist at scale: the greedy kernel's
+    input is fetch_k rows per query whatever the corpus size; only the
+    shortlist-building scan should grow with n."""
+    from exon_duckdb_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    shortlist = cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=20)
+    return mmr_rerank(shortlist, emb, k=5, lam=0.7)
+
+
 EMB_SET = {
     "emb_dedup_auto_planes": emb_dedup_auto,
     "ann_topk_auto_planes": ann_topk_auto,
     "semantic_dedup_nlist_scaled": semantic_dedup_scaled,
     "ivfpq_search": ivfpq_scaled,
+    "pq_rerank": pq_rerank_scaled,
+    "mmr_rerank": mmr_scaled,
 }
 
 
