@@ -2425,10 +2425,34 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c).unionByName(d)
 
 
+def q95_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash-LSH near-dup detection: documents
+    arrive as a file stream, band-bucket state holds the corpus seen so
+    far, each arrival emits signature-estimate pairs against its bucket.
+    Finite ordered drain ≡ the batch band self-join, which is the oracle."""
+    import uuid
+
+    from exon_duckdb_spark.streaming.events import (
+        read_documents_stream,
+        run_to_memory_sink,
+        stream_minhash_pairs,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    name = f"smp_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(
+        stream_minhash_pairs(
+            stream, num_hashes=16, bands=4, shingle=3, threshold=0.5
+        ),
+        name,
+    )
+
+
 def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash near-dedup pipeline in one verified pass: signatures
     (q21) → LSH band pairs (q22) → connected-component clusters (q41) →
-    keep-list (q42). Pairs compute once and feed both downstream stages."""
+    keep-list (q42) + q95's STREAMING incremental band-state variant.
+    Pairs compute once and feed both downstream stages."""
     docs = _t(spark, sf_dir, "documents")
     sig = ops.minhash_signature(docs, num_hashes=8)
     pairs = ops.minhash_lsh_pairs(
@@ -2462,7 +2486,15 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("k2"),
         F.lit(None).cast("double").alias("val"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    e = q95_stream_minhash_pairs(spark, sf_dir).select(
+        F.lit("stream").alias("kind"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.concat_ws(
+            ":", F.col("id_b").cast("string"), F.col("band").cast("string")
+        ).alias("k2"),
+        F.col("est_jaccard").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3063,6 +3095,55 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0
             JOIN words wb ON wb.doc_id = id_b
             WHERE round({jac}, 6) >= {threshold}
         """
+
+
+def _stream_minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Batch replay of q95's streaming incremental LSH: the finite ordered
+    drain emits exactly the band self-join's pairs, with est_jaccard = the
+    fraction of equal signature components (x/16 — exact in binary, no
+    rounding convention needed)."""
+    rows = num_hashes // bands
+    mins = _minhash_mins_sql(num_hashes)
+    band_rows = []
+    for b in range(bands):
+        concat = ", ',', ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {md5_int_sql(f'CONCAT({concat})')} AS bh FROM sig"
+        )
+    bands_sql = "\n              UNION ALL\n              ".join(band_rows)
+    eq_terms = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest({_SHINGLE3_SQL}) AS w FROM t),
+            sig AS (
+              SELECT doc_id, {mins}
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              {bands_sql}
+            ),
+            pair AS (
+              SELECT x.band, x.bh, x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+            ),
+            est AS (
+              SELECT p.band, p.bh, p.id_a, p.id_b,
+                     ({eq_terms}) / {num_hashes}.0 AS est_jaccard
+              FROM pair p
+              JOIN sig a ON a.doc_id = p.id_a
+              JOIN sig b ON b.doc_id = p.id_b
+            )
+            SELECT band, bh, id_a, id_b, est_jaccard
+            FROM est WHERE est_jaccard >= {threshold}
+    """
 
 
 def _char_lsh_pairs_oracle(
@@ -5104,6 +5185,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'keep', doc_id, lang, CAST(NULL AS DOUBLE)
             FROM ({C['q42_near_dedup_keep']})
+            UNION ALL
+            SELECT 'stream', CAST(id_a AS VARCHAR),
+                   concat(CAST(id_b AS VARCHAR), ':', CAST(band AS VARCHAR)),
+                   est_jaccard
+            FROM ({_stream_minhash_oracle()})
         """,
         "q24_text_analysis": f"""
             SELECT a.*, b.predicted_lang, b.score_en, b.score_de, b.score_es,

@@ -5,7 +5,7 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Every headline query first runs once UNTIMED (plan
 compile, Janino/JIT, parquet footers, Arrow worker startup), then through
-TIMED_PASSES timed passes taking the per-query MINIMUM: single-JVM cold
+N timed passes (default 3) taking the per-query MINIMUM: single-JVM cold
 costs and host-level interference (CPU steal, background flushes — the
 round-5 host showed idle load ≈ 4 and run-to-run swings of 1.5-6x on
 UNTOUCHED sub-second queries) swing single measurements far more than any
@@ -171,8 +171,11 @@ def calibrate(spark, passes: int = 3) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = parse_sf(sf_dir)
-    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "2"))
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
     spark = get_session(app_name="bench")
+    # calibrate at START and END, min-merged: the probe itself was measured
+    # 5x apart (0.23 s vs 1.13 s) in back-to-back runs on the round-5 host,
+    # so one sample can land entirely inside an interference burst
     calib = calibrate(spark)
     times = run_queries(
         spark,
@@ -181,6 +184,8 @@ def main() -> None:
         warm=not os.environ.get("SPARK_GRAFT_COLD"),
         passes=passes,
     )
+    calib_end = calibrate(spark)
+    calib = {k: min(calib[k], calib_end[k]) for k in calib}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -22,9 +22,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "read_events_stream",
+    "read_documents_stream",
     "windowed_counts",
     "stream_interval_join",
     "stream_dedup",
+    "stream_minhash_pairs",
     "sessionize_stream",
     "SESSION_SCHEMA",
     "run_to_memory_sink",
@@ -288,6 +290,127 @@ def sessionize_stream(
                 else GroupStateTimeout.NoTimeout
             ),
         )
+    )
+
+
+def read_documents_stream(
+    spark: SparkSession, docs_dir: str, max_files: int = 100
+) -> DataFrame:
+    """File-based stream of the documents table (files named
+    documents*.parquet in ``docs_dir``). Schema comes from one batch
+    footer probe — footer-only, no data scan."""
+    probe = spark.read.option("pathGlobFilter", "documents*.parquet").parquet(
+        docs_dir
+    )
+    return (
+        spark.readStream.schema(probe.schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(docs_dir)
+    )
+
+
+MINHASH_PAIRS_SCHEMA = (
+    "band int, bh long, id_a long, id_b long, est_jaccard double"
+)
+_MINHASH_STATE_SCHEMA = "ids array<long>, sigs array<array<long>>"
+
+
+def stream_minhash_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming near-duplicate detection: INCREMENTAL MinHash-LSH with
+    band-bucket state — every arriving document is checked against the
+    corpus seen so far, the shape an ingestion pipeline needs when dedup
+    can't wait for a nightly batch job.
+
+    Map side computes the signature with the SAME universal-hash family as
+    the batch :func:`~exon_duckdb_spark.operators.dedup.minhash_lsh_pairs`
+    (word ``shingle``-grams → md5_int32 → k affine minima — pure Column
+    expressions, streaming-legal) and explodes the ``bands`` band keys.
+    The stateful stage (``applyInPandasWithState``, keyed on (band, bh))
+    keeps each bucket's first ``max_bucket`` (id, signature) members; an
+    arriving doc emits (band, bh, id_a, id_b, est_jaccard) against every
+    stored member with est ≥ ``threshold``, then joins the bucket. est is
+    the fraction of equal signature components — the unbiased MinHash
+    Jaccard estimate, exact in binary for power-of-two ``num_hashes`` so
+    a SQL oracle needs no rounding convention.
+
+    Determinism contract (mirrors q59's): within a micro-batch, docs
+    process in id order, so a finite single-batch drain emits exactly the
+    batch band self-join's pairs (id_a < id_b, once per colliding band) —
+    the SQL-replayable oracle. Across many micro-batches the pair SET is
+    the same while buckets stay under ``max_bucket``; only emission times
+    differ. State per bucket is capped; production deployments with
+    unbounded key churn should add a timeout eviction (the sessionize
+    operator shows the pattern).
+    """
+    from exon_duckdb_spark.operators.dedup import minhash_signature
+    from exon_duckdb_spark.operators.hashing import md5_int
+
+    sig = minhash_signature(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle=shingle,
+    )
+    rows_per_band = num_hashes // bands
+    bhs = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bhs.append(md5_int(F.concat_ws(",", *parts)))
+    keyed = sig.select(
+        F.col(id_col).alias("_id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_mh"),
+        F.posexplode(F.array(*bhs)).alias("band", "bh"),
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), [list(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        out = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("_id").iterrows():
+                did = int(r["_id"])
+                s = [None if v is None else int(v) for v in r["_mh"]]
+                for mid, ms in zip(ids, sigs):
+                    if mid == did:
+                        continue
+                    eq = sum(
+                        1
+                        for a, b in zip(s, ms)
+                        if a is not None and b is not None and a == b
+                    )
+                    est = eq / num_hashes
+                    if est >= threshold:
+                        a, b = (mid, did) if mid < did else (did, mid)
+                        out.append((key[0], key[1], a, b, est))
+                if len(ids) < max_bucket:
+                    ids.append(did)
+                    sigs.append(s)
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["band", "bh", "id_a", "id_b", "est_jaccard"]
+            )
+
+    return keyed.groupBy("band", "bh").applyInPandasWithState(
+        fn,
+        outputStructType=MINHASH_PAIRS_SCHEMA,
+        stateStructType=_MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
