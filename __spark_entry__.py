@@ -2156,8 +2156,9 @@ def q88_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram + bigram LM quality scores, tagged (both self-trained; the
-    oracle replays both training passes in SQL)."""
+    """Unigram + add-one bigram + Jelinek-Mercer interpolated bigram LM
+    quality scores, tagged (all self-trained; the oracle replays every
+    training pass in SQL)."""
     a = q78_perplexity_score(spark, sf_dir).select(
         F.lit("uni").alias("mode"), "doc_id", "avg_logprob",
         F.col("n_tokens").alias("n"),
@@ -2166,7 +2167,13 @@ def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bi").alias("mode"), "doc_id", "avg_logprob",
         F.col("n_transitions").alias("n"),
     )
-    return a.unionByName(b)
+    c = ops.interpolated_bigram_score(
+        _t(spark, sf_dir, "documents"), lam=0.75
+    ).select(
+        F.lit("jm").alias("mode"), "doc_id", "avg_logprob",
+        F.col("n_transitions").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4787,6 +4794,40 @@ def _component_sql() -> dict[str, str]:
                      CAST(SUM(tf) AS BIGINT) AS n
               FROM tf2 JOIN c2 USING (b)
               JOIN uni ON uni.tok = split_part(b, ' ', 1), st
+              GROUP BY doc_id
+            )
+            UNION ALL
+            -- Jelinek-Mercer interpolation: lam*MLE-bigram + (1-lam)*
+            -- second-position unigram; '(1.0 - 0.75)' stays SQL arithmetic
+            -- so both engines derive the identical double
+            SELECT 'jm', doc_id, avg_logprob, n FROM (
+              WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              bg AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(generate_series(1, len(t) - 1),
+                                i -> concat(t[i], ' ', t[i+1]))
+                         ELSE []::VARCHAR[] END) AS b
+                FROM tok
+              ),
+              tf2 AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+              c2 AS (SELECT b, SUM(tf) AS c2 FROM tf2 GROUP BY b),
+              ctx AS (
+                SELECT split_part(b, ' ', 1) AS w1, SUM(tf) AS c1
+                FROM tf2 GROUP BY split_part(b, ' ', 1)
+              ),
+              w2c AS (
+                SELECT split_part(b, ' ', 2) AS w2, SUM(tf) AS cw2
+                FROM tf2 GROUP BY split_part(b, ' ', 2)
+              ),
+              st AS (SELECT SUM(tf) AS tt FROM tf2)
+              SELECT doc_id,
+                     round(SUM(ln(0.75 * (c2 * 1.0 / c1)
+                                  + (1.0 - 0.75) * (cw2 * 1.0 / tt)) * tf)
+                           / SUM(tf), 6) AS avg_logprob,
+                     CAST(SUM(tf) AS BIGINT) AS n
+              FROM tf2 JOIN c2 USING (b)
+              JOIN ctx ON ctx.w1 = split_part(b, ' ', 1)
+              JOIN w2c ON w2c.w2 = split_part(b, ' ', 2), st
               GROUP BY doc_id
             )
         """,

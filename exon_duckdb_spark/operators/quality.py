@@ -394,6 +394,74 @@ def bigram_perplexity_score(
     )
 
 
+def interpolated_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED bigram LM score per document — the
+    smoothing the KenLM-style filters actually use (a fixed-λ mixture of
+    orders), versus :func:`bigram_perplexity_score`'s add-one:
+
+        P(w2 | w1) = λ · c(w1 w2)/c(w1)  +  (1−λ) · c(·, w2)/T
+
+    MLE bigram term (no pseudo-counts — the mixture handles unseen mass)
+    interpolated with the transition-position unigram ``c(·, w2)/T``
+    (count of w2 as a SECOND element over total transitions). All three
+    count tables derive from the one persisted (doc, bigram) tf table, so
+    the corpus is still scanned once; λ rides into the expression as a
+    literal, and ``(1.0 − λ)`` is computed the same way on both engines.
+    Per doc: ``avg_logprob`` = mean ln P over its transitions (rounded
+    6 dp), ``n_transitions``; < 2-token docs are omitted.
+
+    Scale: the :func:`bigram_perplexity_score` shape plus ONE extra
+    second-word-keyed count join — four linear shuffles, no UDF, no
+    driver data path; totals ride a broadcast 1-row stats frame.
+    """
+    from pyspark import StorageLevel
+
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+    from exon_duckdb_spark.operators.text import tokens as _tokens
+
+    lam = float(lam)
+    df = ensure_parallelism(df, id_col)
+    toksed = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    tf2 = (
+        toksed.select(
+            F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("_bg")
+        )
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = tf2.groupBy("_bg").agg(F.sum("_tf").alias("_c2"))
+    ctx = tf2.groupBy(
+        F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
+    ).agg(F.sum("_tf").alias("_c1"))
+    w2c = tf2.groupBy(
+        F.substring_index(F.col("_bg"), " ", -1).alias("_w2")
+    ).agg(F.sum("_tf").alias("_cw2"))
+    stats = tf2.agg(F.sum("_tf").alias("_T"))
+    p = F.lit(lam) * (F.col("_c2").cast("double") / F.col("_c1")) + (
+        F.lit(1.0) - F.lit(lam)
+    ) * (F.col("_cw2").cast("double") / F.col("_T"))
+    scored = (
+        tf2.join(c2, "_bg")
+        .withColumn("_w1", F.substring_index(F.col("_bg"), " ", 1))
+        .join(ctx, "_w1")
+        .withColumn("_w2", F.substring_index(F.col("_bg"), " ", -1))
+        .join(w2c, "_w2")
+        .crossJoin(F.broadcast(stats))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(F.log(p) * F.col("_tf")) / F.sum("_tf"), 6).alias(
+            "avg_logprob"
+        ),
+        F.sum("_tf").cast("bigint").alias("n_transitions"),
+    )
+
+
 def dsir_importance(
     raw: DataFrame,
     target: DataFrame,

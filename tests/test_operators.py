@@ -1367,3 +1367,41 @@ def test_normalize_text_composes_cases_and_whitespace(spark):
     out = {r["doc_id"]: r["norm_text"] for r in ops.normalize_text(docs).collect()}
     assert out[1] == composed
     assert out[1] == out[2]
+
+
+def test_interpolated_bigram_score_matches_hand_computation(spark):
+    """Pin the Jelinek-Mercer arithmetic on a corpus small enough to do by
+    hand: P(w2|w1) = lam*c2/c1 + (1-lam)*cw2/T."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # bigrams: doc1: "a b" x2, "b a" x1; doc2: "a b", "b c"
+    # c2: ab=3, ba=1, bc=1; c1: a=3, b=2; cw2: b=3, a=1, c=1; T=5
+    lam = 0.75
+    p_ab = lam * 3 / 3 + (1 - lam) * 3 / 5
+    p_ba = lam * 1 / 2 + (1 - lam) * 1 / 5
+    p_bc = lam * 1 / 2 + (1 - lam) * 1 / 5
+    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    want2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    out = {
+        r["doc_id"]: (r["avg_logprob"], r["n_transitions"])
+        for r in ops.interpolated_bigram_score(docs, lam=lam).collect()
+    }
+    assert out[1] == (want1, 3)
+    assert out[2] == (want2, 2)
+
+
+def test_interpolated_bigram_ranks_shuffled_text_below_natural(spark):
+    """Word-order sensitivity survives interpolation: a doc with the
+    corpus's common transitions outscores its own shuffled permutation."""
+    natural = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over fox lazy quick jumps brown the"
+    corpus = [(i, natural) for i in range(10)] + [(100, shuffled)]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in ops.interpolated_bigram_score(docs).collect()
+    }
+    assert out[0] > out[100]
