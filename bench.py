@@ -112,7 +112,7 @@ def make_lookup():
 
 
 def run_queries(
-    spark, sf_dir: str, names, warm: bool = True, lookup=None, passes: int = 2
+    spark, sf_dir: str, names, warm: bool = True, lookup=None, passes: int = 3
 ) -> dict[str, float]:
     """Warm (untimed) + ``passes`` timed noop-sink passes over ``names``
     taking the per-query minimum — the one measurement harness, imported

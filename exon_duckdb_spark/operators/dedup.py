@@ -468,6 +468,11 @@ def boilerplate_line_removal(
     documents containing blank separator lines removes them — consistent
     with treating 'appears everywhere' as boilerplate; run with documents
     pre-split on blank lines if paragraph structure must survive.
+
+    ``sep`` is a Java REGEX in the split but a LITERAL in the rejoin
+    (same contract as :func:`paragraph_dedup`) — fine for the plain-text
+    separators this is meant for ('\\n', '\\n\\n'); escape metacharacters
+    if splitting on one, or the rejoined text will not round-trip.
     """
     lines = df.select(
         F.col(id_col),

@@ -27,6 +27,8 @@ __all__ = [
     "pii_scrub",
     "perplexity_score",
     "bigram_perplexity_score",
+    "interpolated_bigram_score",
+    "dsir_importance",
     "PII_PATTERNS",
 ]
 
@@ -325,6 +327,43 @@ def perplexity_score(
     )
 
 
+def _bigram_tf_tables(df: DataFrame, text_col: str, id_col: str):
+    """The ONE copy of the bigram LM training lineage, shared by the
+    add-one (:func:`bigram_perplexity_score`) and Jelinek-Mercer
+    (:func:`interpolated_bigram_score`) scorers: per-(doc, bigram) tf
+    (persisted — every consumer reads it at least twice), corpus bigram
+    counts, and context counts aggregated off the bigram table itself
+    (single corpus scan). Sharing one builder is what makes the two
+    scorers' tf2 plans byte-identical, so when q78m runs both in one
+    session the CacheManager dedupes the persist instead of scanning the
+    corpus twice. ``ensure_parallelism`` recovers map parallelism on
+    under-split scans (measured 1.4 s -> 0.8 s at sf0.1)."""
+    from pyspark import StorageLevel
+
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+    from exon_duckdb_spark.operators.text import tokens as _tokens
+
+    df = ensure_parallelism(df, id_col)
+    toksed = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    tf2 = (
+        toksed.select(
+            F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("_bg")
+        )
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c2 = tf2.groupBy("_bg").agg(F.sum("_tf").alias("_c2"))
+    ctx = (
+        tf2.groupBy(
+            F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
+        )
+        .agg(F.sum("_tf").alias("_c1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return tf2, c2, ctx
+
+
 def bigram_perplexity_score(
     df: DataFrame,
     text_col: str = "text",
@@ -352,32 +391,7 @@ def bigram_perplexity_score(
     tf2/context tables are caller-owned (corpus-sized output rules out
     eager release); identical repeated plans dedupe in the CacheManager.
     """
-    from pyspark import StorageLevel
-
-    from exon_duckdb_spark.operators.relational import ensure_parallelism
-    from exon_duckdb_spark.operators.text import tokens as _tokens
-
-    # recover map parallelism on under-split scans: the tokenize+explode
-    # map side of the first shuffle otherwise runs as ONE task (measured
-    # 1.4 s -> 0.8 s at sf0.1); no-op on real multi-split layouts
-    df = ensure_parallelism(df, id_col)
-    toksed = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
-    tf2 = (
-        toksed.select(
-            F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("_bg")
-        )
-        .groupBy(id_col, "_bg")
-        .agg(F.count("*").alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    c2 = tf2.groupBy("_bg").agg(F.sum("_tf").alias("_c2"))
-    uni = (
-        tf2.groupBy(
-            F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
-        )
-        .agg(F.sum("_tf").alias("_c1"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    tf2, c2, uni = _bigram_tf_tables(df, text_col, id_col)
     stats = uni.agg(F.count("*").alias("_vocab"))
     logp = F.log(
         (F.col("_c2") + 1).cast("double") / (F.col("_c1") + F.col("_vocab"))
@@ -419,26 +433,8 @@ def interpolated_bigram_score(
     second-word-keyed count join — four linear shuffles, no UDF, no
     driver data path; totals ride a broadcast 1-row stats frame.
     """
-    from pyspark import StorageLevel
-
-    from exon_duckdb_spark.operators.relational import ensure_parallelism
-    from exon_duckdb_spark.operators.text import tokens as _tokens
-
     lam = float(lam)
-    df = ensure_parallelism(df, id_col)
-    toksed = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
-    tf2 = (
-        toksed.select(
-            F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("_bg")
-        )
-        .groupBy(id_col, "_bg")
-        .agg(F.count("*").alias("_tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    c2 = tf2.groupBy("_bg").agg(F.sum("_tf").alias("_c2"))
-    ctx = tf2.groupBy(
-        F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
-    ).agg(F.sum("_tf").alias("_c1"))
+    tf2, c2, ctx = _bigram_tf_tables(df, text_col, id_col)
     w2c = tf2.groupBy(
         F.substring_index(F.col("_bg"), " ", -1).alias("_w2")
     ).agg(F.sum("_tf").alias("_cw2"))

@@ -653,7 +653,11 @@ def mmr_rerank(
 
         n = len(pdf)
         ids = pdf["_nid"].to_numpy()
-        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        # round the relevance input too: callers from this repo pass
+        # already-6dp cosines (no-op), but an unrounded source would
+        # otherwise tie-break step 1 on full precision a SQL replay
+        # can't see, and emit rank 1's score unrounded
+        rel = _r6(pdf["_rel"].to_numpy(dtype=np.float64))
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
         norms = np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
         S = _r6((V @ V.T) / (norms * norms.T))

@@ -54,6 +54,7 @@ from exon_duckdb_spark.session import get_session  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 COPIES = 10
+PASSES = 3  # min over N timed passes, same estimator as bench.py
 
 # the scale-sensitive subset of bench.HEADLINE: text-corpus + stream-state
 # operators whose shuffle/candidate growth is the 100 TB question. Format
@@ -336,7 +337,8 @@ def run_set(spark, sf_dir: str) -> dict[str, float]:
         return base_lookup(name)
 
     return run_queries(
-        spark, sf_dir, SCALE_SET + list(EMB_SET), warm=True, lookup=lookup
+        spark, sf_dir, SCALE_SET + list(EMB_SET), warm=True, lookup=lookup,
+        passes=PASSES,
     )
 
 
@@ -359,6 +361,7 @@ def main() -> None:
     doc = {
         "metric": "scale_linearity_x10",
         "copies": COPIES,
+        "passes": PASSES,
         "construction": "copy-disjoint char rotation (docs) / id+ts shift (events) / dim rotation (embeddings)",
         "value": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
         "unit": "x (10x data)",
