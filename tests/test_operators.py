@@ -1405,3 +1405,62 @@ def test_interpolated_bigram_ranks_shuffled_text_below_natural(spark):
         for r in ops.interpolated_bigram_score(docs).collect()
     }
     assert out[0] > out[100]
+
+
+def test_boilerplate_line_removal_is_idempotent(spark):
+    """After one removal pass, no surviving line can still reach min_df
+    distinct docs (all cross-doc duplicates were cut everywhere), so a
+    second pass must change nothing — the fixed-point property."""
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, banner + "\nalpha\nshare me\nbeta"),
+            (2, banner + "\nshare me"),
+            (3, "gamma\n" + banner),
+            (4, "delta\nepsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    once = ops.boilerplate_line_removal(docs, min_df=2)
+    twice = ops.boilerplate_line_removal(
+        once.select("doc_id", F.col("clean_text").alias("text")), min_df=2
+    )
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["clean_text"] for r in twice.collect()}
+    assert a == b
+    assert all(r["n_removed"] == 0 for r in twice.collect())
+
+
+def test_dsir_importance_invariant_under_corpus_duplication(spark):
+    """Exactly duplicating every raw doc doubles all bucket counts AND the
+    total, so in the count-dominated regime (small alpha) the MLE ratios
+    nr/R are exactly unchanged and per-doc weights are stable — pins that
+    weights measure the DISTRIBUTION, not corpus size. Small alpha AND
+    small buckets keep the alpha*B denominator term negligible vs the
+    12-token toy corpus; at the defaults (alpha=1, B=8192) smoothing
+    dominates tiny corpora and the property only holds asymptotically —
+    a fact about smoothing, not the operator."""
+    target = spark.createDataFrame(
+        [(9, "physics theorem proof lemma") for _ in range(3)],
+        ["doc_id", "text"],
+    )
+    raw_rows = [
+        (1, "physics theorem proof"),
+        (2, "buy cheap pills now"),
+        (3, "theorem lemma proof physics proof"),
+    ]
+    raw1 = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    raw2 = spark.createDataFrame(
+        raw_rows + [(i + 100, t) for i, t in raw_rows], ["doc_id", "text"]
+    )
+    w1 = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in ops.dsir_importance(raw1, target, buckets=64, alpha=0.001).collect()
+    }
+    w2 = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in ops.dsir_importance(raw2, target, buckets=64, alpha=0.001).collect()
+    }
+    for did in (1, 2, 3):
+        assert abs(w1[did] - w2[did]) < 0.05, (did, w1[did], w2[did])
+        assert (w1[did] > 0) == (w2[did] > 0)
