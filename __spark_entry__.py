@@ -2156,9 +2156,9 @@ def q88_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram + add-one bigram + Jelinek-Mercer interpolated bigram LM
-    quality scores, tagged (all self-trained; the oracle replays every
-    training pass in SQL)."""
+    """Unigram + add-one bigram + Jelinek-Mercer interpolated + Kneser-Ney
+    interpolated bigram LM quality scores, tagged (all self-trained; the
+    oracle replays every training pass in SQL)."""
     a = q78_perplexity_score(spark, sf_dir).select(
         F.lit("uni").alias("mode"), "doc_id", "avg_logprob",
         F.col("n_tokens").alias("n"),
@@ -2173,7 +2173,13 @@ def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("jm").alias("mode"), "doc_id", "avg_logprob",
         F.col("n_transitions").alias("n"),
     )
-    return a.unionByName(b).unionByName(c)
+    d = ops.kneser_ney_bigram_score(
+        _t(spark, sf_dir, "documents"), discount=0.75
+    ).select(
+        F.lit("kn").alias("mode"), "doc_id", "avg_logprob",
+        F.col("n_transitions").alias("n"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q81_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4828,6 +4834,45 @@ def _component_sql() -> dict[str, str]:
               FROM tf2 JOIN c2 USING (b)
               JOIN ctx ON ctx.w1 = split_part(b, ' ', 1)
               JOIN w2c ON w2c.w2 = split_part(b, ' ', 2), st
+              GROUP BY doc_id
+            )
+            UNION ALL
+            -- Kneser-Ney: absolute discount D=0.75 with the CONTINUATION
+            -- unigram (distinct-context type counts off the distinct-bigram
+            -- table), P = max(c2-D,0)/c1 + D*n1f/c1 * n1b/types
+            SELECT 'kn', doc_id, avg_logprob, n FROM (
+              WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              bg AS (
+                SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(generate_series(1, len(t) - 1),
+                                i -> concat(t[i], ' ', t[i+1]))
+                         ELSE []::VARCHAR[] END) AS b
+                FROM tok
+              ),
+              tf2 AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b),
+              c2 AS (SELECT b, SUM(tf) AS c2 FROM tf2 GROUP BY b),
+              ctx AS (
+                SELECT split_part(b, ' ', 1) AS w1, SUM(tf) AS c1
+                FROM tf2 GROUP BY split_part(b, ' ', 1)
+              ),
+              n1f AS (
+                SELECT split_part(b, ' ', 1) AS w1, COUNT(*) AS n1f
+                FROM c2 GROUP BY split_part(b, ' ', 1)
+              ),
+              n1b AS (
+                SELECT split_part(b, ' ', 2) AS w2, COUNT(*) AS n1b
+                FROM c2 GROUP BY split_part(b, ' ', 2)
+              ),
+              st AS (SELECT COUNT(*) AS types FROM c2)
+              SELECT doc_id,
+                     round(SUM(ln(GREATEST(c2 - 0.75, 0.0) * 1.0 / c1
+                                  + (0.75 * n1f / c1) * (n1b * 1.0 / types)) * tf)
+                           / SUM(tf), 6) AS avg_logprob,
+                     CAST(SUM(tf) AS BIGINT) AS n
+              FROM tf2 JOIN c2 USING (b)
+              JOIN ctx ON ctx.w1 = split_part(b, ' ', 1)
+              JOIN n1f ON n1f.w1 = split_part(b, ' ', 1)
+              JOIN n1b ON n1b.w2 = split_part(b, ' ', 2), st
               GROUP BY doc_id
             )
         """,

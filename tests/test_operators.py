@@ -1393,6 +1393,56 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     assert out[2] == (want2, 2)
 
 
+def test_kneser_ney_score_matches_hand_computation(spark):
+    """Pin the interpolated-KN arithmetic on a hand-sized corpus:
+    P(w2|w1) = max(c2-D,0)/c1 + D*N1+(w1.)/c1 * N1+(.w2)/types."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # bigrams: doc1: "a b" x2, "b a"; doc2: "a b", "b c"
+    # c2: ab=3, ba=1, bc=1; c1: a=3, b=2
+    # types=3; N1+(a.)=1, N1+(b.)=2; N1+(.b)=1, N1+(.a)=1, N1+(.c)=1
+    D = 0.75
+    p_ab = (3 - D) / 3 + (D * 1 / 3) * (1 / 3)
+    p_ba = (1 - D) / 2 + (D * 2 / 2) * (1 / 3)
+    p_bc = (1 - D) / 2 + (D * 2 / 2) * (1 / 3)
+    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    want2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    out = {
+        r["doc_id"]: (r["avg_logprob"], r["n_transitions"])
+        for r in ops.kneser_ney_bigram_score(docs, discount=D).collect()
+    }
+    assert out[1] == (want1, 3)
+    assert out[2] == (want2, 2)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    """The KN signature: a frequent word welded to ONE context ("francisco"
+    always after "san") gets a small continuation probability, so a doc
+    splicing it into a novel context scores below one using a same-
+    frequency word that appears after many contexts."""
+    corpus = [(i, "san francisco") for i in range(8)]
+    corpus += [(100 + i, t) for i, t in enumerate(
+        ["we go", "they go", "birds go", "fish go", "cars go", "kids go",
+         "dogs go", "cats go"])]
+    # both "francisco" and "go" occur 8 times in the base corpus; francisco
+    # follows 1 context, go follows 8. The probes share the SAME fresh
+    # context "zzz" (so c1 and the discount mass are identical for both)
+    # and their single transitions differ ONLY in the continuation term:
+    # N1+(. go) = 9 contexts vs N1+(. francisco) = 2.
+    docs = spark.createDataFrame(
+        corpus + [(200, "zzz francisco"), (201, "zzz go")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in ops.kneser_ney_bigram_score(docs).collect()
+    }
+    assert out[201] > out[200]
+
+
 def test_interpolated_bigram_ranks_shuffled_text_below_natural(spark):
     """Word-order sensitivity survives interpolation: a doc with the
     corpus's common transitions outscores its own shuffled permutation."""
