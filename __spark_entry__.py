@@ -2133,6 +2133,31 @@ def q79_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.sq8_search(codes, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def q89_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign quantization (1 bit/dim, 32 dims per bigint word) +
+    brute-force Hamming top-k — the coarsest quantization tier: the corpus
+    candidate scan reads 16 bytes/vector and distances are xor+popcount.
+    Integer arithmetic end-to-end, so the oracle replays codes, distances
+    and ranks bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = ops.bq_encode(emb)
+    return ops.bq_search(codes, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def q79m_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 cosine + binary-Hamming top-k, tagged: the two scalar ends of
+    the quantization ladder (PQ rides q73) over the same query set."""
+    a = q79_sq8_search(spark, sf_dir).select(
+        F.lit("sq8").alias("mode"), "query_id", "neighbor_id",
+        F.col("cosine_sim").cast("double").alias("score"), "rank",
+    )
+    b = q89_bq_search(spark, sf_dir).select(
+        F.lit("bq").alias("mode"), "query_id", "neighbor_id",
+        F.col("hamming").cast("double").alias("score"), "rank",
+    )
+    return a.unionByName(b)
+
+
 def q80_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al.-style window hashing):
     maximal token regions whose 8-token windows repeat corpus-wide. The
@@ -2999,7 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_chunk_pack": q70m_chunk_pack,
         "q73_pq_pipeline": q73m_pq_pipeline,
         "q78_perplexity_score": q78m_perplexity,
-        "q79_sq8_search": q79_sq8_search,
+        "q79_sq8_search": q79m_quantized_search,
         "q80_substring_dedup": q80m_substring_dedup,
         # -- multimodal --
         "q39_multimodal_meta": q39_multimodal_meta,
@@ -4877,31 +4902,60 @@ def _component_sql() -> dict[str, str]:
             )
         """,
         # SQ8 replay: same floor(x/s + 0.5) quantizer, cosine over the raw
-        # int codes (the per-vector scale cancels out of cosine).
+        # int codes (the per-vector scale cancels out of cosine) — plus the
+        # binary tier: sign bits packed 32 dims per bigint word (bits 0..31
+        # keep 1<<j in-range on both engines), Hamming = xor + bit_count.
         "q79_sq8_search": """
-            WITH codes AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> GREATEST(-127, LEAST(127,
-                         CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)))) AS code
-              FROM (
-                SELECT vec_id, embedding,
-                       GREATEST(list_max(list_transform(embedding,
-                                x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
-                FROM embeddings
+            SELECT 'sq8' AS mode, query_id, neighbor_id,
+                   CAST(cosine_sim AS DOUBLE) AS score, rank FROM (
+              WITH codes AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+                           CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)))) AS code
+                FROM (
+                  SELECT vec_id, embedding,
+                         GREATEST(list_max(list_transform(embedding,
+                                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+                  FROM embeddings
+                )
+              ),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(c.code AS DOUBLE[])), 6) AS cosine_sim
+                FROM embeddings q JOIN codes c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 5
               )
-            ),
-            scored AS (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                  CAST(c.code AS DOUBLE[])), 6) AS cosine_sim
-              FROM embeddings q JOIN codes c ON q.vec_id != c.vec_id
-              WHERE q.vec_id < 5
+              SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored)
+              WHERE rank <= 5
             )
-            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
-              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
-              FROM scored)
-            WHERE rank <= 5
+            UNION ALL
+            SELECT 'bq', query_id, neighbor_id, CAST(hamming AS DOUBLE), rank FROM (
+              WITH codes AS (
+                SELECT vec_id,
+                       list_transform(generate_series(0, 1), w ->
+                         CAST(list_sum(list_transform(generate_series(0, 31), j ->
+                           CASE WHEN embedding[w*32 + j + 1] > 0
+                                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)) AS code
+                FROM embeddings
+              ),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(generate_series(1, 2), i ->
+                           CAST(bit_count(xor(q.code[i], c.code[i])) AS BIGINT)))
+                         AS INTEGER) AS hamming
+                FROM codes q JOIN codes c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 5
+              )
+              SELECT query_id, neighbor_id, hamming, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored)
+              WHERE rank <= 5
+            )
         """,
         # Replay of duplicated_spans: sliding 8-token window hashes, global
         # counts, hash semi-join, gaps-and-islands merge (new span when a

@@ -45,6 +45,8 @@ __all__ = [
     "ivfpq_search",
     "sq8_encode",
     "sq8_search",
+    "bq_encode",
+    "bq_search",
 ]
 
 
@@ -732,3 +734,102 @@ def sq8_search(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def bq_encode(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (sign-bit) quantization: 1 bit per dimension, packed 32 dims
+    per 64-bit word — bit ``j`` of word ``w`` is set iff ``v[32w+j] > 0``.
+    A 64-dim float32 embedding (256 bytes) becomes 2 longs; at corpus
+    scale the candidate scan reads 16 bytes/vector and Hamming distance
+    (a sign-agreement count, the standard binary proxy for cosine) is a
+    handful of ``xor`` + ``popcount`` instructions. This is the coarsest
+    tier of the quantization ladder (float32 → SQ8 → PQ → binary), the
+    one vector stores use for first-pass candidate generation.
+
+    32 bits per word (not 64) because the SQL-oracle engine raises on
+    ``1::BIGINT << 63`` overflow while Spark wraps — bits 0..31 keep every
+    intermediate exactly representable on both engines. A production
+    deployment would pack the full 64 bits. Integer arithmetic only, so
+    the packing is bit-exact cross-engine. Map-only, no shuffle.
+
+    Returns (id_col, code array<bigint> of ceil(dim/32) words).
+    """
+    from functools import reduce
+    from operator import add
+
+    v = F.col(vec_col)
+    d = int(dim)
+    nwords = (d + 31) // 32
+    words = []
+    for w in range(nwords):
+        terms = [
+            F.when(
+                F.element_at(v, w * 32 + j + 1) > 0, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+            for j in range(32)
+            if w * 32 + j < d
+        ]
+        words.append(reduce(add, terms))
+    return corpus.select(F.col(id_col), F.array(*words).alias("code"))
+
+
+def bq_search(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Brute-force Hamming top-k over binary codes: queries are binarized
+    with the same sign packing (map-only on the broadcast side), and the
+    distance is ``Σ_w popcount(qcode_w XOR ccode_w)`` — for sign codes
+    this counts disagreeing dimensions, the binary estimator of angular
+    distance (Charikar 2002: P[signs agree] = 1 − θ/π per hyperplane;
+    here the hyperplanes are the coordinate axes).
+
+    Scale shape: the corpus side ships (id, 2 longs) only and never
+    shuffles — broadcast queries, map-side :func:`partition_topk`, then a
+    k×partitions-row rank window. Hamming is integer-valued so ties are
+    common; ``neighbor_id`` breaks them deterministically. Compose with
+    an exact re-rank (:func:`pq_search_rerank`'s stage-2 shape) when
+    score fidelity matters: Hamming's job is cheap candidate generation.
+
+    Returns (query_id, neighbor_id, hamming int, rank ≤ k).
+    """
+    from exon_duckdb_spark.operators.similarity import partition_topk
+
+    q = bq_encode(queries, vec_col, id_col, dim).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("qcode")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("ccode")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("qcode"),
+            F.col("ccode"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    scored = partition_topk(
+        scored, k, "query_id", "hamming", "neighbor_id", ascending=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

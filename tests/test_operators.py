@@ -1154,6 +1154,47 @@ def test_sq8_quantization_near_exact_ranking(spark):
     assert agree >= 5  # at most one tie-flip among 6 rank slots
 
 
+def test_bq_encode_packs_sign_bits_exactly(spark):
+    """Hand-check the 32-dims-per-word packing: bit j of word w is set iff
+    v[32w+j] > 0 (strict — zeros and negatives clear)."""
+    v = [0.0] * 64
+    v[0] = 1.0       # word 0, bit 0
+    v[5] = -2.0      # negative: clear
+    v[31] = 0.5      # word 0, bit 31
+    v[32] = 3.0      # word 1, bit 0
+    v[63] = 1e-9     # word 1, bit 31
+    emb = spark.createDataFrame([(1, v)], ["vec_id", "embedding"])
+    [row] = ops.bq_encode(emb).collect()
+    assert row["code"] == [(1 << 0) | (1 << 31), (1 << 0) | (1 << 31)]
+
+
+def test_bq_search_hamming_equals_sign_disagreements(spark):
+    """bq_search's xor+popcount distance over packed words must equal the
+    direct count of dimensions whose signs disagree, and ranking must be
+    (hamming asc, neighbor_id asc)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.choice([-1.0, 1.0]) for _ in range(64)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = ops.bq_encode(emb)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["hamming"], r["rank"])
+        for r in ops.bq_search(codes, emb.where(F.col("vec_id") < 2), k=11).collect()
+    }
+    vecs = dict(rows)
+    for (qid, nid), (ham, _) in got.items():
+        want = sum(1 for a, b in zip(vecs[qid], vecs[nid]) if (a > 0) != (b > 0))
+        assert ham == want
+    # full ordering check for query 0
+    by_rank = sorted(
+        ((rk, ham, nid) for (qid, nid), (ham, rk) in got.items() if qid == 0)
+    )
+    assert [x[1:] for x in by_rank] == sorted(x[1:] for x in by_rank)
+
+
 def test_duplicated_spans_finds_and_merges_regions(spark):
     """Two docs sharing a 10-token run (> w=4): the shared region must come
     back as ONE merged span per doc with exclusive end; unique text and
