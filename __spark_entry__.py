@@ -2492,8 +2492,9 @@ def q95_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash near-dedup pipeline in one verified pass: signatures
     (q21) → LSH band pairs (q22) → connected-component clusters (q41) →
-    keep-list (q42) + q95's STREAMING incremental band-state variant.
-    Pairs compute once and feed both downstream stages."""
+    keep-list (q42) → leakage-safe train/val/test split (whole clusters in
+    one split) + q95's STREAMING incremental band-state variant.
+    Pairs compute once and feed every downstream stage."""
     docs = _t(spark, sf_dir, "documents")
     sig = ops.minhash_signature(docs, num_hashes=8)
     pairs = ops.minhash_lsh_pairs(
@@ -2501,6 +2502,7 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = ops.dedup_clusters(pairs)
     kept = ops.near_dedup_keep_list(docs, pairs)
+    splits = ops.leakage_safe_split(docs, pairs, train=0.8, val=0.1)
     a = sig.select(
         F.lit("sig").alias("kind"),
         F.col("doc_id").alias("k1"),
@@ -2535,7 +2537,19 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k2"),
         F.col("est_jaccard").alias("val"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+    g = splits.select(
+        F.lit("split").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.col("split").alias("k2"),
+        F.col("group_key").cast("double").alias("val"),
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(e)
+        .unionByName(g)
+    )
 
 
 def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5343,6 +5357,40 @@ def oracle_sql() -> dict[str, str]:
                    concat(CAST(id_b AS VARCHAR), ':', CAST(band AS VARCHAR)),
                    est_jaccard
             FROM ({_stream_minhash_oracle()})
+            UNION ALL
+            -- leakage-safe split: hash the CLUSTER label (min reachable id,
+            -- singletons fall back to their own id) against hash_sample's
+            -- micro thresholds: 0.8 -> 800000, 0.9 -> 900000
+            SELECT 'split', doc_id, split, CAST(grp AS DOUBLE) FROM (
+              WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+              edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+              ),
+              reach(id, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+              ),
+              cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+                     FROM reach GROUP BY id),
+              j AS (
+                SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS grp
+                FROM documents d LEFT JOIN cl USING (doc_id)
+              ),
+              bk AS (
+                SELECT doc_id, grp,
+                       {md5_int_sql("CONCAT('split', ':', CAST(grp AS VARCHAR))")}
+                         % 1000000 AS bucket
+                FROM j
+              )
+              SELECT doc_id, grp,
+                     CASE WHEN bucket < 800000 THEN 'train'
+                          WHEN bucket < 900000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM bk
+            )
         """,
         "q24_text_analysis": f"""
             SELECT a.*, b.predicted_lang, b.score_en, b.score_de, b.score_es,

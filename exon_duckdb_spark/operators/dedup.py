@@ -44,6 +44,7 @@ __all__ = [
     "semantic_dedup",
     "dedup_clusters",
     "near_dedup_keep_list",
+    "leakage_safe_split",
     "decontaminate",
     "contamination_report",
     "paragraph_dedup",
@@ -265,6 +266,59 @@ def near_dedup_keep_list(
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(
         drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    train: float = 0.8,
+    val: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment with a NO-LEAKAGE guarantee:
+    every near-dup cluster lands in exactly one split.
+
+    A naive per-document hash split scatters near-duplicates across
+    train and test — the held-out set then "memorizes for free" and eval
+    numbers inflate (the train/test contamination failure mode
+    decontamination papers warn about, here caused by the split itself).
+    The fix: hash the CLUSTER, not the document. ``pairs`` is any
+    (id_a, id_b) near-dup relation; connected components give each doc
+    its min-reachable-id label, singletons fall back to their own id, and
+    the split decision is ``md5(salt ':' group) mod 1e6`` against micro
+    thresholds (:func:`~exon_duckdb_spark.operators.text.hash_sample`'s
+    convention — reproducible across runs, retries, cluster sizes, and
+    engines). ``test`` fraction is the remainder ``1 − train − val``.
+
+    Scale: cluster state is pairs-sized; the corpus shuffles once for the
+    id-keyed left join; the hash and split decision are map-only codegen.
+    Returns (id_col, group_key bigint, split string).
+    """
+    import math
+
+    from exon_duckdb_spark.operators.text import SAMPLE_BUCKETS
+
+    def micro(f: float) -> int:
+        return int(math.floor(f * SAMPLE_BUCKETS + 0.5))
+
+    if not (0 < train and 0 <= val and train + val < 1):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    clusters = dedup_clusters(pairs)
+    joined = df.select(F.col(id_col)).join(clusters, on=id_col, how="left")
+    group = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    bucket = (
+        md5_int(F.concat(F.lit(salt), F.lit(":"), group.cast("string")))
+        % SAMPLE_BUCKETS
+    )
+    split = (
+        F.when(bucket < micro(train), "train")
+        .when(bucket < micro(train + val), "val")
+        .otherwise("test")
+    )
+    return joined.select(
+        F.col(id_col), group.alias("group_key"), split.alias("split")
     )
 
 

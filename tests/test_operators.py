@@ -1434,6 +1434,37 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     assert out[2] == (want2, 2)
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land in exactly one split; singletons
+    split by their own id; the assignment is deterministic and total."""
+    # identical texts share every band by construction (J=1), so the
+    # pairs are deterministic — this pins cluster cohesion, not LSH recall
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today",
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "an entirely different document about winter weather patterns",
+        3: "an entirely different document about winter weather patterns",
+        4: "completely unrelated third topic with unique words only",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    pairs = ops.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got_pairs and (2, 3) in got_pairs
+    out = ops.leakage_safe_split(docs, pairs, train=0.6, val=0.2)
+    rows = {r["doc_id"]: (r["group_key"], r["split"]) for r in out.collect()}
+    assert set(rows) == set(texts)  # total: every doc assigned
+    assert rows[0] == rows[1] and rows[2] == rows[3]  # clusters together
+    assert rows[4][0] == 4  # singleton groups by own id
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: (r["group_key"], r["split"])
+        for r in ops.leakage_safe_split(docs, pairs, train=0.6, val=0.2).collect()
+    }
+    assert again == rows
+    with pytest.raises(ValueError):
+        ops.leakage_safe_split(docs, pairs, train=0.9, val=0.2)
+
+
 def test_kneser_ney_score_matches_hand_computation(spark):
     """Pin the interpolated-KN arithmetic on a hand-sized corpus:
     P(w2|w1) = max(c2-D,0)/c1 + D*N1+(w1.)/c1 * N1+(.w2)/types."""
