@@ -2684,9 +2684,11 @@ def q29m_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q58 deterministic hash sampling + temperature-flattened mixture
-    sampling (XLM-R §3.1 recipe), each composed with q67's mix report: the
-    dashboard is computed OVER the sampled training mix, so all three
-    operators verify through one result."""
+    sampling (XLM-R §3.1 recipe) + per-source cap (keep each source's 50
+    longest docs — the RefinedWeb anti-domination guard), each composed
+    with q67's mix report: the dashboard is computed OVER the sampled /
+    capped training mix, so all four operators verify through one
+    result."""
     docs = _t(spark, sf_dir, "documents")
     strat = ops.hash_sample(
         docs,
@@ -2697,9 +2699,11 @@ def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmix = ops.temperature_mix(
         docs, group_col="source", tau=0.7, budget_frac=0.5, salt="tmix"
     )
+    capped = ops.per_source_cap(docs, cap=50, score_col="n_chars")
     a = ops.source_mix_report(strat).select(F.lit("strat").alias("mode"), "*")
     b = ops.source_mix_report(tmix).select(F.lit("tmix").alias("mode"), "*")
-    return a.unionByName(b)
+    c = ops.source_mix_report(capped).select(F.lit("cap").alias("mode"), "*")
+    return a.unionByName(b).unionByName(c)
 
 
 def q60m_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5110,10 +5114,22 @@ def oracle_sql() -> dict[str, str]:
                     < r.micro
             )"""
     tmix_mix = sql67.replace("WITH tok AS", f"WITH {tmix_cte}, tok AS", 1)
+    # per-source cap twin: row_number over (source, n_chars desc, id asc),
+    # keep rank <= 50 — the report runs over the capped subset
+    cap_cte = """kept AS (
+              SELECT * FROM (
+                SELECT d.*, row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM documents d
+              ) WHERE rk <= 50
+            )"""
+    cap_mix = sql67.replace("WITH tok AS", f"WITH {cap_cte}, tok AS", 1)
     sampled_mix = f"""
             SELECT 'strat' AS mode, * FROM ({strat_mix})
             UNION ALL
             SELECT 'tmix' AS mode, * FROM ({tmix_mix})
+            UNION ALL
+            SELECT 'cap' AS mode, * FROM ({cap_mix})
         """
 
     # q64 multi-query BM25: one scored block per query (same math as the

@@ -24,6 +24,7 @@ __all__ = [
     "repetition_stats",
     "quality_filter",
     "source_mix_report",
+    "per_source_cap",
     "pii_scrub",
     "perplexity_score",
     "bigram_perplexity_score",
@@ -261,6 +262,45 @@ def source_mix_report(
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.sum(F.col("keep").cast("int")).alias("n_kept"),
         F.round(F.avg(F.col("keep").cast("int")), 6).alias("keep_rate"),
+    )
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int = 50,
+    group_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` documents per
+    ``group_col``, ranked by ``score_col`` (descending by default, ties
+    toward the smaller id) — the RefinedWeb/Gopher-style guard against one
+    domain (a crawler trap, a mirror farm, one mega-site) drowning the
+    training mix. Rank by a quality signal and the cap keeps each source's
+    BEST documents, not a random subset.
+
+    Scale: a naive rank window shuffles the whole corpus keyed by source —
+    and source keys are exactly the skewed ones (that is why the cap
+    exists). :func:`~exon_duckdb_spark.operators.similarity.partition_topk`
+    first reduces map-side to ≤ cap rows per (partition, source), so the
+    window's exchange carries ≤ cap × n_partitions rows per source no
+    matter how large the hot source is. Deterministic output, no UDF in
+    the ranking decision (the reducer is Arrow-batched but exact).
+    """
+    from pyspark.sql import Window
+
+    from exon_duckdb_spark.operators.similarity import partition_topk
+
+    reduced = partition_topk(df, cap, group_col, score_col, id_col, ascending)
+    order = (
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        reduced.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(cap))
+        .drop("_rk")
     )
 
 

@@ -1434,6 +1434,27 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     assert out[2] == (want2, 2)
 
 
+def test_per_source_cap_keeps_best_k_per_source(spark):
+    """Cap keeps the top-k by score within each source (ties to smaller
+    id), leaves under-cap sources whole, and preserves all columns."""
+    rows = [
+        (i, f"doc {i}", "web", 100 - i) for i in range(6)
+    ] + [
+        (10 + i, f"doc {10+i}", "wiki", 50) for i in range(3)  # tied scores
+    ] + [
+        (20, "doc 20", "books", 7)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+    out = ops.per_source_cap(df, cap=2, score_col="n_chars")
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    assert got == {
+        ("web", 0), ("web", 1),     # highest scores
+        ("wiki", 10), ("wiki", 11), # ties -> smallest ids
+        ("books", 20),              # under cap: kept whole
+    }
+    assert set(out.columns) == {"doc_id", "text", "source", "n_chars"}
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Every near-dup cluster must land in exactly one split; singletons
     split by their own id; the assignment is deterministic and total."""
