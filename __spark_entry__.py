@@ -2598,6 +2598,15 @@ def q93_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.mmr_rerank(shortlist, emb, k=5, lam=0.7)
 
 
+def q96_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Rademacher ±1, 64→16 dims)
+    + brute-force cosine top-k in the projected space — the dimensionality
+    -reduction candidate-generation tier. Literal-matrix projection is
+    map-only; the oracle replays the identical signed sums and ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops.rp_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 # messy normalization plant: decomposed accents (e + combining acute),
 # case variance, tab + multi-space runs, trailing whitespace — NFC/lower/
 # collapse each do real work on every planted row
@@ -2637,7 +2646,11 @@ def q27m_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine_sim"),
         "rank",
     )
-    return a.unionByName(b).unionByName(c)
+    d = q96_rp_topk(spark, sf_dir).select(
+        F.lit("rp").alias("variant"), "query_id", "neighbor_id",
+        "cosine_sim", "rank",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q44m_ivf_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3325,6 +3338,43 @@ def _pq_cte() -> str:
               FROM dists
             )
     """
+
+
+def _rp_sql(k: int = 5, out_dim: int = 16, in_dim: int = 64, seed: int = 1) -> str:
+    """SQL twin of operators.similarity.rp_topk: the same plane_signs
+    Rademacher rows (independent family 700+seed), the same left-to-right
+    signed sums (x*±1.0 == ±x in IEEE 754), scaled by 1/√out_dim and
+    rounded 6 dp before the cosine — so the projected vectors are
+    bit-identical and the ranking replays exactly."""
+    import math
+
+    from exon_duckdb_spark.operators.similarity import plane_signs
+
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        signs = plane_signs(j, in_dim, 700 + seed)
+        terms = "".join(
+            (" + " if s > 0 else " - ") + f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(signs)
+        )
+        proj = terms[3:] if terms.startswith(" + ") else terms.strip()
+        comps.append(f"round(({proj}) * {inv!r}, 6)")
+    parr = "[" + ", ".join(comps) + "]"
+    return f"""
+            WITH proj AS (SELECT vec_id, {parr} AS p FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.p, c.p), 6) AS cosine_sim
+              FROM proj q JOIN proj c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 5
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM scored)
+            WHERE rank <= {k}
+        """
 
 
 def _mmr_sql(k: int = 5, lam: float = 0.7, fetch: int = 20) -> str:
@@ -5432,6 +5482,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mmr' AS variant, query_id, neighbor_id,
                    CAST(NULL AS DOUBLE) AS cosine_sim, rank
             FROM ({_mmr_sql()})
+            UNION ALL
+            SELECT 'rp' AS variant, * FROM ({_rp_sql()})
         """,
         # all three verify semantics over the shared char-gram band
         # blocking: gram-hash-set Jaccard (q28), asymmetric gram

@@ -1434,6 +1434,39 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     assert out[2] == (want2, 2)
 
 
+def test_random_projection_preserves_neighborhoods(spark):
+    """JL sanity: with well-separated clusters, projected-space top-1 must
+    recover each query's same-cluster mate; the projection itself is
+    deterministic, out_dim wide, 6-dp rounded."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    base = [
+        [rng.gauss(0, 1) for _ in range(64)] for _ in range(4)
+    ]
+    rows = []
+    for ci, b in enumerate(base):
+        for rep in range(2):  # two near-identical members per cluster
+            rows.append(
+                (ci * 10 + rep, [x + rng.gauss(0, 0.01) for x in b])
+            )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = {r["vec_id"]: r["proj"] for r in ops.random_projection(emb).collect()}
+    assert all(len(p) == 16 for p in proj.values())
+    proj2 = {r["vec_id"]: r["proj"] for r in ops.random_projection(emb).collect()}
+    assert proj == proj2  # deterministic
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ops.rp_topk(emb, queries, k=1).collect()
+    }
+    assert top1 == {0: 1, 10: 11, 20: 21, 30: 31}
+    # a different seed gives a different projection (independent family)
+    other = {r["vec_id"]: r["proj"] for r in ops.random_projection(emb, seed=2).collect()}
+    assert other != proj
+
+
 def test_per_source_cap_keeps_best_k_per_source(spark):
     """Cap keeps the top-k by score within each source (ties to smaller
     id), leaves under-cap sources whole, and preserves all columns."""
