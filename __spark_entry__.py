@@ -2136,7 +2136,7 @@ def q79_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.sq8_search(codes, emb.where(F.col("vec_id") < 5), k=5)
 
 
-def q89_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q97_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary sign quantization (1 bit/dim, 32 dims per bigint word) +
     brute-force Hamming top-k — the coarsest quantization tier: the corpus
     candidate scan reads 16 bytes/vector and distances are xor+popcount.
@@ -2154,7 +2154,7 @@ def q79m_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sq8").alias("mode"), "query_id", "neighbor_id",
         F.col("cosine_sim").cast("double").alias("score"), "rank",
     )
-    b = q89_bq_search(spark, sf_dir).select(
+    b = q97_bq_search(spark, sf_dir).select(
         F.lit("bq").alias("mode"), "query_id", "neighbor_id",
         F.col("hamming").cast("double").alias("score"), "rank",
     )
@@ -2181,6 +2181,13 @@ def q88_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q78 toward CCNet's KenLM filter; catches shuffled/templated junk whose
     word histogram looks fine but whose word ORDER is broken."""
     return ops.bigram_perplexity_score(_t(spark, sf_dir, "documents"))
+
+
+def q98_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (KenLM's smoothing):
+    absolute discount + continuation-count unigram, all four count tables
+    off the one persisted bigram tf table."""
+    return ops.kneser_ney_bigram_score(_t(spark, sf_dir, "documents"))
 
 
 def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2503,6 +2510,7 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = ops.dedup_clusters(pairs)
     kept = ops.near_dedup_keep_list(docs, pairs)
     splits = ops.leakage_safe_split(docs, pairs, train=0.8, val=0.1)
+    reps = ops.quality_keep_list(docs, pairs, score_col="n_chars")
     a = sig.select(
         F.lit("sig").alias("kind"),
         F.col("doc_id").alias("k1"),
@@ -2543,12 +2551,19 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split").alias("k2"),
         F.col("group_key").cast("double").alias("val"),
     )
+    h = reps.select(
+        F.lit("rep").alias("kind"),
+        F.col("doc_id").alias("k1"),
+        F.col("group_key").cast("string").alias("k2"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
     return (
         a.unionByName(b)
         .unionByName(c)
         .unionByName(d)
         .unionByName(e)
         .unionByName(g)
+        .unionByName(h)
     )
 
 
@@ -5456,6 +5471,34 @@ def oracle_sql() -> dict[str, str]:
                           WHEN bucket < 900000 THEN 'val'
                           ELSE 'test' END AS split
               FROM bk
+            )
+            UNION ALL
+            -- quality-ranked representative: argmax n_chars per cluster
+            -- (ties toward smaller id), singletons represent themselves
+            SELECT 'rep', doc_id, CAST(grp AS VARCHAR), CAST(n_chars AS DOUBLE) FROM (
+              WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+              edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+              ),
+              reach(id, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+              ),
+              cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+                     FROM reach GROUP BY id),
+              j AS (
+                SELECT d.doc_id, d.n_chars,
+                       COALESCE(cl.cluster_id, d.doc_id) AS grp
+                FROM documents d LEFT JOIN cl USING (doc_id)
+              )
+              SELECT doc_id, grp, n_chars FROM (
+                SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM j
+              ) WHERE rk = 1
             )
         """,
         "q24_text_analysis": f"""

@@ -81,6 +81,11 @@ HEADLINE = [
     "q77_audio_decode",
     "q78_perplexity_score",
     "q88_bigram_perplexity",
+    "q98_kneser_ney",
+    # quantization ladder + projected-space ANN (round-5 additions)
+    "q79_sq8_search",
+    "q97_bq_search",
+    "q96_rp_topk",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

@@ -45,6 +45,7 @@ __all__ = [
     "dedup_clusters",
     "near_dedup_keep_list",
     "leakage_safe_split",
+    "quality_keep_list",
     "decontaminate",
     "contamination_report",
     "paragraph_dedup",
@@ -266,6 +267,43 @@ def near_dedup_keep_list(
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(
         drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )
+
+
+def quality_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dedup keep-list that keeps each cluster's BEST document by
+    ``score_col`` (ties toward the smaller id) instead of
+    :func:`near_dedup_keep_list`'s arbitrary min-id representative.
+
+    When near-duplicates differ — one copy truncated, one ad-injected,
+    one clean — the curation-correct choice is the highest-quality copy,
+    not the smallest id. Connected components label each doc with its
+    cluster (singletons fall back to their own id), and one rank window
+    per cluster picks the argmax-score member.
+
+    Scale: cluster state is pairs-sized; one id-keyed left join; one rank
+    window keyed on the cluster label — near-dup clusters are small by
+    construction (and singleton groups are size 1), so no hot key. Returns
+    the representative rows of ``df`` with an added ``group_key`` column.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs)
+    joined = df.join(clusters, on=id_col, how="left")
+    grp = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    w = Window.partitionBy(grp).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("group_key", grp)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", "cluster_id")
     )
 
 

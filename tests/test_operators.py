@@ -1519,6 +1519,22 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         ops.leakage_safe_split(docs, pairs, train=0.9, val=0.2)
 
 
+def test_quality_keep_list_keeps_best_cluster_member(spark):
+    """The representative is the argmax-score member (NOT the min id);
+    singletons keep themselves; output carries the source columns."""
+    texts = [
+        (0, "dup text one", 10),
+        (1, "dup text one", 99),   # same cluster as 0, higher score
+        (2, "dup text one", 99),   # tie with 1 -> smaller id wins
+        (3, "unique text here", 5),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text", "n_chars"])
+    pairs = ops.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5)
+    out = {r["doc_id"]: r["group_key"] for r in
+           ops.quality_keep_list(docs, pairs).collect()}
+    assert out == {1: 0, 3: 3}  # doc 1 represents cluster 0; 3 itself
+
+
 def test_kneser_ney_score_matches_hand_computation(spark):
     """Pin the interpolated-KN arithmetic on a hand-sized corpus:
     P(w2|w1) = max(c2-D,0)/c1 + D*N1+(w1.)/c1 * N1+(.w2)/types."""
