@@ -2684,7 +2684,16 @@ def q44m_ivf_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = q69_ivf_kmeans_search(spark, sf_dir).select(
         F.lit("kmeans").alias("variant"), "query_id", "neighbor_id", "cosine_sim", "rank"
     )
-    return a.unionByName(b).unionByName(c)
+    # hard-negative mining shares the family's deterministic quantizer:
+    # top-k most-similar vectors OUTSIDE the query's own coarse cluster
+    emb = _t(spark, sf_dir, "embeddings")
+    d = ops.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 5), k=5, nlist=16
+    ).select(
+        F.lit("hneg").alias("variant"), "query_id", "neighbor_id",
+        "cosine_sim", "rank",
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q29m_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5556,6 +5565,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'persisted' AS variant, * FROM ({C['q68_ivf_persisted_search']})
             UNION ALL
             SELECT 'kmeans' AS variant, * FROM ({C['q69_ivf_kmeans_search']})
+            UNION ALL
+            -- hard negatives: same seed quantizer (16 smallest-id vectors,
+            -- round-6 cosine assignment, ties to smaller cid); top-5
+            -- cosine among DIFFERENT-cluster vectors per query
+            SELECT 'hneg' AS variant, query_id, neighbor_id, cosine_sim, rank FROM (
+              WITH cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id ASC LIMIT 16)
+              ),
+              asgn AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                    c.cvec), 6) AS csim
+                FROM embeddings e CROSS JOIN cent c
+              ),
+              clustered AS (
+                SELECT vec_id, embedding, cid FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY csim DESC, cid ASC) AS rn
+                  FROM asgn)
+                WHERE rn = 1
+              ),
+              scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(c.embedding AS DOUBLE[])), 6)
+                         AS cosine_sim
+                FROM clustered q JOIN clustered c
+                  ON q.vec_id != c.vec_id AND q.cid != c.cid
+                WHERE q.vec_id < 5
+              )
+              SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER)
+                            AS rank
+                FROM scored)
+              WHERE rank <= 5
+            )
         """,
         "q58_sampled_mix_report": sampled_mix,
         "q60_quality_stats": f"""

@@ -45,6 +45,7 @@ __all__ = [
     "mmr_rerank",
     "random_projection",
     "rp_topk",
+    "hard_negatives",
 ]
 
 
@@ -1033,6 +1034,86 @@ def _centroid_sim_structs(
         sim = F.round(dot(vec, lit_arr) / (vn * F.lit(cnorm)), 6)
         out.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
     return out
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cents: list | None = None,
+    literal_limit: int = 512,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per query,
+    the top-k most-similar corpus vectors that sit in a DIFFERENT coarse
+    cluster than the query.
+
+    The contrastive recipe (SimCLR/DPR-style) wants negatives that are
+    similar enough to be informative but not true positives; "nearest
+    neighbors outside my own cluster" is the standard distributed proxy —
+    same-cluster mates are likely positives/near-dups (exactly what
+    SemDeDup removes), different-cluster near-misses are the gradient-rich
+    negatives. The cluster assignment is the IVF family's deterministic
+    quantizer (round-6 cosine, ties toward the smaller cid), so one
+    quantizer serves retrieval, SemDeDup AND mining — and a SQL oracle
+    replays the decisions bit-for-bit.
+
+    Scale: assignment is map-only (broadcast literal centroids under
+    ``literal_limit``, Arrow numpy matmul past it); scoring is the
+    :func:`cosine_topk` shape — broadcast queries, corpus never shuffles,
+    map-side :func:`partition_topk` before the rank window.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    if cents is None:
+        cents = _seed_centroids(corpus, nlist, vec_col, id_col)
+    dims = len(cents[0][1]) if cents else 0
+    use_numpy = len(cents) * dims > literal_limit
+    if use_numpy:
+        assign_cid, _ = _numpy_assigners(cents, 1)
+
+    def assigned(df_, idname, vecname, normname):
+        base = df_.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            _norm(F.col(vec_col)).alias(normname),
+        )
+        if use_numpy:
+            cid = assign_cid(F.col(vecname))
+        else:
+            cid = (
+                -F.array_max(
+                    F.array(
+                        *_centroid_sim_structs(
+                            cents, F.col(vecname), F.col(normname)
+                        )
+                    )
+                ).getField("nc")
+            ).cast("int")
+        return base.withColumn(f"_{idname}_cid", cid)
+
+    c = assigned(corpus, "neighbor_id", "nvec", "nn")
+    q = assigned(queries, "query_id", "query_vec", "qn")
+    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("_neighbor_id_cid") != F.col("_query_id_cid"))
+        )
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    )
+    scored = partition_topk(
+        scored, k, "query_id", "cosine_sim", "neighbor_id", ascending=False
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def ivf_topk(

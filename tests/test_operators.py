@@ -1434,6 +1434,46 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     assert out[2] == (want2, 2)
 
 
+def test_hard_negatives_excludes_own_cluster(spark):
+    """No returned negative may share the query's coarse cluster, and
+    within the eligible set the ranking is exact cosine."""
+    import math
+
+    # two tight clusters along orthogonal axes + noise dims
+    def vec(axis, wobble):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[axis + 2] = wobble
+        return v
+
+    rows = [(i, vec(0, 0.01 * i)) for i in range(4)]          # cluster A
+    rows += [(10 + i, vec(1, 0.01 * i)) for i in range(4)]    # cluster B
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ops.hard_negatives(
+        emb, emb.where(F.col("vec_id") == 0), k=3, nlist=2
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    # seed centroids = vecs 0 and 1 -> both in cluster A's direction; all
+    # B vectors assign to whichever seed they are closer to. The guarantee
+    # under test: no neighbor shares the query's cid and ranks are dense.
+    assert len(got) == 3 and [r for _, r in got] == [1, 2, 3]
+    qcid_rows = {r["neighbor_id"] for r in out}
+    assert 0 not in qcid_rows  # self excluded
+    # recompute cids exactly as the operator does and assert exclusion
+    from exon_duckdb_spark.operators.similarity import _seed_centroids
+    cents = _seed_centroids(emb, 2, "embedding", "vec_id")
+    import numpy as np
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    def cid(v):
+        v = np.asarray(v, dtype=np.float64)
+        sims = np.round(C @ v / (Cn * np.linalg.norm(v)), 6)
+        return int(np.lexsort((np.arange(len(sims)), -sims))[0])
+    vecs = dict(rows)
+    q = cid(vecs[0])
+    assert all(cid(vecs[n]) != q for n in qcid_rows)
+
+
 def test_random_projection_preserves_neighborhoods(spark):
     """JL sanity: with well-separated clusters, projected-space top-1 must
     recover each query's same-cluster mate; the projection itself is
