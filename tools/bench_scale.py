@@ -84,6 +84,7 @@ SCALE_SET = [
     "q72_tfidf_top_terms",
     "q78_perplexity_score",
     "q88_bigram_perplexity",
+    "q98_kneser_ney",
     "q80_duplicated_spans",
     "q07_events_hourly",
     "q10_sessionize",
@@ -311,6 +312,62 @@ def mmr_scaled(spark, sf_dir, n_rows):
     return mmr_rerank(shortlist, emb, k=5, lam=0.7)
 
 
+def bq_scaled(spark, sf_dir, n_rows):
+    """Binary-quantized Hamming search at scale: the corpus side ships
+    (id, 2 longs) only — the ratio pins that the candidate scan stays the
+    cheapest tier as n grows."""
+    from exon_duckdb_spark.operators.pq import bq_encode, bq_search
+
+    emb = _emb(spark, sf_dir)
+    codes = bq_encode(emb)
+    return bq_search(codes, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def rp_scaled(spark, sf_dir, n_rows):
+    """JL-projected brute-force top-k at scale: map-only 64→16 projection,
+    then the cosine_topk shape over quarter-width vectors."""
+    from exon_duckdb_spark.operators.similarity import rp_topk
+
+    emb = _emb(spark, sf_dir)
+    return rp_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def hard_neg_scaled(spark, sf_dir, n_rows):
+    """Hard-negative mining with nlist ∝ n (the quantizer's scale knob,
+    like semantic_dedup): assignment stays map-only, scoring stays the
+    broadcast-query shape."""
+    from exon_duckdb_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    nlist = max(16, n_rows // 125)
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 5), k=5, nlist=nlist)
+
+
+def per_source_cap_scaled(spark, sf_dir, n_rows):
+    """Per-source cap at scale: partition_topk must hold the rank window's
+    input at cap × n_partitions rows per source as documents grow 10x."""
+    from exon_duckdb_spark.operators.quality import per_source_cap
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return per_source_cap(docs, cap=50, score_col="n_chars")
+
+
+def leakage_split_scaled(spark, sf_dir, n_rows):
+    """Cluster-aware split at scale: LSH pairs + CC + one id-keyed join +
+    map-only hash — the composite should track the pairs stage (already
+    measured alone as q22), not add a superlinear term."""
+    from exon_duckdb_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, shingle=3
+    )
+    return leakage_safe_split(docs, pairs, train=0.8, val=0.1)
+
+
 EMB_SET = {
     "emb_dedup_auto_planes": emb_dedup_auto,
     "ann_topk_auto_planes": ann_topk_auto,
@@ -318,6 +375,11 @@ EMB_SET = {
     "ivfpq_search": ivfpq_scaled,
     "pq_rerank": pq_rerank_scaled,
     "mmr_rerank": mmr_scaled,
+    "bq_hamming_search": bq_scaled,
+    "rp_projected_topk": rp_scaled,
+    "hard_negatives_nlist_scaled": hard_neg_scaled,
+    "per_source_cap": per_source_cap_scaled,
+    "leakage_safe_split": leakage_split_scaled,
 }
 
 
