@@ -2716,7 +2716,19 @@ def q29m_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid"),
         F.col("keep"),
     )
-    return lsh.unionByName(sem)
+    # margin-based bitext mining across label groups 0/1: score carries
+    # the margin ratio, keep carries the mutual ("intersection") flag
+    bt = ops.bitext_margin_pairs(
+        _t(spark, sf_dir, "embeddings"), label_a=0, label_b=1, k=4
+    ).select(
+        F.lit("bitext").alias("variant"),
+        "id_a",
+        "id_b",
+        F.col("margin").alias("score"),
+        F.lit(None).cast("int").alias("cid"),
+        F.col("mutual").alias("keep"),
+    )
+    return lsh.unionByName(sem).unionByName(bt)
 
 
 def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5558,6 +5570,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sem' AS variant, vec_id AS id_a, dup_of AS id_b,
                    dup_cos AS score, cid, keep
             FROM ({C['q83_semantic_dedup']})
+            UNION ALL
+            -- margin-based bitext mining (labels 0 vs 1, k=4): forward
+            -- best-margin candidate per x, mutual = y's backward choice
+            -- is x; margins and neighborhood averages rounded 6 dp
+            SELECT 'bitext' AS variant, id_a, id_b, margin AS score,
+                   CAST(NULL AS INTEGER) AS cid, mutual AS keep FROM (
+              WITH sa AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+              sb AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+              nna AS (
+                SELECT * FROM (
+                  SELECT query_id, neighbor_id, cosine_sim,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+                  FROM (
+                    SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                           round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                        CAST(y.embedding AS DOUBLE[])), 6)
+                             AS cosine_sim
+                    FROM sa x JOIN sb y ON x.vec_id != y.vec_id))
+                WHERE rk <= 4
+              ),
+              nnb AS (
+                SELECT * FROM (
+                  SELECT query_id, neighbor_id, cosine_sim,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rk
+                  FROM (
+                    SELECT y.vec_id AS query_id, x.vec_id AS neighbor_id,
+                           round(list_cosine_similarity(CAST(y.embedding AS DOUBLE[]),
+                                                        CAST(x.embedding AS DOUBLE[])), 6)
+                             AS cosine_sim
+                    FROM sb y JOIN sa x ON y.vec_id != x.vec_id))
+                WHERE rk <= 4
+              ),
+              avga AS (SELECT query_id, round(avg(cosine_sim), 6) AS avg_a
+                       FROM nna GROUP BY query_id),
+              avgb AS (SELECT query_id, round(avg(cosine_sim), 6) AS avg_b
+                       FROM nnb GROUP BY query_id),
+              fwd AS (
+                SELECT id_a, id_b, cosine_sim, margin FROM (
+                  SELECT id_a, id_b, cosine_sim, margin,
+                         row_number() OVER (PARTITION BY id_a
+                             ORDER BY margin DESC, id_b ASC) AS rk
+                  FROM (
+                    SELECT n.query_id AS id_a, n.neighbor_id AS id_b,
+                           n.cosine_sim,
+                           round(n.cosine_sim / ((aa.avg_a + bb.avg_b) / 2), 6)
+                             AS margin
+                    FROM nna n
+                    JOIN avga aa ON aa.query_id = n.query_id
+                    JOIN avgb bb ON bb.query_id = n.neighbor_id))
+                WHERE rk = 1
+              ),
+              bwd AS (
+                SELECT id_a, id_b FROM (
+                  SELECT id_a, id_b,
+                         row_number() OVER (PARTITION BY id_b
+                             ORDER BY margin DESC, id_a ASC) AS rk
+                  FROM (
+                    SELECT n.neighbor_id AS id_a, n.query_id AS id_b,
+                           round(n.cosine_sim / ((aa.avg_a + bb.avg_b) / 2), 6)
+                             AS margin
+                    FROM nnb n
+                    JOIN avgb bb ON bb.query_id = n.query_id
+                    JOIN avga aa ON aa.query_id = n.neighbor_id))
+                WHERE rk = 1
+              )
+              SELECT f.id_a, f.id_b, f.cosine_sim, f.margin,
+                     (w.id_a IS NOT NULL) AS mutual
+              FROM fwd f LEFT JOIN bwd w
+                ON f.id_a = w.id_a AND f.id_b = w.id_b
+            )
         """,
         "q44_ivf_variants": f"""
             SELECT 'inline' AS variant, * FROM ({C['q44_ivf_ann_topk']})

@@ -46,6 +46,7 @@ __all__ = [
     "random_projection",
     "rp_topk",
     "hard_negatives",
+    "bitext_margin_pairs",
 ]
 
 
@@ -1034,6 +1035,93 @@ def _centroid_sim_structs(
         sim = F.round(dot(vec, lit_arr) / (vn * F.lit(cnorm)), 6)
         out.append(F.struct(sim.alias("s"), F.lit(-cid).alias("nc")))
     return out
+
+
+def bitext_margin_pairs(
+    emb: DataFrame,
+    label_a: int = 0,
+    label_b: int = 1,
+    k: int = 4,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings"): find
+    cross-group pairs (x ∈ A, y ∈ B) whose cosine stands out from each
+    side's local neighborhood —
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k is the mean cosine to the k nearest cross-side
+    neighbors. Raw cosine over-selects hub vectors (high similarity to
+    EVERYTHING); dividing by the local density is what made LASER-style
+    mining work — the same ratio test, here as the parallel-data /
+    cross-source alignment operator of the pipeline.
+
+    Per x, the candidate maximizing margin among its k NN is the forward
+    choice; ``mutual`` marks pairs where y's backward choice is x — the
+    paper's "intersection" strategy, its highest-precision setting.
+
+    Scale: two :func:`cosine_topk` passes (each side broadcast as the
+    query set of the other — at corpus scale feed both sides through an
+    ANN tier (IVF/BQ/RP) first and reuse this margin+mutual tail over the
+    shortlists); everything after is candidate-sized: two k-row-per-id
+    averages, id-keyed joins, two rank windows, one pair-keyed semi-join.
+    All arithmetic rounds at 6 dp so a SQL oracle replays every decision.
+
+    Returns (id_a, id_b, cosine_sim, margin, mutual).
+    """
+    A = emb.where(F.col(label_col) == label_a)
+    B = emb.where(F.col(label_col) == label_b)
+    nnA = cosine_topk(B, A, k=k, vec_col=vec_col, id_col=id_col)
+    nnB = cosine_topk(A, B, k=k, vec_col=vec_col, id_col=id_col)
+    avgA = nnA.groupBy("query_id").agg(
+        F.round(F.avg("cosine_sim"), 6).alias("_avg_a")
+    )
+    avgB = nnB.groupBy("query_id").agg(
+        F.round(F.avg("cosine_sim"), 6).alias("_avg_b")
+    )
+
+    def best(nn, my_avg, other_avg, my_key, other_key):
+        cand = (
+            nn.select(
+                F.col("query_id").alias(my_key),
+                F.col("neighbor_id").alias(other_key),
+                "cosine_sim",
+            )
+            .join(my_avg.withColumnRenamed("query_id", my_key), my_key)
+            .join(other_avg.withColumnRenamed("query_id", other_key), other_key)
+        )
+        margin = F.round(
+            F.col("cosine_sim") / ((F.col("_avg_a") + F.col("_avg_b")) / 2), 6
+        )
+        cand = cand.withColumn("margin", margin)
+        w = Window.partitionBy(my_key).orderBy(
+            F.col("margin").desc(), F.col(other_key).asc()
+        )
+        return (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk", "_avg_a", "_avg_b")
+        )
+
+    fwd = best(nnA, avgA, avgB, "id_a", "id_b")
+    bwd = best(nnB, avgB, avgA, "id_b", "id_a").select(
+        F.col("id_a").alias("_ba"), F.col("id_b").alias("_bb")
+    )
+    out = fwd.join(
+        bwd,
+        (F.col("id_a") == F.col("_ba")) & (F.col("id_b") == F.col("_bb")),
+        "left",
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "cosine_sim",
+        "margin",
+        F.col("_ba").isNotNull().alias("mutual"),
+    )
 
 
 def hard_negatives(

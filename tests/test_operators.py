@@ -1434,6 +1434,27 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     assert out[2] == (want2, 2)
 
 
+def test_bitext_margin_mining_finds_mutual_translations(spark):
+    """Planted parallel pairs (near-identical vectors across the two label
+    groups) must come back as mutual best-margin pairs; the margin of a
+    true pair exceeds that of its non-parallel candidates."""
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(6):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i, base, 0))                                # side A
+        rows.append((100 + i, [x + rng.gauss(0, 0.02) for x in base], 1))  # its "translation"
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        (r["id_a"], r["id_b"]): (r["margin"], r["mutual"])
+        for r in ops.bitext_margin_pairs(emb, 0, 1, k=3).collect()
+    }
+    assert set(out) == {(i, 100 + i) for i in range(6)}
+    assert all(m > 1.0 and mut for m, mut in out.values())
+
+
 def test_hard_negatives_excludes_own_cluster(spark):
     """No returned negative may share the query's coarse cluster, and
     within the eligible set the ranking is exact cosine."""
