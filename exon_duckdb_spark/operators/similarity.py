@@ -1045,6 +1045,7 @@ def bitext_margin_pairs(
     label_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    topk=None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     Parallel Corpus Mining with Multilingual Sentence Embeddings"): find
@@ -1064,18 +1065,22 @@ def bitext_margin_pairs(
     paper's "intersection" strategy, its highest-precision setting.
 
     Scale: two :func:`cosine_topk` passes (each side broadcast as the
-    query set of the other — at corpus scale feed both sides through an
-    ANN tier (IVF/BQ/RP) first and reuse this margin+mutual tail over the
-    shortlists); everything after is candidate-sized: two k-row-per-id
-    averages, id-keyed joins, two rank windows, one pair-keyed semi-join.
-    All arithmetic rounds at 6 dp so a SQL oracle replays every decision.
+    query set of the other). Brute force is quadratic in the side sizes —
+    at corpus scale pass ``topk`` (any (corpus, queries, k, vec_col,
+    id_col) ranker: :func:`rp_topk`, an IVF probe, a BQ-Hamming shortlist
+    + exact rerank) and the margin+mutual tail runs unchanged over the
+    shortlists; everything after the NN stage is candidate-sized: two
+    k-row-per-id averages, id-keyed joins, two rank windows, one
+    pair-keyed semi-join. All arithmetic rounds at 6 dp so a SQL oracle
+    replays every decision.
 
     Returns (id_a, id_b, cosine_sim, margin, mutual).
     """
+    nn = topk or cosine_topk
     A = emb.where(F.col(label_col) == label_a)
     B = emb.where(F.col(label_col) == label_b)
-    nnA = cosine_topk(B, A, k=k, vec_col=vec_col, id_col=id_col)
-    nnB = cosine_topk(A, B, k=k, vec_col=vec_col, id_col=id_col)
+    nnA = nn(B, A, k=k, vec_col=vec_col, id_col=id_col)
+    nnB = nn(A, B, k=k, vec_col=vec_col, id_col=id_col)
     avgA = nnA.groupBy("query_id").agg(
         F.round(F.avg("cosine_sim"), 6).alias("_avg_a")
     )

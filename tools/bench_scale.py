@@ -368,6 +368,21 @@ def leakage_split_scaled(spark, sf_dir, n_rows):
     return leakage_safe_split(docs, pairs, train=0.8, val=0.1)
 
 
+def bitext_scaled(spark, sf_dir, n_rows):
+    """Bitext mining at scale THROUGH an ANN backend: the NN stage runs in
+    JL-projected space (quarter-width vectors) instead of brute-force
+    64-dim cosine — the composition the operator documents for corpora
+    where the sides are too big to cross-join. The margin+mutual tail is
+    candidate-sized either way."""
+    from exon_duckdb_spark.operators.similarity import (
+        bitext_margin_pairs,
+        rp_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return bitext_margin_pairs(emb, 0, 1, k=4, topk=rp_topk)
+
+
 EMB_SET = {
     "emb_dedup_auto_planes": emb_dedup_auto,
     "ann_topk_auto_planes": ann_topk_auto,
@@ -380,6 +395,7 @@ EMB_SET = {
     "hard_negatives_nlist_scaled": hard_neg_scaled,
     "per_source_cap": per_source_cap_scaled,
     "leakage_safe_split": leakage_split_scaled,
+    "bitext_rp_backend": bitext_scaled,
 }
 
 
