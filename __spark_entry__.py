@@ -2507,10 +2507,16 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ops.minhash_lsh_pairs(
         docs, num_hashes=16, bands=4, threshold=0.8, shingle=3
     )
+    # CC runs ONCE: the cluster table feeds keep-list, split and
+    # representative selection (each would otherwise re-iterate it)
     clusters = ops.dedup_clusters(pairs)
-    kept = ops.near_dedup_keep_list(docs, pairs)
-    splits = ops.leakage_safe_split(docs, pairs, train=0.8, val=0.1)
-    reps = ops.quality_keep_list(docs, pairs, score_col="n_chars")
+    kept = ops.near_dedup_keep_list(docs, pairs, clusters=clusters)
+    splits = ops.leakage_safe_split(
+        docs, pairs, train=0.8, val=0.1, clusters=clusters
+    )
+    reps = ops.quality_keep_list(
+        docs, pairs, score_col="n_chars", clusters=clusters
+    )
     a = sig.select(
         F.lit("sig").alias("kind"),
         F.col("doc_id").alias("k1"),

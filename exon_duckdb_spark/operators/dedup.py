@@ -255,6 +255,7 @@ def near_dedup_keep_list(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Documents to KEEP after near-dedup: drop every doc whose cluster has a
     smaller member (the canonical representative survives).
@@ -262,8 +263,12 @@ def near_dedup_keep_list(
     ``pairs`` is any (id_a, id_b) near-dup relation (minhash_lsh_pairs,
     ngram_jaccard_pairs, embedding_dup_pairs). Anti-join keyed by id — the
     corpus shuffles once; cluster state is pairs-sized, not corpus-sized.
+    ``clusters`` takes a precomputed :func:`dedup_clusters` table so a
+    pipeline running several cluster consumers (keep-list, split,
+    representatives) runs the CC iterations ONCE.
     """
-    clusters = dedup_clusters(pairs)
+    if clusters is None:
+        clusters = dedup_clusters(pairs)
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(
         drop.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
@@ -275,6 +280,7 @@ def quality_keep_list(
     pairs: DataFrame,
     score_col: str = "n_chars",
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dedup keep-list that keeps each cluster's BEST document by
     ``score_col`` (ties toward the smaller id) instead of
@@ -293,7 +299,8 @@ def quality_keep_list(
     """
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(pairs)
+    if clusters is None:
+        clusters = dedup_clusters(pairs)
     joined = df.join(clusters, on=id_col, how="left")
     grp = F.coalesce(F.col("cluster_id"), F.col(id_col))
     w = Window.partitionBy(grp).orderBy(
@@ -314,6 +321,7 @@ def leakage_safe_split(
     val: float = 0.1,
     id_col: str = "doc_id",
     salt: str = "split",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test assignment with a NO-LEAKAGE guarantee:
     every near-dup cluster lands in exactly one split.
@@ -343,7 +351,8 @@ def leakage_safe_split(
 
     if not (0 < train and 0 <= val and train + val < 1):
         raise ValueError("need 0 < train, 0 <= val, train + val < 1")
-    clusters = dedup_clusters(pairs)
+    if clusters is None:
+        clusters = dedup_clusters(pairs)
     joined = df.select(F.col(id_col)).join(clusters, on=id_col, how="left")
     group = F.coalesce(F.col("cluster_id"), F.col(id_col))
     bucket = (

@@ -521,23 +521,32 @@ def kneser_ney_bigram_score(
     never clips here; it stays in the expression for formula fidelity.
 
     All four count tables derive from the one persisted (doc, bigram) tf
-    table (single corpus scan): c(w1 w2) and c(w1) as in the sibling
-    scorers; N1+(w1 ·) / N1+(· w2) are COUNT(*) over the distinct-bigram
-    table grouped by first / second word; N1+(· ·) is its row count,
-    riding a broadcast 1-row stats frame. Per doc: ``avg_logprob`` = mean
-    ln P over its transitions (6 dp), ``n_transitions``; < 2-token docs
-    are omitted.
+    table (single corpus scan). The bigram count table ``c2`` is itself
+    persisted here: four consumers read it (the scoring join, the fused
+    per-first-word aggregate, the per-second-word aggregate, the types
+    count), and without the persist each would re-aggregate it from tf2 —
+    measured 1.9 s → where the add-one sibling runs 0.66 s at sf0.1.
+    ``c(w1)`` and ``N1+(w1 ·)`` come from ONE aggregate over c2
+    (``c(w1) = Σ_w2 c(w1 w2)`` exactly, integer arithmetic — identical to
+    the ctx table the siblings use), so the first-word key joins once;
+    ``N1+(· ·)`` rides a broadcast 1-row frame. Per doc: ``avg_logprob``
+    = mean ln P over its transitions (6 dp), ``n_transitions``; < 2-token
+    docs are omitted.
 
-    Scale: the :func:`interpolated_bigram_score` shape exactly — one
-    (doc, bigram) tf shuffle plus word-keyed count joins (bigram and word
+    Scale: the :func:`interpolated_bigram_score` shape — one (doc,
+    bigram) tf shuffle plus word-keyed count joins (bigram and word
     tables are NOT broadcastable at corpus scale), one id-keyed weighted
-    average. All linear, no UDF, no driver data path.
+    average. All linear, no UDF, no driver data path. Cache lifecycle:
+    caller-owned, as for the persisted tf2/ctx lineage.
     """
+    from pyspark import StorageLevel
+
     d = float(discount)
-    tf2, c2, ctx = _bigram_tf_tables(df, text_col, id_col)
-    n1f = c2.groupBy(
+    tf2, c2, _ = _bigram_tf_tables(df, text_col, id_col)
+    c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
+    w1stats = c2.groupBy(
         F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
-    ).agg(F.count("*").alias("_n1f"))
+    ).agg(F.sum("_c2").alias("_c1"), F.count("*").alias("_n1f"))
     n1b = c2.groupBy(
         F.substring_index(F.col("_bg"), " ", -1).alias("_w2")
     ).agg(F.count("*").alias("_n1b"))
@@ -550,8 +559,7 @@ def kneser_ney_bigram_score(
     scored = (
         tf2.join(c2, "_bg")
         .withColumn("_w1", F.substring_index(F.col("_bg"), " ", 1))
-        .join(ctx, "_w1")
-        .join(n1f, "_w1")
+        .join(w1stats, "_w1")
         .withColumn("_w2", F.substring_index(F.col("_bg"), " ", -1))
         .join(n1b, "_w2")
         .crossJoin(F.broadcast(stats))

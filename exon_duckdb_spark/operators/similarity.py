@@ -153,6 +153,7 @@ def random_projection(
     seed: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    literal_limit: int = 512,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with a Rademacher
     (±1) matrix: ``proj_j = (Σ_i R[j,i]·v_i) / √out_dim``, rounded 6 dp.
@@ -162,11 +163,19 @@ def random_projection(
     standard preprocessing that makes every downstream ANN tier (IVF, PQ,
     brute-force) 4× cheaper at 64→16 dims before any index is built. A ±1
     matrix (Achlioptas 2003) loses nothing over Gaussian and keeps the
-    arithmetic exactly replayable: rows come from :func:`plane_signs`
-    (independent family per ``seed``), are embedded as LITERALS so
-    executors do zero hashing per row, and the inner sum folds in index
-    order — a SQL oracle reproduces every value. Map-only, no shuffle; at
-    corpus scale this is a projection pushed into the scan stage.
+    arithmetic replayable: rows come from :func:`plane_signs` (independent
+    family per ``seed``). Map-only, no shuffle; at corpus scale this is a
+    projection pushed into the scan stage.
+
+    Assignment paths, the IVF family's convention: literal sign arrays +
+    index-order folds when ``out_dim × in_dim <= literal_limit`` (a SQL
+    oracle reproduces every bit), else an Arrow-batched numpy matmul with
+    the matrix in the UDF closure — the 16×64 literal tree measured ~2 s
+    of pure driver plan-build per call before any job ran, the same
+    pathology ivf_topk's cutoff exists for. The matmul sums in a
+    different order than the fold (last-ulp differences absorbed by the
+    6 dp round — the `_numpy_assigners` precedent); NULL/ragged vectors
+    yield NULL in both paths.
 
     Returns (id_col, proj array<double> of out_dim).
     """
@@ -177,6 +186,22 @@ def random_projection(
         plane_signs(plane=j, dims=in_dim, table=700 + seed)
         for j in range(out_dim)
     ]
+    if out_dim * in_dim > literal_limit:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from exon_duckdb_spark.operators.pq import _stack_valid
+
+        R = np.array(rows, dtype=np.float64)  # out_dim × in_dim
+
+        @pandas_udf("array<double>")
+        def proj_udf(vecs):
+            ok, M = _stack_valid(vecs, R.shape[1])
+            P = np.round(M @ R.T * inv, 6)
+            return pd.Series([p if k else None for k, p in zip(ok, P)])
+
+        return df.select(F.col(id_col), proj_udf(F.col(vec_col)).alias("proj"))
     proj = F.array(
         *[
             F.round(
