@@ -2764,11 +2764,17 @@ def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60m_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q60 repetition ratios + q61 composite quality gate collated on
     doc_id (both map-only; n_tokens/dup_3gram_frac deduped — q61 already
-    carries the 3-gram fraction)."""
+    carries the 3-gram fraction) + curriculum shard tier (histogram-based
+    global order statistic over n_chars, 4 tiers — no corpus sort)."""
     rep = q60_repetition_stats(spark, sf_dir).select(
         "doc_id", "dup_word_frac", "dup_2gram_frac"
     )
-    return q61_quality_filter(spark, sf_dir).join(rep, "doc_id")
+    shards = ops.curriculum_shards(
+        _t(spark, sf_dir, "documents"), n_shards=4, score_col="n_chars"
+    ).select("doc_id", "shard")
+    return q61_quality_filter(spark, sf_dir).join(rep, "doc_id").join(
+        shards, "doc_id"
+    )
 
 
 def q62m_pii_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5697,10 +5703,30 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "q58_sampled_mix_report": sampled_mix,
+        # curriculum shard twin: exclusive cumulative counts over the
+        # DISTINCT round-6 score histogram, shard = floor(cum_before*k/n)
         "q60_quality_stats": f"""
-            SELECT a.*, b.dup_word_frac, b.dup_2gram_frac
+            SELECT a.*, b.dup_word_frac, b.dup_2gram_frac, c.shard
             FROM ({C['q61_quality_filter']}) a
             JOIN ({C['q60_repetition_stats']}) b USING (doc_id)
+            JOIN (
+              WITH h AS (
+                SELECT round(CAST(n_chars AS DOUBLE), 6) AS s, count(*) AS c
+                FROM documents GROUP BY 1
+              ),
+              tot AS (SELECT sum(c) AS n FROM h),
+              cum AS (
+                SELECT s, COALESCE(SUM(c) OVER (ORDER BY s ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS cumb
+                FROM h
+              ),
+              bnd AS (SELECT s, CAST(floor(cumb * 4 / n) AS INTEGER) AS shard
+                      FROM cum, tot)
+              SELECT d.doc_id, bnd.shard
+              FROM documents d
+              JOIN bnd ON round(CAST(d.n_chars AS DOUBLE), 6) = bnd.s
+            ) c USING (doc_id)
         """,
         "q62_pii_decontaminate": f"""
             WITH corpus0 AS (

@@ -25,6 +25,7 @@ __all__ = [
     "quality_filter",
     "source_mix_report",
     "per_source_cap",
+    "curriculum_shards",
     "pii_scrub",
     "perplexity_score",
     "bigram_perplexity_score",
@@ -302,6 +303,57 @@ def per_source_cap(
         .where(F.col("_rk") <= int(cap))
         .drop("_rk")
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    n_shards: int = 4,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum sharding: assign every document to one of ``n_shards``
+    difficulty tiers by global score order (shard 0 = lowest scores) —
+    the data-ordering stage of curriculum training (easy→hard) and of
+    staged-mixture schedules, as a SCALABLE order statistic.
+
+    The naive ``ntile`` needs a total order — one task sorts the corpus.
+    Here the global order comes from a two-pass rounded-score histogram:
+
+      1. count docs per distinct round-6 score (map-side partial agg);
+      2. exclusive cumulative counts over the DISTINCT-score table — its
+         size is bounded by the score's value granularity (≤ range/1e-6),
+         NOT the corpus, so the unpartitioned window runs on a
+         histogram, never on documents;
+      3. ``shard = floor(cum_before · k / n)`` broadcast-joined back on
+         the rounded score — map-only assignment.
+
+    Deterministic and engine-replayable: every doc with the same rounded
+    score lands in the same shard, so shard sizes are n/k exact up to
+    boundary-score tie mass (documented bias, not nondeterminism — the
+    alternative, ranking within tied scores, is the global sort this
+    operator exists to avoid).
+
+    Returns (id_col, score_col, shard int).
+    """
+    from pyspark.sql import Window
+
+    k = int(n_shards)
+    if k < 1:
+        raise ValueError("n_shards must be >= 1")
+    s = F.round(F.col(score_col).cast("double"), 6)
+    hist = df.select(s.alias("_s")).groupBy("_s").agg(F.count("*").alias("_c"))
+    w = Window.orderBy(F.col("_s").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn("_cum", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    total = hist.agg(F.sum("_c").alias("_n"))
+    shard = F.floor(F.col("_cum") * k / F.col("_n")).cast("int")
+    bounds = cum.crossJoin(F.broadcast(total)).select(
+        "_s", shard.alias("shard")
+    )
+    return df.select(F.col(id_col), F.col(score_col), s.alias("_s")).join(
+        bounds, "_s"
+    ).select(F.col(id_col), F.col(score_col), "shard")
 
 
 def perplexity_score(

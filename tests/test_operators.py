@@ -1528,6 +1528,25 @@ def test_random_projection_preserves_neighborhoods(spark):
     assert other != proj
 
 
+def test_curriculum_shards_orders_and_balances(spark):
+    """Shards follow global score order (0 = lowest); sizes are n/k when
+    scores are distinct; tied scores stay in one shard (documented bias)."""
+    rows = [(i, 10 * i) for i in range(12)]  # distinct scores
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = {r["doc_id"]: r["shard"] for r in
+           ops.curriculum_shards(df, n_shards=4).collect()}
+    assert out == {i: i // 3 for i in range(12)}
+    # ties: all equal scores land in one shard even past the n/k boundary
+    tied = spark.createDataFrame(
+        [(i, 5) for i in range(6)] + [(10, 99)], ["doc_id", "n_chars"]
+    )
+    got = {r["doc_id"]: r["shard"] for r in
+           ops.curriculum_shards(tied, n_shards=2).collect()}
+    assert all(got[i] == 0 for i in range(6)) and got[10] == 1
+    with pytest.raises(ValueError):
+        ops.curriculum_shards(df, n_shards=0)
+
+
 def test_per_source_cap_keeps_best_k_per_source(spark):
     """Cap keeps the top-k by score within each source (ties to smaller
     id), leaves under-cap sources whole, and preserves all columns."""
