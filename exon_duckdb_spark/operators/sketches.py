@@ -1,0 +1,385 @@
+"""Distinct-count sketches: KMV (k-minimum-values) and HyperLogLog.
+
+At 100 TB, ``COUNT(DISTINCT x)`` is the query that hurts: it shuffles every
+distinct value to a single reducer domain. Sketches replace it with a
+CONSTANT-size summary (k hashes / m registers) that map-side combines —
+the shuffle carries at most ``k`` rows (KMV) or ``m`` rows (HLL) per
+partition regardless of input size, and two corpora can be compared by
+merging their sketches instead of joining 100 TB against 100 TB.
+
+Reference parity note: the reference engine (exon-duckdb) delegates
+``approx_count_distinct`` to DuckDB's HLL; this module re-expresses the
+same capability Spark-first, but with a CROSS-ENGINE DETERMINISTIC hash
+(md5-derived, operators/hashing.py) so the DuckDB oracle can replay the
+estimate bit-for-bit — Spark's native ``approx_count_distinct`` and
+DuckDB's use engine-private hashes and can never hash-match.
+
+Cross-engine determinism design (every step integer until one final fold):
+
+- hash: ``md5_int`` (60-bit positive bigint, identical in both engines).
+- KMV: the k smallest DISTINCT hashes. Estimate ``(k-1) * 2^60 / h_k``
+  is ONE double division of two exactly-agreed operands.
+- HLL (p bucket bits, w = 60-p suffix bits): register = max over the
+  bucket of ``rho = w - bitlength(suffix) + 1`` (suffix==0 → w+1),
+  computed via ``length(bin(x))`` — unpadded in BOTH engines. The
+  harmonic fold uses integer terms ``2^(57-reg)`` summed as BIGINT
+  (exact; max possible sum 63·2^57 + 2^56 < 2^63), so the only floats
+  are one literal/bigint division and, on the small range, one
+  ``m·ln(m/V)`` linear-counting correction (rounded 4 dp to absorb
+  libm last-ulp variance).
+
+Scale shapes:
+- ``kmv_sketch``: distinct (hash-keyed shuffle, map-side combine) +
+  global top-k smallest via sort-limit — Spark plans TakeOrderedAndProject,
+  a map-side partial top-k; k rows cross the wire per partition.
+- ``hll_registers``: one groupBy on (bucket) — at most m in-flight groups
+  per partition thanks to partial max aggregation.
+- ``hll_grouped``: one groupBy (group, bucket) then (group); per-group
+  state is m registers, so a billion-group rollup is (groups × m) rows,
+  not (groups × distinct values).
+- merges (``kmv_merge_estimate``): sketch-sized frames only; the overlap
+  estimator never touches the corpora again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql
+
+__all__ = [
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge_estimate",
+    "hll_registers",
+    "hll_estimate",
+    "hll_grouped",
+    "HLL_P",
+    "KMV_K",
+]
+
+# Defaults sized for oracle-replayable tests; production would raise both
+# (k=1024, p=12-14). All the arithmetic below is parameterized and stays
+# exact for p <= 6 + the 60-bit hash (see the 2^57 scaling proof above).
+KMV_K = 64
+HLL_P = 6
+
+_HASH_BITS = 60
+_TERM_SHIFT = 57  # integer harmonic-term scale: term = 2^(57 - reg)
+
+
+def _hash_col(col: str) -> Column:
+    return md5_int(F.col(col).cast("string"))
+
+
+# --------------------------------------------------------------------------
+# KMV
+# --------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
+    """k smallest distinct 60-bit hashes of ``col`` → DataFrame["hv"].
+
+    distinct() map-side combines before its hash shuffle; orderBy+limit
+    plans TakeOrderedAndProject (per-partition top-k, then a k-row merge
+    on one reducer) — the full distinct domain never converges anywhere.
+    """
+    return (
+        df.select(_hash_col(col).alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """1-row DataFrame["est"] from a :func:`kmv_sketch`.
+
+    With n >= k retained hashes the estimator is (k-1)/U_(k) on hashes
+    normalized to [0,1); kept in integer space as one double division
+    ``(k-1)·2^60 / h_k``. With fewer than k values the sketch IS the
+    distinct set, so the estimate is the exact count.
+    """
+    num = float((k - 1) * (1 << _HASH_BITS))
+    agg = sketch.agg(
+        F.max("hv").alias("hk"), F.count("*").cast("bigint").alias("nv")
+    )
+    return agg.select(
+        F.when(F.col("nv") < k, F.col("nv").cast("double"))
+        .otherwise(F.round(F.lit(num) / F.col("hk").cast("double"), 4))
+        .alias("est")
+    )
+
+
+def kmv_merge_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Set-overlap estimates from two KMV sketches — no corpus join.
+
+    Merged sketch = k smallest of (A ∪ B); within it, the fraction of
+    hashes present in BOTH input sketches is an unbiased Jaccard
+    estimator (Beyer et al. 2007). Returns one row
+    ``(union_est, jaccard_est, intersection_est)``. Everything is
+    sketch-sized: the joins below touch ≤ 2k rows.
+    """
+    merged = (
+        sk_a.select("hv").union(sk_b.select("hv")).distinct().orderBy("hv").limit(k)
+    )
+    both = merged.join(sk_a.select("hv"), "hv", "semi").join(
+        sk_b.select("hv"), "hv", "semi"
+    )
+    u = kmv_estimate(merged, k).select(F.col("est").alias("union_est"))
+    c = both.agg(F.count("*").cast("double").alias("c"))
+    return (
+        u.crossJoin(c)
+        .select(
+            "union_est",
+            F.round(F.col("c") / F.lit(float(k)), 4).alias("jaccard_est"),
+            F.round((F.col("c") / F.lit(float(k))) * F.col("union_est"), 4).alias(
+                "intersection_est"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+# Flajolet et al. 2007 bias constants for small m; m >= 128 uses the
+# closed form 0.7213/(1 + 1.079/m).
+_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _alpha(p: int) -> float:
+    if p in _ALPHA:
+        return _ALPHA[p]
+    m = 1 << p
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
+    """Per-bucket max-rho registers → DataFrame["bucket", "reg"].
+
+    bucket = top p bits of the 60-bit hash; rho = 1 + leading zeros of
+    the w-bit suffix, derived from ``length(bin(suffix))`` (unpadded in
+    Spark and DuckDB alike) so both engines compute the identical
+    integer. max() is associative → partial aggregation caps per-task
+    state at m rows.
+    """
+    w = _HASH_BITS - p
+    mask = (1 << w) - 1
+    h = df.select(_hash_col(col).alias("hv")).where(F.col("hv").isNotNull())
+    b = h.select(
+        F.shiftright("hv", w).alias("bucket"),
+        F.col("hv").bitwiseAND(F.lit(mask)).alias("suffix"),
+    )
+    rho = (
+        F.when(F.col("suffix") == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin("suffix")) + F.lit(1))
+        .alias("rho")
+    )
+    return b.select("bucket", rho).groupBy("bucket").agg(F.max("rho").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """1-row DataFrame["est"] from :func:`hll_registers`.
+
+    Harmonic mean in EXACT integer space: each register contributes
+    ``2^(57-reg)`` (reg ≤ w+1 ≤ 57 for p ≥ 4 keeps the sum under 2^63);
+    a bucket with no rows contributes the reg=0 term 2^57. The only
+    floating ops are one literal/bigint division (both operands agreed
+    bit-for-bit across engines) and the small-range linear-counting
+    correction ``m·ln(m/V)`` (E ≤ 2.5m and V empty buckets > 0),
+    rounded 4 dp.
+    """
+    m = 1 << p
+    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    agg = registers.agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_TERM_SHIFT} - reg)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << _TERM_SHIFT)
+        ).alias("ssum"),
+        (F.lit(m) - F.count("*")).cast("bigint").alias("v0"),
+    )
+    raw = F.lit(num) / F.col("ssum").cast("double")
+    return agg.select(
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("v0") > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v0")), 4),
+        )
+        .otherwise(F.round(raw, 4))
+        .alias("est")
+    )
+
+
+def hll_grouped(
+    df: DataFrame, group_col: str, col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HLL distinct estimate → DataFrame[group_col, "est"].
+
+    One (group, bucket) aggregation then one (group) fold — per-group
+    reducer state is m registers, never the distinct value set. The
+    classic "distinct users per segment per day at 100 TB" shape.
+    """
+    w = _HASH_BITS - p
+    mask = (1 << w) - 1
+    m = 1 << p
+    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    h = df.select(
+        F.col(group_col), _hash_col(col).alias("hv")
+    ).where(F.col("hv").isNotNull())
+    b = h.select(
+        group_col,
+        F.shiftright("hv", w).alias("bucket"),
+        F.col("hv").bitwiseAND(F.lit(mask)).alias("suffix"),
+    )
+    rho = (
+        F.when(F.col("suffix") == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin("suffix")) + F.lit(1))
+        .alias("rho")
+    )
+    regs = (
+        b.select(group_col, "bucket", rho)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_TERM_SHIFT} - reg)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << _TERM_SHIFT)
+        ).alias("ssum"),
+        (F.lit(m) - F.count("*")).cast("bigint").alias("v0"),
+    )
+    raw = F.lit(num) / F.col("ssum").cast("double")
+    return agg.select(
+        group_col,
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("v0") > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v0")), 4),
+        )
+        .otherwise(F.round(raw, 4))
+        .alias("est"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB) — same integer pipeline, replayed in SQL.
+# --------------------------------------------------------------------------
+
+
+def kmv_sketch_sql(source_sql: str, col_expr: str, k: int = KMV_K) -> str:
+    """DuckDB CTE body producing the k-min hash set (column hv)."""
+    return f"""
+        SELECT hv FROM (
+          SELECT DISTINCT {md5_int_sql(f"CAST({col_expr} AS VARCHAR)")} AS hv
+          FROM {source_sql}
+        ) ORDER BY hv LIMIT {k}
+    """
+
+
+def kmv_estimate_sql(sketch_sql: str, k: int = KMV_K) -> str:
+    num = float((k - 1) * (1 << _HASH_BITS))
+    return f"""
+        SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                    ELSE round({num!r} / CAST(max(hv) AS DOUBLE), 4) END AS est
+        FROM ({sketch_sql})
+    """
+
+
+def kmv_merge_estimate_sql(
+    sketch_a_sql: str, sketch_b_sql: str, k: int = KMV_K
+) -> str:
+    """DuckDB replay of :func:`kmv_merge_estimate` from two sketch CTEs."""
+    num = float((k - 1) * (1 << _HASH_BITS))
+    return f"""
+        WITH ska AS ({sketch_a_sql}),
+        skb AS ({sketch_b_sql}),
+        merged AS (
+          SELECT hv FROM (
+            SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)
+          ) ORDER BY hv LIMIT {k}
+        ),
+        u AS (
+          SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                      ELSE round({num!r} / CAST(max(hv) AS DOUBLE), 4) END AS union_est
+          FROM merged
+        ),
+        c AS (
+          SELECT CAST(count(*) AS DOUBLE) AS c FROM merged
+          WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)
+        )
+        SELECT union_est,
+               round(c / {float(k)!r}, 4) AS jaccard_est,
+               round((c / {float(k)!r}) * union_est, 4) AS intersection_est
+        FROM u, c
+    """
+
+
+def hll_grouped_sql(
+    source_sql: str, group_expr: str, col_expr: str, p: int = HLL_P
+) -> str:
+    """DuckDB replay of :func:`hll_grouped` (one row per group)."""
+    w = _HASH_BITS - p
+    mask = (1 << w) - 1
+    m = 1 << p
+    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    return f"""
+        WITH hv AS (
+          SELECT {group_expr} AS g,
+                 {md5_int_sql(f"CAST({col_expr} AS VARCHAR)")} AS hv
+          FROM {source_sql}
+        ),
+        regs AS (
+          SELECT g, hv >> {w} AS bucket,
+                 MAX(CASE WHEN (hv & {mask}) = 0 THEN {w + 1}
+                          ELSE {w} - length(bin(hv & {mask})) + 1 END) AS reg
+          FROM hv GROUP BY 1, 2
+        ),
+        fold AS (
+          SELECT g,
+                 SUM(CAST(1 AS BIGINT) << ({_TERM_SHIFT} - reg))
+                   + ({m} - count(*)) * (CAST(1 AS BIGINT) << {_TERM_SHIFT}) AS ssum,
+                 {m} - count(*) AS v0
+          FROM regs GROUP BY g
+        )
+        SELECT g,
+               CASE WHEN {num!r} / CAST(ssum AS DOUBLE) <= {2.5 * m}
+                         AND v0 > 0
+                    THEN round({float(m)!r} * ln({float(m)!r} / v0), 4)
+                    ELSE round({num!r} / CAST(ssum AS DOUBLE), 4) END AS est
+        FROM fold
+    """
+
+
+def hll_estimate_sql(source_sql: str, col_expr: str, p: int = HLL_P) -> str:
+    """DuckDB replay of hll_registers + hll_estimate over a source."""
+    w = _HASH_BITS - p
+    mask = (1 << w) - 1
+    m = 1 << p
+    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    return f"""
+        WITH hv AS (
+          SELECT {md5_int_sql(f"CAST({col_expr} AS VARCHAR)")} AS hv
+          FROM {source_sql}
+        ),
+        regs AS (
+          SELECT hv >> {w} AS bucket,
+                 MAX(CASE WHEN (hv & {mask}) = 0 THEN {w + 1}
+                          ELSE {w} - length(bin(hv & {mask})) + 1 END) AS reg
+          FROM hv GROUP BY 1
+        ),
+        fold AS (
+          SELECT SUM(CAST(1 AS BIGINT) << ({_TERM_SHIFT} - reg))
+                   + ({m} - count(*)) * (CAST(1 AS BIGINT) << {_TERM_SHIFT}) AS ssum,
+                 {m} - count(*) AS v0
+          FROM regs
+        )
+        SELECT CASE WHEN {num!r} / CAST(ssum AS DOUBLE) <= {2.5 * m}
+                         AND v0 > 0
+                    THEN round({float(m)!r} * ln({float(m)!r} / v0), 4)
+                    ELSE round({num!r} / CAST(ssum AS DOUBLE), 4) END AS est
+        FROM fold
+    """
