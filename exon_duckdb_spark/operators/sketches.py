@@ -22,11 +22,12 @@ Cross-engine determinism design (every step integer until one final fold):
 - HLL (p bucket bits, w = 60-p suffix bits): register = max over the
   bucket of ``rho = w - bitlength(suffix) + 1`` (suffix==0 → w+1),
   computed via ``length(bin(x))`` — unpadded in BOTH engines. The
-  harmonic fold uses integer terms ``2^(57-reg)`` summed as BIGINT
-  (exact; max possible sum 63·2^57 + 2^56 < 2^63), so the only floats
-  are one literal/bigint division and, on the small range, one
-  ``m·ln(m/V)`` linear-counting correction (rounded 4 dp to absorb
-  libm last-ulp variance).
+  harmonic fold uses integer terms ``2^(shift-reg)`` with
+  ``shift = w+1 = 61-p`` (the max register) summed as BIGINT — exact
+  for every p: max possible sum m·2^shift = 2^61 < 2^63, and the
+  smallest term is 2^0 — so the only floats are one literal/bigint
+  division and, on the small range, one ``m·ln(m/V)`` linear-counting
+  correction (rounded 4 dp to absorb libm last-ulp variance).
 
 Scale shapes:
 - ``kmv_sketch``: distinct (hash-keyed shuffle, map-side combine) +
@@ -61,12 +62,35 @@ __all__ = [
 
 # Defaults sized for oracle-replayable tests; production would raise both
 # (k=1024, p=12-14). All the arithmetic below is parameterized and stays
-# exact for p <= 6 + the 60-bit hash (see the 2^57 scaling proof above).
+# exact for every validated p (see _term_shift).
 KMV_K = 64
 HLL_P = 6
 
 _HASH_BITS = 60
-_TERM_SHIFT = 57  # integer harmonic-term scale: term = 2^(57 - reg)
+
+
+def _term_shift(p: int) -> int:
+    """Integer harmonic-term scale: term = 2^(shift - reg) with
+    shift = (w+1) = 61-p, the MAXIMUM possible register value — so the
+    smallest term is exactly 1 (never a negative shift) and the largest
+    possible sum is m·2^shift = 2^61, inside BIGINT for every p. A fixed
+    shift of 57 overflowed Spark's non-ANSI wrapping sum at p >= 7 while
+    DuckDB promoted to HUGEINT — wrong estimates AND cross-engine
+    divergence (ADVICE r5). The estimate is shift-invariant: numerator
+    and ssum both carry 2^shift, and the power-of-two rescale cancels
+    exactly in the one double division.
+    """
+    _validate_p(p)
+    return _HASH_BITS - p + 1
+
+
+def _validate_p(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(
+            f"hll precision p={p} out of range [4, 16]: p < 4 has no "
+            "published bias constant; p > 16 wastes registers at this "
+            "hash width"
+        )
 
 
 def _hash_col(col: str) -> Column:
@@ -131,13 +155,21 @@ def kmv_merge_estimate(
         sk_b.select("hv"), "hv", "semi"
     )
     u = kmv_estimate(merged, k).select(F.col("est").alias("union_est"))
+    # Beyer et al.: jaccard = |K ∩ A ∩ B| / |K| where K is the MERGED
+    # k-min set — divide by the merged sketch's ACTUAL size, not k: when
+    # |A ∪ B| holds fewer than k distinct hashes the merged sketch is
+    # under-filled and a fixed-k denominator grossly underestimates
+    # (two identical 5-element sets gave jaccard_est 5/64, not 1.0 —
+    # ADVICE r5).
     c = both.agg(F.count("*").cast("double").alias("c"))
+    n = merged.agg(F.count("*").cast("double").alias("nk"))
     return (
         u.crossJoin(c)
+        .crossJoin(n)
         .select(
             "union_est",
-            F.round(F.col("c") / F.lit(float(k)), 4).alias("jaccard_est"),
-            F.round((F.col("c") / F.lit(float(k))) * F.col("union_est"), 4).alias(
+            F.round(F.col("c") / F.col("nk"), 4).alias("jaccard_est"),
+            F.round((F.col("c") / F.col("nk")) * F.col("union_est"), 4).alias(
                 "intersection_est"
             ),
         )
@@ -169,6 +201,7 @@ def hll_registers(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     integer. max() is associative → partial aggregation caps per-task
     state at m rows.
     """
+    _validate_p(p)
     w = _HASH_BITS - p
     mask = (1 << w) - 1
     h = df.select(_hash_col(col).alias("hv")).where(F.col("hv").isNotNull())
@@ -188,19 +221,20 @@ def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
     """1-row DataFrame["est"] from :func:`hll_registers`.
 
     Harmonic mean in EXACT integer space: each register contributes
-    ``2^(57-reg)`` (reg ≤ w+1 ≤ 57 for p ≥ 4 keeps the sum under 2^63);
-    a bucket with no rows contributes the reg=0 term 2^57. The only
+    ``2^(shift-reg)`` with shift = w+1 (see :func:`_term_shift`); a
+    bucket with no rows contributes the reg=0 term 2^shift. The only
     floating ops are one literal/bigint division (both operands agreed
     bit-for-bit across engines) and the small-range linear-counting
     correction ``m·ln(m/V)`` (E ≤ 2.5m and V empty buckets > 0),
     rounded 4 dp.
     """
     m = 1 << p
-    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    shift = _term_shift(p)
+    num = float(_alpha(p) * m * m * (1 << shift))
     agg = registers.agg(
         (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_TERM_SHIFT} - reg)"))
-            + (F.lit(m) - F.count("*")) * F.lit(1 << _TERM_SHIFT)
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - reg)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << shift)
         ).alias("ssum"),
         (F.lit(m) - F.count("*")).cast("bigint").alias("v0"),
     )
@@ -224,10 +258,12 @@ def hll_grouped(
     reducer state is m registers, never the distinct value set. The
     classic "distinct users per segment per day at 100 TB" shape.
     """
+    _validate_p(p)
     w = _HASH_BITS - p
     mask = (1 << w) - 1
     m = 1 << p
-    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    shift = _term_shift(p)
+    num = float(_alpha(p) * m * m * (1 << shift))
     h = df.select(
         F.col(group_col), _hash_col(col).alias("hv")
     ).where(F.col("hv").isNotNull())
@@ -248,8 +284,8 @@ def hll_grouped(
     )
     agg = regs.groupBy(group_col).agg(
         (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_TERM_SHIFT} - reg)"))
-            + (F.lit(m) - F.count("*")) * F.lit(1 << _TERM_SHIFT)
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - reg)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << shift)
         ).alias("ssum"),
         (F.lit(m) - F.count("*")).cast("bigint").alias("v0"),
     )
@@ -271,11 +307,17 @@ def hll_grouped(
 
 
 def kmv_sketch_sql(source_sql: str, col_expr: str, k: int = KMV_K) -> str:
-    """DuckDB CTE body producing the k-min hash set (column hv)."""
+    """DuckDB CTE body producing the k-min hash set (column hv).
+
+    The NOT NULL filter mirrors the Spark side's ``hv.isNotNull()``:
+    without it ``md5_int_sql(NULL)`` becomes CAST('0x' AS BIGINT) — a
+    DuckDB Conversion Error on any nullable column (ADVICE r5), where
+    Spark silently dropped the row.
+    """
     return f"""
         SELECT hv FROM (
           SELECT DISTINCT {md5_int_sql(f"CAST({col_expr} AS VARCHAR)")} AS hv
-          FROM {source_sql}
+          FROM {source_sql} WHERE {col_expr} IS NOT NULL
         ) ORDER BY hv LIMIT {k}
     """
 
@@ -310,11 +352,14 @@ def kmv_merge_estimate_sql(
         c AS (
           SELECT CAST(count(*) AS DOUBLE) AS c FROM merged
           WHERE hv IN (SELECT hv FROM ska) AND hv IN (SELECT hv FROM skb)
+        ),
+        nk AS (
+          SELECT CAST(count(*) AS DOUBLE) AS nk FROM merged
         )
         SELECT union_est,
-               round(c / {float(k)!r}, 4) AS jaccard_est,
-               round((c / {float(k)!r}) * union_est, 4) AS intersection_est
-        FROM u, c
+               round(c / nk, 4) AS jaccard_est,
+               round((c / nk) * union_est, 4) AS intersection_est
+        FROM u, c, nk
     """
 
 
@@ -322,15 +367,17 @@ def hll_grouped_sql(
     source_sql: str, group_expr: str, col_expr: str, p: int = HLL_P
 ) -> str:
     """DuckDB replay of :func:`hll_grouped` (one row per group)."""
+    _validate_p(p)
     w = _HASH_BITS - p
     mask = (1 << w) - 1
     m = 1 << p
-    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    shift = _term_shift(p)
+    num = float(_alpha(p) * m * m * (1 << shift))
     return f"""
         WITH hv AS (
           SELECT {group_expr} AS g,
                  {md5_int_sql(f"CAST({col_expr} AS VARCHAR)")} AS hv
-          FROM {source_sql}
+          FROM {source_sql} WHERE {col_expr} IS NOT NULL
         ),
         regs AS (
           SELECT g, hv >> {w} AS bucket,
@@ -340,8 +387,8 @@ def hll_grouped_sql(
         ),
         fold AS (
           SELECT g,
-                 SUM(CAST(1 AS BIGINT) << ({_TERM_SHIFT} - reg))
-                   + ({m} - count(*)) * (CAST(1 AS BIGINT) << {_TERM_SHIFT}) AS ssum,
+                 SUM(CAST(1 AS BIGINT) << ({shift} - reg))
+                   + ({m} - count(*)) * (CAST(1 AS BIGINT) << {shift}) AS ssum,
                  {m} - count(*) AS v0
           FROM regs GROUP BY g
         )
@@ -356,14 +403,16 @@ def hll_grouped_sql(
 
 def hll_estimate_sql(source_sql: str, col_expr: str, p: int = HLL_P) -> str:
     """DuckDB replay of hll_registers + hll_estimate over a source."""
+    _validate_p(p)
     w = _HASH_BITS - p
     mask = (1 << w) - 1
     m = 1 << p
-    num = float(_alpha(p) * m * m * (1 << _TERM_SHIFT))
+    shift = _term_shift(p)
+    num = float(_alpha(p) * m * m * (1 << shift))
     return f"""
         WITH hv AS (
           SELECT {md5_int_sql(f"CAST({col_expr} AS VARCHAR)")} AS hv
-          FROM {source_sql}
+          FROM {source_sql} WHERE {col_expr} IS NOT NULL
         ),
         regs AS (
           SELECT hv >> {w} AS bucket,
@@ -372,8 +421,8 @@ def hll_estimate_sql(source_sql: str, col_expr: str, p: int = HLL_P) -> str:
           FROM hv GROUP BY 1
         ),
         fold AS (
-          SELECT SUM(CAST(1 AS BIGINT) << ({_TERM_SHIFT} - reg))
-                   + ({m} - count(*)) * (CAST(1 AS BIGINT) << {_TERM_SHIFT}) AS ssum,
+          SELECT SUM(CAST(1 AS BIGINT) << ({shift} - reg))
+                   + ({m} - count(*)) * (CAST(1 AS BIGINT) << {shift}) AS ssum,
                  {m} - count(*) AS v0
           FROM regs
         )

@@ -60,7 +60,7 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-DRIVER_WINDOW = 50
+DRIVER_WINDOW = 51
 
 
 def run_checks(
