@@ -2554,6 +2554,24 @@ def q96_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c).unionByName(d)
 
 
+def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q09 exact distinct-union set op + q96 sketch suite as tagged
+    branches: the exact DISTINCT and its approximate replacements
+    (KMV / HLL, operators/sketches.py) verify through ONE gate row —
+    the driver records exactly the first 50 registry entries
+    (tests/test_oracle_contract.py::test_registry_fits_driver_window),
+    so new operators ride existing composed queries."""
+    a = q09_distinct_union(spark, sf_dir).select(
+        F.lit("distinct").alias("kind"),
+        F.col("val").alias("k1"),
+        F.lit(None).cast("double").alias("est"),
+    )
+    b = q96_sketch_suite(spark, sf_dir).select(
+        "kind", "k1", F.col("est").cast("double").alias("est")
+    )
+    return a.unionByName(b)
+
+
 def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash near-dedup pipeline in one verified pass: signatures
     (q21) → LSH band pairs (q22) → connected-component clusters (q41) →
@@ -3140,7 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_semi_anti_joins": q04m_semi_anti_joins,
         "q07_windowed_counts": q07m_windowed_counts,
         "q08_grouping_sets": q08m_grouping_sets,
-        "q09_distinct_union": q09_distinct_union,
+        "q09_distinct_union": q09m_distinct_and_sketches,
         "q10_sessionize": q10m_sessionize,
         "q11_event_props_json": q11_event_props_json,
         "q18_asof_join": q18_asof_join,
@@ -3167,7 +3185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_perplexity_score": q78m_perplexity,
         "q79_sq8_search": q79m_quantized_search,
         "q80_substring_dedup": q80m_substring_dedup,
-        "q96_sketch_suite": q96_sketch_suite,
         # -- multimodal --
         "q39_multimodal_meta": q39_multimodal_meta,
         "q45_frame_sample": q45_frame_sample,
@@ -5503,7 +5520,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'cube', event_type, CAST(day AS VARCHAR), n, total_value
             FROM ({C['q19_cube_events']})
         """,
-        "q09_distinct_union": C["q09_distinct_union"],
+        "q09_distinct_union": f"""
+            SELECT 'distinct' AS kind, val AS k1, CAST(NULL AS DOUBLE) AS est
+            FROM ({C['q09_distinct_union']})
+            UNION ALL
+            SELECT kind, k1, CAST(est AS DOUBLE) AS est
+            FROM ({_sketch_suite_oracle()})
+        """,
         "q10_sessionize": f"""
             SELECT 'batch' AS mode, user_id, CAST(NULL AS VARCHAR) AS session_start,
                    CAST(NULL AS VARCHAR) AS session_end, n_events, n_sessions
@@ -5957,7 +5980,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), md5(dedup_text)
             FROM ({C['q81_substring_dedup']})
         """,
-        "q96_sketch_suite": _sketch_suite_oracle(),
         # -- multimodal --
         "q39_multimodal_meta": C["q39_multimodal_meta"],
         "q45_frame_sample": C["q45_frame_sample"],

@@ -607,6 +607,35 @@ def _batched_pairs(texts, patterns, cells: int = _SLAB_CELLS):
 _BAND_W0 = 8  # probe band half-width: LB(8) = 2·open + 36·ext + |Δ|-term
                # covers ~4-5 edit events at the default penalties
 
+_PRIOR_K = 8        # sampled substring length for the probe prior
+_PRIOR_SAMPLES = 16  # fixed-stride sample count (deterministic, no RNG)
+
+
+def _probe_prior(a_list: list, b_list: list, idx: np.ndarray) -> np.ndarray:
+    """Keep-probe mask: performance heuristic ONLY — a False diverts the
+    pair straight to the (always-exact) full DP, so results never change.
+
+    A pair the w=8 probe can certify has few edit events, hence shares
+    almost every K-length substring; if NONE of ``_PRIOR_SAMPLES``
+    fixed-stride K-mers of ``a`` occurs anywhere in ``b``, the probe is a
+    near-certain waste (measured r6: random 300 bp pairs pay an 18% wasted
+    probe; this prior skips it 93% of the time at ~25× less cost via
+    C-speed substring search, and mis-skips a certifiable pair <3% — those
+    still return exact scores, just via the full DP)."""
+    keep = np.empty(idx.size, dtype=bool)
+    for r, i in enumerate(idx):
+        a, b = a_list[i], b_list[i]
+        la = len(a)
+        if la < 4 * _PRIOR_K:
+            keep[r] = True  # probe is cheap at this size; prior too noisy
+            continue
+        step = (la - _PRIOR_K) / (_PRIOR_SAMPLES - 1)
+        keep[r] = any(
+            a[int(t * step) : int(t * step) + _PRIOR_K] in b
+            for t in range(_PRIOR_SAMPLES)
+        )
+    return keep
+
 
 def _route_scores(
     a_list: list, b_list: list, match: int, mismatch: int, gap_open: int, gap_ext: int
@@ -663,12 +692,26 @@ def _route_scores(
         )
 
     full0 = (_BAND_W0 >= minlen) | (2 * _BAND_W0 + delta + 1 >= b_lens + 1)
+    if full0.all():
+        # whole-slab fast path (e.g. short-string corpora): skip the
+        # index/list machinery entirely — measured r6: the generic path
+        # cost +154% on the q40 6-case mix vs this direct call
+        return _batch_scores(
+            _encode(a_list, -1), _encode(b_list, -2), a_lens, b_lens,
+            match, mismatch, gap_open, gap_ext,
+        )
     idx_full = np.nonzero(full0)[0]
     if idx_full.size:
         run_full(idx_full)
     probe_idx = np.nonzero(~full0)[0]
     if not probe_idx.size:
         return out
+    keep = _probe_prior(a_list, b_list, probe_idx)
+    if not keep.all():
+        run_full(probe_idx[~keep])
+        probe_idx = probe_idx[keep]
+        if not probe_idx.size:
+            return out
     s8 = run_band(probe_idx, _BAND_W0)
     lb8 = _escape_lower_bounds(
         _BAND_W0, a_lens[probe_idx], b_lens[probe_idx],
@@ -740,6 +783,10 @@ def _route_cigars(
     delta = np.abs(b_lens - a_lens)
     full0 = (_BAND_W0 >= minlen) | (2 * _BAND_W0 + delta + 1 >= b_lens + 1)
     probe_idx = np.nonzero(~full0)[0]
+    if probe_idx.size:
+        # performance-only prior (see _probe_prior): hopeless pairs skip
+        # the probe and go straight to the exact full-table path
+        probe_idx = probe_idx[_probe_prior(a_list, b_list, probe_idx)]
     w_of = np.zeros(B, np.int64)  # 0 = full DP
     if probe_idx.size:
         al = [a_list[i] for i in probe_idx]
