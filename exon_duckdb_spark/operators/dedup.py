@@ -178,6 +178,105 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a MinHash-LSH band index for INCREMENTAL dedup: build once
+    over the accumulated corpus, probe every new batch against it with
+    :func:`lsh_index_probe` — the daily-crawl pattern where re-running
+    the full self-join (:func:`minhash_lsh_pairs`) over corpus+batch
+    would redo 100 TB of work to dedup 100 GB of arrivals.
+
+    Layout: parquet partitioned by ``band``, rows ``(bh, id, mh)`` —
+    band-key plus the full signature (num_hashes × 8 bytes), never the
+    text. At 100 TB of documents the index is ~bands × (8 B + 8 B +
+    num_hashes × 8 B) per doc ≈ 0.5 KB/doc — itself partition-pruned per
+    band at probe time. Rebuilds are append-free by design: signatures
+    are pure functions of text, so ``mode='append'`` after ingesting a
+    deduped batch keeps the index current without recompute.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
+    assign.select(
+        F.col("band"),
+        F.col("bh"),
+        F.col(id_col).alias("id"),
+        F.col("_mh").alias("mh"),
+    ).write.mode(mode).partitionBy("band").parquet(path)
+
+
+def lsh_index_probe(
+    new_df: DataFrame,
+    index: DataFrame | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Probe a new batch against a persisted :func:`lsh_index_build` index:
+    emits ``(band, bh, id_new, id_indexed, est_jaccard)`` per colliding
+    band-bucket, ``est_jaccard`` = fraction of equal signature components
+    (x/num_hashes — exact in binary, same convention as the streaming
+    incremental variant ``stream_minhash_pairs``; NULL components — empty
+    shingle sets — count 0, mirroring the SQL oracle's ``CASE =``).
+
+    Scale: the index NEVER shuffles — ``broadcast_probe`` (default) ships
+    the (small) new batch's band keys to the index's partitions, so the
+    probe is one broadcast hash join over a parquet scan. Disable it only
+    when the probe batch rivals the corpus (then AQE picks the strategy).
+    Self-pairs are excluded by id so a batch already ingested into the
+    index probes cleanly (idempotent re-runs)."""
+    spark = new_df.sparkSession
+    idx = spark.read.parquet(index) if isinstance(index, str) else index
+    keyed = new_df.select(
+        F.col(id_col),
+        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    probe = _band_assignments(
+        keyed, id_col, num_hashes, bands, carry=("_mh",)
+    ).select(
+        F.col(id_col).alias("id_new"),
+        F.col("_mh").alias("mh_new"),
+        "band",
+        "bh",
+    )
+    if broadcast_probe:
+        probe = F.broadcast(probe)
+    eq = F.aggregate(
+        F.zip_with(
+            "mh", "mh_new",
+            lambda a, b: F.coalesce((a == b).cast("int"), F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        idx.join(probe, ["band", "bh"])
+        .where(F.col("id") != F.col("id_new"))
+        .select(
+            "band",
+            "bh",
+            "id_new",
+            F.col("id").alias("id_indexed"),
+            (eq / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Checkpoint ``df``: RELIABLE (to the configured checkpoint dir) when
     ``spark.sparkContext.setCheckpointDir`` was called, else local.
@@ -802,7 +901,7 @@ def _grams_minhash_udf(n: int, num_hashes: int, with_gh: bool = True):
 
 def _band_assignments(
     keyed: DataFrame, id_col: str, num_hashes: int, bands: int,
-    with_all: bool = False,
+    with_all: bool = False, carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, bh) band-key rows from a (id, …, _mh) minhash frame.
 
@@ -823,9 +922,11 @@ def _band_assignments(
         ]
         bhs.append(md5_int(F.concat_ws(",", *[p.cast("string") for p in parts])))
     exploded = keyed.select(
-        F.col(id_col), F.array(*bhs).alias("_bhs")
-    ).select(id_col, "_bhs", F.posexplode("_bhs").alias("band", "bh"))
-    cols = [id_col, "band", "bh"] + (["_bhs"] if with_all else [])
+        F.col(id_col), *[F.col(c) for c in carry], F.array(*bhs).alias("_bhs")
+    ).select(
+        id_col, *carry, "_bhs", F.posexplode("_bhs").alias("band", "bh")
+    )
+    cols = [id_col, *carry, "band", "bh"] + (["_bhs"] if with_all else [])
     return exploded.select(*cols)
 
 

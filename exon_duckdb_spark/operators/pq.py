@@ -156,8 +156,13 @@ def _lloyd_round_agg(
             )
         ).alias("j", "s")
     ).select("j", F.col("s.code").alias("code"), F.col("s.sub").alias("sub"))
+    # integer-space mean (numeric.stable_avg): float AVG is partition-order
+    # sensitive at 1 ULP; a boundary-straddling codebook centroid would
+    # flip its 6-dp round and cascade into divergent codes everywhere
+    from exon_duckdb_spark.operators.numeric import stable_avg, stable_round
+
     aggs = [
-        F.round(F.avg(F.col("sub")[d].cast("double")), 6).alias(f"d{d}")
+        stable_round(stable_avg(F.col("sub")[d].cast("double"))).alias(f"d{d}")
         for d in range(dsub)
     ]
     return exploded.groupBy("j", "code").agg(*aggs)

@@ -310,6 +310,7 @@ def curriculum_shards(
     n_shards: int = 4,
     score_col: str = "n_chars",
     id_col: str = "doc_id",
+    round_digits: int = 6,
 ) -> DataFrame:
     """Curriculum sharding: assign every document to one of ``n_shards``
     difficulty tiers by global score order (shard 0 = lowest scores) —
@@ -327,6 +328,17 @@ def curriculum_shards(
       3. ``shard = floor(cum_before · k / n)`` broadcast-joined back on
          the rounded score — map-only assignment.
 
+    ``round_digits`` is the score-granularity knob that keeps step 2's
+    histogram bounded when the score is CONTINUOUS (perplexity, classifier
+    probability): the window input is the distinct-rounded-score table,
+    so its cardinality is at most ``range · 10^round_digits`` values —
+    independent of corpus size. A perplexity-like score in [0, 100) at the
+    default 6 digits allows up to 1e8 rows (too many at 100 TB); pass
+    ``round_digits=3`` to cap it at 1e5. Coarser rounding widens boundary
+    ties (same documented bias as below), never changes determinism.
+    Property-tested: tests/test_operators.py asserts the histogram, not
+    the corpus, bounds the window input.
+
     Deterministic and engine-replayable: every doc with the same rounded
     score lands in the same shard, so shard sizes are n/k exact up to
     boundary-score tie mass (documented bias, not nondeterminism — the
@@ -340,7 +352,7 @@ def curriculum_shards(
     k = int(n_shards)
     if k < 1:
         raise ValueError("n_shards must be >= 1")
-    s = F.round(F.col(score_col).cast("double"), 6)
+    s = F.round(F.col(score_col).cast("double"), int(round_digits))
     hist = df.select(s.alias("_s")).groupBy("_s").agg(F.count("*").alias("_c"))
     w = Window.orderBy(F.col("_s").asc()).rowsBetween(
         Window.unboundedPreceding, -1

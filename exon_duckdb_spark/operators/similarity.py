@@ -1032,8 +1032,14 @@ def kmeans_refine(
         else:
             structs = F.array(*_centroid_sim_structs(cents, F.col("vec"), F.col("norm")))
             a = base.withColumn("cid", -F.array_max(structs).getField("nc"))
+        # integer-space mean (numeric.stable_avg): float AVG is
+        # partition-order sensitive at 1 ULP and flips the 6-dp round on
+        # boundary centroids — divergent centroids cascade into divergent
+        # assignments
+        from exon_duckdb_spark.operators.numeric import stable_avg, stable_round
+
         aggs = [
-            F.round(F.avg(F.col("vec")[i].cast("double")), 6).alias(f"d{i}")
+            stable_round(stable_avg(F.col("vec")[i].cast("double"))).alias(f"d{i}")
             for i in range(dims)
         ]
         rows = a.groupBy("cid").agg(*aggs).collect()
@@ -1106,11 +1112,17 @@ def bitext_margin_pairs(
     B = emb.where(F.col(label_col) == label_b)
     nnA = nn(B, A, k=k, vec_col=vec_col, id_col=id_col)
     nnB = nn(A, B, k=k, vec_col=vec_col, id_col=id_col)
+    # stable_avg, not AVG: a float AVG of the k rounded cosines is
+    # partition-order sensitive at ~1 ULP, which flipped the 6-dp round
+    # on a boundary value at sf0.1 (oracle divergence 1.010356 vs
+    # 1.010358) — the integer-space mean is bit-identical cross-engine
+    from exon_duckdb_spark.operators.numeric import stable_avg, stable_round
+
     avgA = nnA.groupBy("query_id").agg(
-        F.round(F.avg("cosine_sim"), 6).alias("_avg_a")
+        stable_round(stable_avg(F.col("cosine_sim"))).alias("_avg_a")
     )
     avgB = nnB.groupBy("query_id").agg(
-        F.round(F.avg("cosine_sim"), 6).alias("_avg_b")
+        stable_round(stable_avg(F.col("cosine_sim"))).alias("_avg_b")
     )
 
     def best(nn, my_avg, other_avg, my_key, other_key):
@@ -1123,8 +1135,10 @@ def bitext_margin_pairs(
             .join(my_avg.withColumnRenamed("query_id", my_key), my_key)
             .join(other_avg.withColumnRenamed("query_id", other_key), other_key)
         )
-        margin = F.round(
-            F.col("cosine_sim") / ((F.col("_avg_a") + F.col("_avg_b")) / 2), 6
+        from exon_duckdb_spark.operators.numeric import stable_round
+
+        margin = stable_round(
+            F.col("cosine_sim") / ((F.col("_avg_a") + F.col("_avg_b")) / 2)
         )
         cand = cand.withColumn("margin", margin)
         w = Window.partitionBy(my_key).orderBy(
