@@ -2561,7 +2561,30 @@ def q96_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k1", "est"),
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # Count-Min point-frequency estimates per event type: the broadcast
+    # 256-cell counter table replaces a full per-key groupBy
+    cms = sk.cms_table(events, "event_type")
+    e = sk.cms_query(
+        cms, events.select("event_type").distinct(), "event_type"
+    ).select(
+        F.lit("cms").alias("kind"),
+        F.col("event_type").alias("k1"),
+        F.col("est").cast("double").alias("est"),
+    )
+    # histogram quantiles: the sort-free global order statistic
+    docs = _t(spark, sf_dir, "documents")
+    g = ops.histogram_quantiles(docs, "n_chars", qs=(0.5, 0.9, 0.99)).select(
+        F.lit("quantile").alias("kind"),
+        F.col("q").cast("string").alias("k1"),
+        F.col("value").cast("double").alias("est"),
+    )
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(e)
+        .unionByName(g)
+    )
 
 
 def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3270,6 +3293,8 @@ def _sketch_suite_oracle() -> str:
     (operators/sketches.py) — same md5 hash family, same integer harmonic
     fold, same 4 dp rounding."""
     from exon_duckdb_spark.operators.sketches import (
+        cms_query_sql,
+        cms_table_sql,
         hll_estimate_sql,
         hll_grouped_sql,
         kmv_estimate_sql,
@@ -3277,6 +3302,14 @@ def _sketch_suite_oracle() -> str:
         kmv_sketch_sql,
     )
 
+    from exon_duckdb_spark.operators.quality import histogram_quantiles_sql
+
+    cms_sql = cms_query_sql(
+        cms_table_sql("events", "event_type"),
+        "(SELECT DISTINCT event_type FROM events)",
+        "event_type",
+    )
+    quant_sql = histogram_quantiles_sql("documents", "n_chars", qs=(0.5, 0.9, 0.99))
     return f"""
         SELECT 'kmv_orders' AS kind, 'est' AS k1, est
         FROM ({kmv_estimate_sql(kmv_sketch_sql("orders", "o_custkey"))})
@@ -3286,6 +3319,12 @@ def _sketch_suite_oracle() -> str:
         UNION ALL
         SELECT 'hll_events', g, est
         FROM ({hll_grouped_sql("events", "event_type", "user_id")})
+        UNION ALL
+        SELECT 'cms', key, CAST(est AS DOUBLE)
+        FROM ({cms_sql})
+        UNION ALL
+        SELECT 'quantile', CAST(q AS VARCHAR), CAST(value AS DOUBLE)
+        FROM ({quant_sql})
         UNION ALL
         SELECT 'kmv_merge', k1, est FROM (
           SELECT * FROM ({kmv_merge_estimate_sql(
@@ -5937,7 +5976,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({C['q60_repetition_stats']}) b USING (doc_id)
             JOIN (
               WITH h AS (
-                SELECT round(CAST(n_chars AS DOUBLE), 6) AS s, count(*) AS c
+                SELECT {_stable_round_sql('CAST(n_chars AS DOUBLE)')} AS s, count(*) AS c
                 FROM documents GROUP BY 1
               ),
               tot AS (SELECT sum(c) AS n FROM h),
@@ -5951,7 +5990,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM cum, tot)
               SELECT d.doc_id, bnd.shard
               FROM documents d
-              JOIN bnd ON round(CAST(d.n_chars AS DOUBLE), 6) = bnd.s
+              JOIN bnd ON {_stable_round_sql('CAST(d.n_chars AS DOUBLE)')} = bnd.s
             ) c USING (doc_id)
         """,
         "q62_pii_decontaminate": f"""

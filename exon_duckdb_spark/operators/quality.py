@@ -352,7 +352,11 @@ def curriculum_shards(
     k = int(n_shards)
     if k < 1:
         raise ValueError("n_shards must be >= 1")
-    s = F.round(F.col(score_col).cast("double"), int(round_digits))
+    # stable_round, not engine round(): continuous scores land on 6-dp
+    # ties where Spark's and DuckDB's round() diverge (numeric.py)
+    from exon_duckdb_spark.operators.numeric import stable_round
+
+    s = stable_round(F.col(score_col).cast("double"), int(round_digits))
     hist = df.select(s.alias("_s")).groupBy("_s").agg(F.count("*").alias("_c"))
     w = Window.orderBy(F.col("_s").asc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -366,6 +370,83 @@ def curriculum_shards(
     return df.select(F.col(id_col), F.col(score_col), s.alias("_s")).join(
         bounds, "_s"
     ).select(F.col(id_col), F.col(score_col), "shard")
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Global quantiles as a histogram order statistic — the threshold
+    picker for quality gates ("drop the worst 10% by perplexity") that a
+    100 TB corpus cannot compute with a sort.
+
+    value(q) = the smallest rounded score whose cumulative count reaches
+    ``ceil(q·n)`` (the inverse-CDF / lower-quantile convention). The
+    cumulative window runs over the DISTINCT-rounded-score histogram —
+    bounded by ``range·10^round_digits``, never corpus-sized (same
+    machinery and knob as :func:`curriculum_shards`). The rank threshold
+    is computed in INTEGER space (``(q_micro·n + 999999) div 1e6``): a
+    float ``ceil(q·n)`` diverges between engines when q·n is integral
+    (0.9·1000 → 900.0000000001 in binary but exact in DuckDB's DECIMAL
+    literals). Deterministic, exactly SQL-replayable; returns (q, value).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from exon_duckdb_spark.operators.numeric import stable_round
+
+    if not qs or not all(0 < q <= 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    s = stable_round(F.col(score_col).cast("double"), int(round_digits))
+    hist = df.select(s.alias("_s")).groupBy("_s").agg(F.count("*").alias("_c"))
+    w = Window.orderBy(F.col("_s").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    total = hist.agg(F.sum("_c").alias("_n"))
+    base = cum.crossJoin(F.broadcast(total))
+    parts = []
+    for q in qs:
+        qm = int(round(q * 1_000_000))
+        rank = F.expr(f"({qm} * _n + 999999) div 1000000")
+        parts.append(
+            base.where(F.col("_cum") >= rank).agg(
+                F.lit(float(q)).alias("q"), F.min("_s").alias("value")
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def histogram_quantiles_sql(
+    source_sql: str,
+    score_expr: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (same stable rounding,
+    same integer rank thresholds)."""
+    from exon_duckdb_spark.operators.numeric import stable_round_sql
+
+    sel = "\n            UNION ALL\n            ".join(
+        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q, MIN(s) AS value "
+        f"FROM cum, tot WHERE cum >= ({int(round(q * 1_000_000))} * n + 999999) // 1000000"
+        for q in qs
+    )
+    return f"""
+        WITH h AS (
+          SELECT {stable_round_sql(f'CAST({score_expr} AS DOUBLE)', round_digits)} AS s,
+                 count(*) AS c
+          FROM {source_sql} GROUP BY 1
+        ),
+        cum AS (SELECT s, SUM(c) OVER (ORDER BY s ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h),
+        tot AS (SELECT SUM(c) AS n FROM h)
+        {sel}
+    """
 
 
 def perplexity_score(

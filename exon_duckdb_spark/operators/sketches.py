@@ -56,8 +56,12 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_grouped",
+    "cms_table",
+    "cms_query",
     "HLL_P",
     "KMV_K",
+    "CMS_D",
+    "CMS_W",
 ]
 
 # Defaults sized for oracle-replayable tests; production would raise both
@@ -431,4 +435,102 @@ def hll_estimate_sql(source_sql: str, col_expr: str, p: int = HLL_P) -> str:
                     THEN round({float(m)!r} * ln({float(m)!r} / v0), 4)
                     ELSE round({num!r} / CAST(ssum AS DOUBLE), 4) END AS est
         FROM fold
+    """
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation / heavy hitters)
+# --------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 64
+
+
+def _cms_bucket(col: str, r: int, w: int) -> Column:
+    """Row-r bucket: md5 of a row-salted value, mod w — the same
+    deterministic family convention as KMV/HLL so the oracle replays it."""
+    return (
+        md5_int(F.concat(F.lit(f"cms{r}:"), F.col(col).cast("string"))) % w
+    )
+
+
+def cms_table(df: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-Min counter table ``(r, bucket, cnt)`` — the frequency twin
+    of the distinct-count sketches above: point-frequency queries and
+    heavy-hitter screens without a per-key groupBy.
+
+    Why it scales: a ``groupBy(key)`` on a 100 TB corpus shuffles the full
+    key domain; this is ONE map-only pass computing d salted buckets per
+    row, then a groupBy on at most d·w cells — partial aggregation means
+    each partition emits ≤ d·w rows regardless of input size, and the
+    final table (256 cells at the defaults) BROADCASTS into every query.
+    Estimates are biased up only (min over d counters ≥ true count, the
+    Cormode-Muthukrishnan guarantee: overestimate ≤ εN with prob 1−δ for
+    w = e/ε, d = ln(1/δ)). All integer arithmetic — bit-for-bit
+    oracle-replayable (:func:`cms_table_sql`). NULL keys are dropped
+    like the other sketches."""
+    buckets = F.array(*[_cms_bucket(col, r, w) for r in range(d)])
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_query(
+    cms: DataFrame, keys: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point-frequency estimates for ``keys[key_col]``: min over the d
+    row counters, missing cells count 0. The counter table broadcasts
+    (d·w rows); the keys frame streams — no shuffle of either corpus.
+    Returns (key_col, est bigint)."""
+    buckets = F.array(*[_cms_bucket(key_col, r, w) for r in range(d)])
+    kb = keys.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col), F.posexplode(buckets).alias("r", "bucket")
+    )
+    return (
+        kb.join(F.broadcast(cms), ["r", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_table_sql(
+    source_sql: str, col_expr: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB twin of :func:`cms_table` (CTE body, columns r/bucket/cnt)."""
+    rows = "\n          UNION ALL\n          ".join(
+        f"SELECT {r} AS r, "
+        + md5_int_sql(f"CONCAT('cms{r}:', CAST({col_expr} AS VARCHAR))")
+        + f" % {w} AS bucket FROM {source_sql} WHERE {col_expr} IS NOT NULL"
+        for r in range(d)
+    )
+    return f"""
+        SELECT r, bucket, count(*) AS cnt FROM (
+          {rows}
+        ) GROUP BY r, bucket
+    """
+
+
+def cms_query_sql(
+    cms_sql: str,
+    keys_sql: str,
+    key_expr: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> str:
+    """DuckDB twin of :func:`cms_query`: returns (key, est)."""
+    kb = "\n          UNION ALL\n          ".join(
+        f"SELECT {key_expr} AS key, {r} AS r, "
+        + md5_int_sql(f"CONCAT('cms{r}:', CAST({key_expr} AS VARCHAR))")
+        + f" % {w} AS bucket FROM {keys_sql} WHERE {key_expr} IS NOT NULL"
+        for r in range(d)
+    )
+    return f"""
+        SELECT key, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM (
+          {kb}
+        ) kb LEFT JOIN ({cms_sql}) c USING (r, bucket)
+        GROUP BY key
     """

@@ -1646,6 +1646,36 @@ def test_curriculum_round_digits_bounds_histogram(spark):
     assert a == b
 
 
+def test_histogram_quantiles(spark):
+    """Inverse-CDF convention on a hand-checked distribution; integer
+    rank thresholds (0.9*1000 must be rank 900, not FP-ceil 901); oracle
+    parity via the SQL twin on the same rows."""
+    import duckdb
+
+    from exon_duckdb_spark.operators.quality import histogram_quantiles_sql
+
+    rows = [(i, float(i % 10)) for i in range(1000)]  # 100 of each 0..9
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    got = {
+        r["q"]: r["value"]
+        for r in ops.histogram_quantiles(
+            df, "score", qs=(0.5, 0.9, 0.99, 1.0)
+        ).collect()
+    }
+    # rank 500 → 100 each of 0..4 = 500 → value 4; rank 900 → value 8
+    assert got == {0.5: 4.0, 0.9: 8.0, 0.99: 9.0, 1.0: 9.0}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(1000)) % 10 AS score")
+    o = dict(
+        con.execute(
+            histogram_quantiles_sql("t", "score", qs=(0.5, 0.9, 0.99, 1.0))
+        ).fetchall()
+    )
+    assert o == got
+    with pytest.raises(ValueError):
+        ops.histogram_quantiles(df, "score", qs=(0.0,))
+
+
 def test_per_source_cap_keeps_best_k_per_source(spark):
     """Cap keeps the top-k by score within each source (ties to smaller
     id), leaves under-cap sources whole, and preserves all columns."""

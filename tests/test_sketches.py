@@ -233,3 +233,62 @@ def test_hll_grouped_oracle_parity(spark, duck_vals):
     )
     o_rows = sorted(_duck_one(hll_grouped_sql(f"'{path}'", "g", "x", p=6)))
     assert s_rows == o_rows
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+from exon_duckdb_spark.operators.sketches import (  # noqa: E402
+    cms_query,
+    cms_query_sql,
+    cms_table,
+    cms_table_sql,
+)
+
+
+def test_cms_exact_when_sparse(spark):
+    """With few distinct keys and w=64, collisions are unlikely per row
+    and min-over-d makes the estimate exact here; always >= true count."""
+    vals = ["a"] * 100 + ["b"] * 10 + ["c"] * 1
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    cms = cms_table(df, "x")
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], ["x"])
+    got = {r["x"]: r["est"] for r in cms_query(cms, keys, "x").collect()}
+    assert got == {"a": 100, "b": 10, "c": 1}
+
+
+def test_cms_overestimates_only_and_skips_nulls(spark):
+    vals = [f"k{i % 200}" for i in range(2000)]  # forced collisions (w=64)
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], ["x"])
+    cms = cms_table(df, "x")
+    keys = spark.createDataFrame([(k,) for k in true] + [(None,)], ["x"])
+    got = {r["x"]: r["est"] for r in cms_query(cms, keys, "x").collect()}
+    assert None not in got
+    assert all(got[k] >= c for k, c in true.items())
+    # total counter mass per row r equals the non-null input size
+    per_r = {
+        r["r"]: r["s"]
+        for r in cms.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert all(v == 2000 for v in per_r.values())
+
+
+def test_cms_oracle_parity(spark, duck_vals):
+    vals = [f"k{i % 37}" for i in range(500)] + [None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    src = duck_vals(vals)
+    s_rows = sorted(
+        (r["x"], r["est"])
+        for r in cms_query(
+            cms_table(df, "x"), df.select("x").distinct(), "x"
+        ).collect()
+    )
+    o_sql = cms_query_sql(
+        cms_table_sql(src, "x"), f"(SELECT DISTINCT x FROM {src})", "x"
+    )
+    o_rows = sorted(_duck_one(o_sql))
+    assert s_rows == o_rows
