@@ -2905,10 +2905,12 @@ def q58m_sampled_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_col="source", tau=0.7, budget_frac=0.5, salt="tmix"
     )
     capped = ops.per_source_cap(docs, cap=50, score_col="n_chars")
+    ws = ops.weighted_sample(docs, k=200, weight_col="n_chars", salt="ws1")
     a = ops.source_mix_report(strat).select(F.lit("strat").alias("mode"), "*")
     b = ops.source_mix_report(tmix).select(F.lit("tmix").alias("mode"), "*")
     c = ops.source_mix_report(capped).select(F.lit("cap").alias("mode"), "*")
-    return a.unionByName(b).unionByName(c)
+    d = ops.source_mix_report(ws).select(F.lit("wsample").alias("mode"), "*")
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q60m_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5475,12 +5477,28 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rk <= 50
             )"""
     cap_mix = sql67.replace("WITH tok AS", f"WITH {cap_cte}, tok AS", 1)
+    # weighted-sample twin (Efraimidis-Spirakis A-ES): key = ln(u)/w in
+    # 1e-12 integer units (ordering by the undivided floor is the same
+    # ordering as stable_round's divided form), id tiebreak, top-200
+    ws_hv = md5_int_sql("concat('ws1', ':', CAST(doc_id AS VARCHAR))")
+    ws_denom = repr(float((1 << 60) + 1))
+    ws_cte = f"""kept AS (
+              SELECT * FROM (
+                SELECT d.*,
+                       floor(ln((CAST({ws_hv} AS BIGINT) + 1) / {ws_denom})
+                             / CAST(n_chars AS DOUBLE) * 1000000000000 + 0.5) AS wk
+                FROM documents d WHERE n_chars IS NOT NULL AND n_chars > 0
+              ) ORDER BY wk DESC, doc_id ASC LIMIT 200
+            )"""
+    ws_mix = sql67.replace("WITH tok AS", f"WITH {ws_cte}, tok AS", 1)
     sampled_mix = f"""
             SELECT 'strat' AS mode, * FROM ({strat_mix})
             UNION ALL
             SELECT 'tmix' AS mode, * FROM ({tmix_mix})
             UNION ALL
             SELECT 'cap' AS mode, * FROM ({cap_mix})
+            UNION ALL
+            SELECT 'wsample' AS mode, * FROM ({ws_mix})
         """
 
     # q64 multi-query BM25: one scored block per query (same math as the

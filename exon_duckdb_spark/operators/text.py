@@ -77,6 +77,52 @@ def hash_sample(
         return df.where(limit.isNotNull() & (bucket < limit))
     return df.where(bucket < micro(fraction))
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted k-sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): row i draws u_i = (md5(salt ':' id)+1)
+    / (2^60+1) ∈ (0, 1] and scores key_i = ln(u_i)/w_i (the log form of
+    u^(1/w); keys are ≤ 0 and the k LARGEST win) — inclusion probabilities
+    match sequential weighted draws without replacement, and the sample is
+    a pure function of (ids, weights, salt): identical across re-runs,
+    task retries, partitionings, and engines, where ``df.sample``'s
+    rand() is none of those. Use for quality-weighted corpus subsetting
+    ("sample 1M docs ∝ quality score"); :func:`hash_sample` keeps a
+    FRACTION per stratum, this targets an exact k.
+
+    Scale: the key is map-only codegen; the top-k plans
+    TakeOrderedAndProject (per-partition partial top-k — k rows per
+    partition cross the wire, the corpus never shuffles).
+
+    Cross-engine replay: the ranking uses ``stable_round(key, 12)`` with
+    an id tiebreak — libm ``ln()`` may differ in the last ulp between
+    JVM and DuckDB, which 1e-12 rounding absorbs, while adjacent key
+    gaps (~1/n for any realistic corpus) dwarf 1e-12 so the top-k
+    boundary decision replays exactly. Rows with NULL or non-positive
+    weight are dropped (zero weight cannot be drawn; negative is
+    undefined). Returns the winners with all of ``df``'s columns.
+    """
+    from exon_duckdb_spark.operators.numeric import stable_round
+
+    hv = md5_int(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    u = (hv + F.lit(1)).cast("double") / F.lit(float((1 << 60) + 1))
+    key = stable_round(F.ln(u) / F.col(weight_col).cast("double"), 12)
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_wk", key)
+        .orderBy(F.col("_wk").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("_wk")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str = "source",

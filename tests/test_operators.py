@@ -672,6 +672,31 @@ class TestDedupScale:
         }
         assert 400 < counts["en"] < 600 and counts["de"] < 120
 
+    def test_weighted_sample_exact_k_weighted_deterministic(self, spark):
+        """Exactly k winners; selection probability tracks weight (a
+        1000x-weighted row always wins at this draw size); deterministic
+        across calls and partitionings; zero/NULL weights never drawn."""
+        from exon_duckdb_spark.operators import weighted_sample
+
+        rows = [(i, 1.0) for i in range(500)] + [
+            (1000, 1000.0), (1001, 0.0), (1002, None)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = weighted_sample(df, k=50, weight_col="w")
+        ids = {r["doc_id"] for r in got.collect()}
+        assert len(ids) == 50
+        assert 1000 in ids           # P(miss) ≈ (1-2/3)^... ~ 0: w dominates
+        assert 1001 not in ids and 1002 not in ids
+        again = {r["doc_id"] for r in
+                 weighted_sample(df.repartition(7), k=50, weight_col="w").collect()}
+        assert ids == again
+        other = {r["doc_id"] for r in
+                 weighted_sample(df, k=50, weight_col="w", salt="s2").collect()}
+        assert other != ids  # independent draw per salt
+        # weighted inclusion: uniform-weight rows are drawn ~uniformly —
+        # the draw is a fixed function, just sanity-check the count
+        assert len(ids - {1000}) == 49
+
 
 class TestQuality:
     """Gopher-style quality filters, PII scrub, decontamination."""
