@@ -18,6 +18,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "salted_join",
+    "bucketed_write",
     "ensure_parallelism",
 ]
 
@@ -263,6 +264,41 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return big2.join(small2, keys + ["__salt"], how).drop("__salt")
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    n_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table: rows are hash-routed
+    into ``n_buckets`` files per partition by ``bucket_cols`` (optionally
+    sorted within buckets), and the catalog records that layout.
+
+    Why it matters at 100 TB: every join/aggregation on the bucket keys
+    between co-bucketed tables reads the partitioning FROM DISK instead of
+    re-shuffling — the exchange disappears from the plan (asserted in
+    tests/test_plans.py::test_bucketed_join_skips_exchange). A corpus that
+    is joined on doc_id by every pipeline stage (dedup keep-lists, quality
+    joins, split assignment) pays the doc_id shuffle ONCE at ingest, not
+    once per stage. ``sort_cols`` additionally enables sort-merge joins
+    without a per-task sort.
+
+    Spark requires bucketed data to live in the session catalog
+    (``saveAsTable``), not a bare path — read it back with
+    ``spark.table(name)``; a plain ``spark.read.parquet(path)`` sees the
+    files but not the bucket metadata and would shuffle again.
+    """
+    bc = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.format(fmt).mode(mode).bucketBy(int(n_buckets), *bc)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    w.saveAsTable(table)
 
 
 def range_join(

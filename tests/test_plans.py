@@ -5,6 +5,8 @@ Uses the exon_duckdb_spark.plans inspection helpers."""
 from __future__ import annotations
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
+
 from exon_duckdb_spark.plans import (
     assert_no_cartesian,
     explain_formatted,
@@ -240,3 +242,40 @@ def test_bigram_contexts_derive_from_bigram_table(spark):
     ids = set(_re.findall(r"Scan parquet\s*\((\d+)\)", pb))
     ids |= set(_re.findall(r"\((\d+)\) Scan parquet", pb))
     assert len(ids) == 1, sorted(ids)
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables co-bucketed on the join key: the sort-merge join plan
+    contains NO shuffle Exchange on either side — the 'pay the doc_id
+    shuffle once at ingest' guarantee bucketed_write documents. The same
+    join over plain parquet MUST show exchanges (premise guard)."""
+    from exon_duckdb_spark.operators import bucketed_write
+
+    old_wh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7).alias("x")
+        )
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).alias("y")
+        )
+        bucketed_write(a, "bj_a", "doc_id", n_buckets=4, sort_cols="doc_id")
+        bucketed_write(b, "bj_b", "doc_id", n_buckets=4, sort_cols="doc_id")
+        j = spark.table("bj_a").join(spark.table("bj_b"), "doc_id")
+        assert j.count() == 1000
+        plan = explain_formatted(j)
+        assert "Exchange" not in plan, plan
+        # premise guard: the un-bucketed join does exchange both sides
+        pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+        a.write.parquet(pa)
+        b.write.parquet(pb)
+        jp = spark.read.parquet(pa).join(spark.read.parquet(pb), "doc_id")
+        assert "Exchange" in explain_formatted(jp)
+        # co-bucketed aggregation on the bucket key also skips the exchange
+        agg = spark.table("bj_a").groupBy("doc_id").agg(F.sum("x"))
+        assert "Exchange" not in explain_formatted(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_wh)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
