@@ -699,17 +699,58 @@ def q34_fastq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q35_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (point-in-interval): events bucketed into value bands via
-    a broadcast non-equi join, then aggregated per band."""
+    a broadcast non-equi join, then aggregated per band — plus interval
+    algebra: bedtools-style merge of overlapping intervals derived from
+    orders (gaps-and-islands per chrom), tagged union."""
     ev = _events(spark, sf_dir)
     bands = spark.createDataFrame(
         [("tiny", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 150.0), ("big", 150.0, 1e9)],
         "band string, lo double, hi double",
     )
-    return (
+    a = (
         ops.range_join(ev, bands, "value")
         .groupBy("band")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact-cents sum: round(SUM(double), 2) is partition-order
+            # sensitive at 1 ULP (the q01/q29 class)
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.lit("band").alias("kind"),
+            F.col("band").alias("k1"),
+            F.lit(None).cast("bigint").alias("lo"),
+            F.lit(None).cast("bigint").alias("hi"),
+            F.col("n_events").alias("n"),
+            F.col("total_value").alias("val"),
+        )
     )
+    o = _t(spark, sf_dir, "orders")
+    # strided starts (gap 200 > max length 181) so islands stay NON-trivial:
+    # ~50 islands per chrom with varied membership, not one blanket island
+    iv = o.select(
+        F.concat(F.lit("chr"), (F.col("o_orderkey") % 3).cast("string")).alias("chrom"),
+        ((F.col("o_orderkey") % 50) * 200 + (F.col("o_orderkey") % 17))
+        .cast("bigint")
+        .alias("start"),
+        (
+            (F.col("o_orderkey") % 50) * 200
+            + (F.col("o_orderkey") % 17)
+            + (F.col("o_orderkey") % 97)
+            + 1
+        )
+        .cast("bigint")
+        .alias("end"),
+    )
+    b = ops.merge_intervals(iv).select(
+        F.lit("imerge").alias("kind"),
+        F.col("chrom").alias("k1"),
+        F.col("start").alias("lo"),
+        F.col("end").alias("hi"),
+        F.col("n_merged").alias("n"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return a.unionByName(b)
 
 
 def q30_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4519,7 +4560,8 @@ def _component_sql() -> dict[str, str]:
             WITH bands(band, lo, hi) AS (VALUES
               ('tiny', 0.0, 10.0), ('small', 10.0, 50.0),
               ('mid', 50.0, 150.0), ('big', 150.0, 1000000000.0))
-            SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+            SELECT band, count(*) AS n_events,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY band
         """,
@@ -5699,7 +5741,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_event_props_json": C["q11_event_props_json"],
         "q18_asof_join": C["q18_asof_join"],
-        "q35_range_band_join": C["q35_range_band_join"],
+        "q35_range_band_join": f"""
+            SELECT 'band' AS kind, band AS k1, CAST(NULL AS BIGINT) AS lo,
+                   CAST(NULL AS BIGINT) AS hi, n_events AS n, total_value AS val
+            FROM ({C['q35_range_band_join']})
+            UNION ALL
+            -- bedtools-style interval merge (gaps-and-islands per chrom)
+            SELECT 'imerge', chrom, start, "end", n_merged, CAST(NULL AS DOUBLE)
+            FROM (
+              WITH iv AS (
+                SELECT concat('chr', CAST(o_orderkey % 3 AS VARCHAR)) AS chrom,
+                       CAST((o_orderkey % 50) * 200 + (o_orderkey % 17) AS BIGINT) AS start,
+                       CAST((o_orderkey % 50) * 200 + (o_orderkey % 17)
+                            + (o_orderkey % 97) + 1 AS BIGINT) AS "end"
+                FROM orders
+              ),
+              marked AS (
+                SELECT chrom, start, "end",
+                       CASE WHEN max("end") OVER (PARTITION BY chrom ORDER BY start ASC, "end" ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                              OR start > max("end") OVER (PARTITION BY chrom ORDER BY start ASC, "end" ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS is_new
+                FROM iv
+              ),
+              isl AS (
+                SELECT chrom, start, "end",
+                       SUM(is_new) OVER (PARTITION BY chrom ORDER BY start ASC, "end" ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+                FROM marked
+              )
+              SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
+                     COUNT(*) AS n_merged
+              FROM isl GROUP BY chrom, g
+            )
+        """,
         # -- scalar functions --
         "q12_sequence_ops": f"""
             SELECT q.*,

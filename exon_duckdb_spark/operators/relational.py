@@ -19,6 +19,7 @@ __all__ = [
     "range_join",
     "salted_join",
     "bucketed_write",
+    "merge_intervals",
     "ensure_parallelism",
 ]
 
@@ -264,6 +265,47 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return big2.join(small2, keys + ["__salt"], how).drop("__salt")
+
+
+def merge_intervals(
+    df: DataFrame,
+    chrom_col: str = "chrom",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per chromosome (bedtools
+    ``merge``): the island detection every interval algebra builds on —
+    coverage regions from reads, exon unions, repeat masking.
+
+    Gaps-and-islands in two windows over (chrom, start, end) order: an
+    interval starts a new island iff its start exceeds the running max
+    end of everything before it (touching intervals — ``start == prev
+    end`` — merge, half-open convention); the island id is a running sum
+    of starts. Returns (chrom, start, end, n_merged).
+
+    Scale: both windows partition on ``chrom_col``, so parallelism is
+    bounded by the chromosome count and one contig's intervals sort in
+    one task — fine for real genomes (~10⁷ intervals/contig sorts in
+    seconds) but a single hot contig at extreme scale wants a composite
+    key: pre-bucket on (chrom, floor(start/B)) and stitch islands that
+    touch bucket boundaries in a second tiny pass.
+    """
+    w = Window.partitionBy(chrom_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = (prev_max.isNull() | (F.col(start_col) > prev_max)).cast("int")
+    isl = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_isl", isl)
+        .groupBy(chrom_col, "_isl")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("_isl")
+    )
 
 
 def bucketed_write(

@@ -1671,6 +1671,28 @@ def test_curriculum_round_digits_bounds_histogram(spark):
     assert a == b
 
 
+def test_merge_intervals(spark):
+    """bedtools-merge semantics: overlaps AND touching intervals merge
+    (half-open), disjoint stay apart, per-chrom independence, n_merged
+    counts members."""
+    rows = [
+        ("chr1", 0, 10), ("chr1", 5, 20), ("chr1", 20, 25),  # one island
+        ("chr1", 30, 40),                                    # disjoint
+        ("chr2", 0, 5), ("chr2", 6, 9),                      # gap of 1
+    ]
+    df = spark.createDataFrame(rows, ["chrom", "start", "end"])
+    got = {
+        (r["chrom"], r["start"], r["end"]): r["n_merged"]
+        for r in ops.merge_intervals(df).collect()
+    }
+    assert got == {
+        ("chr1", 0, 25): 3,
+        ("chr1", 30, 40): 1,
+        ("chr2", 0, 5): 1,
+        ("chr2", 6, 9): 1,
+    }
+
+
 def test_histogram_quantiles(spark):
     """Inverse-CDF convention on a hand-checked distribution; integer
     rank thresholds (0.9*1000 must be rank 900, not FP-ceil 901); oracle
