@@ -158,7 +158,7 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -194,7 +194,7 @@ def q06_revenue_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(
         (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 20)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
@@ -209,7 +209,7 @@ def q07_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -312,7 +312,7 @@ def q19_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.cube("event_type", F.dayofmonth("ts").alias("day"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"))
     )
 
 
@@ -325,7 +325,7 @@ def q36_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"),
             F.sum("l_quantity").cast("bigint").alias("qty"),
             F.count("*").alias("n_items"),
         )
@@ -342,7 +342,7 @@ def q37_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
@@ -3990,7 +3990,7 @@ def _component_sql() -> dict[str, str]:
         """,
         "q03_revenue_by_nation": """
             SELECT r_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -4014,7 +4014,7 @@ def _component_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "q06_revenue_filter_agg": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT sum(CAST(round((l_extendedprice * l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 20
@@ -4023,7 +4023,7 @@ def _component_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value,
+                   sum(CAST(round((value) * 100, 0) AS BIGINT)) / 100.0 AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY 1, 2
@@ -4132,7 +4132,7 @@ def _component_sql() -> dict[str, str]:
         """,
         "q19_cube_events": """
             SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
-                   count(*) AS n, round(sum(value), 2) AS total_value
+                   count(*) AS n, sum(CAST(round((value) * 100, 0) AS BIGINT)) / 100.0 AS total_value
             FROM events
             GROUP BY CUBE(event_type, day(ts))
         """,
@@ -4567,7 +4567,7 @@ def _component_sql() -> dict[str, str]:
         """,
         "q36_revenue_by_brand": """
             SELECT p_brand,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
                    CAST(sum(l_quantity) AS BIGINT) AS qty,
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -4575,7 +4575,7 @@ def _component_sql() -> dict[str, str]:
         """,
         "q37_supplier_nation_volume": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
                    count(DISTINCT l_suppkey) AS n_suppliers
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -4588,7 +4588,7 @@ def _component_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S') AS window_end,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
+                   sum(CAST(round((value) * 100, 0) AS BIGINT)) / 100.0 AS total_value
             FROM events
             GROUP BY 1, 2, 3
         """,
@@ -5018,13 +5018,14 @@ def _component_sql() -> dict[str, str]:
                            (SELECT sum(nt) FROM ct) AS t_total),
             ratio AS (
               SELECT coalesce(cr.b, ct.b) AS b,
-                     ln((coalesce(nt, 0) + 1.0) / (t_total + 8192.0))
-                     - ln((coalesce(nr, 0) + 1.0) / (r_total + 8192.0)) AS logr
+                     CAST(floor((ln((coalesce(nt, 0) + 1.0) / (t_total + 8192.0))
+                                 - ln((coalesce(nr, 0) + 1.0) / (r_total + 8192.0)))
+                                * 1000000 + 0.5) AS BIGINT) AS lr_micro
               FROM cr FULL OUTER JOIN ct ON cr.b = ct.b, tot)
             SELECT doc_id,
-                   round(sum(tf * logr), 6) AS dsir_logw,
+                   sum(tf * lr_micro) / 1000000.0 AS dsir_logw,
                    CAST(sum(tf) AS BIGINT) AS n_tokens,
-                   round(sum(tf * logr), 6) > 0 AS kept
+                   sum(tf * lr_micro) > 0 AS kept
             FROM tf JOIN ratio USING (b) GROUP BY doc_id
         """,
         "q66_top_ngrams": """

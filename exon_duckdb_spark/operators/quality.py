@@ -788,16 +788,28 @@ def dsir_importance(
             ).alias("_logr"),
         )
     )
-    scored = tf.join(F.broadcast(ratio), "_b")
-    return scored.groupBy(id_col).agg(
-        F.round(F.sum(F.col("_tf") * F.col("_logr")), 6).alias("dsir_logw"),
-        F.sum("_tf").cast("bigint").alias("n_tokens"),
-    ).select(
-        F.col(id_col),
-        "dsir_logw",
-        "n_tokens",
-        (F.col("dsir_logw") > 0).alias("kept"),
+    # quantize the log-ratio to integer micro-units BEFORE the per-doc
+    # sum: the sum is then exact and commutative (no run-order 1-ULP
+    # drift), and the cross-engine ln() last-ulp variance is absorbed at
+    # the per-BUCKET quantization (≤ 8192 values) instead of compounding
+    # across every term of every document's sum — the q29 bug class
+    # applied to the `kept = logw > 0` threshold
+    scored = tf.join(
+        F.broadcast(
+            ratio.select(
+                "_b",
+                F.floor(F.col("_logr") * 1e6 + F.lit(0.5))
+                .cast("long")
+                .alias("_lr_micro"),
+            )
+        ),
+        "_b",
     )
+    return scored.groupBy(id_col).agg(
+        (F.sum(F.col("_tf") * F.col("_lr_micro")) / 1e6).alias("dsir_logw"),
+        F.sum("_tf").cast("bigint").alias("n_tokens"),
+        (F.sum(F.col("_tf") * F.col("_lr_micro")) > 0).alias("kept"),
+    ).select(F.col(id_col), "dsir_logw", "n_tokens", "kept")
 
 
 # Regexes restricted to syntax Java regex (Spark) and RE2 (DuckDB) evaluate
