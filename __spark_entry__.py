@@ -5220,7 +5220,9 @@ def _component_sql() -> dict[str, str]:
               cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok),
               stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM cnts)
               SELECT doc_id,
-                     round(SUM(ln((cnt + 1) * 1.0 / (total + vocab)) * tf) / SUM(tf), 6)
+                     floor(SUM(CAST(floor(ln((cnt + 1) * 1.0 / (total + vocab))
+                                          * 1000000 + 0.5) AS BIGINT) * tf)
+                           / (SUM(tf) * 1000000.0) * 1000000 + 0.5) / 1000000.0
                        AS avg_logprob,
                      CAST(SUM(tf) AS BIGINT) AS n
               FROM tf JOIN cnts USING (tok), stats
@@ -5247,7 +5249,9 @@ def _component_sql() -> dict[str, str]:
               ),
               st AS (SELECT COUNT(*) AS vocab FROM uni)
               SELECT doc_id,
-                     round(SUM(ln((c2 + 1) * 1.0 / (c1 + vocab)) * tf) / SUM(tf), 6)
+                     floor(SUM(CAST(floor(ln((c2 + 1) * 1.0 / (c1 + vocab))
+                                          * 1000000 + 0.5) AS BIGINT) * tf)
+                           / (SUM(tf) * 1000000.0) * 1000000 + 0.5) / 1000000.0
                        AS avg_logprob,
                      CAST(SUM(tf) AS BIGINT) AS n
               FROM tf2 JOIN c2 USING (b)
@@ -5279,9 +5283,11 @@ def _component_sql() -> dict[str, str]:
               ),
               st AS (SELECT SUM(tf) AS tt FROM tf2)
               SELECT doc_id,
-                     round(SUM(ln(0.75 * (c2 * 1.0 / c1)
-                                  + (1.0 - 0.75) * (cw2 * 1.0 / tt)) * tf)
-                           / SUM(tf), 6) AS avg_logprob,
+                     floor(SUM(CAST(floor(ln(0.75 * (c2 * 1.0 / c1)
+                                             + (1.0 - 0.75) * (cw2 * 1.0 / tt))
+                                          * 1000000 + 0.5) AS BIGINT) * tf)
+                           / (SUM(tf) * 1000000.0) * 1000000 + 0.5) / 1000000.0
+                       AS avg_logprob,
                      CAST(SUM(tf) AS BIGINT) AS n
               FROM tf2 JOIN c2 USING (b)
               JOIN ctx ON ctx.w1 = split_part(b, ' ', 1)
@@ -5317,9 +5323,11 @@ def _component_sql() -> dict[str, str]:
               ),
               st AS (SELECT COUNT(*) AS types FROM c2)
               SELECT doc_id,
-                     round(SUM(ln(GREATEST(c2 - 0.75, 0.0) * 1.0 / c1
-                                  + (0.75 * n1f / c1) * (n1b * 1.0 / types)) * tf)
-                           / SUM(tf), 6) AS avg_logprob,
+                     floor(SUM(CAST(floor(ln(GREATEST(c2 - 0.75, 0.0) * 1.0 / c1
+                                             + (0.75 * n1f / c1) * (n1b * 1.0 / types))
+                                          * 1000000 + 0.5) AS BIGINT) * tf)
+                           / (SUM(tf) * 1000000.0) * 1000000 + 0.5) / 1000000.0
+                       AS avg_logprob,
                      CAST(SUM(tf) AS BIGINT) AS n
               FROM tf2 JOIN c2 USING (b)
               JOIN ctx ON ctx.w1 = split_part(b, ' ', 1)

@@ -449,6 +449,22 @@ def histogram_quantiles_sql(
     """
 
 
+
+def _micro_avg_logprob(logp, tf):
+    """Per-doc average log-prob as an integer micro-unit mean: quantize
+    each (term/bigram)-level log-prob ONCE (vocab-sized, explicit floor
+    form so both engines agree), sum exact integers weighted by tf, and
+    stable-round the final quotient — no partition-order 1-ULP drift, no
+    cross-engine ln()/round() divergence compounding across a document's
+    terms (the q29 bug class; see operators/numeric.py)."""
+    from pyspark.sql import functions as F
+
+    from exon_duckdb_spark.operators.numeric import stable_round
+
+    lp_micro = F.floor(logp * 1e6 + F.lit(0.5)).cast("long")
+    return stable_round(F.sum(lp_micro * tf) / (F.sum(tf) * 1e6))
+
+
 def perplexity_score(
     df: DataFrame,
     text_col: str = "text",
@@ -505,9 +521,7 @@ def perplexity_score(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.round(
-                F.sum(logp * F.col("_tf")) / F.sum("_tf"), 6
-            ).alias("avg_logprob"),
+            _micro_avg_logprob(logp, F.col("_tf")).alias("avg_logprob"),
             F.sum("_tf").cast("bigint").alias("n_tokens"),
         )
     )
@@ -589,7 +603,7 @@ def bigram_perplexity_score(
         .crossJoin(F.broadcast(stats))
     )
     return scored.groupBy(id_col).agg(
-        F.round(F.sum(logp * F.col("_tf")) / F.sum("_tf"), 6).alias("avg_logprob"),
+        _micro_avg_logprob(logp, F.col("_tf")).alias("avg_logprob"),
         F.sum("_tf").cast("bigint").alias("n_transitions"),
     )
 
@@ -637,9 +651,7 @@ def interpolated_bigram_score(
         .crossJoin(F.broadcast(stats))
     )
     return scored.groupBy(id_col).agg(
-        F.round(F.sum(F.log(p) * F.col("_tf")) / F.sum("_tf"), 6).alias(
-            "avg_logprob"
-        ),
+        _micro_avg_logprob(F.log(p), F.col("_tf")).alias("avg_logprob"),
         F.sum("_tf").cast("bigint").alias("n_transitions"),
     )
 
@@ -710,9 +722,7 @@ def kneser_ney_bigram_score(
         .crossJoin(F.broadcast(stats))
     )
     return scored.groupBy(id_col).agg(
-        F.round(F.sum(F.log(p) * F.col("_tf")) / F.sum("_tf"), 6).alias(
-            "avg_logprob"
-        ),
+        _micro_avg_logprob(F.log(p), F.col("_tf")).alias("avg_logprob"),
         F.sum("_tf").cast("bigint").alias("n_transitions"),
     )
 

@@ -1502,6 +1502,17 @@ def test_normalize_text_composes_cases_and_whitespace(spark):
     assert out[1] == out[2]
 
 
+def _micro_mean_log(terms_with_tf):
+    """Mirror quality._micro_avg_logprob: per-term log quantized to micro
+    units (floor(x*1e6+0.5)), exact integer weighted sum, stable-rounded
+    quotient."""
+    import math
+
+    num = sum(math.floor(math.log(p) * 1e6 + 0.5) * tf for p, tf in terms_with_tf)
+    n = sum(tf for _, tf in terms_with_tf)
+    return math.floor(num / (n * 1e6) * 1e6 + 0.5) / 1e6
+
+
 def test_interpolated_bigram_score_matches_hand_computation(spark):
     """Pin the Jelinek-Mercer arithmetic on a corpus small enough to do by
     hand: P(w2|w1) = lam*c2/c1 + (1-lam)*cw2/T."""
@@ -1516,8 +1527,8 @@ def test_interpolated_bigram_score_matches_hand_computation(spark):
     p_ab = lam * 3 / 3 + (1 - lam) * 3 / 5
     p_ba = lam * 1 / 2 + (1 - lam) * 1 / 5
     p_bc = lam * 1 / 2 + (1 - lam) * 1 / 5
-    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
-    want2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    want1 = _micro_mean_log([(p_ab, 2), (p_ba, 1)])
+    want2 = _micro_mean_log([(p_ab, 1), (p_bc, 1)])
     out = {
         r["doc_id"]: (r["avg_logprob"], r["n_transitions"])
         for r in ops.interpolated_bigram_score(docs, lam=lam).collect()
@@ -1806,8 +1817,8 @@ def test_kneser_ney_score_matches_hand_computation(spark):
     p_ab = (3 - D) / 3 + (D * 1 / 3) * (1 / 3)
     p_ba = (1 - D) / 2 + (D * 2 / 2) * (1 / 3)
     p_bc = (1 - D) / 2 + (D * 2 / 2) * (1 / 3)
-    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
-    want2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    want1 = _micro_mean_log([(p_ab, 2), (p_ba, 1)])
+    want2 = _micro_mean_log([(p_ab, 1), (p_bc, 1)])
     out = {
         r["doc_id"]: (r["avg_logprob"], r["n_transitions"])
         for r in ops.kneser_ney_bigram_score(docs, discount=D).collect()
