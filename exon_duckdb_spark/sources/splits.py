@@ -102,10 +102,15 @@ def open_binary(path: str):
 
 
 def open_output(path: str):
-    """Binary writer (local path or filesystem URI)."""
+    """Binary writer (local path or filesystem URI). Callers pass FINAL
+    bytes (already BGZF/gzip/zstd-compressed when the format calls for
+    it), so pyarrow's extension-sniffing compression is explicitly off —
+    its 'detect' default would gzip a ``.gz`` path a SECOND time
+    (caught by the s3 emulator round trip: a FASTQ written with
+    compression='gzip' came back double-compressed)."""
     if is_uri(path):
         fs, inner = _fs(path)
-        return fs.open_output_stream(inner)
+        return fs.open_output_stream(inner, compression=None)
     return open(path, "wb")
 
 

@@ -34,6 +34,29 @@ __all__ = [
 
 
 def _write_lines(df: DataFrame, line: F.Column, path: str, compression: str | None):
+    from exon_duckdb_spark.sources.splits import is_uri
+
+    if is_uri(path) and not path.startswith("file://"):
+        # object-store URIs route through the pyarrow seam (the JVM text
+        # writer would need Hadoop scheme connectors the Python stack
+        # doesn't require) — same per-partition sink as the binary formats
+        vals = df.select(line.alias("value"))
+
+        def render(rows: list[dict]) -> bytes:
+            data = ("\n".join(r["value"] for r in rows) + "\n").encode()
+            if compression == "gzip":
+                import gzip as _gz
+
+                return _gz.compress(data)
+            if compression:
+                import pyarrow as _pa
+
+                return _pa.Codec(compression).compress(data, asbytes=True)
+            return data
+
+        ext = {"gzip": ".txt.gz", None: ".txt"}.get(compression, f".txt.{compression}")
+        write_partition_files(vals, path, render, ext)
+        return
     writer = df.select(line.alias("value")).write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
