@@ -2246,6 +2246,68 @@ def q98_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.kneser_ney_bigram_score(_t(spark, sf_dir, "documents"))
 
 
+def q99_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: persisted-index incremental dedup (build 90%, probe
+    10%) — the daily-crawl pattern measured end-to-end incl. the index
+    parquet write."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="lshb_")
+    try:
+        ops.lsh_index_build(docs.where(F.col("doc_id") % 10 != 0), f"{tmp}/idx")
+        out = ops.lsh_index_probe(docs.where(F.col("doc_id") % 10 == 0), f"{tmp}/idx")
+        from exon_duckdb_spark.operators.dedup import _materialize
+
+        return _materialize(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
+    key (user_id) — the shape where CMS beats a per-key groupBy."""
+    from exon_duckdb_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    cms = sk.cms_table(ev, "user_id")
+    keys = ev.select("user_id").distinct().limit(2000)
+    return sk.cms_query(cms, keys, "user_id")
+
+
+def q101_quantiles_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: histogram quantiles + weighted k-sample over documents
+    (both corpus-shuffle-free order statistics)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = ops.histogram_quantiles(docs, "n_chars", qs=(0.5, 0.9, 0.99))
+    ws = ops.weighted_sample(docs, k=500, weight_col="n_chars").select(
+        F.lit(-1.0).alias("q"), F.col("n_chars").cast("double").alias("value")
+    )
+    return q.unionByName(ws)
+
+
+def q102_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: interval merge over lineitem-derived intervals (one
+    window + one groupBy per chrom key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        (F.col("l_orderkey") % 16).cast("string").alias("chrom"),
+        ((F.col("l_orderkey") % 5000) * 40 + (F.col("l_partkey") % 29))
+        .cast("bigint")
+        .alias("start"),
+        (
+            (F.col("l_orderkey") % 5000) * 40
+            + (F.col("l_partkey") % 29)
+            + (F.col("l_suppkey") % 97)
+            + 1
+        )
+        .cast("bigint")
+        .alias("end"),
+    )
+    return ops.merge_intervals(iv)
+
+
 def q78m_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram + add-one bigram + Jelinek-Mercer interpolated + Kneser-Ney
     interpolated bigram LM quality scores, tagged (all self-trained; the

@@ -86,6 +86,12 @@ HEADLINE = [
     "q79_sq8_search",
     "q97_bq_search",
     "q96_rp_topk",
+    # round-6 additions: incremental index dedup, sketches, order
+    # statistics, interval algebra
+    "q99_lsh_index_probe",
+    "q100_cms_heavy_hitters",
+    "q101_quantiles_and_sample",
+    "q102_merge_intervals",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",
