@@ -613,3 +613,65 @@ def test_cluster_conf_sizing_model(input_tb, executor_cores, executors, executor
         conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
         == "true"
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric.py: the order/engine-independence contracts (round 6)
+# ---------------------------------------------------------------------------
+
+_floats = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=_floats, nparts=st.integers(min_value=1, max_value=7))
+@settings(**_SETTINGS)
+def test_stable_avg_is_permutation_and_partition_invariant(spark, vals, nparts):
+    """stable_avg is a pure function of the input MULTISET: any row order,
+    any partitioning, and DuckDB's replay all produce the identical
+    double — the property float AVG lacks (1-ULP partition-order drift),
+    which produced the round-6 q29 oracle divergence."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from exon_duckdb_spark.operators.numeric import stable_avg, stable_avg_sql
+
+    a = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .repartition(nparts)
+        .agg(stable_avg(F.col("x")).alias("m"))
+        .collect()[0]["m"]
+    )
+    b = (
+        spark.createDataFrame([(v,) for v in reversed(vals)], "x double")
+        .coalesce(1)
+        .agg(stable_avg(F.col("x")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert a == b  # bit-identical, not approx
+    lst = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    d = duckdb.connect().execute(
+        f"SELECT {stable_avg_sql('x')} FROM (VALUES {lst}) t(x)"
+    ).fetchone()[0]
+    assert a == d
+
+
+@given(v=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False))
+@settings(**_SETTINGS)
+def test_stable_round_cross_engine_property(spark, v):
+    """stable_round produces the identical double in Spark and DuckDB for
+    ANY input — including tie-adjacent values where the engines' native
+    round() implementations disagree."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from exon_duckdb_spark.operators.numeric import stable_round, stable_round_sql
+
+    a = spark.range(1).select(stable_round(F.lit(v)).alias("r")).collect()[0]["r"]
+    d = duckdb.connect().execute(
+        f"SELECT {stable_round_sql(f'CAST({v!r} AS DOUBLE)')}"
+    ).fetchone()[0]
+    assert a == d
+    assert abs(a - v) <= 5.0000001e-7 or abs(a - v) <= abs(v) * 1e-12
