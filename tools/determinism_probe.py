@@ -49,7 +49,19 @@ VARIANTS: dict[str, dict[str, str]] = {
     },
 }
 
-DEFAULT_QUERIES = ["q20_dedup_suite", "q22_minhash_pipeline"]
+# the historically sensitive rows: the two r5 flakes plus every row that
+# carries float aggregation, sketches, sampling, or streaming branches
+DEFAULT_QUERIES = [
+    "q20_dedup_suite",
+    "q22_minhash_pipeline",
+    "q01_pricing_summary",
+    "q09_distinct_union",
+    "q24_text_analysis",
+    "q29_embedding_dedup",
+    "q35_range_band_join",
+    "q58_sampled_mix_report",
+    "q78_perplexity_score",
+]
 
 
 def value_hash(df) -> str:
