@@ -82,6 +82,42 @@ def test_s3_driver_side_seam(s3env):
     assert store.objects[("bkt", "out/w.txt")] == b"written-via-multipart"
 
 
+def test_s3_indexed_region_query(s3env, tmp_path):
+    """The most I/O-intricate path over the real S3 client: build a BAM +
+    .bai locally, upload both, and run the index-pruned region query
+    against s3:// — the .bai discovery, chunk-range pruning, and ranged
+    BGZF reads all ride the AWS client."""
+    _, _, store, _ = s3env
+    from exon_duckdb_spark.sources.bam import (
+        _parse_bam_split,
+        plan_bam_query_splits,
+    )
+    from exon_duckdb_spark.sources.indexes import index_bam
+
+    from tests.test_indexes import _bam_fixture
+
+    local = _bam_fixture(tmp_path)
+    bai = index_bam(local)
+    store.buckets.add("bkt")
+    with open(local, "rb") as f:
+        store.objects[("bkt", "bam/x.bam")] = f.read()
+    with open(bai, "rb") as f:
+        store.objects[("bkt", "bam/x.bam.bai")] = f.read()
+
+    remote_splits = plan_bam_query_splits("s3://bkt/bam/x.bam", "chr1:1-100000")
+    local_splits = plan_bam_query_splits(local, "chr1:1-100000")
+    assert len(remote_splits) == len(local_splits) > 0
+    got = sorted(
+        r["name"] for s in remote_splits for r in _parse_bam_split(s)
+        if r["reference"] == "chr1" and r["start"] <= 100000
+    )
+    want = sorted(
+        r["name"] for s in local_splits for r in _parse_bam_split(s)
+        if r["reference"] == "chr1" and r["start"] <= 100000
+    )
+    assert got == want and len(got) > 0
+
+
 @pytest.mark.slow
 def test_s3_spark_end_to_end(s3env, tmp_path):
     """Distributed s3:// read + writer round trip in a FRESH session whose
