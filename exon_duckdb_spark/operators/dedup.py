@@ -178,6 +178,85 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs under SIMHASH-HAMMING semantics: the fourth blocking
+    family (word-set MinHash, char-gram MinHash, hyperplane-LSH being the
+    others) — cheapest per doc (one 16/32-bit fingerprint) and the right
+    screen when the dedup criterion is "mostly the same words in mostly
+    the same proportions".
+
+    Charikar-style block split: a fingerprint differing in ≤ ``max_hamming``
+    bits agrees EXACTLY on at least one of ``max_hamming + 1`` disjoint
+    bit-blocks (pigeonhole — this is recall-lossless, unlike minhash
+    banding's probabilistic S-curve). Candidates come from one equi-join
+    per block key; the verify is a native xor + bit_count ≤ max_hamming.
+    Pairs emit at their FIRST matching block (map-side check on the
+    carried block-key array — no distinct shuffle), id_a < id_b.
+
+    Scale: fingerprints are map-only (:func:`simhash`); the join key is a
+    block of the fingerprint, so the shuffle carries (block_id, block_val,
+    id, fingerprint) — ~24 bytes/doc/block, never text. Hot blocks (all-
+    zero fingerprints from empty docs) behave like any skewed join key:
+    AQE skew-split handles them, or pre-filter empty docs.
+    """
+    nblocks = int(max_hamming) + 1
+    if nblocks > bits:
+        raise ValueError(
+            f"max_hamming+1 ({nblocks}) blocks need at least that many bits ({bits})"
+        )
+    # near-equal block widths (pigeonhole needs DISJOINT blocks, not equal
+    # ones): the first bits % nblocks blocks are one bit wider
+    base = bits // nblocks
+    widths = [base + (1 if b < bits % nblocks else 0) for b in range(nblocks)]
+    offs = [sum(widths[:b]) for b in range(nblocks)]
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits).select(
+        F.col(id_col), F.col("simhash").alias("_sh")
+    )
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("_sh"), offs[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            for b in range(nblocks)
+        ]
+    )
+    keyed = sh.select(
+        F.col(id_col), F.col("_sh"), blocks.alias("_blk"),
+        F.posexplode(blocks).alias("block", "bval"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    first_match = F.lit(True)
+    for j in range(nblocks):
+        # drop the pair at block k if an earlier block already matched
+        first_match = first_match & (
+            (F.col("a.block") <= F.lit(j))
+            | (F.element_at(F.col("a._blk"), j + 1)
+               != F.element_at(F.col("b._blk"), j + 1))
+        )
+    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(first_match)
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
 def lsh_index_build(
     df: DataFrame,
     path: str,

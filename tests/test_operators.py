@@ -46,6 +46,36 @@ def test_minhash_lsh_pairs(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_simhash_pairs(docs, spark):
+    """Hamming-block near-dup pairs: identical docs pair at distance 0,
+    near-dups within the threshold pair exactly once (first matching
+    block — no duplicates), distant docs don't; recall is LOSSLESS for
+    d <= max_hamming (pigeonhole over the block split), verified by
+    brute force over the fingerprints."""
+    out = ops.simhash_pairs(docs, bits=16, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert len(out) == len(got)  # earliest-block dedup: no repeated pairs
+    assert got.get((1, 2)) == 0  # identical text
+    # brute-force reference over the same fingerprints
+    fps = {r["doc_id"]: r["simhash"] for r in ops.simhash(docs, bits=16).collect()}
+    want = {
+        (i, j): bin(fps[i] ^ fps[j]).count("1")
+        for i in fps
+        for j in fps
+        if i < j and bin(fps[i] ^ fps[j]).count("1") <= 3
+    }
+    assert got == want
+    # non-divisible block split (16 bits, 3 blocks of 6/5/5) stays lossless
+    out2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ops.simhash_pairs(docs, bits=16, max_hamming=2).collect()
+    }
+    want2 = {k: v for k, v in want.items() if v <= 2}
+    assert out2 == want2
+    with pytest.raises(ValueError):
+        ops.simhash_pairs(docs, bits=16, max_hamming=16)
+
+
 def test_lsh_index_build_probe_roundtrip(docs, spark, tmp_path):
     """Incremental dedup against a persisted band index: build over the
     corpus, probe a batch — collisions match the batch self-join's
