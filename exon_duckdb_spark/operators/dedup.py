@@ -138,6 +138,11 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, distinct (each pair is
     emitted at its earliest colliding band — no distinct() shuffle).
+
+    Lifecycle note: the signature frame is persisted (both join sides read
+    it) and must outlive the returned lazy DataFrame, so it is NOT
+    unpersisted here; loops over many corpora in one session should
+    ``spark.catalog.clearCache()`` between iterations.
     """
     # Fused Arrow pass (same rationale as ngram_jaccard_pairs): shingles AND
     # all k minhashes in one UDF with a per-batch shingle-hash cache + numpy
@@ -175,6 +180,74 @@ def minhash_lsh_pairs(
             F.round(inter / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_band_est_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Band-collision pairs with SIGNATURE-ESTIMATE verify: one row per
+    colliding ``(band, bh)`` bucket, ``est_jaccard`` = fraction of equal
+    signature components (x/num_hashes — exact in binary for power-of-two
+    ``num_hashes``, so no cross-engine rounding convention is needed).
+
+    This is the BATCH-equivalent of the streaming incremental detector
+    (:func:`~exon_duckdb_spark.streaming.events.stream_minhash_pairs`):
+    a finite id-ordered drain of the stream emits exactly this pair set
+    (the stream≡batch equivalence is asserted in tests/test_determinism
+    .py), and the same ``(band, bh, id, est)`` convention as the
+    persisted-index probe (:func:`lsh_index_probe`). Use it when the
+    full corpus is at rest; use the stream for arrival-time dedup; use
+    build/probe for the daily-crawl incremental shape.
+
+    Scale: signatures are one Arrow map pass; the only shuffle is the
+    band-key self-join, which carries (band, bh, id, signature) — never
+    text. Unlike :func:`minhash_lsh_pairs` there is no exact word-set
+    verify stage, so nothing re-joins to the corpus; the estimate IS the
+    output (the LSH-then-estimate screen a 100 TB first pass runs before
+    any exact verify).
+    """
+    from pyspark import StorageLevel
+
+    keyed = df.select(
+        F.col(id_col),
+        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    # persist: the band self-join reads the Arrow signature pass from both
+    # sides (same rationale + lifecycle caveat as minhash_lsh_pairs)
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
+    a = assign.select(
+        "band", "bh", F.col(id_col).alias("id_a"), F.col("_mh").alias("mh_a")
+    )
+    b = assign.select(
+        "band", "bh", F.col(id_col).alias("id_b"), F.col("_mh").alias("mh_b")
+    )
+    eq = F.aggregate(
+        F.zip_with(
+            "mh_a", "mh_b",
+            lambda x, y: F.coalesce((x == y).cast("int"), F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "band",
+            "bh",
+            "id_a",
+            "id_b",
+            (eq / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -289,7 +362,11 @@ def lsh_index_build(
     # cluster rows by band before the partitioned write: without it every
     # shuffle partition writes a sliver into every band dir (bands ×
     # shuffle-partitions small files — measured 3.96 s -> 2.35 s at sf0.1
-    # bench). At corpus scale raise the file count with
+    # bench). repartitionByRange (not hash repartition(bands, band)): a
+    # hash partitioner can land two of the `bands` values in one partition
+    # and leave others empty, re-creating multi-file band dirs; range
+    # boundaries over `bands` distinct values give one value per
+    # partition. At corpus scale raise the file count with
     # df.repartition(N, "band", "bh") before calling; one file per band
     # is right up to ~1 GB bands.
     assign.select(
@@ -297,7 +374,7 @@ def lsh_index_build(
         F.col("bh"),
         F.col(id_col).alias("id"),
         F.col("_mh").alias("mh"),
-    ).repartition(int(bands), F.col("band")).write.mode(mode).partitionBy(
+    ).repartitionByRange(int(bands), F.col("band")).write.mode(mode).partitionBy(
         "band"
     ).parquet(path)
 
@@ -1120,7 +1197,11 @@ def edit_distance_pairs(
     ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
     # persist: the band self-join reads the gram/minhash Arrow pass from
     # BOTH sides — uncached it evaluates the UDF twice (measured 2.13 s
-    # -> 1.27 s min-of-3 at sf0.1; output row-identical)
+    # -> 1.27 s min-of-3 at sf0.1; output row-identical). Lifecycle: the
+    # cache must outlive the RETURNED (lazy) DataFrame, so it is not
+    # unpersisted here; long-lived sessions calling this in a loop should
+    # spark.catalog.clearCache() between iterations (the LRU evicts it
+    # otherwise) — same contract as minhash_lsh_pairs.
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     cand = _capped_band_candidates(
         _band_assignments(keyed, id_col, num_hashes, bands), id_col, max_bucket

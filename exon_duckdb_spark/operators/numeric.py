@@ -32,7 +32,15 @@ def stable_avg(col: Column, digits: int = 6) -> Column:
     cross-engine); on exact ties it rounds toward +∞ — a fixed,
     engine-independent convention, which is the property that matters."""
     s = float(10**digits)
-    return F.sum(F.floor(col * s + F.lit(0.5)).cast("long")) / (F.count(col) * s)
+    # Accumulate in DECIMAL(38,0), not BIGINT: Spark's non-ANSI long SUM
+    # wraps silently once sum(|x|)·10^digits exceeds 2^63 (~9e12 of raw
+    # value at 6 digits — reachable for a big group at 100 TB), which
+    # would yield a deterministic but wildly wrong mean with no error.
+    # 38 decimal digits cover any realistic corpus; the single division
+    # at the end converts exactly-representable integers identically in
+    # both engines (DuckDB's SUM(BIGINT) is already exact HUGEINT).
+    q = F.floor(col * s + F.lit(0.5)).cast("decimal(38,0)")
+    return (F.sum(q) / (F.count(col) * s)).cast("double")
 
 
 def stable_round(col: Column, digits: int = 6) -> Column:

@@ -345,10 +345,27 @@ def stream_minhash_pairs(
 
     Determinism contract (mirrors q59's): within a micro-batch, docs
     process in id order, so a finite single-batch drain emits exactly the
-    batch band self-join's pairs (id_a < id_b, once per colliding band) —
+    batch band self-join's pairs (id_a < id_b, once per colliding band —
+    :func:`~exon_duckdb_spark.operators.dedup.minhash_band_est_pairs`) —
     the SQL-replayable oracle. Across many micro-batches the pair SET is
     the same while buckets stay under ``max_bucket``; only emission times
-    differ. State per bucket is capped; production deployments with
+    differ.
+
+    Cap semantics (verdict r6 #3): when a bucket exceeds ``max_bucket``,
+    membership is the LOWEST-ID ``max_bucket`` members of the ids seen so
+    far — insert-then-evict-max, not first-arrival — so retained
+    membership is a pure function of the id SET, independent of
+    micro-batch arrival order. Consequences, proven in
+    tests/test_determinism.py with ``max_bucket=2`` under two opposite
+    drain orders: (a) every threshold-passing pair among the RETAINED
+    (lowest-id) members is always emitted, in any order — recall over the
+    retained corpus is complete and arrival-unbiased; (b) pairs touching
+    an eventually-evicted member are bonus recall and may vary with
+    arrival order (a member can be probed against before a smaller id
+    displaces it) — bounded extra, never lost. First-arrival membership
+    had neither guarantee: which docs the bucket retained was itself
+    drain-order-dependent, silently biasing recall toward early shards at
+    the 100 TB scale the cap exists for. Production deployments with
     unbounded key churn should add a timeout eviction (the sessionize
     operator shows the pattern).
     """
@@ -411,10 +428,20 @@ def stream_minhash_pairs(
                 if est >= threshold:
                     a, b = (mid, did) if mid < did else (did, mid)
                     out.append((key[0], key[1], a, b, est))
+            # insert-then-evict-max: the bucket retains the lowest-id
+            # max_bucket members of the id set seen so far, making
+            # membership arrival-order-invariant (docstring contract)
             if len(ids) < max_bucket:
                 ids.append(did)
                 sigs.append(s)
                 seen.add(did)
+            else:
+                mx = max(range(len(ids)), key=lambda i: ids[i])
+                if did < ids[mx]:
+                    seen.discard(ids[mx])
+                    ids[mx] = did
+                    sigs[mx] = s
+                    seen.add(did)
         state.update((ids, sigs))
         if out:
             yield pd.DataFrame(

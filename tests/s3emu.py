@@ -26,6 +26,50 @@ class _Store:
         self.uploads: dict[str, dict[int, bytes]] = {}
         self.lock = threading.Lock()
         self.counter = 0
+        self.faults: FaultSchedule | None = None
+
+
+class FaultSchedule:
+    """Deterministic fault injection for retry-path testing
+    (verdict r6 #4): the first ``per_key`` attempts of each distinct
+    data-plane request — keyed (verb, bucket, key, Range header) so a
+    RETRY of the same ranged GET is recognized as such — fail with
+    ``mode`` before the request is served normally.
+
+    Modes:
+      '503'      → 503 SlowDown XML error (AWS throttle; SDK retryable)
+      '500'      → 500 InternalError XML error (SDK retryable)
+      'truncate' → 200 with the full Content-Length but only half the
+                   body, then connection close (short read → the SDK
+                   treats it as a network error and retries)
+      'drop'     → TCP shutdown with no response at all
+
+    ``injected`` counts applied faults, so tests can assert the retry
+    path actually ran (per_key > 0 and a passing read PROVES at least
+    per_key retries happened per touched request)."""
+
+    def __init__(self, mode: str = "503", per_key: int = 2,
+                 verbs: tuple[str, ...] = ("GET", "PUT", "POST")):
+        assert mode in ("503", "500", "truncate", "drop")
+        self.mode = mode
+        self.per_key = per_key
+        self.verbs = set(verbs)
+        self.attempts: dict[tuple, int] = {}
+        self.injected = 0
+        self.lock = threading.Lock()
+
+    def take(self, verb: str, bucket: str, key: str, rng: str | None) -> bool:
+        """True if THIS attempt should fail (and record it)."""
+        if verb not in self.verbs or not key:
+            return False  # keep bucket-level ops (client init, list) clean
+        k = (verb, bucket, key, rng)
+        with self.lock:
+            n = self.attempts.get(k, 0)
+            self.attempts[k] = n + 1
+            if n < self.per_key:
+                self.injected += 1
+                return True
+        return False
 
 
 def _xml_escape(s: str) -> str:
@@ -87,6 +131,56 @@ class _Handler(BaseHTTPRequestHandler):
             return b"".join(out)
         return raw
 
+    def _maybe_fault(self, verb: str, bucket: str, key: str,
+                     body_reader=None) -> bool:
+        """Apply the store's fault schedule to this request; returns True
+        when a fault was injected (response already handled). PUT/POST
+        bodies are drained first so the failure happens after upload —
+        the harder retry case (client must re-send the payload)."""
+        f = self.store.faults
+        if f is None:
+            return False
+        if not f.take(verb, bucket, key, self.headers.get("Range")):
+            return False
+        if body_reader is not None:
+            try:
+                body_reader()
+            except Exception:
+                pass
+        if f.mode == "503":
+            self.close_connection = True
+            self._send(503, b"<Error><Code>SlowDown</Code>"
+                            b"<Message>injected</Message></Error>",
+                       {"Content-Type": "application/xml"})
+        elif f.mode == "500":
+            self.close_connection = True
+            self._send(500, b"<Error><Code>InternalError</Code>"
+                            b"<Message>injected</Message></Error>",
+                       {"Content-Type": "application/xml"})
+        elif f.mode == "truncate":
+            data = self.store.objects.get((bucket, key), b"x" * 64)
+            rng = self.headers.get("Range")
+            if rng and rng.startswith("bytes="):
+                lo_s, hi_s = rng[6:].split("-", 1)
+                lo = int(lo_s) if lo_s else 0
+                hi = min(int(hi_s) if hi_s else len(data) - 1, len(data) - 1)
+                data = data[lo:hi + 1]
+            self.close_connection = True
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data[: max(len(data) // 2, 1)])
+            # short body + connection close → client-side short read
+        else:  # drop
+            self.close_connection = True
+            try:
+                import socket as _s
+
+                self.connection.shutdown(_s.SHUT_RDWR)
+            except Exception:
+                pass
+        return True
+
     # ---- verbs -----------------------------------------------------
     def do_HEAD(self):
         bucket, key, _ = self._split()
@@ -111,6 +205,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         bucket, key, q = self._split()
         st = self.store
+        if self._maybe_fault("GET", bucket, key):
+            return
         if not key:
             # ListObjectsV2
             prefix = q.get("prefix", [""])[0]
@@ -176,6 +272,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PUT(self):
         bucket, key, q = self._split()
         st = self.store
+        if self._maybe_fault("PUT", bucket, key, body_reader=self._read_body):
+            return
         body = self._read_body()
         if not key:
             st.buckets.add(bucket)
@@ -194,6 +292,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         bucket, key, q = self._split()
         st = self.store
+        if self._maybe_fault("POST", bucket, key, body_reader=self._read_body):
+            return
         body = self._read_body()  # noqa: F841  (CompleteMultipartUpload XML)
         if "uploads" in q:
             with st.lock:

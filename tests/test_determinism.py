@@ -133,3 +133,90 @@ def test_stream_minhash_pairs_multibatch_drain_matches_single_batch(
     multi = drain(out_dir, max_files=1)
     single = drain(out_dir, max_files=10)
     assert multi == single
+
+    # ... and both equal the BATCH operator (q22's 'bandest' gate branch):
+    # the stream≡batch equivalence that moved out of the driver gate into
+    # pytest (verdict r6 #1 isolation) is asserted here, operator to
+    # operator, under the forced multi-batch drain.
+    from exon_duckdb_spark.operators.dedup import minhash_band_est_pairs
+
+    batch_pairs = {
+        (r["band"], r["bh"], r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_band_est_pairs(
+            batch, num_hashes=16, bands=4, shingle=3, threshold=0.5
+        ).collect()
+    }
+    assert multi == batch_pairs
+
+
+def _docs_in_arrival_order(tmp_path, texts_by_id, order, subdir):
+    """One part-file per doc with strictly increasing mtimes in ``order`` —
+    FileStreamSource processes oldest-first, so with maxFilesPerTrigger=1
+    each doc is its own micro-batch in exactly the given arrival order."""
+    out_dir = str(tmp_path / subdir)
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    t0 = 1_600_000_000
+    for i, did in enumerate(order):
+        p = os.path.join(out_dir, f"documents_{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": did, "text": texts_by_id[did]}], schema=schema
+            ),
+            p,
+        )
+        os.utime(p, (t0 + i, t0 + i))
+    return out_dir
+
+
+def test_stream_minhash_cap_keeps_lowest_ids_across_drain_orders(
+    spark, tmp_path
+):
+    """Cap-bound membership contract (verdict r6 #3): with max_bucket=2
+    and five identical docs arriving one per micro-batch, bucket
+    membership must converge to the LOWEST-id members regardless of
+    arrival order (insert-then-evict-max), so every pair among the
+    retained members is emitted under ANY drain order. First-arrival
+    membership — the old behavior — fails the descending case: the
+    bucket would retain {5,4} and never emit (1,2)."""
+    from exon_duckdb_spark.streaming.events import (
+        read_documents_stream,
+        run_to_memory_sink,
+        stream_minhash_pairs,
+    )
+
+    texts = {i: "alpha beta gamma delta epsilon zeta" for i in range(1, 6)}
+
+    def drain(order, subdir):
+        d = _docs_in_arrival_order(tmp_path, texts, order, subdir)
+        stream = read_documents_stream(spark, d, max_files=1)
+        out = run_to_memory_sink(
+            stream_minhash_pairs(
+                stream,
+                num_hashes=16,
+                bands=4,
+                shingle=3,
+                threshold=0.5,
+                max_bucket=2,
+            ),
+            f"cap_{uuid.uuid4().hex[:8]}",
+        )
+        rows = out.collect()
+        assert all(r["est_jaccard"] == 1.0 for r in rows)  # identical docs
+        by_band = {}
+        for r in rows:
+            by_band.setdefault(r["band"], set()).add((r["id_a"], r["id_b"]))
+        # identical docs collide in every band identically
+        assert set(by_band) == {0, 1, 2, 3}
+        assert len({frozenset(s) for s in by_band.values()}) == 1
+        return by_band[0]
+
+    asc = drain([1, 2, 3, 4, 5], "asc")
+    desc = drain([5, 4, 3, 2, 1], "desc")
+    # ascending replay: {1,2} admitted, 3/4/5 each probe {1,2} and bounce
+    assert asc == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (1, 5), (2, 5)}
+    # descending replay: each arrival probes, inserts, evicts current max
+    assert desc == {(4, 5), (3, 4), (3, 5), (2, 3), (2, 4), (1, 2), (1, 3)}
+    # the order-invariant guarantee: all pairs among the retained
+    # (lowest-id) members appear under BOTH orders
+    assert {(1, 2)} <= asc and {(1, 2)} <= desc
