@@ -136,12 +136,15 @@ def _gate_trace(name: str, sf_dir: str, out: DataFrame, kind_col: str = "kind") 
     ``GATE_TRACE_<name>.json`` next to this file, keyed by the sf dir
     tag, together with a runtime fingerprint (interpreter/library
     versions, timezone, cores, shuffle partitions). The builder's local
-    values are committed as ``GATE_TRACE_<name>.local.json``; after a
-    driver run, diffing the two shows exactly WHICH branch and which
-    boundary rows differ between the environments. Because the input is
-    checkpointed, the hashed rows are bit-for-bit the rows the driver
-    subsequently collects. Never raises — a trace failure must not turn
-    a green gate red; set SPARK_GRAFT_NO_TRACE=1 to disable (bench)."""
+    run COMMITS that file; a later driver gate run rewrites it in place
+    in the working tree, so ``git diff`` of the file shows exactly WHICH
+    branch and which boundary rows differ between the two environments
+    (this mechanism produced the r7 exculpation evidence). Because the
+    input is checkpointed, the hashed rows are bit-for-bit the rows the
+    driver subsequently collects. Never raises — a trace failure must
+    not turn a green gate red; set SPARK_GRAFT_NO_TRACE=1 to disable
+    (bench.py sets it so trace collection never skews timings; the
+    load-merge-write of the shared JSON is atomic per process only)."""
     if os.environ.get("SPARK_GRAFT_NO_TRACE"):
         return
     try:
@@ -1975,11 +1978,10 @@ def q64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOILER = "accept all cookies to continue reading this site"
 
 
-def q65_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global paragraph dedup (boilerplate removal): documents are grouped
-    into pages of 10 joined by newlines, every page starts with the same
-    planted cookie banner; only the first page keeps it afterwards."""
-    docs = _t(spark, sf_dir, "documents")
+def _q65_pages(docs: DataFrame) -> DataFrame:
+    """Pages-of-10 construction shared by q65 and q20's gate branch:
+    every page = planted cookie banner line + its 10 documents' texts in
+    doc_id order, joined by newlines."""
     page_text = F.concat(
         F.lit(_BOILER + "\n"),
         F.array_join(
@@ -1990,10 +1992,18 @@ def q65_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ),
     )
-    pages = docs.groupBy(
-        F.floor(F.col("doc_id") / 10).alias("page_id")
-    ).agg(page_text.alias("text"))
-    return ops.paragraph_dedup(pages, id_col="page_id")
+    return docs.groupBy(F.floor(F.col("doc_id") / 10).alias("page_id")).agg(
+        page_text.alias("text")
+    )
+
+
+def q65_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph dedup (boilerplate removal): documents are grouped
+    into pages of 10 joined by newlines, every page starts with the same
+    planted cookie banner; only the first page keeps it afterwards."""
+    return ops.paragraph_dedup(
+        _q65_pages(_t(spark, sf_dir, "documents")), id_col="page_id"
+    )
 
 
 def q90_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2003,8 +2013,15 @@ def q90_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are cut from EVERY document (including the first; contrast q65's
     keep-first paragraph semantics); each doc's own text line survives
     unless the corpus planted it as an exact duplicate elsewhere."""
-    docs = _t(spark, sf_dir, "documents")
-    planted = docs.withColumn(
+    return ops.boilerplate_line_removal(
+        _q90_planted(_t(spark, sf_dir, "documents")), min_df=2
+    )
+
+
+def _q90_planted(docs: DataFrame) -> DataFrame:
+    """q90's planted corpus, shared with q20's gate branches: banner on
+    every doc, share footer on doc_id % 4 == 1."""
+    return docs.withColumn(
         "text",
         F.concat(
             F.lit(_BOILER + "\n"),
@@ -2014,7 +2031,6 @@ def q90_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ),
     )
-    return ops.boilerplate_line_removal(planted, min_df=2)
 
 
 def q91_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2752,9 +2768,19 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolation) + q65 global paragraph dedup + q90 cross-document
     line-level boilerplate removal + q103 SimHash-Hamming near-dup pairs
     (the round-6 operator's first gate row). Writes the GATE_TRACE
-    forensic sidecar (see :func:`_gate_trace`)."""
+    forensic sidecar (see :func:`_gate_trace`).
+
+    The paragraph/boiler branches verify at LINE granularity —
+    ``(id, pos, md5(line))`` per surviving line, plus a per-doc removal
+    count — rather than md5 of the reassembled text: reassembly needs an
+    ordered string aggregation in the SQL oracle, the one construct the
+    r7 gate forensics (GATE_TRACE diff + construct-vocabulary audit)
+    identified as version-dependent in the driver's DuckDB (VERDICT r7
+    #1a). Same verification power (content + position + count), zero
+    ordered-aggregate dependence on either engine."""
     from exon_duckdb_spark.operators.dedup import _materialize
 
+    docs = _t(spark, sf_dir, "documents")
     a = q20_exact_dedup(spark, sf_dir).select(
         F.lit("exact").alias("kind"),
         F.col("content_hash").alias("k1"),
@@ -2767,17 +2793,36 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("k2"),
         F.lit(None).cast("bigint").alias("n"),
     )
-    c = q65_paragraph_dedup(spark, sf_dir).select(
+    c = ops.paragraph_dedup(_q65_pages(docs), id_col="page_id", emit="lines").select(
         F.lit("paragraph").alias("kind"),
-        F.col("page_id").alias("k1"),
-        F.md5(F.col("dedup_text")).alias("k2"),
-        F.lit(None).cast("bigint").alias("n"),
+        F.col("page_id").cast("string").alias("k1"),
+        F.md5(F.col("para")).alias("k2"),
+        F.col("pos").cast("bigint").alias("n"),
     )
-    d = q90_boilerplate_lines(spark, sf_dir).select(
+    planted = _q90_planted(docs)
+    kept_lines = ops.boilerplate_line_removal(planted, min_df=2, emit="lines")
+    d = kept_lines.select(
         F.lit("boiler").alias("kind"),
         F.col("doc_id").cast("string").alias("k1"),
-        F.md5(F.col("clean_text")).alias("k2"),
-        F.col("n_removed").cast("bigint").alias("n"),
+        F.md5(F.col("line")).alias("k2"),
+        F.col("pos").cast("bigint").alias("n"),
+    )
+    # per-doc removal count: total planted lines minus surviving lines
+    # (docs whose every line was boilerplate keep their row via the left
+    # join — n_removed = all of them)
+    totals = planted.select(
+        "doc_id", F.size(F.split(F.col("text"), "\n")).alias("_n_lines")
+    )
+    kept_counts = kept_lines.groupBy("doc_id").agg(F.count("*").alias("_n_kept"))
+    d2 = totals.join(kept_counts, "doc_id", "left").select(
+        F.lit("boilern").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("string")
+        .alias("k2"),
+        (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
     )
     e = q103_simhash_pairs(spark, sf_dir).select(
         F.lit("simhash").alias("kind"),
@@ -2786,7 +2831,11 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("bigint").alias("n"),
     )
     out = _materialize(
-        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        a.unionByName(b)
+        .unionByName(c)
+        .unionByName(d)
+        .unionByName(d2)
+        .unionByName(e)
     )
     _gate_trace("q20_dedup_suite", sf_dir, out)
     return out
@@ -3712,6 +3761,11 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0
             f"SELECT doc_id, {b} AS band, {md5_int_sql(f'CONCAT({concat})')} AS bh FROM sig"
         )
     bands_sql = "\n              UNION ALL\n              ".join(band_rows)
+    # UNROUNDED exact IEEE division (int * 1.0 / int): bit-identical in
+    # every binary64 engine, independent of any decimal ROUND convention
+    # (VERDICT r7 #1c — round-half-even vs half-away at the 6th decimal
+    # was a cross-engine-version divergence class). Mirrors the Spark
+    # side (operators/dedup.py minhash_lsh_pairs).
     jac = (
         "len(list_intersect(wa.ws, wb.ws)) * 1.0 / "
         "(len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws)))"
@@ -3735,12 +3789,69 @@ def _lsh_pairs_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0
               SELECT doc_id, list_distinct({_SHINGLE3_SQL}) AS ws
               FROM t
             )
-            SELECT id_a, id_b, round({jac}, 6) AS jaccard
+            SELECT id_a, id_b, {jac} AS jaccard
             FROM cand
             JOIN words wa ON wa.doc_id = id_a
             JOIN words wb ON wb.doc_id = id_b
-            WHERE round({jac}, 6) >= {threshold}
+            WHERE {jac} >= {threshold}
         """
+
+
+def _cc_unrolled_sql(k: int = 6) -> str:
+    """Connected components over a ``pairs`` CTE as a NON-recursive CTE
+    chain — the oracle twin of operators.dedup.dedup_clusters (min-id
+    label per component, covering every id that appears in some pair).
+
+    Replaces the ``WITH RECURSIVE reach`` closure: recursive CTEs were one
+    of exactly two constructs unique to the driver-red oracles in the r7
+    construct-vocabulary audit (VERDICT r7 #1b) — older SQL engines
+    evaluate them differently without erroring. This uses only the
+    vocabulary the 48 driver-validated oracles already exercise (LEFT
+    JOIN, GROUP BY min, least, coalesce).
+
+    Each unrolled step is min-label propagation over the self-loop-closed
+    edge set: ``lbl'(v) = min over (v,u) in E' of lbl(u)`` where E'
+    includes ``(v,v)`` — the self-loop folds "keep my own label" into the
+    SAME single join, so every step references the previous level exactly
+    ONCE. Reference counts are load-bearing: engines that always inline
+    CTEs (DuckDB 1.0 included) expand an n-reference chain to n^k copies
+    of the base pipeline. For the same reason ``edges2`` builds all four
+    orientations (a→b, b→a, and both self-loops) from ONE scan of
+    ``pairs`` via a 4-row index cross join, not a 4-arm UNION — the chain
+    references ``edges2`` k+1 times, and each reference must cost one
+    ``pairs`` evaluation, not four.
+
+    One hop per step, so ``k`` must cover the widest component diameter.
+    Measured: every shipped scale factor reaches fixpoint after ONE hop
+    (near-dup clusters are tight cliques); ``k`` = 6 is 6× margin, and
+    fixpoint (step k == step k-1) is asserted per-SF in
+    tests/test_oracle_contract.py.
+
+    Returns CTE text ``edges2 AS (...), ..., cl AS (doc_id, cluster_id)``
+    to splice after a ``pairs`` CTE (no leading/trailing comma).
+    """
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f"""
+            l{i} AS (
+              SELECT e.u AS id, min(l.lbl) AS lbl
+              FROM edges2 e JOIN l{i - 1} l ON l.id = e.v
+              GROUP BY e.u
+            )""")
+    chain = ",".join(steps)
+    return f"""edges2 AS (
+              SELECT DISTINCT
+                     CASE WHEN m.i = 1 THEN id_a WHEN m.i = 2 THEN id_b
+                          WHEN m.i = 3 THEN id_a ELSE id_b END AS u,
+                     CASE WHEN m.i = 1 THEN id_b WHEN m.i = 2 THEN id_a
+                          WHEN m.i = 3 THEN id_a ELSE id_b END AS v
+              FROM pairs
+              CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) m
+            ),
+            l0 AS (
+              SELECT u AS id, u AS lbl FROM edges2 GROUP BY u
+            ),{chain},
+            cl AS (SELECT id AS doc_id, lbl AS cluster_id FROM l{k})"""
 
 
 def _simhash_pairs_oracle(simhash_sql: str, bits: int = 16, max_hamming: int = 2) -> str:
@@ -4460,40 +4571,6 @@ def _component_sql() -> dict[str, str]:
             SELECT * FROM sig
         """,
         "q22_minhash_lsh_pairs": _lsh_pairs_oracle(),
-        "q41_dedup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
-            edges AS (
-              SELECT id_a AS u, id_b AS v FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs
-            ),
-            reach(id, label) AS (
-              SELECT u, u FROM edges
-              UNION
-              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
-            )
-            SELECT id AS doc_id, min(label) AS cluster_id
-            FROM reach GROUP BY id
-        """,
-        "q42_near_dedup_keep": f"""
-            WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
-            edges AS (
-              SELECT id_a AS u, id_b AS v FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs
-            ),
-            reach(id, label) AS (
-              SELECT u, u FROM edges
-              UNION
-              SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
-            ),
-            dropped AS (
-              SELECT id FROM (SELECT id, min(label) AS m FROM reach GROUP BY id)
-              WHERE id != m
-            )
-            SELECT doc_id, lang FROM documents
-            WHERE doc_id NOT IN (SELECT id FROM dropped)
-        """,
         "q43_gff_roundtrip": """
             SELECT doc_id,
                    concat('sq', CAST(doc_id % 10 AS VARCHAR)) AS seqname,
@@ -5250,56 +5327,6 @@ def _component_sql() -> dict[str, str]:
               FROM d, s)
             SELECT doc_id, bm25 FROM scored WHERE bm25 > 0.0
             ORDER BY bm25 DESC, doc_id LIMIT 25
-        """,
-        "q65_paragraph_dedup": f"""
-            WITH pages AS (
-              SELECT CAST(doc_id // 10 AS BIGINT) AS page_id,
-                     concat('{_BOILER}', chr(10),
-                            string_agg(text, chr(10) ORDER BY doc_id)) AS text
-              FROM documents GROUP BY doc_id // 10),
-            paras AS (
-              SELECT page_id,
-                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
-                     unnest(string_split(text, chr(10))) AS para
-              FROM pages),
-            kept AS (
-              SELECT page_id, pos, para,
-                     row_number() OVER (PARTITION BY para ORDER BY page_id, pos) AS rn
-              FROM paras)
-            SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS dedup_text
-            FROM kept WHERE rn = 1 GROUP BY page_id
-        """,
-        # line-level boilerplate removal: same plant as the Spark side
-        # (banner on every doc, share footer on doc_id % 4 == 1); a line in
-        # >= 2 distinct docs is cut everywhere, survivors rejoin in order
-        "q90_boilerplate_lines": f"""
-            WITH planted AS (
-              SELECT doc_id,
-                     concat('{_BOILER}', chr(10), text,
-                            CASE WHEN doc_id % 4 = 1
-                                 THEN concat(chr(10), 'Share this article')
-                                 ELSE '' END) AS text
-              FROM documents),
-            lns AS (
-              SELECT doc_id,
-                     unnest(string_split(text, chr(10))) AS line,
-                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
-              FROM planted),
-            ldf AS (
-              SELECT line FROM lns GROUP BY line
-              HAVING count(DISTINCT doc_id) >= 2),
-            kept AS (
-              SELECT l.doc_id, l.pos, l.line
-              FROM lns l ANTI JOIN ldf USING (line)),
-            agg AS (
-              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-                     count(*) AS n_kept
-              FROM kept GROUP BY doc_id)
-            SELECT p.doc_id,
-                   coalesce(a.clean_text, '') AS clean_text,
-                   CAST(len(string_split(p.text, chr(10))) - coalesce(a.n_kept, 0)
-                        AS INTEGER) AS n_removed
-            FROM planted p LEFT JOIN agg a USING (doc_id)
         """,
         # canonical normalization: NFC (utf8proc == unicodedata, both
         # Unicode-conformant) → lower → ASCII-whitespace collapse → trim,
@@ -6121,12 +6148,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'keyset', user_id, event_type, CAST(NULL AS BIGINT)
             FROM ({C['q59_stream_dedup']})
             UNION ALL
-            SELECT 'paragraph', page_id, md5(dedup_text), CAST(NULL AS BIGINT)
-            FROM ({C['q65_paragraph_dedup']})
+            -- q65 paragraph dedup at LINE granularity (no ordered
+            -- aggregate — VERDICT r7 #1a): the page line table is built
+            -- directly (banner line sorts before every doc via doc_id -1;
+            -- page text = banner || chr(10) || texts joined by chr(10),
+            -- so line enumeration == splitting the concatenation), pos is
+            -- 0-based to match Spark's posexplode
+            SELECT 'paragraph', CAST(page_id AS VARCHAR), md5(para),
+                   CAST(pos AS BIGINT)
+            FROM (
+              WITH doclines AS (
+                SELECT CAST(doc_id // 10 AS BIGINT) AS page_id,
+                       doc_id, pos AS li, l[pos] AS line
+                FROM (
+                  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                        FROM documents))),
+              pagelines AS (
+                SELECT DISTINCT page_id, CAST(-1 AS BIGINT) AS doc_id,
+                       CAST(0 AS BIGINT) AS li, '{_BOILER}' AS line
+                FROM doclines
+                UNION ALL
+                SELECT page_id, doc_id, li, line FROM doclines),
+              paras AS (
+                SELECT page_id,
+                       row_number() OVER (PARTITION BY page_id
+                                          ORDER BY doc_id, li) - 1 AS pos,
+                       line AS para
+                FROM pagelines),
+              kept AS (
+                SELECT page_id, pos, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY page_id, pos) AS rn
+                FROM paras)
+              SELECT page_id, pos, para FROM kept WHERE rn = 1
+            )
             UNION ALL
-            SELECT 'boiler', CAST(doc_id AS VARCHAR), md5(clean_text),
-                   CAST(n_removed AS BIGINT)
-            FROM ({C['q90_boilerplate_lines']})
+            -- q90 boilerplate removal at LINE granularity + per-doc
+            -- removal counts (same plant as the Spark side)
+            SELECT kind, k1, k2, n FROM (
+              WITH planted AS (
+                SELECT doc_id,
+                       concat('{_BOILER}', chr(10), text,
+                              CASE WHEN doc_id % 4 = 1
+                                   THEN concat(chr(10), 'Share this article')
+                                   ELSE '' END) AS text
+                FROM documents),
+              lns AS (
+                SELECT doc_id, pos - 1 AS pos, l[pos] AS line
+                FROM (
+                  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                        FROM planted))),
+              ldf AS (
+                SELECT line FROM lns GROUP BY line
+                HAVING count(DISTINCT doc_id) >= 2),
+              kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lns l ANTI JOIN ldf USING (line)),
+              kcnt AS (
+                SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id)
+              SELECT 'boiler' AS kind, CAST(doc_id AS VARCHAR) AS k1,
+                     md5(line) AS k2, CAST(pos AS BIGINT) AS n
+              FROM kept
+              UNION ALL
+              SELECT 'boilern',
+                     CAST(p.doc_id AS VARCHAR),
+                     CAST(len(string_split(p.text, chr(10)))
+                          - coalesce(k.n_kept, 0) AS VARCHAR),
+                     CAST(len(string_split(p.text, chr(10)))
+                          - coalesce(k.n_kept, 0) AS BIGINT)
+              FROM planted p LEFT JOIN kcnt k USING (doc_id)
+            )
             UNION ALL
             SELECT 'simhash', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
                    CAST(hamming AS BIGINT)
@@ -6140,78 +6233,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pair', id_a, CAST(id_b AS VARCHAR), jaccard
             FROM ({C['q22_minhash_lsh_pairs']})
             UNION ALL
-            SELECT 'cluster', doc_id, CAST(cluster_id AS VARCHAR), CAST(NULL AS DOUBLE)
-            FROM ({C['q41_dedup_clusters']})
-            UNION ALL
-            SELECT 'keep', doc_id, lang, CAST(NULL AS DOUBLE)
-            FROM ({C['q42_near_dedup_keep']})
+            -- cluster / keep / split / rep all derive from ONE connected-
+            -- components chain (non-recursive unrolled propagation —
+            -- VERDICT r7 #1b: recursive CTEs were driver-version-
+            -- dependent). The four branches fan out of a single scan of
+            -- the labeled corpus via a 4-row index cross join: an
+            -- inlining engine therefore evaluates the chain ONCE, not
+            -- four times. Split thresholds are hash_sample's micro
+            -- convention: 0.8 -> 800000, 0.9 -> 900000.
+            SELECT kind, k1, k2, val FROM (
+              WITH pairs AS ({_lsh_pairs_oracle()}),
+              {_cc_unrolled_sql()},
+              j AS (
+                SELECT d.doc_id, d.n_chars, d.lang,
+                       cl.cluster_id IS NOT NULL AS in_cl,
+                       COALESCE(cl.cluster_id, d.doc_id) AS grp
+                FROM documents d LEFT JOIN cl USING (doc_id)
+              ),
+              jj AS (
+                SELECT doc_id, n_chars, lang, in_cl, grp,
+                       row_number() OVER (PARTITION BY grp
+                                 ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                       {md5_int_sql("CONCAT('split', ':', CAST(grp AS VARCHAR))")}
+                         % 1000000 AS bucket
+                FROM j
+              )
+              SELECT CASE WHEN m.i = 1 THEN 'cluster'
+                          WHEN m.i = 2 THEN 'keep'
+                          WHEN m.i = 3 THEN 'split'
+                          ELSE 'rep' END AS kind,
+                     doc_id AS k1,
+                     CASE WHEN m.i = 1 THEN CAST(grp AS VARCHAR)
+                          WHEN m.i = 2 THEN lang
+                          WHEN m.i = 3 THEN
+                            CASE WHEN bucket < 800000 THEN 'train'
+                                 WHEN bucket < 900000 THEN 'val'
+                                 ELSE 'test' END
+                          ELSE CAST(grp AS VARCHAR) END AS k2,
+                     CASE WHEN m.i = 3 THEN CAST(grp AS DOUBLE)
+                          WHEN m.i = 4 THEN CAST(n_chars AS DOUBLE)
+                          ELSE CAST(NULL AS DOUBLE) END AS val
+              FROM jj
+              CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) m
+              WHERE (m.i = 1 AND in_cl)
+                 OR (m.i = 2 AND doc_id = grp)
+                 OR (m.i = 3)
+                 OR (m.i = 4 AND rk = 1)
+            )
             UNION ALL
             SELECT 'bandest', CAST(id_a AS VARCHAR),
                    concat(CAST(id_b AS VARCHAR), ':', CAST(band AS VARCHAR)),
                    est_jaccard
             FROM ({_stream_minhash_oracle()})
-            UNION ALL
-            -- leakage-safe split: hash the CLUSTER label (min reachable id,
-            -- singletons fall back to their own id) against hash_sample's
-            -- micro thresholds: 0.8 -> 800000, 0.9 -> 900000
-            SELECT 'split', doc_id, split, CAST(grp AS DOUBLE) FROM (
-              WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
-              edges AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-              ),
-              reach(id, label) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
-              ),
-              cl AS (SELECT id AS doc_id, min(label) AS cluster_id
-                     FROM reach GROUP BY id),
-              j AS (
-                SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS grp
-                FROM documents d LEFT JOIN cl USING (doc_id)
-              ),
-              bk AS (
-                SELECT doc_id, grp,
-                       {md5_int_sql("CONCAT('split', ':', CAST(grp AS VARCHAR))")}
-                         % 1000000 AS bucket
-                FROM j
-              )
-              SELECT doc_id, grp,
-                     CASE WHEN bucket < 800000 THEN 'train'
-                          WHEN bucket < 900000 THEN 'val'
-                          ELSE 'test' END AS split
-              FROM bk
-            )
-            UNION ALL
-            -- quality-ranked representative: argmax n_chars per cluster
-            -- (ties toward smaller id), singletons represent themselves
-            SELECT 'rep', doc_id, CAST(grp AS VARCHAR), CAST(n_chars AS DOUBLE) FROM (
-              WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
-              edges AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-              ),
-              reach(id, label) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
-              ),
-              cl AS (SELECT id AS doc_id, min(label) AS cluster_id
-                     FROM reach GROUP BY id),
-              j AS (
-                SELECT d.doc_id, d.n_chars,
-                       COALESCE(cl.cluster_id, d.doc_id) AS grp
-                FROM documents d LEFT JOIN cl USING (doc_id)
-              )
-              SELECT doc_id, grp, n_chars FROM (
-                SELECT *, row_number() OVER (PARTITION BY grp
-                               ORDER BY n_chars DESC, doc_id ASC) AS rk
-                FROM j
-              ) WHERE rk = 1
-            )
             UNION ALL
             -- persisted-index incremental probe: batch = doc_id % 10 = 0
             SELECT 'incr', CAST(id_new AS VARCHAR),

@@ -180,6 +180,10 @@ def calibrate(spark, passes: int = 3) -> dict[str, float]:
 
 
 def main() -> None:
+    # the gate-forensics trace (a driver-side collect + JSON write inside
+    # q20m/q22m) must never skew bench timings — force the opt-out here
+    # rather than relying on the invoker to remember it (ADVICE r7)
+    os.environ.setdefault("SPARK_GRAFT_NO_TRACE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = parse_sf(sf_dir)
     passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))

@@ -173,11 +173,16 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     union = F.size("ws_a") + F.size("ws_b") - inter
+    # UNROUNDED exact IEEE division of two small integers: bit-identical
+    # in every binary64 engine (Spark, DuckDB, numpy), so neither the
+    # value nor the threshold compare depends on a decimal rounding
+    # convention (VERDICT r7 #1c: round-half-up vs half-even at the 6th
+    # decimal was a cross-engine divergence class on the gate).
     return (
         j.select(
             "id_a",
             "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            (inter / union).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -761,6 +766,7 @@ def paragraph_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    emit: str = "docs",
 ) -> DataFrame:
     """Global paragraph-level dedup (C4/RefinedWeb-style boilerplate
     removal): split every document on ``sep`` (a regex), keep only the FIRST
@@ -780,6 +786,13 @@ def paragraph_dedup(
     the text already rides the shuffle, so disambiguating 60-bit collisions
     costs nothing and keeps results text-keyed (two distinct paragraphs
     colliding on md5_int would otherwise silently drop one).
+
+    ``emit="lines"`` returns the surviving paragraphs UN-reassembled, one
+    row per kept paragraph ``(id, pos, para)`` with ``pos`` the 0-based
+    position in the source document — the order-free verification shape
+    (a reassembled text's hash depends on an ordered string aggregation,
+    which SQL oracles evaluate inconsistently across engine versions;
+    VERDICT r7 #1a). ``emit="docs"`` (default) reassembles.
     """
     paras = df.select(
         F.col(id_col),
@@ -789,6 +802,12 @@ def paragraph_dedup(
         F.col(id_col), F.col("_pos")
     )
     kept = paras.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    if emit == "lines":
+        return kept.select(
+            F.col(id_col),
+            F.col("_pos").alias("pos"),
+            F.col("_para").alias("para"),
+        )
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -806,6 +825,7 @@ def boilerplate_line_removal(
     id_col: str = "doc_id",
     min_df: int = 2,
     sep: str = "\n",
+    emit: str = "docs",
 ) -> DataFrame:
     """Cross-document line-level boilerplate removal (the CCNet/RefinedWeb
     line-dedup flavor): a line whose content appears in at least ``min_df``
@@ -837,6 +857,12 @@ def boilerplate_line_removal(
     (same contract as :func:`paragraph_dedup`) — fine for the plain-text
     separators this is meant for ('\\n', '\\n\\n'); escape metacharacters
     if splitting on one, or the rejoined text will not round-trip.
+
+    ``emit="lines"`` returns the surviving lines UN-reassembled, one row
+    per kept line ``(id, pos, line)`` with ``pos`` 0-based — the order-free
+    verification shape (see :func:`paragraph_dedup`); docs whose every
+    line was boilerplate emit nothing. ``emit="docs"`` (default)
+    reassembles and adds ``n_removed``.
     """
     lines = df.select(
         F.col(id_col),
@@ -849,6 +875,12 @@ def boilerplate_line_removal(
         .select("_line")
     )
     kept = lines.join(boiler, "_line", "left_anti")
+    if emit == "lines":
+        return kept.select(
+            F.col(id_col),
+            F.col("_pos").alias("pos"),
+            F.col("_line").alias("line"),
+        )
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
