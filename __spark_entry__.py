@@ -863,6 +863,13 @@ def q35_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast non-equi join, then aggregated per band — plus interval
     algebra: bedtools-style merge of overlapping intervals derived from
     orders (gaps-and-islands per chrom), tagged union."""
+    frames = q35_branch_frames(spark, sf_dir)
+    return frames["band"].unionByName(frames["imerge"])
+
+
+def q35_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q35's gate branches (branch-level bench unit, VERDICT r7 #3):
+    independent pipelines — walls sum to the composite's."""
     ev = _events(spark, sf_dir)
     bands = spark.createDataFrame(
         [("tiny", 0.0, 10.0), ("small", 10.0, 50.0), ("mid", 50.0, 150.0), ("big", 150.0, 1e9)],
@@ -911,7 +918,7 @@ def q35_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_merged").alias("n"),
         F.lit(None).cast("double").alias("val"),
     )
-    return a.unionByName(b)
+    return {"band": a, "imerge": b}
 
 
 def q30_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2780,6 +2787,21 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered-aggregate dependence on either engine."""
     from exon_duckdb_spark.operators.dedup import _materialize
 
+    frames = q20_branch_frames(spark, sf_dir)
+    keys = list(frames)
+    out = frames[keys[0]]
+    for key in keys[1:]:
+        out = out.unionByName(frames[key])
+    out = _materialize(out)
+    _gate_trace("q20_dedup_suite", sf_dir, out)
+    return out
+
+
+def q20_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """The q20 composite's branch DataFrames keyed by gate tag — the unit
+    bench.py times individually (branch-level bench, VERDICT r6 #5 /
+    r7 #3). Branches here are independent pipelines, so their walls sum
+    to roughly the composite's."""
     docs = _t(spark, sf_dir, "documents")
     a = q20_exact_dedup(spark, sf_dir).select(
         F.lit("exact").alias("kind"),
@@ -2830,15 +2852,14 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("k2"),
         F.col("hamming").cast("bigint").alias("n"),
     )
-    out = _materialize(
-        a.unionByName(b)
-        .unionByName(c)
-        .unionByName(d)
-        .unionByName(d2)
-        .unionByName(e)
-    )
-    _gate_trace("q20_dedup_suite", sf_dir, out)
-    return out
+    return {
+        "exact": a,
+        "keyset": b,
+        "paragraph": c,
+        "boiler": d,
+        "boilern": d2,
+        "simhash": e,
+    }
 
 
 def q95_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2879,6 +2900,17 @@ def q96_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT)-replacement shapes a 100 TB rollup runs. Every value
     is oracle-replayed bit-for-bit via the deterministic md5 hash family
     (sketches.py docstring)."""
+    frames = q96_branch_frames(spark, sf_dir)
+    keys = list(frames)
+    out = frames[keys[0]]
+    for key in keys[1:]:
+        out = out.unionByName(frames[key])
+    return out
+
+
+def q96_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q96's sketch branches keyed by gate tag (branch-level bench unit,
+    VERDICT r7 #3). Independent pipelines — walls sum to the suite's."""
     from exon_duckdb_spark.operators import sketches as sk
 
     orders = _t(spark, sf_dir, "orders")
@@ -2931,13 +2963,14 @@ def q96_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").cast("string").alias("k1"),
         F.col("value").cast("double").alias("est"),
     )
-    return (
-        a.unionByName(b)
-        .unionByName(c)
-        .unionByName(d)
-        .unionByName(e)
-        .unionByName(g)
-    )
+    return {
+        "kmv_orders": a,
+        "hll_lineitem": b,
+        "hll_events": c,
+        "kmv_merge": d,
+        "cms": e,
+        "quantile": g,
+    }
 
 
 def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2947,15 +2980,28 @@ def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver records exactly the first 50 registry entries
     (tests/test_oracle_contract.py::test_registry_fits_driver_window),
     so new operators ride existing composed queries."""
+    frames = q09_branch_frames(spark, sf_dir)
+    keys = list(frames)
+    out = frames[keys[0]]
+    for key in keys[1:]:
+        out = out.unionByName(frames[key])
+    return out
+
+
+def q09_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q09's gate branches: the exact DISTINCT union plus each sketch
+    family individually (branch-level bench unit, VERDICT r7 #3)."""
     a = q09_distinct_union(spark, sf_dir).select(
         F.lit("distinct").alias("kind"),
         F.col("val").alias("k1"),
         F.lit(None).cast("double").alias("est"),
     )
-    b = q96_sketch_suite(spark, sf_dir).select(
-        "kind", "k1", F.col("est").cast("double").alias("est")
-    )
-    return a.unionByName(b)
+    frames: "dict[str, DataFrame]" = {"distinct": a}
+    for key, f in q96_branch_frames(spark, sf_dir).items():
+        frames[key] = f.select(
+            "kind", "k1", F.col("est").cast("double").alias("est")
+        )
+    return frames
 
 
 def q104_minhash_band_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2988,6 +3034,36 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    tmp = tempfile.mkdtemp(prefix="lshidx_")
+    try:
+        frames = q22_branch_frames(spark, sf_dir, f"{tmp}/idx")
+        keys = list(frames)
+        out = frames[keys[0]]
+        for key in keys[1:]:
+            out = out.unionByName(frames[key])
+        # the probe reads the on-disk index lazily; pin rows before the
+        # temp dir is removed
+        from exon_duckdb_spark.operators.dedup import _materialize
+
+        out = _materialize(out)
+        _gate_trace("q22_minhash_pipeline", sf_dir, out)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q22_branch_frames(
+    spark: SparkSession, sf_dir: str, idx_dir: str
+) -> "dict[str, DataFrame]":
+    """The q22 composite's branch DataFrames keyed by gate tag — the unit
+    bench.py times individually (branch-level bench, VERDICT r6 #5 /
+    r7 #3). ``idx_dir`` receives the persisted LSH band index the 'incr'
+    branch probes; the caller owns its lifetime and must materialize
+    'incr' before removing it. Unlike q20's branches these share work:
+    building the dict runs connected components once (clusters feed
+    keep/split/rep), so per-branch walls measure each branch's own
+    compute beyond the shared cluster table and do NOT sum to the
+    composite's wall."""
     docs = _t(spark, sf_dir, "documents")
     sig = ops.minhash_signature(docs, num_hashes=8)
     pairs = ops.minhash_lsh_pairs(
@@ -3049,51 +3125,41 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_key").cast("string").alias("k2"),
         F.col("n_chars").cast("double").alias("val"),
     )
-    tmp = tempfile.mkdtemp(prefix="lshidx_")
-    try:
-        ops.lsh_index_build(
-            docs.where(F.col("doc_id") % 10 != 0),
-            f"{tmp}/idx",
-            num_hashes=16,
-            bands=4,
-            shingle=3,
-        )
-        inc = ops.lsh_index_probe(
-            docs.where(F.col("doc_id") % 10 == 0),
-            f"{tmp}/idx",
-            num_hashes=16,
-            bands=4,
-            shingle=3,
-            threshold=0.5,
-        )
-        i = inc.select(
-            F.lit("incr").alias("kind"),
-            F.col("id_new").cast("string").alias("k1"),
-            F.concat_ws(
-                ":",
-                F.col("id_indexed").cast("string"),
-                F.col("band").cast("string"),
-            ).alias("k2"),
-            F.col("est_jaccard").alias("val"),
-        )
-        out = (
-            a.unionByName(b)
-            .unionByName(c)
-            .unionByName(d)
-            .unionByName(e)
-            .unionByName(g)
-            .unionByName(h)
-            .unionByName(i)
-        )
-        # the probe reads the on-disk index lazily; pin rows before the
-        # temp dir is removed
-        from exon_duckdb_spark.operators.dedup import _materialize
-
-        out = _materialize(out)
-        _gate_trace("q22_minhash_pipeline", sf_dir, out)
-        return out
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    ops.lsh_index_build(
+        docs.where(F.col("doc_id") % 10 != 0),
+        idx_dir,
+        num_hashes=16,
+        bands=4,
+        shingle=3,
+    )
+    inc = ops.lsh_index_probe(
+        docs.where(F.col("doc_id") % 10 == 0),
+        idx_dir,
+        num_hashes=16,
+        bands=4,
+        shingle=3,
+        threshold=0.5,
+    )
+    i = inc.select(
+        F.lit("incr").alias("kind"),
+        F.col("id_new").cast("string").alias("k1"),
+        F.concat_ws(
+            ":",
+            F.col("id_indexed").cast("string"),
+            F.col("band").cast("string"),
+        ).alias("k2"),
+        F.col("est_jaccard").alias("val"),
+    )
+    return {
+        "sig": a,
+        "pair": b,
+        "cluster": c,
+        "keep": d,
+        "bandest": e,
+        "split": g,
+        "rep": h,
+        "incr": i,
+    }
 
 
 def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3582,6 +3648,41 @@ def q80m_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q03_revenue_by_nation(spark, "/root/testdata/sf0.001")
+
+
+def branch_frames() -> "dict[str, Callable]":
+    """Per-branch DataFrames of the composite gate queries, for
+    branch-level bench timings (VERDICT r6 #5 / r7 #3: q20/q22/q09/q35
+    each time 5–8 operator families in one wall number, so
+    round-over-round perf reads on them were mud).
+
+    Each value is ``factory(spark, sf_dir) -> (frames, cleanup)`` where
+    ``frames`` maps a branch tag (the composite's ``kind`` value) to its
+    DataFrame and ``cleanup()`` releases any scratch state (q22's
+    on-disk LSH index). bench.py times each frame with the same noop
+    sink as the headline queries and emits them under ``"branches"``.
+    Caveat: q22's branches share the connected-components table built
+    when the factory runs, so its branch walls measure per-branch
+    incremental compute, not end-to-end pipeline cost (the composite's
+    own wall remains the end-to-end number)."""
+
+    def _plain(fn):
+        return lambda spark, sf_dir: (fn(spark, sf_dir), lambda: None)
+
+    def _q22(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="lshidx_bench_")
+        frames = q22_branch_frames(spark, sf_dir, f"{tmp}/idx")
+        return frames, lambda: shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "q20_dedup_suite": _plain(q20_branch_frames),
+        "q22_minhash_pipeline": _q22,
+        "q09_distinct_union": _plain(q09_branch_frames),
+        "q35_range_band_join": _plain(q35_branch_frames),
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -146,6 +146,33 @@ def run_queries(
     return times
 
 
+def run_branches(spark, sf_dir: str, passes: int = 2) -> dict[str, dict[str, float]]:
+    """Branch-level timings for the composite gate queries (VERDICT r7
+    #3): each composite's branches time individually through the same
+    noop sink (1 warm + ``passes`` timed, per-branch minimum). Shared
+    state is released per composite (clearCache — the signature frames
+    minhash operators persist would otherwise accumulate across
+    composites; ADVICE r7)."""
+    out: dict[str, dict[str, float]] = {}
+    for name, factory in entrymod.branch_frames().items():
+        frames, cleanup = factory(spark, sf_dir)
+        try:
+            times: dict[str, float] = {}
+            for tag, df in frames.items():
+                df.write.mode("overwrite").format("noop").save()  # warm
+                for _ in range(max(passes, 1)):
+                    t0 = time.time()
+                    df.write.mode("overwrite").format("noop").save()
+                    dt = round(time.time() - t0, 3)
+                    if tag not in times or dt < times[tag]:
+                        times[tag] = dt
+            out[name] = times
+        finally:
+            cleanup()
+        spark.catalog.clearCache()
+    return out
+
+
 def calibrate(spark, passes: int = 3) -> dict[str, float]:
     """Data-independent host-speed probes, run warm, min over ``passes``:
     'calib_cpu' is a generated-range codegen aggregation (pure JVM compute),
@@ -199,6 +226,7 @@ def main() -> None:
         warm=not os.environ.get("SPARK_GRAFT_COLD"),
         passes=passes,
     )
+    branches = run_branches(spark, sf_dir)
     calib_end = calibrate(spark)
     calib = {k: min(calib[k], calib_end[k]) for k in calib}
     total = round(sum(times.values()), 3)
@@ -209,6 +237,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "branches": branches,
                 "sf": sf,
                 "passes": passes,
                 **calib,

@@ -370,10 +370,13 @@ def lsh_index_build(
     # bench). repartitionByRange (not hash repartition(bands, band)): a
     # hash partitioner can land two of the `bands` values in one partition
     # and leave others empty, re-creating multi-file band dirs; range
-    # boundaries over `bands` distinct values give one value per
-    # partition. At corpus scale raise the file count with
-    # df.repartition(N, "band", "bh") before calling; one file per band
-    # is right up to ~1 GB bands.
+    # boundaries over `bands` distinct values USUALLY give one value per
+    # partition (RangePartitioner samples to pick boundaries, so a skewed
+    # band distribution can still merge two values — the effect is file
+    # LAYOUT only, never output correctness, since partitionBy routes
+    # rows by value regardless). At corpus scale raise the file count
+    # with df.repartition(N, "band", "bh") before calling; one file per
+    # band is right up to ~1 GB bands.
     assign.select(
         F.col("band"),
         F.col("bh"),

@@ -32,15 +32,27 @@ def stable_avg(col: Column, digits: int = 6) -> Column:
     cross-engine); on exact ties it rounds toward +∞ — a fixed,
     engine-independent convention, which is the property that matters."""
     s = float(10**digits)
-    # Accumulate in DECIMAL(38,0), not BIGINT: Spark's non-ANSI long SUM
-    # wraps silently once sum(|x|)·10^digits exceeds 2^63 (~9e12 of raw
-    # value at 6 digits — reachable for a big group at 100 TB), which
-    # would yield a deterministic but wildly wrong mean with no error.
-    # 38 decimal digits cover any realistic corpus; the single division
-    # at the end converts exactly-representable integers identically in
-    # both engines (DuckDB's SUM(BIGINT) is already exact HUGEINT).
-    q = F.floor(col * s + F.lit(0.5)).cast("decimal(38,0)")
-    return (F.sum(q) / (F.count(col) * s)).cast("double")
+    # Two-tier accumulation (round-7 made this DECIMAL(38,0) per row to
+    # close the silent BIGINT-wrap seam at 100 TB group sums — correct
+    # but ~1.5× slower on the aggregation-heavy queries, since every row
+    # paid a decimal add). Same exactness, long-speed rows: split the
+    # quantized addend q into q = hi·2^16 + lo (both exact — q < 2^53 so
+    # the double arithmetic is integer-exact, and the split is a power-
+    # of-two exponent shift), SUM hi and lo as LONGS inside codegen, and
+    # recombine in DECIMAL once per group. Overflow bounds per group:
+    # sum(lo) < n·2^16 needs n < 2^47 rows (~1.4e14); sum(hi) <
+    # n·|x|·10^digits/2^16 needs n·|x| < 6e17 at 6 digits — both orders
+    # above any 100 TB group, and the old per-row decimal form's seam
+    # (wrap at n·|x| ~ 9e12) is what this replaces. The recombined total
+    # is the IDENTICAL exact integer the decimal form produced, so the
+    # SQL twin (stable_avg_sql: exact HUGEINT sum) is unchanged.
+    q = F.floor(col * s + F.lit(0.5))
+    hi = F.floor(q / F.lit(65536.0))
+    lo = (q - hi * F.lit(65536.0)).cast("long")
+    total = F.sum(hi.cast("long")).cast("decimal(38,0)") * F.lit(65536) + F.sum(
+        lo
+    ).cast("decimal(38,0)")
+    return (total / (F.count(col) * s)).cast("double")
 
 
 def stable_round(col: Column, digits: int = 6) -> Column:

@@ -368,6 +368,17 @@ def stream_minhash_pairs(
     the 100 TB scale the cap exists for. Production deployments with
     unbounded key churn should add a timeout eviction (the sessionize
     operator shows the pattern).
+
+    Replay caveat (ADVICE r7): the no-double-emit guard covers currently
+    RETAINED members (state holds (id, signature) pairs; re-arrivals of
+    those are dropped). A replayed shard re-delivering an id that was
+    already EVICTED re-probes the bucket and re-emits its pairs —
+    remembering every id ever admitted would grow state without bound,
+    exactly what ``max_bucket`` exists to prevent. Exactly-once replay
+    hygiene belongs to the source (checkpointed file streams don't
+    re-deliver); pipelines that re-ingest shards by design should
+    ``dropDuplicates(["band", "bh", "id_a", "id_b"])`` downstream (as
+    q95's drain does) or run the batch operator instead.
     """
     from exon_duckdb_spark.operators.dedup import minhash_signature
     from exon_duckdb_spark.operators.hashing import md5_int

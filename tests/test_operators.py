@@ -1010,6 +1010,61 @@ class TestRetrievalAndParagraphs:
         out = {r["doc_id"]: r["dedup_text"] for r in ops.paragraph_dedup(df).collect()}
         assert out == {1: "cookie banner\nunique first", 2: "unique second"}
 
+    def test_paragraph_dedup_emit_lines_consistent_with_docs(self, spark):
+        """emit='lines' (the order-free gate shape, VERDICT r7 #1a) is the
+        UN-reassembled view of the same survivors: rejoining the lines in
+        pos order reproduces emit='docs' exactly, and positions are the
+        0-based source offsets."""
+        df = spark.createDataFrame(
+            [
+                (1, "cookie banner\nunique first"),
+                (2, "cookie banner\nunique second"),
+                (3, "cookie banner"),
+            ],
+            ["doc_id", "text"],
+        )
+        lines = ops.paragraph_dedup(df, emit="lines").collect()
+        got: dict[int, list] = {}
+        for r in lines:
+            got.setdefault(r["doc_id"], []).append((r["pos"], r["para"]))
+        rejoined = {
+            k: "\n".join(p for _, p in sorted(v)) for k, v in got.items()
+        }
+        docs = {
+            r["doc_id"]: r["dedup_text"]
+            for r in ops.paragraph_dedup(df).collect()
+        }
+        assert rejoined == docs
+        assert sorted(got[2]) == [(1, "unique second")]  # 0-based pos kept
+
+    def test_boilerplate_emit_lines_consistent_with_docs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "banner\nmine one"),
+                (2, "banner\nmine two"),
+                (3, "banner"),  # everything boilerplate → no line rows
+            ],
+            ["doc_id", "text"],
+        )
+        lines = ops.boilerplate_line_removal(df, min_df=2, emit="lines").collect()
+        got: dict[int, list] = {}
+        for r in lines:
+            got.setdefault(r["doc_id"], []).append((r["pos"], r["line"]))
+        docs = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in ops.boilerplate_line_removal(df, min_df=2).collect()
+        }
+        rejoined = {
+            k: "\n".join(line for _, line in sorted(v)) for k, v in got.items()
+        }
+        assert rejoined == {1: "mine one", 2: "mine two"}
+        assert {k: v[0] for k, v in docs.items()} == {
+            1: "mine one", 2: "mine two", 3: ""
+        }
+        assert 3 not in got  # fully-boilerplate doc emits no line rows
+        # n_removed (docs mode) == source lines minus surviving lines
+        assert {k: v[1] for k, v in docs.items()} == {1: 1, 2: 1, 3: 1}
+
     def test_top_ngrams(self, spark):
         df = spark.createDataFrame(
             [(1, "a b a b c"), (2, "a b x y")], ["doc_id", "text"]

@@ -104,6 +104,12 @@ def run_checks(
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
             failures.append(name)
             continue
+        finally:
+            # the minhash operators persist their signature frames for
+            # the duration of the lazy plan (documented lifecycle);
+            # looping 50 queries in one session would otherwise
+            # accumulate MEMORY_AND_DISK entries (ADVICE r7)
+            spark.catalog.clearCache()
         spark_t = time.time() - t0
         if name not in oracles:
             if verbose:
