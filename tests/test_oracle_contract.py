@@ -104,3 +104,23 @@ def test_cc_unrolled_chain_reaches_fixpoint(sf_dir):
             parent[hi] = lo
     want = sorted((v, find(v)) for v in parent)
     assert [tuple(r) for r in lab[k]] == want
+
+
+def test_branch_frames_registry_contract(spark):
+    """branch_frames() (the branch-level bench unit, VERDICT r7 #3) must
+    stay consistent with the gate: every key is a registry query, and a
+    composite's branch frames union to exactly its gate rows (checked on
+    the cheapest composite; the others are exercised the same way inside
+    their own q*m_ functions, which the full oracle compare covers)."""
+    import __spark_entry__ as entrymod
+
+    bf = entrymod.branch_frames()
+    q = entrymod.queries()
+    assert set(bf) <= set(q)
+    frames, cleanup = bf["q35_range_band_join"](spark, SF_DIR)
+    try:
+        n_branches = sum(f.count() for f in frames.values())
+        n_gate = q["q35_range_band_join"](spark, SF_DIR).count()
+        assert n_branches == n_gate > 0
+    finally:
+        cleanup()
