@@ -10,11 +10,17 @@ pure Python from the public container specs. ``decode_image`` and
 decoder) and baseline sequential JPEG (:mod:`jpegcodec` — huffman +
 dequant + vectorized IDCT + YCbCr, per ITU-T T.81); ``decode_audio`` is
 REAL for PCM WAV, and ``sample_frames`` extracts REAL pixels from
-MJPEG-in-AVI video (RIFF chunk walk + the same JPEG codec). The remaining
-undecodable tail (progressive/arithmetic JPEG, non-MJPEG video codecs)
-yields per-row error strings / ``is_real=false`` fakes, so similarity
-plumbing is exercisable without any decodable pixels and a 100 TB sweep
-surfaces its undecodable tail instead of dying.
+MJPEG-in-AVI video (RIFF chunk walk + the same JPEG codec). For other
+video codecs (H.264/HEVC in MP4) the CONTAINER layer is real:
+``parse_mp4_video_samples`` walks the full ISO-BMFF sample table (stsd/
+stts/stsz/stsc/stco/stss) to per-frame byte ranges, decode timestamps
+and keyframe flags, ``encode_mp4_samples`` muxes the matching skeleton,
+and ``sample_frames`` does sync-aware selection emitting the real CODED
+bytes — only pixel decode is unclaimed (``is_real=false``). The remaining
+undecodable tail (progressive/arithmetic JPEG, codec payloads) yields
+per-row error strings / flagged fakes, so similarity plumbing is
+exercisable without any decodable pixels and a 100 TB sweep surfaces its
+undecodable tail instead of dying.
 """
 
 from __future__ import annotations
@@ -43,6 +49,8 @@ __all__ = [
     "encode_wav",
     "parse_avi_mjpeg",
     "encode_avi_mjpeg",
+    "parse_mp4_video_samples",
+    "encode_mp4_samples",
     "image_features",
     "sample_frames",
     "MEDIA_META_SCHEMA",
@@ -156,6 +164,245 @@ def mp4_duration(b: bytes | None) -> float | None:
         return None
 
     return walk(0, len(b))
+
+
+def _iter_boxes(b: bytes, lo: int, hi: int):
+    """Yield (fourcc, payload_start, box_end) for ISO-BMFF boxes in
+    b[lo:hi], handling 64-bit largesize (size==1) and to-end (size==0)."""
+    i = lo
+    while i + 8 <= hi:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        typ = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                return
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            payload = i + 16
+        elif size == 0:
+            size = hi - i
+        if size < 8 or i + size > hi:
+            return
+        yield typ, payload, i + size
+        i += size
+
+
+def parse_mp4_video_samples(b: bytes) -> dict:
+    """Full ISO-BMFF (ISO/IEC 14496-12) sample-table walk for the first
+    VIDEO track: returns ``{codec, width, height, timescale, duration_s,
+    samples}`` where ``samples`` is a list of ``(offset, size,
+    time_s, is_sync)`` — the per-frame BYTE RANGES and decode timestamps
+    a 100 TB frame-sampling pipeline needs to plan ranged reads (the
+    sample table is KBs; the mdat is the terabytes — never read what you
+    didn't select).
+
+    Boxes walked: moov → trak → mdia(mdhd timescale, hdlr 'vide') →
+    minf/stbl: stsd (codec fourcc + visual width/height), stts (decode
+    deltas), stsz (sizes), stsc (sample→chunk runs), stco/co64 (chunk
+    offsets), stss (sync/keyframe table; absent = every sample sync).
+    Raises ValueError when no video track carries a complete table
+    (e.g. a header-only moov/mvhd stub — callers fall back to
+    :func:`mp4_duration`). Codec payloads stay opaque bytes: container
+    parsing is real, pixel decode is not claimed."""
+    if not b or len(b) < 16:
+        raise ValueError("not an ISO-BMFF file")
+
+    def child(lo: int, hi: int, fourcc: bytes):
+        for typ, p, e in _iter_boxes(b, lo, hi):
+            if typ == fourcc:
+                return p, e
+        return None
+
+    moov = child(0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for typ, tlo, thi in _iter_boxes(b, *moov):
+        if typ != b"trak":
+            continue
+        mdia = child(tlo, thi, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = child(*mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = child(*mdia, b"mdhd")
+        if mdhd is None:
+            continue
+        p = mdhd[0]
+        ver = b[p]
+        timescale = struct.unpack(
+            ">I", b[p + (20 if ver == 1 else 12) : p + (24 if ver == 1 else 16)]
+        )[0]
+        minf = child(*mdia, b"minf")
+        stbl = child(*minf, b"stbl") if minf else None
+        if not stbl or not timescale:
+            continue
+        boxes = {typ: (p0, e0) for typ, p0, e0 in _iter_boxes(b, *stbl)}
+        need = (b"stsd", b"stts", b"stsz", b"stsc")
+        if any(k not in boxes for k in need) or (
+            b"stco" not in boxes and b"co64" not in boxes
+        ):
+            continue
+
+        def u32s(lo: int, n: int, at: int) -> list[int]:
+            return list(struct.unpack(f">{n}I", b[at : at + 4 * n]))
+
+        # stsd: first visual sample entry carries fourcc + width/height
+        sp = boxes[b"stsd"][0]
+        entry = sp + 8  # past version/flags + entry_count
+        codec = b[entry + 4 : entry + 8].decode("latin-1")
+        width, height = struct.unpack(">HH", b[entry + 32 : entry + 36])
+        # stts → per-sample decode times
+        sp = boxes[b"stts"][0]
+        n_ent = struct.unpack(">I", b[sp + 4 : sp + 8])[0]
+        deltas: list[int] = []
+        at = sp + 8
+        for _ in range(n_ent):
+            cnt, delta = struct.unpack(">II", b[at : at + 8])
+            deltas.extend([delta] * cnt)
+            at += 8
+        # stsz → sizes
+        sp = boxes[b"stsz"][0]
+        uniform, n_samples = struct.unpack(">II", b[sp + 4 : sp + 12])
+        sizes = (
+            [uniform] * n_samples
+            if uniform
+            else u32s(sp, n_samples, sp + 12)
+        )
+        # stco/co64 → chunk offsets
+        if b"stco" in boxes:
+            sp = boxes[b"stco"][0]
+            n_chunks = struct.unpack(">I", b[sp + 4 : sp + 8])[0]
+            chunk_offs = u32s(sp, n_chunks, sp + 8)
+        else:
+            sp = boxes[b"co64"][0]
+            n_chunks = struct.unpack(">I", b[sp + 4 : sp + 8])[0]
+            chunk_offs = list(
+                struct.unpack(f">{n_chunks}Q", b[sp + 8 : sp + 8 + 8 * n_chunks])
+            )
+        # stsc runs → samples per chunk
+        sp = boxes[b"stsc"][0]
+        n_ent = struct.unpack(">I", b[sp + 4 : sp + 8])[0]
+        runs = [
+            struct.unpack(">III", b[sp + 8 + 12 * i : sp + 20 + 12 * i])[:2]
+            for i in range(n_ent)
+        ]
+        # stss → 1-based sync sample numbers (absent = all sync)
+        if b"stss" in boxes:
+            sp = boxes[b"stss"][0]
+            n_sync = struct.unpack(">I", b[sp + 4 : sp + 8])[0]
+            sync = set(u32s(sp, n_sync, sp + 8))
+        else:
+            sync = None
+        # expand chunk runs → per-sample absolute offsets
+        samples: list[tuple[int, int, float, bool]] = []
+        s = 0
+        t_acc = 0
+        for c in range(n_chunks):
+            per = next(
+                (runs[j][1] for j in range(len(runs) - 1, -1, -1)
+                 if runs[j][0] <= c + 1),
+                runs[0][1],
+            )
+            off = chunk_offs[c]
+            for _ in range(per):
+                if s >= n_samples:
+                    break
+                t = t_acc / timescale
+                t_acc += deltas[s] if s < len(deltas) else (deltas[-1] if deltas else 0)
+                samples.append(
+                    (off, sizes[s], t, sync is None or (s + 1) in sync)
+                )
+                off += sizes[s]
+                s += 1
+        if not samples:
+            continue
+        return {
+            "codec": codec,
+            "width": int(width),
+            "height": int(height),
+            "timescale": timescale,
+            "duration_s": t_acc / timescale,
+            "samples": samples,
+        }
+    raise ValueError("no video track with a complete sample table")
+
+
+def encode_mp4_samples(
+    samples: list[bytes],
+    fps: int = 25,
+    width: int = 0,
+    height: int = 0,
+    codec: bytes = b"avc1",
+    sync_every: int = 1,
+    codec_config: bytes = b"",
+) -> bytes:
+    """Minimal spec-shaped ISO-BMFF muxer: opaque coded ``samples`` into
+    ftyp + mdat + moov(mvhd, trak(mdia(mdhd/hdlr-vide/minf(stbl)))) with
+    a complete sample table (stsd/stts/stss/stsz/stsc/stco, one chunk).
+    The container layer a pipeline writer needs; with real access units
+    and a ``codec_config`` box (avcC/hvcC) in the sample entry it is a
+    playable skeleton — this repo never claims codec encode.
+    ``sync_every``: every k-th sample is marked sync (1 = all, omitting
+    stss per spec)."""
+    if not samples or fps <= 0:
+        raise ValueError("need at least one sample and fps > 0")
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x02\x00")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    data_off = len(ftyp) + 8  # first sample = start of mdat payload
+    n = len(samples)
+    dur_media = n  # timescale = fps, delta 1 → duration n
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8
+        + struct.pack(">II", 1000, int(round(n * 1000 / fps)))
+        + b"\x00" * 80,
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", fps, dur_media)
+        + b"\x00" * 4,
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    entry = box(
+        codec,
+        b"\x00" * 6 + struct.pack(">H", 1)          # data_reference_index
+        + b"\x00" * 16                                # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)          # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 0x18, -1)
+        + codec_config,
+    )
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, n, 1))
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, data_off))
+    stbl = stsd + stts + stsz + stsc + stco
+    if sync_every > 1:
+        syncs = list(range(1, n + 1, sync_every))
+        stbl += box(
+            b"stss",
+            b"\x00" * 4 + struct.pack(">I", len(syncs))
+            + b"".join(struct.pack(">I", x) for x in syncs),
+        )
+    stbl = box(b"stbl", stbl)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 def sniff_mime(b: bytes | None) -> str | None:
@@ -518,14 +765,19 @@ def sample_frames(
     (one-to-many, binary never leaves the executor — the shape a 100 TB
     video pipeline needs).
 
-    Non-MJPEG codecs (ISO-BMFF/H.264 etc.) keep the honest stub: duration
-    is still real (``moov/mvhd`` header via :func:`mp4_duration`),
-    timestamps are the same bucket midpoints, but ``frame`` is a
-    DETERMINISTIC FAKE (md5 of bytes + index), dims NULL, and
-    ``is_real=false`` — flagged per row like :func:`image_features` so
-    downstream consumers can filter. An AVI chunk whose JPEG fails to
-    decode (e.g. arithmetic-coded) degrades to the same flagged fake. Blobs
-    that are neither (no parsable container) yield zero rows."""
+    Non-MJPEG codecs (ISO-BMFF/H.264 etc.): the CONTAINER layer is real —
+    when the MP4 carries a full sample table,
+    :func:`parse_mp4_video_samples` yields per-frame byte ranges, decode
+    timestamps and keyframe flags, selection is sync-aware (nearest
+    keyframe at-or-before the bucket midpoint, where a real decoder would
+    start), ``frame`` carries the actual CODED sample bytes and
+    width/height come from the stsd entry; only pixel decode stays
+    unclaimed (``is_real=false``). A header-only moov/mvhd stub keeps the
+    prior honest fallback: real duration via :func:`mp4_duration`,
+    bucket-midpoint timestamps, md5-fake frame, dims NULL. An AVI chunk
+    whose JPEG fails to decode (e.g. arithmetic-coded) degrades to the
+    same flagged fake. Blobs that are neither (no parsable container)
+    yield zero rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -571,6 +823,38 @@ def sample_frames(
                                 hashlib.md5(b + i.to_bytes(4, "big")).digest()
                             )
                             reals.append(False)
+                    continue
+                # ISO-BMFF with a full sample table: real per-frame byte
+                # ranges, decode timestamps and keyframe flags — emit the
+                # CODED sample bytes (sync-aware: nearest keyframe at or
+                # before the bucket midpoint, where a real decoder would
+                # start). Pixels stay undecoded → is_real=false, but
+                # offsets/times/dims come from the actual container.
+                try:
+                    mp4 = parse_mp4_video_samples(b)
+                except ValueError:
+                    mp4 = None
+                if mp4 is not None:
+                    smp = mp4["samples"]
+                    dur = mp4["duration_s"] or (len(smp) / 25.0)
+                    for i in range(n_frames):
+                        target = dur * (i + 0.5) / n_frames
+                        ti = max(
+                            (j for j in range(len(smp)) if smp[j][2] <= target),
+                            default=0,
+                        )
+                        chosen = next(
+                            (j for j in range(ti, -1, -1) if smp[j][3]), 0
+                        )
+                        off, size, t, _ = smp[chosen]
+                        ids.append(vid)
+                        idxs.append(i)
+                        tss.append(t)
+                        ws.append(mp4["width"] or None)
+                        hs.append(mp4["height"] or None)
+                        cs.append(None)
+                        frames.append(b[off : off + size])
+                        reals.append(False)
                     continue
                 dur = mp4_duration(b)
                 if dur is None:
