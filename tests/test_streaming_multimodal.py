@@ -765,3 +765,104 @@ class TestMp4SampleTable:
         out = ops.sample_frames(df, n_frames=4).collect()
         assert [r["timestamp_s"] for r in sorted(out, key=lambda r: r["frame_index"])] == [1.0, 3.0, 5.0, 7.0]
         assert all(len(bytes(r["frame"])) == 16 and r["width"] is None for r in out)
+
+
+class TestImaAdpcm:
+    """IMA/DVI ADPCM WAV (wFormatTag 0x11) — round 8 stub→real: the
+    block-vectorized numpy decoder is pinned bit-for-bit against an
+    independent SCALAR transcription of the IMA spec recurrence, and the
+    encoder runs the decoder's state so round trips are drift-free."""
+
+    @staticmethod
+    def _ref_decode(data: bytes, channels: int, block_align: int, spb: int):
+        import numpy as np
+
+        from exon_duckdb_spark.operators.multimodal import _IMA_INDEX, _IMA_STEP
+
+        out = []
+        for bi in range(len(data) // block_align):
+            blk = data[bi * block_align : (bi + 1) * block_align]
+            chans = []
+            state = []
+            for c in range(channels):
+                p, ix, _ = struct.unpack_from("<hBB", blk, 4 * c)
+                state.append((p, min(max(ix, 0), 88)))
+                chans.append([p])
+            body = blk[4 * channels :]
+            nibs: list[list[int]] = [[] for _ in range(channels)]
+            for g in range(len(body) // (4 * channels)):
+                for c in range(channels):
+                    for byte in body[(g * channels + c) * 4 : (g * channels + c) * 4 + 4]:
+                        nibs[c].append(byte & 0xF)
+                        nibs[c].append(byte >> 4)
+            for c in range(channels):
+                p, ix = state[c]
+                for s in range(spb - 1):
+                    n = nibs[c][s]
+                    step = int(_IMA_STEP[ix])
+                    diff = step >> 3
+                    if n & 1:
+                        diff += step >> 2
+                    if n & 2:
+                        diff += step >> 1
+                    if n & 4:
+                        diff += step
+                    if n & 8:
+                        diff = -diff
+                    p = max(-32768, min(32767, p + diff))
+                    ix = max(0, min(88, ix + int(_IMA_INDEX[n])))
+                    chans[c].append(p)
+            for s in range(spb):
+                for c in range(channels):
+                    out.append(chans[c][s])
+        import numpy as np
+
+        return np.array(out, np.int16)
+
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_decoder_matches_scalar_reference(self, channels):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        t = np.arange(2000 * channels)
+        sig = (8000 * np.sin(t / 17.0) + rng.integers(-500, 500, t.size)).astype(
+            np.int16
+        )
+        blob = ops.encode_wav_ima_adpcm(
+            sig, 8000, channels=channels, samples_per_block=249
+        )
+        rate, ch, got = ops.decode_wav(blob)
+        assert (rate, ch) == (8000, channels)
+        i, data, ba, spb = 12, None, None, None
+        while i + 8 <= len(blob):
+            cid = blob[i : i + 4]
+            size = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+            if cid == b"fmt ":
+                ba = struct.unpack("<H", blob[i + 20 : i + 22])[0]
+                spb = struct.unpack("<H", blob[i + 26 : i + 28])[0]
+            if cid == b"data":
+                data = blob[i + 8 : i + 8 + size]
+            i += 8 + size + (size & 1)
+        ref = self._ref_decode(data, channels, ba, spb)
+        assert np.array_equal(got, ref)
+        # lossy-but-faithful: >25 dB SNR on the unpadded prefix
+        a = sig.astype(np.float64)
+        b2 = got[: sig.size].astype(np.float64)
+        snr = 10 * np.log10((a**2).sum() / ((a - b2) ** 2).sum())
+        assert snr > 25.0
+
+    def test_decode_audio_operator_handles_adpcm(self, spark):
+        import numpy as np
+
+        sig = (3000 * np.sin(np.arange(1000) / 9.0)).astype(np.int16)
+        blob = ops.encode_wav_ima_adpcm(sig, 16000, samples_per_block=505)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(b"RIFFxxxxWAVE"))],
+            "id long, content binary",
+        )
+        rows = {r["id"]: r for r in ops.decode_audio(df).collect()}
+        ok = rows[1]
+        assert ok["error"] is None and ok["sample_rate"] == 16000
+        got = np.frombuffer(bytes(ok["samples"]), np.dtype("<i2"))
+        assert got.size >= sig.size  # block padding only extends
+        assert rows[2]["error"] is not None  # junk still errors per row
