@@ -584,6 +584,34 @@ _IMA_STEP = np.array(
 )
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry µ-law / A-law expansion tables from the ITU-T G.711
+    piecewise-linear formulas (the classic Sun g711.c integer forms:
+    µ-law spans ±32124, A-law ±32256)."""
+    mu = np.empty(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        mu[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[b] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_MULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def _ima_step_nibbles(n, pred, idx):
     """One IMA ADPCM step, vectorized: nibble array ``n`` advances state
     arrays (pred, idx) in place-free form; returns (new_pred, new_idx).
@@ -700,9 +728,10 @@ def decode_wav(b: bytes):
     ``samples`` an interleaved int16 numpy array. Pure struct walk of the
     public RIFF layout (chunks may appear in any order; 8-bit PCM is
     widened to int16 via the standard (x-128)<<8 mapping). REAL for PCM
-    (tag 1, 8/16-bit) and IMA/DVI ADPCM (tag 0x11 — telephony/games
-    compression, decoded by :func:`_ima_adpcm_decode`). Raises ValueError
-    on other encodings — those need a codec library."""
+    (tag 1, 8/16-bit), IMA/DVI ADPCM (tag 0x11 — telephony/games
+    compression, decoded by :func:`_ima_adpcm_decode`), and ITU-T G.711
+    A-law/µ-law (tags 6/7 — one 256-entry table lookup per byte). Raises
+    ValueError on other encodings — those need a codec library."""
     if len(b) < 12 or not b.startswith(b"RIFF") or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     i = 12
@@ -727,11 +756,12 @@ def decode_wav(b: bytes):
                     samples_per_block = (
                         (block_align - 4 * channels) * 2 // channels + 1
                     )
-            elif fmt_tag != 1:
+            elif fmt_tag not in (1, 6, 7):
                 raise ValueError(
-                    f"unsupported WAV encoding {fmt_tag} (PCM/IMA-ADPCM only)"
+                    f"unsupported WAV encoding {fmt_tag} "
+                    "(PCM/IMA-ADPCM/G.711 only)"
                 )
-            elif bits not in (8, 16):
+            elif fmt_tag == 1 and bits not in (8, 16):
                 raise ValueError(f"unsupported PCM bit depth {bits}")
         elif cid == b"data":
             data = payload
@@ -742,6 +772,9 @@ def decode_wav(b: bytes):
         return rate, channels, _ima_adpcm_decode(
             data, channels, block_align, samples_per_block
         )
+    if fmt_tag in (6, 7):  # G.711 A-law / µ-law: one table lookup per byte
+        table = _ALAW_TABLE if fmt_tag == 6 else _MULAW_TABLE
+        return rate, channels, table[np.frombuffer(data, np.uint8)]
     if bits == 16:
         samples = np.frombuffer(data[: len(data) & ~1], np.dtype("<i2"))
     else:
@@ -767,10 +800,11 @@ def decode_audio(
     (id, content) → (id, sample_rate, channels, n_samples, samples binary,
     error). ``samples`` is raw little-endian int16 (interleaved) —
     zero-copy reshapeable downstream, 2 bytes/sample on the wire. REAL for
-    PCM (8/16-bit) AND IMA/DVI ADPCM (tag 0x11, block-vectorized integer
+    PCM (8/16-bit), IMA/DVI ADPCM (tag 0x11, block-vectorized integer
     recurrence pinned against an independent scalar spec transcription in
-    pytest); other encodings yield a NULL row with ``error`` set,
-    mirroring :func:`decode_image`'s undecodable-tail contract."""
+    pytest) and G.711 A-law/µ-law (tags 6/7, spec-anchor-pinned tables);
+    other encodings yield a NULL row with ``error`` set, mirroring
+    :func:`decode_image`'s undecodable-tail contract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -866,3 +866,44 @@ class TestImaAdpcm:
         got = np.frombuffer(bytes(ok["samples"]), np.dtype("<i2"))
         assert got.size >= sig.size  # block padding only extends
         assert rows[2]["error"] is not None  # junk still errors per row
+
+
+class TestG711:
+    """ITU-T G.711 µ-law/A-law WAV decode (tags 7/6): table expansion
+    pinned on the published anchor values of the classic integer forms
+    (µ-law spans ±32124, A-law ±32256) plus the structural invariants
+    (sign symmetry, per-half monotonicity)."""
+
+    def test_tables_match_spec_anchors(self):
+        import numpy as np
+
+        from exon_duckdb_spark.operators.multimodal import (
+            _ALAW_TABLE, _MULAW_TABLE)
+
+        mu, al = _MULAW_TABLE, _ALAW_TABLE
+        assert mu[0x00] == -32124 and mu[0x80] == 32124  # extremes
+        assert mu[0xFF] == 0 and mu[0x7F] == 0            # both zeros
+        assert al[0x55] == -8 and al[0xD5] == 8           # smallest steps
+        assert al[0x2A] == -32256 and al[0xAA] == 32256   # extremes
+        # sign symmetry: flipping the sign bit negates the value
+        b = np.arange(256)
+        assert np.array_equal(mu[b].astype(int), -mu[b ^ 0x80].astype(int))
+        assert np.array_equal(al[b].astype(int), -al[b ^ 0x80].astype(int))
+        # each positive half decodes monotonically in code order
+        assert np.all(np.diff(mu[0x80:0x100].astype(int)) < 0)  # 0x80 max → 0xFF zero
+
+    def test_decode_wav_g711(self):
+        import numpy as np
+
+        from exon_duckdb_spark.operators.multimodal import (
+            _ALAW_TABLE, _MULAW_TABLE)
+
+        payload = bytes(range(256))
+        for tag, table in ((7, _MULAW_TABLE), (6, _ALAW_TABLE)):
+            fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+            body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            body += b"data" + struct.pack("<I", len(payload)) + payload
+            blob = b"RIFF" + struct.pack("<I", len(body)) + body
+            rate, ch, got = ops.decode_wav(blob)
+            assert (rate, ch) == (8000, 1)
+            assert np.array_equal(got, table[np.frombuffer(payload, np.uint8)])
