@@ -1,4 +1,4 @@
-"""Pure-Python image codec: uncompressed BMP, (non-interlaced) PNG, and GIF.
+"""Pure-Python image codec: uncompressed BMP, PNG (sequential + Adam7), and GIF.
 
 The container ships no codec library (PIL/opencv), but the multimodal
 contract (SURVEY "beyond-reference" §multimodal; no reference analog — the
@@ -9,7 +9,9 @@ These two formats are decodable from their public specs with nothing but
 - BMP: Windows BITMAPINFOHEADER layout — 24/32-bit uncompressed (BI_RGB),
   bottom-up or top-down, 4-byte row padding, BGR(A) channel order.
 - PNG: RFC 2083 — 8-bit depth, color types 0 (gray), 2 (RGB), 4
-  (gray+alpha), 6 (RGBA), non-interlaced, all five scanline filters.
+  (gray+alpha), 6 (RGBA), all five scanline filters, sequential AND
+  Adam7-interlaced streams (7 reduced images, per-pass filtering —
+  encode + decode, roundtrip-pinned).
 - GIF: 87a/89a first frame — full variable-width LZW decode (incl. the
   KwKwK case and interlaced row order); the encoder uses the fixed-width
   clear-code LZW trick and a sorted distinct-color palette (≤256 colors).
@@ -161,12 +163,23 @@ def _unfilter(raw: np.ndarray, height: int, width: int, ch: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), ISO/IEC 15948 §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to (h, w, channels) uint8."""
+    """Decode an 8-bit PNG (sequential or Adam7-interlaced) to
+    (h, w, channels) uint8. Adam7 streams are 7 consecutive reduced
+    images in one zlib stream — each pass filters its own scanlines
+    independently, then scatters onto the output grid."""
     if not b.startswith(_PNG_SIG):
         raise ValueError("not a PNG file")
     i = len(_PNG_SIG)
     width = height = ch = None
+    interlace = 0
     idat = []
     while i + 8 <= len(b):
         length, typ = struct.unpack_from(">I4s", b, i)
@@ -179,8 +192,8 @@ def decode_png(b: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {ctype}")
-            if interlace:
-                raise ValueError("Adam7 interlacing not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             ch = _PNG_CHANNELS[ctype]
         elif typ == b"IDAT":
             idat.append(payload)
@@ -190,11 +203,27 @@ def decode_png(b: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    expect = height * (1 + width * ch)
-    if raw.size != expect:
-        raise ValueError(f"PNG data size {raw.size} != expected {expect}")
-    out = _unfilter(raw, height, width, ch)
-    return out.reshape(height, width, ch)
+    if not interlace:
+        expect = height * (1 + width * ch)
+        if raw.size != expect:
+            raise ValueError(f"PNG data size {raw.size} != expected {expect}")
+        return _unfilter(raw, height, width, ch).reshape(height, width, ch)
+    out = np.zeros((height, width, ch), np.uint8)
+    at = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, -(-(width - x0) // dx))
+        ph = max(0, -(-(height - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (1 + pw * ch)
+        if at + need > raw.size:
+            raise ValueError("PNG interlaced data truncated")
+        sub = _unfilter(raw[at : at + need], ph, pw, ch).reshape(ph, pw, ch)
+        out[y0::dy, x0::dx] = sub
+        at += need
+    if at != raw.size:
+        raise ValueError(f"PNG data size {raw.size} != expected {at}")
+    return out
 
 
 def _chunk(typ: bytes, payload: bytes) -> bytes:
@@ -202,20 +231,14 @@ def _chunk(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """Encode (h, w[, c]) uint8 as an 8-bit non-interlaced PNG.
-
-    ``filter_type`` applies one filter to every scanline (0 for the
-    deterministic fixture path; 1-4 exist so tests can exercise the
-    decoder's unfiltering)."""
-    arr = np.asarray(arr, np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = arr.reshape(h, w * ch).astype(np.int16)
+def _filter_rows(flat: np.ndarray, ch: int, filter_type: int) -> bytes:
+    """Filter an (h, w*ch) int16 image into PNG scanline bytes (one
+    filter byte + filtered row each), rows filtered against the previous
+    row of the SAME image — shared by the sequential and per-Adam7-pass
+    encoders."""
+    h, wch = flat.shape
     lines = []
-    prev = np.zeros(w * ch, np.int16)
+    prev = np.zeros(wch, np.int16)
     for y in range(h):
         cur = flat[y]
         if filter_type == 0:
@@ -229,8 +252,8 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
             left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
             enc = (cur - ((left + prev) >> 1)) % 256
         elif filter_type == 4:
-            enc = np.zeros(w * ch, np.int16)
-            for i in range(w * ch):
+            enc = np.zeros(wch, np.int16)
+            for i in range(wch):
                 left = int(cur[i - ch]) if i >= ch else 0
                 up = int(prev[i])
                 ul = int(prev[i - ch]) if i >= ch else 0
@@ -239,8 +262,42 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
             raise ValueError(f"bad filter type {filter_type}")
         lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), level)
+    return b"".join(lines)
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, level: int = 6, interlace: bool = False
+) -> bytes:
+    """Encode (h, w[, c]) uint8 as an 8-bit PNG.
+
+    ``filter_type`` applies one filter to every scanline (0 for the
+    deterministic fixture path; 1-4 exist so tests can exercise the
+    decoder's unfiltering). ``interlace=True`` writes the Adam7 pass
+    sequence (each reduced image filtered independently, one zlib
+    stream)."""
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.append(
+                _filter_rows(
+                    sub.reshape(sub.shape[0], -1).astype(np.int16),
+                    ch,
+                    filter_type,
+                )
+            )
+        body = b"".join(parts)
+    else:
+        body = _filter_rows(arr.reshape(h, w * ch).astype(np.int16), ch, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    idat = zlib.compress(body, level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

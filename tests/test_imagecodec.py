@@ -65,9 +65,16 @@ class TestPng:
                 + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+        # Adam7 (interlace=1) is SUPPORTED since round 8 — an unknown
+        # interlace method must still be rejected, as must a stream with
+        # no IDAT even when the header is valid
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)  # method 2: bogus
         blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-        with pytest.raises(ValueError, match="interlacing"):
+        with pytest.raises(ValueError, match="interlace method"):
+            ic.decode_png(blob)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        with pytest.raises(ValueError, match="IDAT"):
             ic.decode_png(blob)
 
 
@@ -151,7 +158,7 @@ class TestWavCodec:
         body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
         body += b"data" + struct.pack("<I", 0)
         blob = b"RIFF" + struct.pack("<I", len(body)) + body
-        with pytest.raises(ValueError, match="PCM only"):
+        with pytest.raises(ValueError, match="G.711 only"):
             decode_wav(blob)
 
     def test_decode_audio_dataframe_op(self, spark):
@@ -497,3 +504,68 @@ class TestJpeg:
         exp = ic.resize_nearest(img[:, :, None], 12, 8)[:, :, 0]
         got = ic.decode_blob(out)[:, :, 0]
         assert np.abs(got.astype(int) - exp.astype(int)).max() <= 12
+
+
+class TestAdam7:
+    """Adam7-interlaced PNG (round 8 stub→real): the decoder reassembles
+    the 7 reduced images scattered on the ISO 15948 §8.2 grid; the
+    encoder writes the matching pass sequence so roundtrips pin both."""
+
+    def test_interlaced_roundtrip_all_filters_and_shapes(self):
+        import numpy as np
+
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        rng = np.random.default_rng(5)
+        # shapes straddle every pass-emptiness case: 1x1 only touches
+        # pass 1; 3x2/9x13 leave several passes empty or 1-wide
+        for shape in [(1, 1, 1), (7, 5, 3), (16, 16, 4), (9, 13, 2), (3, 2, 1)]:
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+            for ft in (0, 1, 2, 3, 4):
+                blob = ic.encode_png(arr, filter_type=ft, interlace=True)
+                assert blob[8 + 8 + 12] == 1  # IHDR interlace byte set
+                back = ic.decode_blob(blob)
+                assert np.array_equal(back, arr), (shape, ft)
+
+    def test_interlaced_differs_from_sequential_stream_same_pixels(self):
+        import numpy as np
+
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        arr = (np.arange(8 * 8 * 3, dtype=np.uint8)).reshape(8, 8, 3)
+        seq = ic.encode_png(arr)
+        inter = ic.encode_png(arr, interlace=True)
+        assert seq != inter  # genuinely different wire layout
+        assert np.array_equal(ic.decode_blob(seq), ic.decode_blob(inter))
+
+    def test_truncated_interlaced_data_rejected(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        arr = np.zeros((8, 8, 1), np.uint8)
+        blob = ic.encode_png(arr, interlace=True)
+        # shrink the zlib payload: re-deflate a truncated raw stream
+        i = 8
+        parts = {}
+        while i + 8 <= len(blob):
+            length, typ = struct.unpack_from(">I4s", blob, i)
+            parts[typ] = blob[i + 8 : i + 8 + length]
+            i += 12 + length
+        raw = zlib.decompress(parts[b"IDAT"])
+        bad = (
+            blob[:8]
+            + blob[8 : 8 + 12 + 13]  # IHDR chunk intact
+        )
+        crc = zlib.crc32
+        short = zlib.compress(raw[: len(raw) - 5])
+        bad += (
+            struct.pack(">I", len(short)) + b"IDAT" + short
+            + struct.pack(">I", crc(b"IDAT" + short) & 0xFFFFFFFF)
+        )
+        bad += struct.pack(">I", 0) + b"IEND" + struct.pack(">I", crc(b"IEND") & 0xFFFFFFFF)
+        with pytest.raises(ValueError):
+            ic.decode_png(bad)
