@@ -675,3 +675,58 @@ def test_stable_round_cross_engine_property(spark, v):
     ).fetchone()[0]
     assert a == d
     assert abs(a - v) <= 5.0000001e-7 or abs(a - v) <= abs(v) * 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    c=st.sampled_from([1, 2, 3, 4]),
+    ft=st.integers(0, 4),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, ft, interlace, seed):
+    """PNG encode→decode is the identity for every shape × channel count
+    × filter × interlace combination — the Adam7 pass grid has empty and
+    1-pixel passes at small dims, exactly where scatter bugs hide."""
+    import numpy as np
+
+    from exon_duckdb_spark.operators import imagecodec as ic
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+    blob = ic.encode_png(arr, filter_type=ft, interlace=interlace)
+    back = ic.decode_png(blob)
+    assert back.shape == (h, w, c)
+    assert np.array_equal(back, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    fps=st.integers(1, 60),
+    sync_every=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_sample_table_roundtrip_property(n, fps, sync_every, seed):
+    """ISO-BMFF mux→parse recovers every sample's exact byte range,
+    decode time and sync flag for arbitrary sample counts/sizes — the
+    stsc/stco expansion is where off-by-one sample-offset bugs live."""
+    import numpy as np
+
+    from exon_duckdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    payloads = [
+        bytes(rng.integers(0, 256, int(rng.integers(1, 50))).astype(np.uint8))
+        for _ in range(n)
+    ]
+    blob = mm.encode_mp4_samples(
+        payloads, fps=fps, width=32, height=16, sync_every=sync_every
+    )
+    info = mm.parse_mp4_video_samples(blob)
+    assert info["timescale"] == fps and len(info["samples"]) == n
+    for i, (off, size, t, sync) in enumerate(info["samples"]):
+        assert blob[off : off + size] == payloads[i]
+        assert t == i / fps
+        assert sync == (sync_every == 1 or i % sync_every == 0)
