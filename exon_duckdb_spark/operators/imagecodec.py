@@ -38,6 +38,8 @@ __all__ = [
     "encode_png",
     "decode_gif",
     "encode_gif",
+    "decode_gif_frames",
+    "encode_gif_frames",
     "decode_blob",
     "encode_blob",
     "resize_nearest",
@@ -526,4 +528,180 @@ def encode_gif(arr: np.ndarray) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes) -> tuple[list[int], list[np.ndarray]]:
+    """Decode EVERY frame of an animated GIF87a/89a with compositing:
+    returns (delays_cs, frames) where each frame is the full
+    (screen_h, screen_w, 3) canvas AFTER that image renders, and
+    delays_cs are the Graphic Control Extension delay times
+    (centiseconds; 0 when absent).
+
+    Compositing follows the GIF89a spec: sub-rectangle images paint at
+    (left, top); a transparency index leaves the underlying canvas pixel;
+    disposal 0/1 keeps the canvas, 2 restores the painted region to the
+    background color, 3 restores the previous canvas. The canvas starts
+    as the logical-screen background color (global-palette lookup; black
+    when there is no global table)."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, bg_idx = struct.unpack_from("<HHBB", b, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    bg = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    delays: list[int] = []
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent = None
+    delay = 0
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension
+            label = b[i + 1] if i + 1 < len(b) else 0
+            i += 2
+            subs = []
+            while i < len(b) and b[i]:
+                subs.append(b[i + 1 : i + 1 + b[i]])
+                i += 1 + b[i]
+            i += 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 0x7
+                delay = struct.unpack_from("<H", gce, 1)[0]
+                transparent = gce[3] if gce[0] & 1 else None
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+                i += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = b[i]
+            i += 1
+            chunks = []
+            while i < len(b) and b[i]:
+                size = b[i]
+                chunks.append(b[i + 1 : i + 1 + size])
+                i += 1 + size
+            i += 1  # block terminator
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(b"".join(chunks), min_code_size, w * h)),
+                np.uint8,
+            )
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            idx = idx.reshape(h, w)
+            if ipacked & 0x40:  # 4-pass GIF interlace
+                rows = np.empty(h, np.int64)
+                order = [r for r in range(0, h, 8)]
+                order += [r for r in range(4, h, 8)]
+                order += [r for r in range(2, h, 4)]
+                order += [r for r in range(1, h, 2)]
+                rows[order] = np.arange(h)
+                idx = idx[rows]
+            prev_canvas = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            rgb = pal[idx[: region.shape[0], : region.shape[1]]]
+            if transparent is not None:
+                mask = idx[: region.shape[0], : region.shape[1]] != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
+            disposal = 0
+            transparent = None
+            delay = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return delays, frames
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray], delay_cs: int = 10, loop: bool = True
+) -> bytes:
+    """Encode full-canvas RGB frames (each ≤256 distinct colors) as an
+    animated GIF89a: NETSCAPE2.0 loop extension, one Graphic Control
+    Extension (delay, disposal=1) + full-frame image with a LOCAL sorted
+    palette per frame, the same deterministic fixed-width LZW stream as
+    :func:`encode_gif`."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    arrs = [np.asarray(f, np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    for f in arrs:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must be (h, w, 3) and equally sized")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global table
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for arr in arrs:
+        flat = arr.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"GIF frame needs <=256 colors, got {len(colors)}")
+        bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+        pal = np.zeros((1 << bits, 3), np.uint8)
+        pal[: len(colors)] = colors
+        min_code_size = max(2, bits)
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        width_bits = min_code_size + 1
+        bitbuf = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width_bits
+            while nbits >= 8:
+                bitbuf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        budget = (1 << width_bits) - eoi - 2
+        for px in inverse:
+            if budget == 0:
+                emit(clear)
+                budget = (1 << width_bits) - eoi - 2
+            emit(int(px))
+            budget -= 1
+        emit(eoi)
+        if nbits:
+            bitbuf.append(acc & 0xFF)
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | ((bits - 1) & 7)
+        )
+        out += pal.tobytes()
+        out.append(min_code_size)
+        for off in range(0, len(bitbuf), 255):
+            chunk = bitbuf[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
     return bytes(out)

@@ -937,7 +937,13 @@ def sample_frames(
     rows (id, frame_index, timestamp_s, width, height, channels,
     frame binary, is_real boolean).
 
-    REAL pixels for MJPEG-in-AVI: :func:`parse_avi_mjpeg` walks the RIFF
+    REAL pixels for MJPEG-in-AVI and for ANIMATED GIF — the GIF path
+    composites every frame per the GIF89a spec (GCE delays, transparency,
+    disposal 0/1/2/3; :func:`imagecodec.decode_gif_frames`), timestamps
+    are cumulative delays (all-zero delays fall back to the de-facto
+    10 cs/frame), and the sampled slot carries the composited canvas.
+
+    For MJPEG-in-AVI: :func:`parse_avi_mjpeg` walks the RIFF
     chunks, timing comes from ``avih.dwMicroSecPerFrame`` × chunk count,
     the source chunk for output slot ``i`` is the one under the bucket
     midpoint (``floor(total * (i + 0.5) / n)``), and its JPEG decodes
@@ -1006,6 +1012,39 @@ def sample_frames(
                             )
                             reals.append(False)
                     continue
+                # animated GIF: the third REAL-pixel family (multi-frame
+                # LZW decode with GCE delay/transparency/disposal
+                # compositing — imagecodec.decode_gif_frames). Frame
+                # timing from cumulative delays; all-zero delays fall
+                # back to the de-facto 10 cs/frame players use.
+                if b[:4] == b"GIF8":
+                    try:
+                        delays, gframes = imagecodec.decode_gif_frames(b)
+                    except Exception:
+                        delays, gframes = None, None
+                    if gframes:
+                        eff = [d if d > 0 else 10 for d in delays]
+                        starts = [0.0]
+                        for d in eff[:-1]:
+                            starts.append(starts[-1] + d / 100.0)
+                        dur = starts[-1] + eff[-1] / 100.0
+                        for i in range(n_frames):
+                            target = dur * (i + 0.5) / n_frames
+                            src = max(
+                                (j for j in range(len(gframes))
+                                 if starts[j] <= target),
+                                default=0,
+                            )
+                            arr = gframes[src]
+                            ids.append(vid)
+                            idxs.append(i)
+                            tss.append(starts[src])
+                            hs.append(arr.shape[0])
+                            ws.append(arr.shape[1])
+                            cs.append(arr.shape[2])
+                            frames.append(arr.tobytes())
+                            reals.append(True)
+                        continue
                 # ISO-BMFF with a full sample table: real per-frame byte
                 # ranges, decode timestamps and keyframe flags — emit the
                 # CODED sample bytes (sync-aware: nearest keyframe at or

@@ -569,3 +569,115 @@ class TestAdam7:
         bad += struct.pack(">I", 0) + b"IEND" + struct.pack(">I", crc(b"IEND") & 0xFFFFFFFF)
         with pytest.raises(ValueError):
             ic.decode_png(bad)
+
+
+class TestGifAnimation:
+    """Animated-GIF compositing (round 8): multi-frame decode with GCE
+    delay/transparency/disposal semantics, pinned against a hand-built
+    animation whose expected canvases are computed by hand."""
+
+    @staticmethod
+    def _lzw(indices, min_code_size):
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        width = min_code_size + 1
+        buf = bytearray()
+        acc = nbits = 0
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(clear)
+        budget = (1 << width) - eoi - 2
+        for px in indices:
+            if budget == 0:
+                emit(clear)
+                budget = (1 << width) - eoi - 2
+            emit(int(px))
+            budget -= 1
+        emit(eoi)
+        if nbits:
+            buf.append(acc & 0xFF)
+        return bytes(buf)
+
+    def _build(self):
+        """4x4 screen, global 4-color palette (bg=idx3=white):
+        frame1: full 4x4 of color 0 (disposal 3, delay 5)
+        frame2: 2x2 patch at (1,1) color 1 with idx2 transparent holes
+                (disposal 2, delay 8)
+        frame3: 1x1 at (0,0) color 2 (disposal 0, delay 0)
+        """
+        import struct as st
+
+        pal = bytes([10, 0, 0,  0, 20, 0,  0, 0, 30,  255, 255, 255])
+        out = bytearray(b"GIF89a")
+        out += st.pack("<HHBBB", 4, 4, 0x80 | 1, 3, 0)  # GCT 4 colors, bg=3
+        out += pal
+
+        def gce(disposal, delay, transp=None):
+            flags = (disposal << 2) | (1 if transp is not None else 0)
+            return st.pack("<BBBBHBB", 0x21, 0xF9, 4, flags, delay,
+                           transp if transp is not None else 0, 0)
+
+        def img(left, top, w, h, idxs):
+            o = st.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+            o += bytes([2])  # min code size
+            data = self._lzw(idxs, 2)
+            for off in range(0, len(data), 255):
+                chunk = data[off : off + 255]
+                o += bytes([len(chunk)]) + chunk
+            return o + b"\x00"
+
+        out += gce(3, 5) + img(0, 0, 4, 4, [0] * 16)
+        out += gce(2, 8, transp=2) + img(1, 1, 2, 2, [1, 2, 2, 1])
+        out += gce(0, 0) + img(0, 0, 1, 1, [2])
+        out += b"\x3b"
+        return bytes(out)
+
+    def test_compositing_disposal_transparency(self):
+        import numpy as np
+
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        delays, frames = ic.decode_gif_frames(self._build())
+        assert delays == [5, 8, 0]
+        W = [255, 255, 255]
+        C0, C1, C2 = [10, 0, 0], [0, 20, 0], [0, 0, 30]
+        # frame1: full C0
+        assert np.array_equal(frames[0], np.array([[C0] * 4] * 4, np.uint8))
+        # frame1 had disposal 3 (restore previous = white canvas), so
+        # frame2 composites onto WHITE: patch at (1,1): (0,0)=C1,
+        # (1,1)=C1, the idx-2 holes stay white
+        want2 = np.array([[W] * 4] * 4, np.uint8)
+        want2[1][1] = C1
+        want2[2][2] = C1
+        assert np.array_equal(frames[1], want2)
+        # frame2 had disposal 2 (region -> bg=white, a no-op on white);
+        # frame3 paints one C2 pixel at the origin
+        want3 = np.array([[W] * 4] * 4, np.uint8)
+        want3[0][0] = C2
+        assert np.array_equal(frames[2], want3)
+
+    def test_animation_roundtrip(self):
+        import numpy as np
+
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        rng = np.random.default_rng(11)
+        frames = [
+            (rng.integers(0, 4, (6, 5, 1)).repeat(3, axis=2) * 60).astype(np.uint8)
+            for _ in range(4)
+        ]
+        blob = ic.encode_gif_frames(frames, delay_cs=7)
+        delays, back = ic.decode_gif_frames(blob)
+        assert delays == [7] * 4 and len(back) == 4
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+        # the single-frame decoder still reads frame 0 of an animation
+        assert np.array_equal(ic.decode_gif(blob), frames[0])

@@ -907,3 +907,28 @@ class TestG711:
             rate, ch, got = ops.decode_wav(blob)
             assert (rate, ch) == (8000, 1)
             assert np.array_equal(got, table[np.frombuffer(payload, np.uint8)])
+
+
+def test_sample_frames_animated_gif_real_pixels(spark):
+    """Animated GIF joins MJPEG-AVI as a REAL-pixel video family in
+    sample_frames: timestamps come from cumulative GCE delays and each
+    sampled slot carries the composited canvas (is_real=true)."""
+    import numpy as np
+
+    from exon_duckdb_spark.operators import imagecodec as ic
+
+    frames = [
+        np.full((4, 6, 3), v, np.uint8) for v in (10, 80, 150, 220)
+    ]
+    blob = ic.encode_gif_frames(frames, delay_cs=50)  # 0.5 s/frame, 2 s total
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+    out = {r["frame_index"]: r for r in ops.sample_frames(df, n_frames=4).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        r = out[i]
+        # bucket midpoints 0.25/0.75/1.25/1.75 s → source frames 0/1/2/3
+        assert r["timestamp_s"] == i * 0.5
+        assert (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+        assert r["is_real"] is True
+        got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(4, 6, 3)
+        assert np.array_equal(got, frames[i])
