@@ -138,10 +138,11 @@ def detect_compression(path: str, compression: str | None = "auto_detect") -> st
 
 def expand_paths(path: str | list[str]) -> list[str]:
     """Path(s) → file list. A directory scans every file in it (reference:
-    directory scans in test_fasta_scan.test:55-59); globs are expanded
-    (local paths only). ``scheme://`` URIs list through pyarrow.fs and the
-    returned entries keep their scheme, so executors re-open them through
-    the same filesystem.
+    directory scans in test_fasta_scan.test:55-59); globs are expanded on
+    local paths AND on ``scheme://`` URIs (wild final segments and wild
+    intermediate directories; each wild level costs one LIST through the
+    filesystem seam — bucket names must be literal). URI entries keep
+    their scheme, so executors re-open them through the same filesystem.
     """
     paths = [path] if isinstance(path, str) else list(path)
     out: list[str] = []
@@ -171,11 +172,52 @@ def expand_paths(path: str | list[str]) -> list[str]:
 
 
 def _expand_uri(p: str) -> list[str]:
+    import fnmatch
+    import posixpath
+
     from pyarrow import fs as pafs
 
-    if any(c in p for c in "*?["):
-        raise NotImplementedError(f"globs are not supported on URIs: {p!r}")
     scheme = p.split("://", 1)[0]
+    if any(c in p for c in "*?["):
+        # glob on a URI: list the deepest non-wild parent through the
+        # SAME filesystem seam, then fnmatch the remainder (supports
+        # wildcards in the final segment and in intermediate dirs, e.g.
+        # s3://bkt/d*/part-*.fasta — each wild level is one LIST call).
+        # The filesystem must be constructed from the WILD-FREE parent:
+        # URI parsing treats '?' as a query separator and would eat it.
+        raw = p.split("://", 1)[1]
+        wild_at = min(i for i, c in enumerate(raw) if c in "*?[")
+        cut = raw.rfind("/", 0, wild_at) + 1  # end of the non-wild parent
+        fs, parent_inner = _fs(f"{scheme}://{raw[:cut]}")
+        inner = posixpath.join(parent_inner, raw[cut:]) if raw[cut:] else parent_inner
+        parts = inner.split("/")
+        first_wild = next(
+            i for i, seg in enumerate(parts) if any(c in seg for c in "*?[")
+        )
+        bases = ["/".join(parts[:first_wild])]
+        for depth, seg in enumerate(parts[first_wild:], start=first_wild):
+            nxt: list[str] = []
+            last = depth == len(parts) - 1
+            for base in bases:
+                if not any(c in seg for c in "*?["):
+                    # speculative join; the final is_file check (or the
+                    # next level's allow_not_found listing) validates it
+                    nxt.append(posixpath.join(base, seg))
+                    continue
+                kids = fs.get_file_info(
+                    pafs.FileSelector(base, recursive=False, allow_not_found=True)
+                )
+                for k in kids:
+                    if fnmatch.fnmatchcase(k.base_name, seg) and (
+                        k.is_file if last else not k.is_file
+                    ):
+                        nxt.append(k.path)
+            bases = nxt
+        infos = fs.get_file_info(bases) if bases else []
+        hits = sorted(f"{scheme}://{k.path}" for k in infos if k.is_file)
+        if not hits:
+            raise FileNotFoundError(f"no files match {p!r}")
+        return hits
     fs, inner = _fs(p)
     info = fs.get_file_info([inner])[0]
     if info.type == pafs.FileType.File:

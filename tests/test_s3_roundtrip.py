@@ -214,3 +214,40 @@ def test_s3_write_retries_through_faults(s3env, mode):
             assert f.read() == payload
     finally:
         store.faults = None
+
+
+def test_s3_glob_expansion(s3env):
+    """Globs on scheme URIs (round 8 — previously NotImplementedError):
+    final-segment wildcards, intermediate-directory wildcards, non-wild
+    tails under wild dirs, and the no-match error, all through the real
+    S3 client's LIST calls."""
+    _, _, store, _ = s3env
+    from exon_duckdb_spark.sources.splits import expand_paths
+
+    store.buckets.add("bkt")
+    for key in (
+        "d1/a.fasta", "d1/b.fasta", "d1/b.fastq", "d2/a.fasta",
+        "d2/sub/c.fasta", "e/x.fasta",
+    ):
+        store.objects[("bkt", key)] = b">s\nACGT\n"
+
+    assert expand_paths("s3://bkt/d1/*.fasta") == [
+        "s3://bkt/d1/a.fasta", "s3://bkt/d1/b.fasta",
+    ]
+    assert expand_paths("s3://bkt/d*/a.fasta") == [
+        "s3://bkt/d1/a.fasta", "s3://bkt/d2/a.fasta",
+    ]
+    assert expand_paths("s3://bkt/d*/*.fast?") == [
+        "s3://bkt/d1/a.fasta", "s3://bkt/d1/b.fasta",
+        "s3://bkt/d1/b.fastq", "s3://bkt/d2/a.fasta",
+    ]
+    assert expand_paths("s3://bkt/*/sub/c.fasta") == ["s3://bkt/d2/sub/c.fasta"]
+    with pytest.raises(FileNotFoundError):
+        expand_paths("s3://bkt/d1/*.bam")
+    # and the glob feeds a real distributed-ready read
+    from exon_duckdb_spark.sources.splits import plan_splits
+
+    splits = plan_splits("s3://bkt/d*/a.fasta", "none", splittable=True)
+    assert {s.path for s in splits} == {
+        "s3://bkt/d1/a.fasta", "s3://bkt/d2/a.fasta",
+    }
