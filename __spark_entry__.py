@@ -699,10 +699,18 @@ def q32_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling, hash-checked, two tagged codec branches.
 
-    'mp4': synthesize a real ISO-BMFF header per document with duration
-    (doc_id % 30 + 1) seconds; sample_frames parses mvhd for timing but
-    the frame stays the labeled md5 fake (is_real=false, 16 bytes) — the
-    honest stub for codecs the container can't decode.
+    'mp4' (round 8 — the sample-table layer is now DRIVER-gated, not just
+    pytest-pinned): mux a full ISO-BMFF per document with
+    ``encode_mp4_samples`` — doc_id%7+2 samples at 5 fps, keyframe every
+    doc_id%3+1 samples, sample i's payload = (doc_id+i)%20+1 ASCII bytes
+    ``32 + (doc_id·31 + i·7 + j·13) % 95``. ``sample_frames`` walks
+    stts/stsz/stsc/stco/stss, picks the bucket-midpoint sample, steps
+    back to its nearest keyframe, and emits the CODED bytes; the gate row
+    carries the extracted bytes' plain + position-weighted sums, the
+    chosen sample's real decode time, and the stsd dims — all replayed
+    arithmetically by the oracle, so the muxer, the sample-table walk,
+    the sync-aware selection, and the byte-exact extraction must all be
+    right for the hashes to match. Pixels stay undecoded (is_real=false).
 
     'avi' (doc_id < 48): plant a REAL MJPEG AVI per document — doc_id%5+2
     source frames at 25 fps (dwMicroSecPerFrame=40000), each frame a
@@ -713,7 +721,6 @@ def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays timing AND per-frame pixel sums arithmetically, so
     the AVI writer, the RIFF walk, the frame selection and the JPEG codec
     must all be right for the hashes to match."""
-    import struct as _struct
     from collections.abc import Iterator as _It
 
     import numpy as _np
@@ -722,20 +729,27 @@ def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators.multimodal import encode_mp4_samples
+
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
-                dur_ms = (int(did) % 30 + 1) * 1000
-                mvhd = (
-                    b"\x00\x00\x00\x00"
-                    + b"\x00" * 8
-                    + _struct.pack(">II", 1000, dur_ms)
-                    + b"\x00" * 4
-                )
-                mvhd = _struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
-                moov = _struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+                did = int(did)
+                payloads = [
+                    bytes(
+                        32 + (did * 31 + i * 7 + j * 13) % 95
+                        for j in range((did + i) % 20 + 1)
+                    )
+                    for i in range(did % 7 + 2)
+                ]
                 blobs.append(
-                    _struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00" + moov
+                    encode_mp4_samples(
+                        payloads,
+                        fps=5,
+                        width=32,
+                        height=16,
+                        sync_every=did % 3 + 1,
+                    )
                 )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
@@ -771,18 +785,22 @@ def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     vids = docs.mapInPandas(synth, "doc_id long, content binary")
-    f_mp4 = ops.sample_frames(vids, n_frames=4, id_col="doc_id").select(
-        F.lit("mp4").alias("codec"),
-        "doc_id",
-        "frame_index",
-        F.round("timestamp_s", 6).alias("timestamp_s"),
-        F.length("frame").cast("int").alias("frame_size"),
-        "width",
-        "height",
-        "channels",
-        F.lit(None).cast("long").alias("pix_sum"),
-        F.lit(None).cast("long").alias("pos_checksum"),
-        "is_real",
+    f_mp4 = (
+        ops.sample_frames(vids, n_frames=4, id_col="doc_id")
+        .withColumn("s", _pix_stats("frame"))
+        .select(
+            F.lit("mp4").alias("codec"),
+            "doc_id",
+            "frame_index",
+            F.round("timestamp_s", 6).alias("timestamp_s"),
+            F.length("frame").cast("int").alias("frame_size"),
+            "width",
+            "height",
+            "channels",
+            "s.pix_sum",
+            "s.pos_checksum",
+            "is_real",
+        )
     )
     avis = docs.where(F.col("doc_id") < 48).mapInPandas(
         synth_avi, "doc_id long, content binary"
@@ -4929,18 +4947,42 @@ def _component_sql() -> dict[str, str]:
         # the DC-exact MJPEG pixel sums pixel(x,y) = 128 + 2*(((x//8)*5 +
         # (y//8)*11 + doc_id + 7*src) % 60 - 30).
         "q45_frame_sample": """
-            WITH mp4 AS (
-              SELECT 'mp4' AS codec, d.doc_id,
-                     CAST(t.i AS INTEGER) AS frame_index,
-                     round((d.doc_id % 30 + 1) * (t.i + 0.5) / 4, 6) AS timestamp_s,
-                     CAST(16 AS INTEGER) AS frame_size,
-                     CAST(NULL AS INTEGER) AS width,
-                     CAST(NULL AS INTEGER) AS height,
+            -- mp4 branch: arithmetic replay of the ISO-BMFF sample-table
+            -- plant. ti = the bucket-midpoint sample via the SAME per-j
+            -- IEEE comparison the Spark-side parser makes (j/5.0 <=
+            -- dur*(i+0.5)/4 — floor(target*5) could differ at a float
+            -- boundary); chosen = nearest keyframe at-or-before ti
+            -- (stss every doc_id%3+1 samples → ti - ti % se); payload
+            -- byte j of sample s is 32 + (doc_id*31 + s*7 + j*13) % 95
+            WITH sel_mp4 AS (
+              SELECT d.doc_id, t.i,
+                     ti.ti - ti.ti % (d.doc_id % 3 + 1) AS chosen
+              FROM documents d, range(0, 4) t(i),
+                LATERAL (
+                  SELECT MAX(j) AS ti FROM (
+                    SELECT UNNEST(range(d.doc_id % 7 + 2)) AS j)
+                  WHERE j / 5.0 <=
+                        ((d.doc_id % 7 + 2) / 5.0) * (t.i + 0.5) / 4
+                ) ti
+            ),
+            mp4 AS (
+              SELECT 'mp4' AS codec, p.doc_id,
+                     CAST(p.i AS INTEGER) AS frame_index,
+                     round(p.chosen / 5.0, 6) AS timestamp_s,
+                     CAST((p.doc_id + p.chosen) % 20 + 1 AS INTEGER)
+                       AS frame_size,
+                     CAST(32 AS INTEGER) AS width,
+                     CAST(16 AS INTEGER) AS height,
                      CAST(NULL AS INTEGER) AS channels,
-                     CAST(NULL AS BIGINT) AS pix_sum,
-                     CAST(NULL AS BIGINT) AS pos_checksum,
+                     CAST(SUM(32 + (p.doc_id*31 + p.chosen*7 + b.j*13) % 95)
+                          AS BIGINT) AS pix_sum,
+                     CAST(SUM((32 + (p.doc_id*31 + p.chosen*7 + b.j*13) % 95)
+                              * (b.j + 1)) AS BIGINT) AS pos_checksum,
                      FALSE AS is_real
-              FROM documents d, range(0, 4) t(i)
+              FROM sel_mp4 p,
+                LATERAL (SELECT UNNEST(range((p.doc_id + p.chosen) % 20 + 1))
+                         AS j) b
+              GROUP BY p.doc_id, p.i, p.chosen
             ),
             avid AS (
               SELECT doc_id,
