@@ -2356,14 +2356,28 @@ def q83_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PCM audio decode, hash-checked: plant 16-bit WAV bytes per
-    document (sample(i) = (i*13 + doc_id*7) % 65536 - 32768, n = doc_id%50
-    + 20 samples, rate 8000 + (doc_id%3)*4000), decode via the pure-Python
-    RIFF walk (multimodal.decode_wav — no reference analog; the reference
-    has no media surface) and emit per-blob sample sums the oracle
-    recomputes arithmetically. Map-only: synth → decode → stats fuse into
-    one stage; samples never leave the executors."""
+    """REAL audio decode, hash-checked, tagged per codec.
+
+    'pcm': plant 16-bit WAV bytes per document (sample(i) = (i*13 +
+    doc_id*7) % 65536 - 32768, n = doc_id%50 + 20 samples, rate 8000 +
+    (doc_id%3)*4000), decode via the pure-Python RIFF walk
+    (multimodal.decode_wav) and emit per-blob sample sums the oracle
+    recomputes arithmetically.
+
+    'g711u' / 'g711a' (round 8 — DRIVER-gated, not just pytest-pinned):
+    plant µ-law / A-law WAVs (tags 7/6) with compressed byte(i) =
+    (doc_id*3 + i*11) % 256, n = doc_id%40 + 10, rate 8000; the decoded
+    int16 sums verify the ITU-T G.711 expansion, which the oracle
+    replays as pure bit arithmetic (the same &/>>/<</xor vocabulary the
+    simhash oracle already exercises). IMA ADPCM stays pytest-pinned
+    only — its per-sample recurrence is sequential and not
+    SQL-expressible.
+
+    Map-only: synth → decode → stats fuse into one stage; samples never
+    leave the executors."""
     from collections.abc import Iterator as _It
+
+    import struct as _struct
 
     import numpy as _np
     import pandas as _pd
@@ -2373,26 +2387,52 @@ def q77_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
         from exon_duckdb_spark.operators.multimodal import encode_wav
 
+        def g711_wav(tag: int, payload: bytes, rate: int = 8000) -> bytes:
+            fmt = _struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+            body = b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+            body += b"data" + _struct.pack("<I", len(payload)) + payload
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
         for pdf in batches:
-            ids, blobs = [], []
+            ids, codecs, blobs = [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 n = did % 50 + 20
                 i = _np.arange(n, dtype=_np.int64)
                 samples = ((i * 13 + did * 7) % 65536 - 32768).astype(_np.int16)
                 ids.append(did)
+                codecs.append("pcm")
                 blobs.append(encode_wav(samples, 8000 + (did % 3) * 4000))
-            yield _pd.DataFrame({"id": ids, "content": blobs})
+                comp = bytes(
+                    (did * 3 + j * 11) % 256 for j in range(did % 40 + 10)
+                )
+                for tag, name in ((7, "g711u"), (6, "g711a")):
+                    ids.append(did)
+                    codecs.append(name)
+                    blobs.append(g711_wav(tag, comp))
+            yield _pd.DataFrame(
+                {"id": ids, "codec": codecs, "content": blobs}
+            )
 
-    wavs = docs.mapInPandas(synth, "id long, content binary")
-    dec = ops.decode_audio(wavs, id_col="id")
+    wavs = docs.mapInPandas(synth, "id long, codec string, content binary")
+    # the id repeats once per codec, so key decode on the composite tag
+    # rather than joining codec back (which would fan out)
+    dec = ops.decode_audio(
+        wavs.withColumn("id2", F.concat_ws(":", F.col("id"), F.col("codec"))),
+        id_col="id2",
+        bytes_col="content",
+    )
     return dec.select(
-        F.col("id").alias("doc_id"),
+        F.split(F.col("id2"), ":").getItem(0).cast("bigint").alias("doc_id"),
+        F.split(F.col("id2"), ":").getItem(1).alias("codec"),
         "sample_rate",
         "channels",
         "n_samples",
         _sample_stats("samples").alias("s"),
-    ).select("doc_id", "sample_rate", "channels", "n_samples", "s.sample_sum", "s.pos_checksum")
+    ).select(
+        "doc_id", "codec", "sample_rate", "channels", "n_samples",
+        "s.sample_sum", "s.pos_checksum",
+    )
 
 
 def q79_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5684,14 +5724,56 @@ def _component_sql() -> dict[str, str]:
                      CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
                      doc_id % 50 + 20 AS n
               FROM documents WHERE doc_id < 96
+            ),
+            -- G.711 expansion as pure bit arithmetic (ITU-T G.711, the
+            -- classic integer forms): compressed byte b -> linear int16
+            g711 AS (
+              SELECT d.doc_id, xs.i,
+                     (d.doc_id*3 + xs.i*11) % 256 AS b
+              FROM (SELECT doc_id, doc_id % 40 + 10 AS n
+                    FROM documents WHERE doc_id < 96) d,
+                LATERAL (SELECT UNNEST(range(d.n)) AS i) xs
+            ),
+            mu AS (
+              SELECT doc_id, i,
+                     CASE WHEN (255 - b) >= 128
+                          THEN 132 - ((((255 - b) & 15) << 3) + 132
+                                      << (((255 - b) >> 4) & 7))
+                          ELSE ((((255 - b) & 15) << 3) + 132
+                                << (((255 - b) >> 4) & 7)) - 132
+                     END AS v
+              FROM g711
+            ),
+            al AS (
+              SELECT doc_id, i,
+                     CASE WHEN (xor(b, 85) & 128) != 0 THEN 1 ELSE -1 END *
+                     CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+                          THEN ((xor(b, 85) & 15) << 4) + 8
+                          WHEN ((xor(b, 85) >> 4) & 7) = 1
+                          THEN ((xor(b, 85) & 15) << 4) + 264
+                          ELSE (((xor(b, 85) & 15) << 4) + 264)
+                               << (((xor(b, 85) >> 4) & 7) - 1)
+                     END AS v
+              FROM g711
             )
-            SELECT doc_id, sample_rate, CAST(1 AS INTEGER) AS channels,
+            SELECT doc_id, 'pcm' AS codec, sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
                    CAST(n AS BIGINT) AS n_samples,
                    CAST(SUM((i*13 + doc_id*7) % 65536 - 32768) AS BIGINT) AS sample_sum,
                    CAST(SUM(((i*13 + doc_id*7) % 65536 - 32768) * (i + 1)) AS BIGINT)
                      AS pos_checksum
             FROM dims, LATERAL (SELECT UNNEST(range(n)) AS i) xs
             GROUP BY doc_id, sample_rate, n
+            UNION ALL
+            SELECT doc_id, 'g711u', CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+                   CAST(count(*) AS BIGINT),
+                   CAST(SUM(v) AS BIGINT), CAST(SUM(v * (i + 1)) AS BIGINT)
+            FROM mu GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 'g711a', CAST(8000 AS INTEGER), CAST(1 AS INTEGER),
+                   CAST(count(*) AS BIGINT),
+                   CAST(SUM(v) AS BIGINT), CAST(SUM(v * (i + 1)) AS BIGINT)
+            FROM al GROUP BY doc_id
         """,
         "q78_perplexity_score": """
             SELECT 'uni' AS mode, doc_id, avg_logprob, n FROM (
