@@ -8,10 +8,13 @@ These two formats are decodable from their public specs with nothing but
 
 - BMP: Windows BITMAPINFOHEADER layout — 24/32-bit uncompressed (BI_RGB),
   bottom-up or top-down, 4-byte row padding, BGR(A) channel order.
-- PNG: RFC 2083 — 8-bit depth, color types 0 (gray), 2 (RGB), 4
-  (gray+alpha), 6 (RGBA), all five scanline filters, sequential AND
+- PNG: RFC 2083 — color types 0 (gray), 2 (RGB), 3 (palette + optional
+  tRNS alpha), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8 where the
+  spec allows them and 16 with a documented high-byte reduction (the
+  decode contract is uint8); all five scanline filters; sequential AND
   Adam7-interlaced streams (7 reduced images, per-pass filtering —
-  encode + decode, roundtrip-pinned).
+  encode + decode roundtrip-pinned; the encoder emits 8-bit types
+  0/2/4/6).
 - GIF: 87a/89a first frame — full variable-width LZW decode (incl. the
   KwKwK case and interlaced row order); the encoder uses the fixed-width
   clear-code LZW trick and a sorted distinct-color palette (≤256 colors).
@@ -124,39 +127,41 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(raw: np.ndarray, height: int, width: int, ch: int) -> np.ndarray:
+def _unfilter(raw: np.ndarray, height: int, rowbytes: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filtering. ``raw`` is the inflated stream of
-    height * (1 + width*ch) bytes. Filters 0/1/2 are fully vectorized
-    (Sub is a per-column cumsum mod 256); 3/4 carry a true sequential
-    dependency along x and run a per-pixel loop."""
-    rowlen = width * ch
-    raw = raw.reshape(height, 1 + rowlen)
+    height * (1 + rowbytes) bytes; ``bpp`` is the filter's byte stride
+    (ceil(depth/8) * channels — PNG filters operate on BYTES, so sub-byte
+    depths use bpp=1 and 16-bit uses 2·channels). Filters 0/1/2 are fully
+    vectorized (Sub is a per-column cumsum mod 256); 3/4 carry a true
+    sequential dependency along x and run a per-pixel loop."""
+    raw = raw.reshape(height, 1 + rowbytes)
     ftypes = raw[:, 0]
     data = raw[:, 1:]
-    out = np.zeros((height, rowlen), np.uint8)
-    prev = np.zeros(rowlen, np.uint8)
+    out = np.zeros((height, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
     for y in range(height):
         f = int(ftypes[y])
         row = data[y]
         if f == 0:
             cur = row.copy()
-        elif f == 1:  # Sub: cumsum over x within each channel lane
+        elif f == 1:  # Sub: cumsum over x within each byte lane
             cur = (
-                row.reshape(width, ch).astype(np.uint32).cumsum(axis=0) % 256
-            ).astype(np.uint8).reshape(rowlen)
+                row.reshape(rowbytes // bpp, bpp).astype(np.uint32).cumsum(axis=0)
+                % 256
+            ).astype(np.uint8).reshape(rowbytes)
         elif f == 2:  # Up
             cur = row + prev  # uint8 wraps mod 256
         elif f == 3:  # Average
-            cur = np.zeros(rowlen, np.uint8)
-            for i in range(rowlen):
-                left = int(cur[i - ch]) if i >= ch else 0
+            cur = np.zeros(rowbytes, np.uint8)
+            for i in range(rowbytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
-            cur = np.zeros(rowlen, np.uint8)
-            for i in range(rowlen):
-                left = int(cur[i - ch]) if i >= ch else 0
+            cur = np.zeros(rowbytes, np.uint8)
+            for i in range(rowbytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
                 up = int(prev[i])
-                ul = int(prev[i - ch]) if i >= ch else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
                 cur[i] = (int(row[i]) + _paeth(left, up, ul)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
@@ -172,17 +177,41 @@ _ADAM7 = (
 )
 
 
+def _png_rows_to_pixels(
+    rows: np.ndarray, width: int, lanes: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline BYTES → (h, width, lanes) uint8 samples.
+    depth 8 is a reshape; depth 16 keeps the high byte (documented 8-bit
+    reduction — the decode contract is uint8 arrays); depths 1/2/4 unpack
+    MSB-first bit groups (lanes == 1 for those color types)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * lanes].reshape(h, width, lanes)
+    if depth == 16:
+        return rows[:, : width * lanes * 2].reshape(h, width, lanes, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    grp = bits.reshape(h, width, depth)
+    vals = np.zeros((h, width), np.uint8)
+    for k in range(depth):
+        vals = (vals << 1) | grp[:, :, k]
+    return vals[:, :, None]
+
+
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG (sequential or Adam7-interlaced) to
-    (h, w, channels) uint8. Adam7 streams are 7 consecutive reduced
-    images in one zlib stream — each pass filters its own scanlines
-    independently, then scatters onto the output grid."""
+    """Decode a PNG (sequential or Adam7-interlaced) to (h, w, channels)
+    uint8. Coverage: color types 0 (gray), 2 (RGB), 3 (palette + optional
+    tRNS alpha → RGB/RGBA), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8
+    where the spec allows them, and 16 with a documented high-byte
+    reduction (the decode contract is uint8 arrays). Adam7 streams are 7
+    consecutive reduced images in one zlib stream — each pass filters its
+    own scanlines independently, then scatters onto the output grid."""
     if not b.startswith(_PNG_SIG):
         raise ValueError("not a PNG file")
     i = len(_PNG_SIG)
-    width = height = ch = None
+    width = height = lanes = depth = ctype = None
     interlace = 0
     idat = []
+    plte = trns = None
     while i + 8 <= len(b):
         length, typ = struct.unpack_from(">I4s", b, i)
         payload = b[i + 8 : i + 8 + length]
@@ -190,13 +219,23 @@ def decode_png(b: bytes) -> np.ndarray:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if ctype not in _PNG_CHANNELS:
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if ctype not in allowed:
                 raise ValueError(f"unsupported PNG color type {ctype}")
+            if depth not in allowed[ctype]:
+                raise ValueError(
+                    f"invalid PNG bit depth {depth} for color type {ctype}"
+                )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
-            ch = _PNG_CHANNELS[ctype]
+            lanes = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8)[
+                : (length // 3) * 3
+            ].reshape(-1, 3)
+        elif typ == b"tRNS" and ctype == 3:
+            trns = np.frombuffer(payload, np.uint8)
         elif typ == b"IDAT":
             idat.append(payload)
         elif typ == b"IEND":
@@ -204,27 +243,55 @@ def decode_png(b: bytes) -> np.ndarray:
         i += 12 + length  # len + type + payload + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    bpp = max(1, depth // 8) * lanes
+
+    def rowbytes(w: int) -> int:
+        return (w * depth * lanes + 7) // 8
+
     if not interlace:
-        expect = height * (1 + width * ch)
+        expect = height * (1 + rowbytes(width))
         if raw.size != expect:
             raise ValueError(f"PNG data size {raw.size} != expected {expect}")
-        return _unfilter(raw, height, width, ch).reshape(height, width, ch)
-    out = np.zeros((height, width, ch), np.uint8)
-    at = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = max(0, -(-(width - x0) // dx))
-        ph = max(0, -(-(height - y0) // dy))
-        if pw == 0 or ph == 0:
-            continue
-        need = ph * (1 + pw * ch)
-        if at + need > raw.size:
-            raise ValueError("PNG interlaced data truncated")
-        sub = _unfilter(raw[at : at + need], ph, pw, ch).reshape(ph, pw, ch)
-        out[y0::dy, x0::dx] = sub
-        at += need
-    if at != raw.size:
-        raise ValueError(f"PNG data size {raw.size} != expected {at}")
+        out = _png_rows_to_pixels(
+            _unfilter(raw, height, rowbytes(width), bpp), width, lanes, depth
+        )
+    else:
+        out = np.zeros((height, width, lanes), np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + rowbytes(pw))
+            if at + need > raw.size:
+                raise ValueError("PNG interlaced data truncated")
+            sub = _png_rows_to_pixels(
+                _unfilter(raw[at : at + need], ph, rowbytes(pw), bpp),
+                pw, lanes, depth,
+            )
+            out[y0::dy, x0::dx] = sub
+            at += need
+        if at != raw.size:
+            raise ValueError(f"PNG data size {raw.size} != expected {at}")
+    if ctype == 3:
+        idx = out[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("PNG palette index outside PLTE")
+        rgb = plte[idx]
+        if trns is None:
+            return np.ascontiguousarray(rgb)
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[: len(trns)] = trns
+        return np.ascontiguousarray(
+            np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        )
+    if ctype == 0 and depth < 8:
+        # scale sub-byte gray to full range (0..2^d-1 → 0..255)
+        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     return out
 
 

@@ -681,3 +681,108 @@ class TestGifAnimation:
             assert np.array_equal(a, b)
         # the single-frame decoder still reads frame 0 of an animation
         assert np.array_equal(ic.decode_gif(blob), frames[0])
+
+
+class TestPngDepthsAndPalette:
+    """Round-8 PNG coverage extension: palette color type 3 (+ tRNS
+    alpha), sub-byte gray/palette depths 1/2/4, and 16-bit with the
+    documented high-byte reduction — all hand-built streams, so the
+    decoder is pinned against the spec layout rather than the encoder."""
+
+    @staticmethod
+    def _png(ihdr, chunks):
+        import struct
+        import zlib
+
+        def chunk(t, p):
+            return (
+                struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + b"".join(chunk(t, p) for t, p in chunks)
+            + chunk(b"IEND", b"")
+        )
+
+    def test_palette8_with_and_without_trns(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        h, w = 5, 6
+        pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        idx = rng.integers(0, 7, (h, w), dtype=np.uint8)
+        rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        blob = self._png(ihdr, [
+            (b"PLTE", pal.tobytes()), (b"tRNS", bytes([10, 20, 30])),
+            (b"IDAT", zlib.compress(rows)),
+        ])
+        out = ic.decode_png(blob)
+        assert out.shape == (h, w, 4)
+        want_a = np.full(7, 255, np.uint8)
+        want_a[:3] = [10, 20, 30]
+        assert np.array_equal(out[:, :, :3], pal[idx])
+        assert np.array_equal(out[:, :, 3], want_a[idx])
+        rgb = ic.decode_png(self._png(ihdr, [
+            (b"PLTE", pal.tobytes()), (b"IDAT", zlib.compress(rows))]))
+        assert rgb.shape == (h, w, 3) and np.array_equal(rgb, pal[idx])
+        with pytest.raises(ValueError, match="PLTE"):
+            ic.decode_png(self._png(ihdr, [(b"IDAT", zlib.compress(rows))]))
+
+    def test_palette4_and_gray1_bit_unpacking(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        idx4 = rng.integers(0, 7, (3, 5), dtype=np.uint8)
+        rows = []
+        for y in range(3):
+            bits = np.unpackbits(idx4[y][:, None], axis=1)[:, 4:]
+            flat = np.concatenate(bits)
+            flat = np.concatenate([flat, np.zeros((-len(flat)) % 8, np.uint8)])
+            rows.append(b"\x00" + np.packbits(flat).tobytes())
+        ihdr = struct.pack(">IIBBBBB", 5, 3, 4, 3, 0, 0, 0)
+        out = ic.decode_png(self._png(ihdr, [
+            (b"PLTE", pal.tobytes()),
+            (b"IDAT", zlib.compress(b"".join(rows)))]))
+        assert np.array_equal(out, pal[idx4])
+
+        g = rng.integers(0, 2, (4, 10), dtype=np.uint8)
+        rows1 = []
+        for y in range(4):
+            flat = np.concatenate([g[y], np.zeros((-10) % 8, np.uint8)])
+            rows1.append(b"\x00" + np.packbits(flat).tobytes())
+        ihdr1 = struct.pack(">IIBBBBB", 10, 4, 1, 0, 0, 0, 0)
+        out1 = ic.decode_png(self._png(ihdr1, [
+            (b"IDAT", zlib.compress(b"".join(rows1)))]))
+        assert np.array_equal(out1[:, :, 0], g * 255)  # full-range scale
+
+    def test_16bit_high_byte_reduction(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        a16 = rng.integers(0, 65536, (3, 4, 3), dtype=np.uint16)
+        rows = b"".join(
+            b"\x00" + a16[y].astype(">u2").tobytes() for y in range(3)
+        )
+        ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+        out = ic.decode_png(self._png(ihdr, [(b"IDAT", zlib.compress(rows))]))
+        assert np.array_equal(out, (a16 >> 8).astype(np.uint8))
+
+    def test_invalid_depth_combo_rejected(self):
+        import struct
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # RGB depth 4
+        with pytest.raises(ValueError, match="bit depth"):
+            ic.decode_png(self._png(ihdr, []))
