@@ -1,4 +1,4 @@
-"""Pure-Python image codec: uncompressed BMP, PNG (sequential + Adam7), and GIF.
+"""Pure-Python image codec: BMP, PNG (sequential + Adam7), GIF, and TIFF.
 
 The container ships no codec library (PIL/opencv), but the multimodal
 contract (SURVEY "beyond-reference" §multimodal; no reference analog — the
@@ -17,7 +17,12 @@ These two formats are decodable from their public specs with nothing but
   0/2/4/6).
 - GIF: 87a/89a first frame — full variable-width LZW decode (incl. the
   KwKwK case and interlaced row order); the encoder uses the fixed-width
-  clear-code LZW trick and a sorted distinct-color palette (≤256 colors).
+  clear-code LZW trick and a sorted distinct-color palette (≤256 colors);
+  full multi-frame animations via :func:`decode_gif_frames` (GCE delays,
+  transparency, disposal 0/1/2/3 compositing).
+- TIFF: baseline 6.0 — either byte order, first IFD, 8-bit gray (both
+  photometric polarities) and RGB, chunky config, uncompressed or
+  PackBits strips; :func:`encode_tiff` muxes the little-endian form.
 
 Arrays are (height, width, channels) uint8, row-major, top-down, RGB(A) —
 the layout every downstream feature extractor expects.
@@ -43,6 +48,8 @@ __all__ = [
     "encode_gif",
     "decode_gif_frames",
     "encode_gif_frames",
+    "decode_tiff",
+    "encode_tiff",
     "decode_blob",
     "encode_blob",
     "resize_nearest",
@@ -374,21 +381,209 @@ def encode_png(
 # dispatch + resize
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): n in 0..127 copies
+    n+1 literal bytes, n in 129..255 repeats the next byte 257-n times,
+    128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+    if len(out) < expect:
+        raise ValueError("truncated PackBits strip")
+    return bytes(out[:expect])
+
+
+def decode_tiff(b: bytes) -> np.ndarray:
+    """Decode a baseline TIFF 6.0 (the document-corpus staple) to
+    (h, w, channels) uint8: either byte order, first IFD, 8 bits per
+    sample, Photometric 0/1/2 (gray either polarity, RGB), chunky planar
+    config, uncompressed or PackBits strips."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF file")
+    bo = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", b, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF file (bad magic)")
+    n_tags = struct.unpack_from(bo + "H", b, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    for t in range(n_tags):
+        at = ifd_off + 2 + t * 12
+        tag, typ, count = struct.unpack_from(bo + "HHI", b, at)
+        if typ not in TYPE_SIZE:
+            continue
+        total = TYPE_SIZE[typ] * count
+        voff = at + 8 if total <= 4 else struct.unpack_from(bo + "I", b, at + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(bo + fmt * count, b, voff))
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    planar = one(284, 1)
+    if any(x != 8 for x in bits):
+        raise ValueError(f"unsupported TIFF bits per sample {bits}")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if planar != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    offs = tags.get(273)
+    counts = tags.get(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rps = one(278, height)
+    parts = []
+    row_bytes = width * spp
+    for k, (o, c) in enumerate(zip(offs, counts)):
+        rows = min(rps, height - k * rps)
+        expect = rows * row_bytes
+        strip = b[o : o + c]
+        parts.append(
+            _packbits_decode(strip, expect) if comp == 32773 else strip[:expect]
+        )
+    data = b"".join(parts)
+    if len(data) != height * row_bytes:
+        raise ValueError("TIFF strip data size mismatch")
+    img = np.frombuffer(data, np.uint8).reshape(height, width, spp)
+    if photo == 0:  # WhiteIsZero
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(
+    arr: np.ndarray, packbits: bool = False, rows_per_strip: int | None = None
+) -> bytes:
+    """Encode (h, w[, c]) uint8 as a minimal little-endian baseline TIFF
+    (8 bits/sample, BlackIsZero or RGB, chunky, one or more strips;
+    ``packbits`` selects compression 32773 with a greedy literal/run
+    packer). Deterministic byte-for-byte."""
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3):
+        raise ValueError("encode_tiff expects 1 or 3 channels")
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = arr[y0 : y0 + rps].tobytes()
+        if not packbits:
+            strips.append(raw)
+            continue
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            run = 1
+            while (
+                run < 128 and i + run < len(raw) and raw[i + run] == raw[i]
+            ):
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, raw[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(raw) and j - i < 128
+                    and not (j + 1 < len(raw) and raw[j] == raw[j + 1])
+                ):
+                    j += 1
+                out += bytes([j - i - 1]) + raw[i:j]
+                i = j
+        strips.append(bytes(out))
+    n_strips = len(strips)
+    # layout: header(8) + IFD + value arrays + strip data
+    tag_list = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    ifd_off = 8
+    ifd_size = 2 + len(tag_list) * 12 + 4
+    extra = bytearray()
+    extra_base = ifd_off + ifd_size
+
+    def arr_or_inline(values, typ):
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        if len(values) * size <= 4:
+            raw = struct.pack("<" + fmt * len(values), *values)
+            return raw + b"\x00" * (4 - len(raw)), None
+        off = extra_base + len(extra)
+        extra.extend(struct.pack("<" + fmt * len(values), *values))
+        return struct.pack("<I", off), off
+
+    # reserve space for strip offsets after we know data start
+    entries = {}
+    entries[256] = (3, 1, struct.pack("<HH", w, 0))
+    entries[257] = (3, 1, struct.pack("<HH", h, 0))
+    bits_v, _ = arr_or_inline([8] * ch, 3)
+    entries[258] = (3, ch, bits_v)
+    entries[259] = (3, 1, struct.pack("<HH", 32773 if packbits else 1, 0))
+    entries[262] = (3, 1, struct.pack("<HH", 2 if ch == 3 else 1, 0))
+    entries[277] = (3, 1, struct.pack("<HH", ch, 0))
+    entries[278] = (3, 1, struct.pack("<HH", rps, 0))
+    counts_v, _ = arr_or_inline([len(s) for s in strips], 4)
+    entries[279] = (4, n_strips, counts_v)
+    data_start = extra_base + len(extra) + (4 * n_strips if n_strips > 1 else 0)
+    offsets = []
+    at = data_start
+    for s in strips:
+        offsets.append(at)
+        at += len(s)
+    if n_strips > 1:
+        off = extra_base + len(extra)
+        extra.extend(struct.pack("<" + "I" * n_strips, *offsets))
+        entries[273] = (4, n_strips, struct.pack("<I", off))
+    else:
+        entries[273] = (4, 1, struct.pack("<I", offsets[0]))
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(tag_list))
+    for tag in tag_list:
+        typ, count, val = entries[tag]
+        out += struct.pack("<HHI", tag, typ, count) + val
+    out += struct.pack("<I", 0)  # next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def decode_blob(b: bytes) -> np.ndarray:
-    """Decode a BMP, PNG, GIF or JPEG (baseline or progressive) blob by
-    magic; raises ValueError on other formats (and on arithmetic-coded/
-    lossless/12-bit JPEG, with the mode named)."""
+    """Decode a BMP, PNG, GIF, TIFF or JPEG (baseline or progressive)
+    blob by magic; raises ValueError on other formats (and on
+    arithmetic-coded/lossless/12-bit JPEG, with the mode named)."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b.startswith(_PNG_SIG):
         return decode_png(b)
     if b[:4] == b"GIF8":
         return decode_gif(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(b)
     if b[:3] == b"\xff\xd8\xff":
         from exon_duckdb_spark.operators import jpegcodec
 
         return jpegcodec.decode_jpeg(b)
-    raise ValueError("unsupported image format (supported here: BMP, PNG, GIF, JPEG)")
+    raise ValueError(
+        "unsupported image format (supported here: BMP, PNG, GIF, TIFF, JPEG)"
+    )
 
 
 def encode_blob(arr: np.ndarray, fmt: str) -> bytes:
@@ -398,6 +593,8 @@ def encode_blob(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "image/gif":
         return encode_gif(arr)
+    if fmt == "image/tiff":
+        return encode_tiff(arr)
     if fmt == "image/jpeg":
         from exon_duckdb_spark.operators import jpegcodec
 

@@ -82,6 +82,8 @@ def _sniff(b: bytes | None) -> str | None:
         return "image/bmp"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "audio/wav"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     if b[4:8] == b"ftyp":
         return "video/mp4"
     return "application/octet-stream"
@@ -543,6 +545,8 @@ def resize_image(
                         fmt = "image/gif"
                     elif b[:3] == b"\xff\xd8\xff":
                         fmt = "image/jpeg"
+                    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                        fmt = "image/tiff"
                     else:
                         fmt = "image/png"
                     small = imagecodec.resize_nearest(arr, width, height)

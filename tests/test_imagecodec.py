@@ -786,3 +786,75 @@ class TestPngDepthsAndPalette:
         ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # RGB depth 4
         with pytest.raises(ValueError, match="bit depth"):
             ic.decode_png(self._png(ihdr, []))
+
+
+class TestTiff:
+    """Baseline TIFF 6.0 (round 8): either byte order, 8-bit gray/RGB,
+    uncompressed or PackBits strips, WhiteIsZero inversion. The encoder
+    is the repo's own minimal muxer, so a hand-built big-endian stream
+    pins the decoder against the spec rather than the muxer."""
+
+    def test_roundtrip_strips_and_packbits(self):
+        rng = np.random.RandomState(6)
+        for shape in [(5, 7, 3), (4, 9, 1), (1, 1, 3), (16, 3, 1)]:
+            a = rng.randint(0, 256, shape).astype(np.uint8)
+            for pb in (False, True):
+                for rps in (None, 2):
+                    blob = ic.encode_tiff(a, packbits=pb, rows_per_strip=rps)
+                    assert np.array_equal(ic.decode_blob(blob), a), (shape, pb, rps)
+        flat = np.full((20, 20, 1), 7, np.uint8)
+        assert len(ic.encode_tiff(flat, packbits=True)) < len(ic.encode_tiff(flat))
+
+    def test_big_endian_white_is_zero(self):
+        import struct
+
+        g = np.array([[0, 100], [200, 255]], np.uint8)
+        data = g.tobytes()
+        # hand-built MM stream: gray 2x2, Photometric 0 (WhiteIsZero)
+        def entry(tag, typ, count, val4):
+            return struct.pack(">HHI", tag, typ, count) + val4
+
+        ifd = struct.pack(">H", 7)
+        ifd += entry(256, 3, 1, struct.pack(">HH", 2, 0))
+        ifd += entry(257, 3, 1, struct.pack(">HH", 2, 0))
+        ifd += entry(259, 3, 1, struct.pack(">HH", 1, 0))
+        ifd += entry(262, 3, 1, struct.pack(">HH", 0, 0))  # WhiteIsZero
+        data_off = 8 + 2 + 7 * 12 + 4
+        ifd += entry(273, 4, 1, struct.pack(">I", data_off))
+        ifd += entry(278, 3, 1, struct.pack(">HH", 2, 0))
+        ifd += entry(279, 4, 1, struct.pack(">I", len(data)))
+        ifd += struct.pack(">I", 0)
+        blob = b"MM\x00*" + struct.pack(">I", 8) + ifd + data
+        out = ic.decode_tiff(blob)
+        assert np.array_equal(out[:, :, 0], 255 - g)
+
+    def test_rejects_unsupported(self):
+        with pytest.raises(ValueError):
+            ic.decode_tiff(b"II+\x00\x08\x00\x00\x00")  # BigTIFF magic 43
+        a = np.zeros((2, 2, 3), np.uint8)
+        blob = bytearray(ic.encode_tiff(a))
+        # flip compression tag (259) value to 5 (LZW) — entry order is
+        # fixed by the encoder: tag index 3
+        off = 8 + 2 + 3 * 12 + 8
+        blob[off] = 5
+        with pytest.raises(ValueError, match="compression"):
+            ic.decode_tiff(bytes(blob))
+
+
+def test_tiff_through_dataframe_ops(spark):
+    """TIFF rides the same decode/resize operators as the other formats:
+    mime sniffed, pixels decoded, resize re-encodes as TIFF."""
+    a = _rand((6, 8, 3), seed=9)
+    df = spark.createDataFrame(
+        [(1, bytearray(ic.encode_tiff(a, packbits=True)))],
+        "id long, content binary",
+    )
+    got = decode_image(df).collect()[0]
+    assert (got["width"], got["height"], got["channels"]) == (8, 6, 3)
+    assert np.array_equal(
+        np.frombuffer(bytes(got["pixels"]), np.uint8).reshape(6, 8, 3), a
+    )
+    out = resize_image(df, width=4, height=3).collect()[0]
+    blob = bytes(out["content"])
+    assert blob[:4] == b"II*\x00"
+    assert np.array_equal(ic.decode_tiff(blob), ic.resize_nearest(a, 4, 3))
