@@ -7,7 +7,9 @@ These two formats are decodable from their public specs with nothing but
 ``struct``, ``zlib`` (stdlib) and numpy:
 
 - BMP: Windows BITMAPINFOHEADER layout — 24/32-bit uncompressed (BI_RGB),
-  bottom-up or top-down, 4-byte row padding, BGR(A) channel order.
+  bottom-up or top-down, 4-byte row padding, BGR(A) channel order; 8-bit
+  palettized, uncompressed or BI_RLE8 (runs, absolute mode, EOL/EOB/delta
+  escapes).
 - PNG: RFC 2083 — color types 0 (gray), 2 (RGB), 3 (palette + optional
   tRNS alpha), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8 where the
   spec allows them and 16 with a documented high-byte reduction (the
@@ -21,8 +23,10 @@ These two formats are decodable from their public specs with nothing but
   full multi-frame animations via :func:`decode_gif_frames` (GCE delays,
   transparency, disposal 0/1/2/3 compositing).
 - TIFF: baseline 6.0 — either byte order, first IFD, 8-bit gray (both
-  photometric polarities) and RGB, chunky config, uncompressed or
-  PackBits strips; :func:`encode_tiff` muxes the little-endian form.
+  photometric polarities) and RGB, chunky config, uncompressed /
+  PackBits / LZW strips (MSB-first variable-width codes with the spec's
+  early width change; optional horizontal predictor);
+  :func:`encode_tiff` muxes the little-endian form.
 
 Arrays are (height, width, channels) uint8, row-major, top-down, RGB(A) —
 the layout every downstream feature extractor expects.
@@ -61,8 +65,49 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # BMP
 
 
+def _bmp_rle8_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """BI_RLE8 (Windows GDI): pairs (count, index) for runs; escape
+    0,0 = end of line, 0,1 = end of bitmap, 0,2 = delta (dx, dy jump),
+    0,n≥3 = n absolute indices (word-aligned). Rows are bottom-up in the
+    stream like any BMP; returns TOP-DOWN (h, w) indices."""
+    out = np.zeros((height, width), np.uint8)
+    x = y = 0  # y counts bottom-up rows
+    i = 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # run
+            out[y, x : min(x + n, width)] = v
+            x = min(x + n, width)
+        elif v == 0:  # EOL
+            x, y = 0, y + 1
+            if y >= height:
+                break
+        elif v == 1:  # EOB
+            break
+        elif v == 2:  # delta
+            if i + 1 >= len(data):
+                raise ValueError("truncated BMP RLE8 delta")
+            x = min(x + data[i], width)
+            y = y + data[i + 1]
+            i += 2
+            if y >= height:
+                break
+        else:  # absolute mode: v literal indices, padded to a word
+            if i + v > len(data):
+                raise ValueError("truncated BMP RLE8 absolute run")
+            take = min(v, width - x)
+            out[y, x : x + take] = np.frombuffer(data, np.uint8, take, i)
+            x += take
+            i += v + (v & 1)
+    return out[::-1]  # bottom-up → top-down
+
+
 def decode_bmp(b: bytes) -> np.ndarray:
-    """Decode an uncompressed 24/32-bit BMP to (h, w, 3|4) uint8 RGB(A)."""
+    """Decode a BMP to (h, w, 3|4) uint8 RGB(A): uncompressed 24/32-bit
+    (BI_RGB), and 8-bit palettized — uncompressed or BI_RLE8 (the color
+    table between the DIB header and the pixel data maps indices to
+    BGRA quads)."""
     if len(b) < 54 or b[:2] != b"BM":
         raise ValueError("not a BMP file")
     data_off = struct.unpack_from("<I", b, 10)[0]
@@ -72,12 +117,34 @@ def decode_bmp(b: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", b, 18)
     bitcount = struct.unpack_from("<H", b, 28)[0]
     compression = struct.unpack_from("<I", b, 30)[0]
+    top_down = height < 0
+    height = abs(height)
+    if bitcount == 8 and compression in (0, 1):
+        n_colors = struct.unpack_from("<I", b, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        quads = np.frombuffer(b, np.uint8, n_colors * 4, pal_off).reshape(
+            n_colors, 4
+        )
+        palette = quads[:, [2, 1, 0]]  # BGRA -> RGB
+        if compression == 1:  # BI_RLE8
+            if top_down:
+                raise ValueError("top-down RLE8 BMP is invalid")
+            idx = _bmp_rle8_decode(b[data_off:], width, height)
+        else:
+            stride = (width + 3) & ~3
+            if len(b) < data_off + stride * height:
+                raise ValueError("truncated BMP pixel data")
+            rows = np.frombuffer(b, np.uint8, stride * height, data_off)
+            idx = rows.reshape(height, stride)[:, :width]
+            if not top_down:
+                idx = idx[::-1]
+        if idx.max(initial=0) >= n_colors:
+            raise ValueError("BMP palette index outside color table")
+        return np.ascontiguousarray(palette[idx])
     if compression != 0:
         raise ValueError(f"unsupported BMP compression {compression}")
     if bitcount not in (24, 32):
         raise ValueError(f"unsupported BMP bit depth {bitcount}")
-    top_down = height < 0
-    height = abs(height)
     bpp = bitcount // 8
     stride = (width * bpp + 3) & ~3
     need = data_off + stride * height
@@ -401,11 +468,63 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first codes, 9→12-bit widths with the
+    spec's EARLY width change (bump at table size 2^w - 1, one code
+    before GIF's convention), Clear=256, EOI=257, first entry 258."""
+    out = bytearray()
+    arr = np.frombuffer(data, np.uint8)
+    bitpos = 0
+    nbits = len(arr) * 8
+    width = 9
+    table: list[bytes] = []
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return 257  # ran off the end → treat as EOI
+        val = 0
+        for k in range(width):
+            byte = arr[(bitpos + k) >> 3]
+            val = (val << 1) | ((byte >> (7 - ((bitpos + k) & 7))) & 1)
+        bitpos += width
+        return val
+
+    while len(out) < expect:
+        code = read_code()
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if code == 257:  # EOI
+            break
+        if not table:
+            raise ValueError("TIFF LZW stream did not start with Clear")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        if prev:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    if len(out) < expect:
+        raise ValueError("truncated TIFF LZW strip")
+    return bytes(out[:expect])
+
+
 def decode_tiff(b: bytes) -> np.ndarray:
     """Decode a baseline TIFF 6.0 (the document-corpus staple) to
     (h, w, channels) uint8: either byte order, first IFD, 8 bits per
     sample, Photometric 0/1/2 (gray either polarity, RGB), chunky planar
-    config, uncompressed or PackBits strips."""
+    config, uncompressed / PackBits / LZW strips (LZW optionally with
+    the horizontal-differencing predictor, tag 317 = 2)."""
     if len(b) < 8 or b[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF file")
     bo = "<" if b[:2] == b"II" else ">"
@@ -439,14 +558,17 @@ def decode_tiff(b: bytes) -> np.ndarray:
     spp = one(277, 1)
     bits = tags.get(258, [8])
     planar = one(284, 1)
+    predictor = one(317, 1)
     if any(x != 8 for x in bits):
         raise ValueError(f"unsupported TIFF bits per sample {bits}")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if photo not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photo}")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     offs = tags.get(273)
     counts = tags.get(279)
     if not offs or not counts or len(offs) != len(counts):
@@ -458,9 +580,19 @@ def decode_tiff(b: bytes) -> np.ndarray:
         rows = min(rps, height - k * rps)
         expect = rows * row_bytes
         strip = b[o : o + c]
-        parts.append(
-            _packbits_decode(strip, expect) if comp == 32773 else strip[:expect]
-        )
+        if comp == 32773:
+            raw = _packbits_decode(strip, expect)
+        elif comp == 5:
+            raw = _tiff_lzw_decode(strip, expect)
+        else:
+            raw = strip[:expect]
+        if predictor == 2:
+            # horizontal differencing: cumsum along x per channel lane
+            d = np.frombuffer(raw, np.uint8).reshape(rows, width, spp)
+            raw = (
+                d.astype(np.uint32).cumsum(axis=1) % 256
+            ).astype(np.uint8).tobytes()
+        parts.append(raw)
     data = b"".join(parts)
     if len(data) != height * row_bytes:
         raise ValueError("TIFF strip data size mismatch")

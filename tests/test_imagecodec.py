@@ -833,10 +833,11 @@ class TestTiff:
             ic.decode_tiff(b"II+\x00\x08\x00\x00\x00")  # BigTIFF magic 43
         a = np.zeros((2, 2, 3), np.uint8)
         blob = bytearray(ic.encode_tiff(a))
-        # flip compression tag (259) value to 5 (LZW) — entry order is
-        # fixed by the encoder: tag index 3
+        # flip compression tag (259) value to 7 (TIFF-JPEG, unsupported;
+        # 5=LZW became supported in round 8) — entry order is fixed by
+        # the encoder: tag index 3
         off = 8 + 2 + 3 * 12 + 8
-        blob[off] = 5
+        blob[off] = 7
         with pytest.raises(ValueError, match="compression"):
             ic.decode_tiff(bytes(blob))
 
@@ -858,3 +859,145 @@ def test_tiff_through_dataframe_ops(spark):
     blob = bytes(out["content"])
     assert blob[:4] == b"II*\x00"
     assert np.array_equal(ic.decode_tiff(blob), ic.resize_nearest(a, 4, 3))
+
+
+class TestBmpPaletteRle:
+    """8-bit palettized BMP, uncompressed and BI_RLE8 (round 8): runs,
+    absolute mode with word padding, EOL/EOB escapes, delta jumps."""
+
+    @staticmethod
+    def _bmp8(width, height, palette, body, compression):
+        import struct
+
+        pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette)
+        data_off = 14 + 40 + len(pal)
+        hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, compression,
+            len(body), 0, 0, len(palette), 0,
+        )
+        return hdr + dib + pal + body
+
+    def test_uncompressed_palette(self):
+        pal = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (9, 9, 9)]
+        idx = np.array([[0, 1, 2], [3, 2, 1]], np.uint8)
+        stride_rows = []
+        for y in (1, 0):  # bottom-up
+            row = idx[y].tobytes()
+            stride_rows.append(row + b"\x00" * ((-len(row)) % 4))
+        blob = self._bmp8(3, 2, pal, b"".join(stride_rows), 0)
+        out = ic.decode_bmp(blob)
+        assert np.array_equal(out, np.array(pal, np.uint8)[idx])
+
+    def test_rle8_runs_absolute_delta(self):
+        pal = [(i, 2 * i, 3 * i) for i in range(8)]
+        # 6x3 image, bottom-up rows:
+        # stream row0 (image bottom): run 4x idx1, abs [2,3] (padded), EOL
+        # stream row1: delta (2,0) skips 2 → abs [4,5,6] pad, run 1x7, EOL
+        # stream row2: run 6x idx0, EOB
+        body = bytes(
+            [4, 1, 1, 2, 1, 3, 0, 0]        # row 0: run 4x1, 1x2, 1x3
+            + [0, 2, 2, 0, 0, 3, 4, 5, 6, 0, 1, 7, 0, 0]  # row 1
+            + [6, 0, 0, 1]                   # row 2 + EOB
+        )
+        out = ic.decode_bmp(self._bmp8(6, 3, pal, body, 1))
+        palv = np.array(pal, np.uint8)
+        want_idx = np.array(
+            [[0, 0, 0, 0, 0, 0],       # top (stream row 2)
+             [0, 0, 4, 5, 6, 7],       # middle (delta skipped 2 → zeros)
+             [1, 1, 1, 1, 2, 3]],      # bottom (stream row 0)
+            np.uint8,
+        )
+        assert np.array_equal(out, palv[want_idx])
+
+
+class TestTiffLzw:
+    """TIFF LZW (compression 5): MSB-first variable-width codes with the
+    spec's EARLY width change, per-strip streams, optional horizontal
+    predictor. Streams are hand-encoded so the decoder is pinned against
+    the spec, including a real table-growth stream."""
+
+    @staticmethod
+    def _lzw_real(raw: bytes) -> bytes:
+        bits = []
+        width = [9]
+
+        def emit(code):
+            for k in range(width[0] - 1, -1, -1):
+                bits.append((code >> k) & 1)
+
+        table = {bytes([i]): i for i in range(256)}
+        nxt = [258]
+        emit(256)
+        w = b""
+        for ch in raw:
+            c = bytes([ch])
+            if w + c in table:
+                w = w + c
+                continue
+            emit(table[w])
+            table[w + c] = nxt[0]
+            nxt[0] += 1
+            if nxt[0] == (1 << width[0]) - 1 and width[0] < 12:
+                width[0] += 1  # early change
+            if nxt[0] >= 4094:
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt[0] = 258
+                width[0] = 9
+            w = c
+        if w:
+            emit(table[w])
+        emit(257)
+        while len(bits) % 8:
+            bits.append(0)
+        return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    @staticmethod
+    def _tiff(width, height, spp, strip, extra_tags=()):
+        import struct
+
+        def entry(tag, typ, count, val4):
+            return struct.pack("<HHI", tag, typ, count) + val4
+
+        tags = [
+            entry(256, 3, 1, struct.pack("<HH", width, 0)),
+            entry(257, 3, 1, struct.pack("<HH", height, 0)),
+            entry(259, 3, 1, struct.pack("<HH", 5, 0)),
+            entry(262, 3, 1, struct.pack("<HH", 2 if spp == 3 else 1, 0)),
+            entry(277, 3, 1, struct.pack("<HH", spp, 0)),
+            entry(278, 3, 1, struct.pack("<HH", height, 0)),
+            entry(279, 4, 1, struct.pack("<I", len(strip))),
+        ] + list(extra_tags)
+        n = len(tags) + 1  # + strip offset entry
+        data_off = 8 + 2 + n * 12 + 4
+        tags.append(entry(273, 4, 1, struct.pack("<I", data_off)))
+        return (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+            + b"".join(sorted(tags)) + struct.pack("<I", 0) + strip
+        )
+
+    def test_variable_width_table_growth(self):
+        big = (np.arange(4000) % 7).astype(np.uint8).tobytes()
+        blob = self._tiff(100, 40, 1, self._lzw_real(big))
+        out = ic.decode_tiff(blob)
+        assert out.shape == (40, 100, 1) and out.tobytes() == big
+
+    def test_rgb_and_horizontal_predictor(self):
+        import struct
+
+        rng = np.random.RandomState(8)
+        a = rng.randint(0, 256, (7, 9, 3)).astype(np.uint8)
+        blob = self._tiff(9, 7, 3, self._lzw_real(a.tobytes()))
+        assert np.array_equal(ic.decode_tiff(blob), a)
+        diff = a.astype(np.int16)
+        diff[:, 1:, :] = (a[:, 1:, :].astype(np.int16)
+                          - a[:, :-1, :].astype(np.int16)) % 256
+        pred_tag = (
+            struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0),
+        )
+        blob2 = self._tiff(
+            9, 7, 3, self._lzw_real(diff.astype(np.uint8).tobytes()),
+            extra_tags=pred_tag,
+        )
+        assert np.array_equal(ic.decode_tiff(blob2), a)
