@@ -3021,6 +3021,33 @@ def q96_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]
         F.col("q").cast("string").alias("k1"),
         F.col("value").cast("double").alias("est"),
     )
+    # Bloom membership pre-screen (round 8, the Dolma-style shape): build
+    # the m-bit filter over the customer keys, probe a deterministic key
+    # set that is half present (orders custkeys — an FK into customer)
+    # and half definitely absent (+1000000); the oracle replays the
+    # salted positions and verifies membership as position-set semi-join
+    # semantics, plus the filter's exact popcount.
+    cust = _t(spark, sf_dir, "customer")
+    words = sk.bloom_words(cust.select(F.col("c_custkey").alias("g")), "g")
+    pk = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 97 < 4)
+        .select(F.col("o_custkey").alias("g"))
+        .distinct()
+    )
+    probe = pk.unionByName(pk.select((F.col("g") + 1000000).alias("g")))
+    h = sk.bloom_might_contain(probe, words, "g").select(
+        F.lit("bloom").alias("kind"),
+        F.col("g").cast("string").alias("k1"),
+        F.col("might").cast("int").cast("double").alias("est"),
+    )
+    fill = words.agg(
+        F.sum(F.bit_count(F.col("word"))).cast("double").alias("est")
+    ).select(
+        F.lit("bloom_fill").alias("kind"),
+        F.lit("set_bits").alias("k1"),
+        "est",
+    )
     return {
         "kmv_orders": a,
         "hll_lineitem": b,
@@ -3028,6 +3055,8 @@ def q96_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]
         "kmv_merge": d,
         "cms": e,
         "quantile": g,
+        "bloom": h,
+        "bloom_fill": fill,
     }
 
 
@@ -3827,6 +3856,8 @@ def _sketch_suite_oracle() -> str:
     (operators/sketches.py) — same md5 hash family, same integer harmonic
     fold, same 4 dp rounding."""
     from exon_duckdb_spark.operators.sketches import (
+        bloom_fill_sql,
+        bloom_membership_sql,
         cms_query_sql,
         cms_table_sql,
         hll_estimate_sql,
@@ -3868,6 +3899,19 @@ def _sketch_suite_oracle() -> str:
         ) UNPIVOT (est FOR k1 IN (union_est AS 'union',
                                   jaccard_est AS 'jaccard',
                                   intersection_est AS 'intersection'))
+        UNION ALL
+        SELECT 'bloom', CAST(key AS VARCHAR), CAST(might AS DOUBLE)
+        FROM ({bloom_membership_sql(
+            "customer", "c_custkey",
+            "(SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 97 < 4"
+            " UNION ALL"
+            " SELECT DISTINCT o_custkey + 1000000 FROM orders"
+            " WHERE o_custkey % 97 < 4)",
+            "o_custkey",
+        )})
+        UNION ALL
+        SELECT 'bloom_fill', 'set_bits', CAST(set_bits AS DOUBLE)
+        FROM ({bloom_fill_sql("customer", "c_custkey")})
     """
 
 

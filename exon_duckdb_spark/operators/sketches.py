@@ -58,6 +58,13 @@ __all__ = [
     "hll_grouped",
     "cms_table",
     "cms_query",
+    "bloom_words",
+    "bloom_might_contain",
+    "bloom_decontaminate",
+    "bloom_membership_sql",
+    "bloom_fill_sql",
+    "BLOOM_M",
+    "BLOOM_K",
     "HLL_P",
     "KMV_K",
     "CMS_D",
@@ -534,3 +541,184 @@ def cms_query_sql(
         ) kb LEFT JOIN ({cms_sql}) c USING (r, bucket)
         GROUP BY key
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (the Dolma-style membership pre-screen)
+
+
+BLOOM_M = 1 << 16  # bits; production sizes by n·k/ln2 (see DEPLOY.md)
+BLOOM_K = 4
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> Column:
+    """Array of the key's k bit positions — salted md5, identical in both
+    engines (the same ``'<salt>:'`` convention as CMS)."""
+    return F.array(
+        *[
+            md5_int(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))) % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_words(
+    df: DataFrame, col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build a Bloom filter over ``df[col]`` as a ``(word_idx, word)``
+    bit-word table — m/64 rows (128 KB of longs at m=2^16; a 2^30-bit
+    production filter is 16 MB), BROADCASTABLE into any probe.
+
+    Why this scales where the exact alternative doesn't: a membership
+    pre-screen against a benchmark/blocklist otherwise broadcasts the
+    full key set (n-grams of every benchmark document — gigabytes); the
+    Bloom table is CONSTANT-size with a false-POSITIVE-only error, so a
+    probe-side miss is definitive and the (rare) hits go to the exact
+    verify. This is the Dolma/CCNet-style bloom dedup/decontamination
+    shape. One map pass computes k positions per key; the groupBy
+    partial-aggregates to ≤ m/64 rows per partition.
+    """
+    pos = (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(_bloom_positions(F.col(col), m, k)).alias("pos"))
+    )
+    return (
+        pos.groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))
+        .agg(
+            # shiftleft with a COLUMN bit count needs the SQL form (the
+            # Python helper only takes a literal)
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    words: DataFrame,
+    col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-probe-row Bloom membership: ``(col, might)`` where ``might``
+    is false ONLY when the key is definitely absent. The words table
+    broadcasts; the probe side never shuffles (one broadcast join per
+    position batch, grouped back on the key)."""
+    pos = probe.where(F.col(col).isNotNull()).select(
+        F.col(col),
+        F.explode(_bloom_positions(F.col(col), m, k)).alias("pos"),
+    )
+    joined = pos.join(
+        F.broadcast(words),
+        (F.col("pos") / 64).cast("long") == F.col("word_idx"),
+        "left",
+    )
+    # & 1, not % 2: a set bit 63 makes the long NEGATIVE — Spark's % keeps
+    # the dividend's sign (-3 % 2 = -1) and shiftright sign-extends, so a
+    # modulo-based test reads hi-bit words wrong; masking is sign-proof
+    bit = F.expr(
+        "shiftright(coalesce(word, CAST(0 AS BIGINT)),"
+        " CAST(pos % 64 AS INT)) & CAST(1 AS BIGINT)"
+    )
+    return (
+        joined.groupBy(col)
+        .agg((F.min(bit) == 1).alias("might"))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom pre-screen: drop corpus
+    docs sharing any word ``n``-gram with the benchmark, but probe a
+    CONSTANT-size Bloom filter first so only bloom-POSITIVE grams (true
+    overlaps + the filter's false positives) reach the exact semi-join.
+    Same output as the exact ``decontaminate`` (false positives are
+    re-verified, misses are impossible), while the broadcast volume is
+    the m-bit filter instead of every benchmark gram. Both sides reduce
+    to the SAME 60-bit gram hashes the exact operator joins on — text
+    never rides a shuffle here either."""
+    from exon_duckdb_spark.operators.quality import tokens, word_ngrams
+
+    def gram_hashes(d: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        toksed = d.select(*cols, tokens(text_col).alias("_toks"))
+        grams = F.array_distinct(word_ngrams(F.col("_toks"), n))
+        out = toksed.select(
+            *cols, F.explode(F.transform(grams, md5_int)).alias("g")
+        )
+        return out if with_id else out.distinct()
+
+    cg = gram_hashes(corpus, with_id=True)
+    bg = gram_hashes(benchmark, with_id=False)
+    words = bloom_words(bg, "g", m, k)
+    hits = bloom_might_contain(cg.select("g").distinct(), words, "g", m, k).where(
+        F.col("might")
+    )
+    # exact verify ONLY on bloom-positive grams (false positives die here)
+    confirmed = hits.join(bg, "g", "left_semi")
+    bad = cg.join(confirmed, "g", "left_semi").select(id_col).distinct()
+    return corpus.join(bad, id_col, "left_anti")
+
+
+def bloom_membership_sql(
+    bench_sql: str,
+    bench_key: str,
+    probe_sql: str,
+    probe_key: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of build+probe: (key, might 0/1). The oracle verifies
+    Bloom SEMANTICS rather than the bit words: a probe bit is set iff
+    some benchmark key hashes to that position, so membership is
+    'all k probe positions ∈ the benchmark position set' — plain
+    semi-join vocabulary, no bit aggregates."""
+    barms = "\n              UNION ALL\n              ".join(
+        "SELECT DISTINCT "
+        + md5_int_sql(f"CONCAT('bloom{i}:', CAST({bench_key} AS VARCHAR))")
+        + f" % {m} AS pos FROM {bench_sql} WHERE {bench_key} IS NOT NULL"
+        for i in range(k)
+    )
+    parms = "\n              UNION ALL\n              ".join(
+        f"SELECT key, "
+        + md5_int_sql("CONCAT('bloom" + str(i) + ":', CAST(key AS VARCHAR))")
+        + f" % {m} AS pos FROM probekeys"
+        for i in range(k)
+    )
+    return f"""
+        WITH probekeys AS (SELECT {probe_key} AS key FROM {probe_sql}),
+        bpos AS (
+          SELECT DISTINCT pos FROM (
+              {barms}
+          )
+        ),
+        ppos AS (
+              {parms}
+        )
+        SELECT key,
+               MIN(CASE WHEN pos IN (SELECT pos FROM bpos)
+                        THEN 1 ELSE 0 END) AS might
+        FROM ppos GROUP BY key
+    """
+
+
+def bloom_fill_sql(
+    bench_sql: str, bench_key: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> str:
+    """DuckDB twin of the filter's popcount: set bits == distinct
+    positions of the benchmark keys."""
+    arms = "\n          UNION ALL\n          ".join(
+        "SELECT "
+        + md5_int_sql(f"CONCAT('bloom{i}:', CAST({bench_key} AS VARCHAR))")
+        + f" % {m} AS pos FROM {bench_sql} WHERE {bench_key} IS NOT NULL"
+        for i in range(k)
+    )
+    return f"SELECT COUNT(DISTINCT pos) AS set_bits FROM (\n          {arms}\n        )"

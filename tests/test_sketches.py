@@ -292,3 +292,72 @@ def test_cms_oracle_parity(spark, duck_vals):
     )
     o_rows = sorted(_duck_one(o_sql))
     assert s_rows == o_rows
+
+
+class TestBloom:
+    """Bloom filter (round 8 — the Dolma-style membership pre-screen):
+    no false negatives ever, false positives bounded and verified away
+    by the exact re-check in bloom_decontaminate."""
+
+    def test_no_false_negatives_bounded_fp(self, spark):
+        from exon_duckdb_spark.operators import sketches as sk
+
+        keys = spark.createDataFrame([(f"key{i}",) for i in range(500)], ["g"])
+        words = sk.bloom_words(keys, "g")
+        probe = spark.createDataFrame(
+            [(f"key{i}",) for i in range(400, 700)], ["g"]
+        )
+        got = {
+            r["g"]: r["might"]
+            for r in sk.bloom_might_contain(probe, words, "g").collect()
+        }
+        assert all(got[f"key{i}"] for i in range(400, 500))  # never miss
+        fp = sum(1 for i in range(500, 700) if got[f"key{i}"])
+        # m=2^16, k=4, n=500 → theoretical fp ~ (1-e^{-kn/m})^4 ≈ 8e-7;
+        # allow generous slack for the small sample
+        assert fp <= 2, f"{fp} false positives in 200 absent probes"
+        # the filter table stays broadcast-sized
+        assert words.count() <= sk.BLOOM_M // 64
+
+    def test_decontaminate_equals_exact(self, spark):
+        from exon_duckdb_spark.operators import sketches as sk
+        from exon_duckdb_spark.operators.dedup import decontaminate
+
+        corpus = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(12)))
+             for i in range(40)],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(100 + i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(12)))
+             for i in (3, 9)],
+            ["doc_id", "text"],
+        )
+        exact = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
+        bloom = sorted(
+            r["doc_id"] for r in sk.bloom_decontaminate(corpus, bench).collect()
+        )
+        assert exact == bloom and 0 < len(exact) < 40
+
+    def test_sql_twin_matches_spark(self, spark):
+        import duckdb
+
+        from exon_duckdb_spark.operators import sketches as sk
+
+        rows = [(i,) for i in range(60)]
+        bench = spark.createDataFrame(rows[:40], ["g"])
+        probe = spark.createDataFrame(rows[20:], ["g"])
+        words = sk.bloom_words(bench, "g")
+        got = {
+            int(r["g"]): int(r["might"])
+            for r in sk.bloom_might_contain(probe, words, "g").collect()
+        }
+        fill = words.selectExpr("sum(bit_count(word)) AS s").collect()[0]["s"]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE bench AS SELECT UNNEST(range(40)) AS g")
+        con.execute("CREATE TABLE probe AS SELECT UNNEST(range(20, 60)) AS g")
+        sql = sk.bloom_membership_sql("bench", "g", "probe", "g")
+        want = {int(k): int(m) for k, m in con.execute(sql).fetchall()}
+        assert got == want
+        want_fill = con.execute(sk.bloom_fill_sql("bench", "g")).fetchone()[0]
+        assert int(fill) == int(want_fill)
