@@ -61,6 +61,8 @@ __all__ = [
     "bloom_words",
     "bloom_might_contain",
     "bloom_decontaminate",
+    "bloom_merge",
+    "bloom_paragraph_filter",
     "bloom_membership_sql",
     "bloom_fill_sql",
     "BLOOM_M",
@@ -722,3 +724,76 @@ def bloom_fill_sql(
         for i in range(k)
     )
     return f"SELECT COUNT(DISTINCT pos) AS set_bits FROM (\n          {arms}\n        )"
+
+
+def bloom_merge(words_a: DataFrame, words_b: DataFrame) -> DataFrame:
+    """OR-merge two Bloom word tables built with the same (m, k) — the
+    union filter, still m/64 rows. This is what makes the filter an
+    INCREMENTAL artifact: fold each day's batch in without touching
+    yesterday's corpus."""
+    return (
+        words_a.unionByName(words_b)
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.col("word")).alias("word"))
+    )
+
+
+def bloom_paragraph_filter(
+    df: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> tuple[DataFrame, DataFrame]:
+    """Dolma-style INCREMENTAL paragraph dedup: drop every paragraph of
+    today's batch whose content is Bloom-positive in the PRIOR-corpus
+    filter ``words``, and return ``(cleaned_docs, updated_words)`` with
+    today's surviving paragraphs folded in.
+
+    This is the accepted-false-positive production mode: a bloom-positive
+    paragraph is deleted without exact verification (fp rate set by m/k —
+    Dolma's trade), so the prior corpus itself never loads; the exact
+    batch-global twin is :func:`~exon_duckdb_spark.operators.dedup.
+    paragraph_dedup`. Misses are impossible, so every true duplicate
+    dies. Within the batch itself duplicates are NOT collapsed (the
+    returned filter dedups them against TOMORROW) — run the exact
+    operator first when intra-batch dedup matters.
+
+    Scale: paragraphs hash map-side; the filter broadcasts both ways;
+    reassembly is the one id-keyed shuffle. Returns docs as
+    ``(id, clean_text, n_removed)`` (the boilerplate-removal contract)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    flags = bloom_might_contain(
+        paras.select(F.col("_para")).distinct(), words, "_para", m, k
+    )
+    dup = flags.where(F.col("might")).select("_para")
+    kept = paras.join(F.broadcast(dup), "_para", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("_n")
+    )
+    out = totals.join(clean, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+    new_words = bloom_merge(
+        words, bloom_words(kept.select(F.col("_para")), "_para", m, k)
+    )
+    return out, new_words

@@ -361,3 +361,38 @@ class TestBloom:
         assert got == want
         want_fill = con.execute(sk.bloom_fill_sql("bench", "g")).fetchone()[0]
         assert int(fill) == int(want_fill)
+
+
+def test_bloom_paragraph_filter_incremental(spark):
+    """Daily-crawl shape: day-1 paragraphs fold into the filter; day-2
+    re-deliveries of them are deleted while fresh paragraphs survive; the
+    returned filter then catches day-2's own paragraphs on day 3."""
+    from exon_duckdb_spark.operators import sketches as sk
+
+    empty = spark.createDataFrame([], "word_idx long, word long")
+    day1 = spark.createDataFrame(
+        [(1, "alpha one\ncommon banner"), (2, "beta two\ncommon banner")],
+        ["doc_id", "text"],
+    )
+    out1, f1 = sk.bloom_paragraph_filter(day1, empty)
+    got1 = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in out1.collect()}
+    # empty prior filter → nothing removed on day 1 (intra-batch dups
+    # are NOT collapsed — documented)
+    assert got1 == {
+        1: ("alpha one\ncommon banner", 0),
+        2: ("beta two\ncommon banner", 0),
+    }
+    day2 = spark.createDataFrame(
+        [(3, "gamma three\ncommon banner\nalpha one"), (4, "delta four")],
+        ["doc_id", "text"],
+    )
+    out2, f2 = sk.bloom_paragraph_filter(day2, f1)
+    got2 = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in out2.collect()}
+    assert got2[3] == ("gamma three", 2)  # banner + replayed line die
+    assert got2[4] == ("delta four", 0)
+    day3 = spark.createDataFrame([(5, "gamma three\nepsilon five")], ["doc_id", "text"])
+    out3, _ = sk.bloom_paragraph_filter(day3, f2)
+    got3 = out3.collect()[0]
+    assert (got3["clean_text"], got3["n_removed"]) == ("epsilon five", 1)
+    # the merged filter is still one word table (no growth in rows)
+    assert f2.count() <= sk.BLOOM_M // 64
