@@ -412,8 +412,47 @@ def sniff_mime(b: bytes | None) -> str | None:
     return _sniff(b)
 
 
+def _tiff_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a TIFF first IFD — tags 256/257, short/long,
+    either byte order (a header walk, no strip reads)."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if b[:2] == b"II" else ">"
+    try:
+        magic, ifd = struct.unpack_from(bo + "HI", b, 2)
+        if magic != 42:
+            return None
+        n = struct.unpack_from(bo + "H", b, ifd)[0]
+        w = h = None
+        for t in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", b, ifd + 2 + t * 12)
+            if tag in (256, 257) and typ in (3, 4) and cnt == 1:
+                fmt = "H" if typ == 3 else "I"
+                v = struct.unpack_from(bo + fmt, b, ifd + 2 + t * 12 + 8)[0]
+                if tag == 256:
+                    w = v
+                else:
+                    h = v
+        return (w, h) if w and h else None
+    except struct.error:
+        return None
+
+
+def _mp4_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from an MP4's video sample entry when the file
+    carries a full sample table; header-only stubs return None."""
+    try:
+        info = parse_mp4_video_samples(b)
+    except ValueError:
+        return None
+    return (info["width"], info["height"]) if info["width"] else None
+
+
 def image_dimensions(b: bytes) -> tuple[int, int] | None:
-    return _png_dims(b) or _jpeg_dims(b) or _bmp_dims(b) or _gif_dims(b)
+    return (
+        _png_dims(b) or _jpeg_dims(b) or _bmp_dims(b) or _gif_dims(b)
+        or _tiff_dims(b)
+    )
 
 
 def wav_sample_rate(b: bytes) -> int | None:
@@ -441,7 +480,7 @@ def attach_media_metadata(
             metas = []
             for b in pdf[bytes_col]:
                 b = bytes(b) if b is not None else None
-                dims = image_dimensions(b) if b else None
+                dims = (image_dimensions(b) or _mp4_dims(b)) if b else None
                 metas.append(
                     {
                         "mime": _sniff(b),

@@ -932,3 +932,26 @@ def test_sample_frames_animated_gif_real_pixels(spark):
         assert r["is_real"] is True
         got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(4, 6, 3)
         assert np.array_equal(got, frames[i])
+
+
+def test_metadata_dims_for_tiff_and_mp4(spark):
+    """attach_media_metadata reads TIFF dims from the IFD and MP4 dims
+    from the video sample entry; header-only MP4 stubs keep NULL dims
+    (the q39 gate shape)."""
+    import numpy as np
+
+    from exon_duckdb_spark.operators import imagecodec as ic
+
+    tiff = ic.encode_tiff(np.zeros((6, 8, 3), np.uint8))
+    mp4 = ops.encode_mp4_samples([b"AU"], fps=5, width=64, height=48)
+    stub = _mp4(1000, 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(tiff)), (2, bytearray(mp4)), (3, bytearray(stub))],
+        "id long, content binary",
+    )
+    got = {r["id"]: r["meta"] for r in ops.attach_media_metadata(df).collect()}
+    assert got[1]["mime"] == "image/tiff"
+    assert (got[1]["width"], got[1]["height"]) == (8, 6)
+    assert got[2]["mime"] == "video/mp4"
+    assert (got[2]["width"], got[2]["height"]) == (64, 48)
+    assert got[3]["width"] is None and got[3]["mime"] == "video/mp4"
