@@ -1,0 +1,94 @@
+"""Pins the q20/q22 digest-gated oracles (VERDICT r8, next-round #1).
+
+The gate must be invisible when the evaluating engine agrees with the
+builder's digests (rows emitted unchanged), must raise a diagnostic
+``error()`` naming the engine version and the actual per-branch digests
+on any value divergence, and must pass through ungated at an unknown
+scale factor. The error() laziness contract (no constant-folding of the
+ELSE arm) is exactly what the corruption test exercises: the same SQL
+shape returns rows when digests match and raises only when they don't.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from exon_duckdb_spark.operators import gate_digests
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+GATED = ["q20_dedup_suite", "q22_minhash_pipeline"]
+
+
+def _connect(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_gate_expected_covers_all_sfs():
+    # every gated query carries constants for all three driver SFs,
+    # keyed by the events-table cardinality
+    for name in GATED:
+        assert set(gate_digests.GATE_EXPECTED[name]) == {1000, 10000, 100000}
+        for branches in gate_digests.GATE_EXPECTED[name].values():
+            assert branches, "empty branch list would disable the gate"
+
+
+def test_gate_happy_path_emits_rows_unchanged():
+    con = _connect()
+    gated = entrymod.oracle_sql()
+    raw = entrymod.oracle_sql(_gate=False)
+    for name in GATED:
+        assert "__ok" in gated[name] and "__ok" not in raw[name]
+        g = con.sql(gated[name]).fetchall()
+        r = con.sql(raw[name]).fetchall()
+        assert sorted(map(str, g)) == sorted(map(str, r)), name
+
+
+def test_gate_corruption_raises_versioned_diagnostic(monkeypatch):
+    bad = copy.deepcopy(gate_digests.GATE_EXPECTED)
+    # corrupt ONE branch digest at the sf0.001 key only
+    kind, _h, c = bad["q20_dedup_suite"][1000][0]
+    bad["q20_dedup_suite"][1000][0] = (kind, 1, c)
+    monkeypatch.setattr(gate_digests, "GATE_EXPECTED", bad)
+    con = _connect()
+    with pytest.raises(Exception) as ei:
+        con.sql(entrymod.oracle_sql()["q20_dedup_suite"]).fetchall()
+    msg = str(ei.value)
+    # the err payload the driver would surface: label, engine version,
+    # SF discriminator, and every actual per-branch digest
+    assert "DIAG-q20" in msg
+    assert "v1." in msg or "v0." in msg
+    assert "nd=1000" in msg
+    for k, _h, _c in gate_digests.GATE_EXPECTED["q20_dedup_suite"][1000]:
+        assert f"{k}:" in msg
+
+
+def test_gate_unknown_sf_passes_through():
+    con = _connect()
+    con.execute("DROP VIEW events")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet' "
+        "LIMIT 7"
+    )
+    # nd=7 matches no embedded constant set -> gate inactive, no error
+    rows = con.sql(entrymod.oracle_sql()["q20_dedup_suite"]).fetchall()
+    assert rows
+
+
+def test_gate_vocabulary_subset_insurance():
+    # the one construct r8's token diff left unique to the failing pair
+    # (list indexing l[pos]) must stay gone from the gated texts
+    for name in GATED:
+        assert "l[pos]" not in entrymod.oracle_sql()[name]
