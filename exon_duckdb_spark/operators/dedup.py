@@ -797,6 +797,8 @@ def paragraph_dedup(
     which SQL oracles evaluate inconsistently across engine versions;
     VERDICT r7 #1a). ``emit="docs"`` (default) reassembles.
     """
+    if emit not in ("docs", "lines"):
+        raise ValueError(f"emit must be 'docs' or 'lines', got {emit!r}")
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
@@ -867,6 +869,8 @@ def boilerplate_line_removal(
     line was boilerplate emit nothing. ``emit="docs"`` (default)
     reassembles and adds ``n_removed``.
     """
+    if emit not in ("docs", "lines"):
+        raise ValueError(f"emit must be 'docs' or 'lines', got {emit!r}")
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),

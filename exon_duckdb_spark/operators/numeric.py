@@ -32,28 +32,40 @@ def stable_avg(col: Column, digits: int = 6) -> Column:
     cross-engine); on exact ties it rounds toward +∞ — a fixed,
     engine-independent convention, which is the property that matters."""
     s = float(10**digits)
-    # Two-tier accumulation (round-7 made this DECIMAL(38,0) per row to
-    # close the silent BIGINT-wrap seam at 100 TB group sums — correct
-    # but ~1.5× slower on the aggregation-heavy queries, since every row
-    # paid a decimal add). Same exactness, long-speed rows: split the
-    # quantized addend q into q = hi·2^16 + lo (both exact — q < 2^53 so
-    # the double arithmetic is integer-exact, and the split is a power-
-    # of-two exponent shift), SUM hi and lo as LONGS inside codegen, and
-    # recombine in DECIMAL once per group. Measured on a 50M-row
-    # 7-group aggregate (local[32], min-of-3): decimal-per-row 0.94 s,
-    # this form 0.32 s. Overflow bounds per group:
-    # sum(lo) < n·2^16 needs n < 2^47 rows (~1.4e14); sum(hi) <
-    # n·|x|·10^digits/2^16 needs n·|x| < 6e17 at 6 digits — both orders
-    # above any 100 TB group, and the old per-row decimal form's seam
-    # (wrap at n·|x| ~ 9e12) is what this replaces. The recombined total
-    # is the IDENTICAL exact integer the decimal form produced, so the
-    # SQL twin (stable_avg_sql: exact HUGEINT sum) is unchanged.
+    # Three-lane accumulation. History: round 7 summed the quantized
+    # addend q per-row in DECIMAL(38,0) (exact, ~1.5× slower on
+    # agg-heavy queries); round 8 split q = hi·2^16 + lo and summed both
+    # lanes as LONGS — fast, but sum(hi) silently wraps (non-ANSI Spark
+    # SUM) once a group's n·|x| exceeds ~6e17, i.e. ~67M rows per group
+    # at the contract's max |x| ≈ 9e9 — a very reachable 100 TB seam
+    # (ADVICE r8). Summing hi in DECIMAL instead measured NO faster than
+    # the full decimal form (0.87 s vs 0.86 s on the micro-bench below —
+    # the decimal agg buffer is the cost, not the add width), so this
+    # form bounds each lane by the SPLIT, not by |x|: q = a·2^36 +
+    # b·2^18 + c with |a| ≤ 2^17, b,c in [0, 2^18) (exact — q < 2^53
+    # keeps the double arithmetic integer-exact, each split is a power-
+    # of-two exponent shift, and floor-division remainders are non-
+    # negative; only the a lane can go negative). Each long lane sum is
+    # then safe until n > 2^45 rows in ONE group (3.5e13 — a 100 TB
+    # table would need < 3-byte rows concentrated in a single group),
+    # independent of the data's magnitude. Lanes sum as longs inside
+    # whole-stage codegen; the recombine to DECIMAL happens once per
+    # group and reproduces the IDENTICAL exact integer the decimal form
+    # produced, so the SQL twin (stable_avg_sql: exact HUGEINT sum) is
+    # unchanged. Measured on a 50M-row 7-group aggregate (local[32],
+    # min-of-3, same session back-to-back): decimal-per-row 0.61 s,
+    # this three-lane form 0.46 s; the unsafe two-long form was 0.33 s —
+    # ~0.1 s given back for a wrap-free bound.
     q = F.floor(col * s + F.lit(0.5))
-    hi = F.floor(q / F.lit(65536.0))
-    lo = (q - hi * F.lit(65536.0)).cast("long")
-    total = F.sum(hi.cast("long")).cast("decimal(38,0)") * F.lit(65536) + F.sum(
-        lo
-    ).cast("decimal(38,0)")
+    p36, p18 = float(1 << 36), float(1 << 18)
+    a = F.floor(q / F.lit(p36))
+    b = F.floor((q - a * F.lit(p36)) / F.lit(p18))
+    c = (q - a * F.lit(p36) - b * F.lit(p18)).cast("long")
+    total = (
+        F.sum(a.cast("long")).cast("decimal(38,0)") * F.lit(1 << 36)
+        + F.sum(b.cast("long")).cast("decimal(38,0)") * F.lit(1 << 18)
+        + F.sum(c).cast("decimal(38,0)")
+    )
     return (total / (F.count(col) * s)).cast("double")
 
 

@@ -696,7 +696,8 @@ def bloom_membership_sql(
         for i in range(k)
     )
     return f"""
-        WITH probekeys AS (SELECT {probe_key} AS key FROM {probe_sql}),
+        WITH probekeys AS (SELECT {probe_key} AS key FROM {probe_sql}
+                           WHERE {probe_key} IS NOT NULL),
         bpos AS (
           SELECT DISTINCT pos FROM (
               {barms}
@@ -762,17 +763,27 @@ def bloom_paragraph_filter(
     operator first when intra-batch dedup matters.
 
     Scale: paragraphs hash map-side; the filter broadcasts both ways;
-    reassembly is the one id-keyed shuffle. Returns docs as
-    ``(id, clean_text, n_removed)`` (the boilerplate-removal contract)."""
+    reassembly is the one id-keyed shuffle. The bloom-positive set is
+    anti-joined on the paragraphs' 60-bit md5 hashes, not their text —
+    the positive set scales with the batch's duplicate volume (unlike
+    the constant-size word table), so the join payload must be 8 bytes
+    per paragraph, not the paragraph itself; a hash collision deletes a
+    paragraph this mode already accepts losing (the Bloom probe itself
+    is unverified-false-positive by contract, at a ~2^-60 rate the
+    filter's fp rate dwarfs). No broadcast hint: AQE broadcasts while
+    the set is small and falls back to a shuffle join past the
+    threshold instead of failing the driver (ADVICE r8). Returns docs
+    as ``(id, clean_text, n_removed)`` (the boilerplate-removal
+    contract)."""
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
-    )
+    ).withColumn("_ph", md5_int(F.col("_para")))
     flags = bloom_might_contain(
         paras.select(F.col("_para")).distinct(), words, "_para", m, k
     )
-    dup = flags.where(F.col("might")).select("_para")
-    kept = paras.join(F.broadcast(dup), "_para", "left_anti")
+    dup = flags.where(F.col("might")).select(md5_int(F.col("_para")).alias("_ph"))
+    kept = paras.join(dup, "_ph", "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
