@@ -975,6 +975,7 @@ def sample_frames(
     n_frames: int = 4,
     bytes_col: str = "content",
     id_col: str = "id",
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Uniform video frame sampling: one input row fans out to ``n_frames``
     rows (id, frame_index, timestamp_s, width, height, channels,
@@ -1008,7 +1009,18 @@ def sample_frames(
     bucket-midpoint timestamps, md5-fake frame, dims NULL. An AVI chunk
     whose JPEG fails to decode (e.g. arithmetic-coded) degrades to the
     same flagged fake. Blobs that are neither (no parsable container)
-    yield zero rows."""
+    yield zero rows.
+
+    ``keyframes_only=True`` is the MP4 fast path: the ``n_frames``
+    buckets are spread over the SYNC-sample list itself instead of the
+    timeline — with sparse keyframes the default's
+    snap-back-to-keyframe lands several timeline buckets on the SAME
+    keyframe, while this mode returns ``n_frames`` DISTINCT keyframes
+    (or all of them when fewer exist) and never touches an inter-frame
+    byte range, which is exactly what a decode stage that seeks
+    keyframes wants. MJPEG-AVI and GIF frames are all independently
+    decodable (every frame is sync), so the knob is a documented no-op
+    there."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1101,15 +1113,25 @@ def sample_frames(
                 if mp4 is not None:
                     smp = mp4["samples"]
                     dur = mp4["duration_s"] or (len(smp) / 25.0)
+                    syncs = [j for j in range(len(smp)) if smp[j][3]] or [0]
                     for i in range(n_frames):
-                        target = dur * (i + 0.5) / n_frames
-                        ti = max(
-                            (j for j in range(len(smp)) if smp[j][2] <= target),
-                            default=0,
-                        )
-                        chosen = next(
-                            (j for j in range(ti, -1, -1) if smp[j][3]), 0
-                        )
+                        if keyframes_only:
+                            chosen = syncs[
+                                min(
+                                    int(len(syncs) * (i + 0.5) / n_frames),
+                                    len(syncs) - 1,
+                                )
+                            ]
+                        else:
+                            target = dur * (i + 0.5) / n_frames
+                            ti = max(
+                                (j for j in range(len(smp))
+                                 if smp[j][2] <= target),
+                                default=0,
+                            )
+                            chosen = next(
+                                (j for j in range(ti, -1, -1) if smp[j][3]), 0
+                            )
                         off, size, t, _ = smp[chosen]
                         ids.append(vid)
                         idxs.append(i)

@@ -44,7 +44,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from exon_duckdb_spark.operators.hashing import md5_int, md5_int_sql
@@ -747,6 +747,7 @@ def bloom_paragraph_filter(
     sep: str = "\n",
     m: int = BLOOM_M,
     k: int = BLOOM_K,
+    intra_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dolma-style INCREMENTAL paragraph dedup: drop every paragraph of
     today's batch whose content is Bloom-positive in the PRIOR-corpus
@@ -758,9 +759,14 @@ def bloom_paragraph_filter(
     Dolma's trade), so the prior corpus itself never loads; the exact
     batch-global twin is :func:`~exon_duckdb_spark.operators.dedup.
     paragraph_dedup`. Misses are impossible, so every true duplicate
-    dies. Within the batch itself duplicates are NOT collapsed (the
-    returned filter dedups them against TOMORROW) — run the exact
-    operator first when intra-batch dedup matters.
+    dies. Within the batch itself duplicates are NOT collapsed by
+    default (the returned filter dedups them against TOMORROW — Dolma's
+    exact behavior); ``intra_batch=True`` additionally keeps only the
+    FIRST in-batch occurrence of each surviving paragraph, ordered by
+    (doc id, position) — the same winner rule as
+    :func:`~exon_duckdb_spark.operators.dedup.paragraph_dedup`, as one
+    window over the already-computed 60-bit hashes instead of a second
+    full operator pass.
 
     Scale: paragraphs hash map-side; the filter broadcasts both ways;
     reassembly is the one id-keyed shuffle. The bloom-positive set is
@@ -784,6 +790,17 @@ def bloom_paragraph_filter(
     )
     dup = flags.where(F.col("might")).select(md5_int(F.col("_para")).alias("_ph"))
     kept = paras.join(dup, "_ph", "left_anti")
+    if intra_batch:
+        # first-occurrence winner per (hash, text) — text disambiguates
+        # 60-bit collisions for free since it already rides this shuffle
+        w = Window.partitionBy(F.col("_ph"), F.col("_para")).orderBy(
+            F.col(id_col), F.col("_pos")
+        )
+        kept = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

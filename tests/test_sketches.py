@@ -396,3 +396,27 @@ def test_bloom_paragraph_filter_incremental(spark):
     assert (got3["clean_text"], got3["n_removed"]) == ("epsilon five", 1)
     # the merged filter is still one word table (no growth in rows)
     assert f2.count() <= sk.BLOOM_M // 64
+
+
+def test_bloom_paragraph_filter_intra_batch(spark):
+    """intra_batch=True additionally collapses SAME-DAY duplicates to
+    their first (doc id, position) occurrence — the one-line composition
+    VERDICT r8 #6 asked for; default mode defers them to tomorrow."""
+    from exon_duckdb_spark.operators import sketches as sk
+
+    empty = spark.createDataFrame([], "word_idx long, word long")
+    day = spark.createDataFrame(
+        [(1, "alpha one\ncommon banner"), (2, "common banner\nbeta two")],
+        ["doc_id", "text"],
+    )
+    out, f = sk.bloom_paragraph_filter(day, empty, intra_batch=True)
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in out.collect()}
+    # doc 1 holds the first occurrence (doc_id order); doc 2 loses its copy
+    assert got == {
+        1: ("alpha one\ncommon banner", 0),
+        2: ("beta two", 1),
+    }
+    # the returned filter still catches BOTH days' content tomorrow
+    day2 = spark.createDataFrame([(9, "common banner\nfresh")], ["doc_id", "text"])
+    out2, _ = sk.bloom_paragraph_filter(day2, f)
+    assert out2.collect()[0]["clean_text"] == "fresh"
