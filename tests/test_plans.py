@@ -18,6 +18,23 @@ from exon_duckdb_spark.plans import (
 SF = "/root/testdata/sf0.001"
 
 
+def test_plan_audit_reads_final_adaptive_plan(spark):
+    """tools/plan_audit.py must count the EXECUTED (final) adaptive plan:
+    operator counts from the Final Plan tree only, per-node facts from the
+    node-unique detail blocks — the parser this pins produced doubled
+    counts twice before landing."""
+    from tools.plan_audit import audit_one
+
+    df = entry.q01_pricing_summary(spark, SF)
+    df.collect()  # finalize the adaptive plan on df's own queryExecution
+    row = audit_one(df)
+    assert row["scans"] == 1  # one lineitem scan, not 2 (final+initial)
+    assert row["pushed_filters"] == 2  # IsNotNull + LessThanOrEqual
+    assert row["exchanges"] == 1  # the one groupBy shuffle
+    assert row["codegen_spans"] >= 1  # codegen ids visible post-execution
+    assert not row["cartesian"] and not row["bnlj"]
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = entry.q01_pricing_summary(spark, SF)
     assert any("LessThanOrEqual(l_shipdate" in f for f in pushed_filters(df))
