@@ -2519,6 +2519,79 @@ def q99_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q103m_bloom_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental daily-crawl Bloom paragraph dedup, end-to-end: day 1
+    builds the constant-size filter from its paragraphs, day 2 is cleaned
+    against it (cross-day replays die without loading day 1 again) with
+    the intra-batch first-occurrence pass collapsing day 2's own
+    repeats, and the updated filter's popcount is emitted (the artifact
+    day 3 would consume). Pages are planted deterministically on the
+    documents table: every day-1 page carries the boiler banner and one
+    of 7 'promo' paragraphs; day-2 pages carry the banner (always
+    replayed), a day-1 promo on doc_id%3=0 (replayed), and one of 3
+    'flash sale' paragraphs on doc_id%5=1 (fresh but repeated WITHIN
+    day 2 — the intra-batch case). Operators:
+    sketches.bloom_words/bloom_paragraph_filter(intra_batch=True)/
+    bloom_merge. The reference has no crawl surface — this is
+    LLM-pipeline depth per the build brief, driver-gated."""
+    from exon_duckdb_spark.operators import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    day1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _BOILER + "\npromo "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    day2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _BOILER),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("\npromo "), (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit("\nflash sale "), (F.col("doc_id") % 3).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    p1 = day1.select(F.explode(F.split("text", "\n")).alias("para"))
+    words = sk.bloom_words(p1, "para")
+    out, new_words = sk.bloom_paragraph_filter(day2, words, intra_batch=True)
+    lines = out.where(F.col("clean_text") != "").select(
+        "doc_id", F.posexplode(F.split("clean_text", "\n")).alias("pos", "para")
+    )
+    b1 = lines.select(
+        F.lit("line").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.md5("para").alias("k2"),
+        F.col("pos").cast("long").alias("n"),
+    )
+    b2 = out.select(
+        F.lit("removed").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("n_removed").cast("string").alias("k2"),
+        F.col("n_removed").cast("long").alias("n"),
+    )
+    b3 = (
+        new_words.agg(F.sum(F.bit_count("word")).alias("_fill"))
+        .select(
+            F.lit("fill").alias("kind"),
+            F.lit("filter").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("_fill").cast("long").alias("n"),
+        )
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
     key (user_id) — the shape where CMS beats a per-key groupBy."""
@@ -3843,6 +3916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_vcf_region_query": q55_vcf_region_query,
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
+        # -- round-9 addition (appended so the prior 50 keep their
+        # window positions): incremental crawl dedup, end-to-end --
+        "q103_bloom_crawl": q103m_bloom_crawl,
     }
 
 
@@ -4055,6 +4131,96 @@ def _cc_unrolled_sql(k: int = 6) -> str:
               SELECT u AS id, u AS lbl FROM edges2 GROUP BY u
             ),{chain},
             cl AS (SELECT id AS doc_id, lbl AS cluster_id FROM l{k})"""
+
+
+def _bloom_crawl_oracle(m: int = 65536, k: int = 4) -> str:
+    """DuckDB replay of :func:`q103m_bloom_crawl`: same planted pages,
+    same salted-md5 Bloom positions (filter-bit semantics == position-set
+    semantics — the equivalence q09's bloom branch already drives), same
+    intra-batch first-occurrence window, same reassembly ordinals, same
+    popcount. Assumes non-empty document texts (true of the driver data
+    at every SF; the Spark side's ``clean_text != ''`` line filter and
+    this oracle's kept-row emission agree whenever each page keeps at
+    least one non-empty paragraph, which the planted unique-text
+    paragraph guarantees)."""
+
+    def arms(cols: str, key: str, src: str) -> str:
+        return "\n              UNION ALL\n              ".join(
+            f"SELECT {cols}"
+            + md5_int_sql(f"CONCAT('bloom{i}:', CAST({key} AS VARCHAR))")
+            + f" % {m} AS ppos FROM {src}"
+            for i in range(k)
+        )
+
+    return f"""
+        WITH d1 AS (
+          SELECT doc_id,
+                 concat(text, chr(10), '{_BOILER}', chr(10), 'promo ',
+                        CAST(doc_id % 7 AS VARCHAR)) AS text
+          FROM documents WHERE doc_id % 2 = 0),
+        d2 AS (
+          SELECT doc_id,
+                 concat(text, chr(10), '{_BOILER}',
+                        CASE WHEN doc_id % 3 = 0
+                             THEN concat(chr(10), 'promo ',
+                                         CAST(doc_id % 7 AS VARCHAR))
+                             ELSE '' END,
+                        CASE WHEN doc_id % 5 = 1
+                             THEN concat(chr(10), 'flash sale ',
+                                         CAST(doc_id % 3 AS VARCHAR))
+                             ELSE '' END) AS text
+          FROM documents WHERE doc_id % 2 = 1),
+        p1 AS (SELECT DISTINCT unnest(string_split(text, chr(10))) AS para
+               FROM d1),
+        bpos AS (SELECT DISTINCT ppos AS pos FROM (
+              {arms("", "para", "p1")}
+        )),
+        p2 AS (
+          SELECT doc_id, pos - 1 AS pos, list_extract(l, pos) AS para
+          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                      FROM d2))),
+        probe AS (
+              {arms("doc_id, pos, para, ", "para", "p2")}
+        ),
+        flag AS (
+          SELECT doc_id, pos, para,
+                 MIN(CASE WHEN ppos IN (SELECT pos FROM bpos)
+                          THEN 1 ELSE 0 END) AS might
+          FROM probe GROUP BY doc_id, pos, para),
+        surv AS (SELECT doc_id, pos, para FROM flag WHERE might = 0),
+        kept AS (
+          SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) AS rn
+            FROM surv) WHERE rn = 1),
+        lines AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                   AS cpos,
+                 para
+          FROM kept),
+        tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_par
+                FROM d2),
+        kcnt AS (SELECT doc_id, count(*) AS n_kept FROM kept
+                 GROUP BY doc_id),
+        allkeys AS (SELECT para FROM p1 UNION SELECT para FROM kept),
+        fpos AS (SELECT DISTINCT ppos FROM (
+              {arms("", "para", "allkeys")}
+        ))
+        SELECT 'line' AS kind, CAST(doc_id AS VARCHAR) AS k1,
+               md5(para) AS k2, CAST(cpos AS BIGINT) AS n
+        FROM lines
+        UNION ALL
+        SELECT 'removed', CAST(t.doc_id AS VARCHAR),
+               CAST(t.n_par - coalesce(kc.n_kept, 0) AS VARCHAR),
+               CAST(t.n_par - coalesce(kc.n_kept, 0) AS BIGINT)
+        FROM tot t LEFT JOIN kcnt kc USING (doc_id)
+        UNION ALL
+        SELECT 'fill', 'filter', '',
+               (SELECT CAST(count(*) AS BIGINT) FROM fpos)
+    """
 
 
 def _simhash_pairs_oracle(simhash_sql: str, bits: int = 16, max_hamming: int = 2) -> str:
@@ -7018,6 +7184,7 @@ def oracle_sql(_gate: bool = True) -> dict[str, str]:
         "q55_vcf_region_query": C["q55_vcf_region_query"],
         "q56_bam_region_query": C["q56_bam_region_query"],
         "q57_bcf_region_query": C["q57_bcf_region_query"],
+        "q103_bloom_crawl": _bloom_crawl_oracle(),
     }
     if _gate:
         for _g in _GATE_ROWSTR:
