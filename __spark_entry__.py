@@ -4740,8 +4740,8 @@ def _minhash_sig_cte() -> str:
 
 def _component_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every FINE-GRAINED query (the round-3 81-query
-    surface). oracle_sql() composes the 50 consolidated contract oracles
-    from these components."""
+    surface). oracle_sql() composes the 51 contract oracles from these
+    components."""
     flag_sums = ",\n         ".join(
         f"CAST(sum(CASE WHEN (flag & {mask}) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
         for name, mask in fx.SAM_FLAGS.items()
@@ -6347,7 +6347,8 @@ def _digest_gate(name: str, inner_sql: str) -> str:
 
 
 def oracle_sql(_gate: bool = True) -> dict[str, str]:
-    """Composed oracles for the 50 consolidated contract queries.
+    """Composed oracles for the 51 contract queries (50 round-4
+    consolidated + round-9's q103_bloom_crawl).
 
     Each merged entry wraps the fine-grained component SQL from
     :func:`_component_sql` in the SAME tagged-union / cross-join / 1:1-join

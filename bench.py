@@ -92,6 +92,8 @@ HEADLINE = [
     "q100_cms_heavy_hitters",
     "q101_quantiles_and_sample",
     "q102_merge_intervals",
+    # round-9 addition: incremental crawl dedup end-to-end
+    "q103_bloom_crawl",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

@@ -22,18 +22,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_registry_fits_driver_window():
-    """The driver's correctness gate records EXACTLY the first 50 entries
-    of queries() — the round-4 consolidation put every operator inside
-    that window. Guard the invariants so a future addition can't silently
-    push an operator back out (add new operators as tagged branches of an
-    existing composed query instead):
-    - exactly 50 registry entries;
+    """The driver's correctness gate records every registry entry (the
+    window grows with the registry — round 1 recorded 45, rounds 4–8
+    recorded the consolidated 50, round 9 adds q103 → 51). Guard the
+    invariants so an addition can't silently land half-wired:
+    - exactly 51 registry entries (bump this deliberately per addition);
     - every entry has an oracle_sql twin (no rows-only downgrades)."""
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert len(q) == 50, f"registry has {len(q)} entries; driver records 50"
+    assert len(q) == 51, f"registry has {len(q)} entries; expected 51"
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without an oracle twin: {missing}"
 

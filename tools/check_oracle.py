@@ -10,9 +10,9 @@ twin on DuckDB over the same parquet tables, then compares:
 Usage: python tools/check_oracle.py [--summary] [sf_dir] [query_name ...]
 
 ``--summary`` appends a one-block summary: per-query verification tier
-(driver-green = inside the driver's 50-row correctness window vs
-local-only), so registry drift between declared and driver-verified
-queries is visible in-repo (judge round-3 ask #8).
+(driver-green = inside the driver's correctness window vs local-only),
+so registry drift between declared and driver-verified queries is
+visible in-repo (judge round-3 ask #8).
 
 The full suite also runs under pytest (tests/test_oracle_contract.py) at
 sf0.001 so every declared query — including the ones outside the driver
@@ -71,7 +71,7 @@ def run_checks(
 ) -> list[str]:
     """Run the oracle compare for the selected queries; returns failure
     names. Importable so pytest can run the FULL declared suite (not just
-    the driver's 50-row window) on every test run."""
+    the driver window) on every test run."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
