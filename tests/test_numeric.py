@@ -85,6 +85,35 @@ def test_stable_avg_order_independent(spark):
     assert a == d
 
 
+def test_stable_avg_large_magnitude_no_wrap(spark):
+    """The ADVICE-r8 seam: the round-8 two-long form wrapped sum(hi) at
+    ~67M max-magnitude rows per group. The three-lane form must match
+    DuckDB's exact HUGEINT twin at the quantization contract's magnitude
+    ceiling (|x| ~ 9e9 at 6 digits, q near 2^53 — all three lanes
+    active, a-lane signed), over enough rows that a lane-width mistake
+    would show."""
+    import random
+
+    rng = random.Random(17)
+    vals = [rng.uniform(-9e9, 9e9) for _ in range(5000)]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], ["x"])
+        .repartition(8)
+        .agg(stable_avg(F.col("x")).alias("m"))
+        .collect()[0]["m"]
+    )
+    # literals MUST round-trip through a VARCHAR cast (strtod — correctly
+    # rounded): DuckDB types a bare 17-digit literal DECIMAL(17,7), and
+    # both decimal-space quantization AND the DECIMAL→DOUBLE conversion
+    # land 1 ulp off the written value on ~6% of inputs (found by this
+    # very test — 298/5000 literals round-tripped differently). Real
+    # oracle inputs come from parquet doubles, so only literal-built
+    # fixtures need this
+    lst = ", ".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals)
+    d = _duck(f"SELECT {stable_avg_sql('x')} FROM (VALUES {lst}) t(x)")
+    assert got == d
+
+
 def test_stable_avg_skips_nulls_and_handles_negatives(spark):
     df = spark.createDataFrame(
         [(0.5,), (None,), (-0.25,)], ["x"]
