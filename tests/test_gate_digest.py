@@ -87,6 +87,39 @@ def test_gate_unknown_sf_passes_through():
     assert rows
 
 
+@pytest.mark.parametrize(
+    "sf_dir, nd",
+    [
+        ("/root/testdata/sf0.001", 1000),
+        ("/root/testdata/sf0.01", 10000),
+        pytest.param("/root/testdata/sf0.1", 100000, marks=pytest.mark.slow),
+    ],
+)
+def test_gate_constants_fresh_at_every_sf(sf_dir, nd):
+    """Recompute the per-branch digests from the UNGATED oracle texts on
+    the local DuckDB and compare against the embedded constants — the
+    guard against editing a q20/q22 oracle body and forgetting
+    ``python tools/gen_gate_digests.py`` (a stale constant would make
+    the gate error() on the DRIVER's next run even though both engines
+    agree). The sf0.001 happy-path test alone can't catch constants that
+    go stale only at larger SFs."""
+    from exon_duckdb_spark.operators.hashing import md5_int_sql
+
+    raw = entrymod.oracle_sql(_gate=False)
+    con = _connect(sf_dir)
+    for name, rowstr in entrymod._GATE_ROWSTR.items():
+        got = con.sql(
+            f"WITH __b AS ({raw[name]}) "
+            f"SELECT kind, CAST(SUM({md5_int_sql(rowstr)}) % 1000000007 "
+            f"AS BIGINT), COUNT(*) FROM __b GROUP BY kind ORDER BY kind"
+        ).fetchall()
+        want = sorted(gate_digests.GATE_EXPECTED[name][nd])
+        assert [(k, int(h), int(c)) for k, h, c in got] == want, (
+            f"{name} digests stale at {sf_dir} — rerun "
+            "tools/gen_gate_digests.py"
+        )
+
+
 def test_gate_vocabulary_subset_insurance():
     # the one construct r8's token diff left unique to the failing pair
     # (list indexing l[pos]) must stay gone from the gated texts
