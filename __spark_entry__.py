@@ -3137,9 +3137,9 @@ def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q09 exact distinct-union set op + q96 sketch suite as tagged
     branches: the exact DISTINCT and its approximate replacements
     (KMV / HLL, operators/sketches.py) verify through ONE gate row —
-    the driver records exactly the first 50 registry entries
-    (tests/test_oracle_contract.py::test_registry_fits_driver_window),
-    so new operators ride existing composed queries."""
+    the registry is kept deliberately small (51 entries, guarded by
+    tests/test_oracle_contract.py::test_registry_fits_driver_window),
+    so new operators usually ride existing composed queries."""
     frames = q09_branch_frames(spark, sf_dir)
     keys = list(frames)
     out = frames[keys[0]]

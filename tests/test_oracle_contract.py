@@ -1,10 +1,10 @@
 """Full-suite oracle contract check (ADVICE r3 #5).
 
-The driver's correctness gate records only the first 50 entries of
-``__spark_entry__.queries()``; every remaining declared query rode on
-manual local runs of tools/check_oracle.py. This test runs the IDENTICAL
+The driver's correctness gate records every registry entry (51 as of
+round 9), but only once per round. This test runs the IDENTICAL
 row/schema/value compare over the ENTIRE declared registry at sf0.001 on
-every pytest run, so out-of-window queries can't silently regress.
+every pytest run, so a regression surfaces at commit time instead of at
+the next driver gate.
 
 sf0.001 keeps the wall cost to Spark per-query overhead; the driver and
 judge re-run the same compare at sf0.01.
