@@ -47,7 +47,50 @@ __all__ = [
     "rp_topk",
     "hard_negatives",
     "bitext_margin_pairs",
+    "ann_recall",
 ]
+
+
+def ann_recall(
+    exact_topk: DataFrame,
+    ann_topk: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an ANN result list against the exact top-k:
+    ``(query_id, n_exact, n_hit, recall)`` with recall = |exact ∩ ann| /
+    |exact| — the standard quality metric for tuning any of the ANN
+    tiers (``ann_topk`` tables/planes, ``ivf_search`` nprobe, PQ m/bits,
+    ``rp_topk`` projection width) against ``cosine_topk`` ground truth.
+    Queries the ANN tier missed entirely still appear (n_hit 0) via the
+    left join from the exact side, so macro-averaging the ``recall``
+    column is safe.
+
+    Scale: both inputs are top-k lists — k rows per query, never
+    corpus-sized — so the (query, neighbor) equi-join and the per-query
+    count aggregate shuffle at most k rows per query per side. No
+    reference counterpart (the reference has no vector surface); this is
+    LLM-pipeline tooling per the build brief."""
+    ex = exact_topk.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    )
+    got = ann_topk.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    ).withColumn("_hit", F.lit(1))
+    joined = ex.join(got, ["_q", "_n"], "left")
+    return (
+        joined.groupBy("_q")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("n_exact").cast("long"),
+            F.col("n_hit").cast("long"),
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
 
 
 def plane_signs(plane: int, dims: int, table: int = 0) -> list[int]:

@@ -153,6 +153,35 @@ def test_ann_topk_same_bucket_recall(spark):
     assert {r["neighbor_id"] for r in out.collect()} == {1, 2, 3}
 
 
+def test_ann_recall_against_exact(spark):
+    """ann_recall pins the ANN-tier quality metric: exact-vs-exact is
+    1.0 everywhere; an ANN list is scored as |exact ∩ ann|/k per query,
+    cross-checked against a driver-side set computation; queries the ANN
+    tier missed entirely still appear with recall 0."""
+    import math as m
+
+    rows = [(i, [m.sin(0.7 * i + j) for j in range(8)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 3)
+    exact = ops.cosine_topk(emb, q, k=5)
+    self_r = ops.ann_recall(exact, exact).collect()
+    assert len(self_r) == 3
+    assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in self_r)
+
+    ann = ops.ann_topk(emb, q, k=5, planes=4)
+    got = {r["query_id"]: r for r in ops.ann_recall(exact, ann).collect()}
+    ex_sets, ann_sets = {}, {}
+    for r in exact.collect():
+        ex_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ann.collect():
+        ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(ex_sets)  # every query scored, even 0-hit ones
+    for qid, ex in ex_sets.items():
+        hit = len(ex & ann_sets.get(qid, set()))
+        assert got[qid]["n_hit"] == hit
+        assert got[qid]["recall"] == pytest.approx(hit / len(ex))
+
+
 def test_ann_topk_multi_table_widens_candidates(spark):
     # Multi-table LSH: a pair is a candidate if it collides in ANY table, so
     # with k large enough to keep every candidate, tables=T must return a
