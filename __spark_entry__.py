@@ -2592,6 +2592,17 @@ def q103m_bloom_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b1.unionByName(b2).unionByName(b3)
 
 
+def q103_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q103's gate branches for branch-level bench timings (the r6/r7
+    branch-bench convention for composites): kept-line emission, per-doc
+    removal counts, and the updated-filter popcount. All three share the
+    day-1 filter build upstream, so each branch's wall includes it
+    (same per-branch-incremental caveat as q22's frames — the
+    composite's own wall remains the end-to-end number)."""
+    full = q103m_bloom_crawl(spark, sf_dir)
+    return {k: full.where(F.col("kind") == k) for k in ("line", "removed", "fill")}
+
+
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
     key (user_id) — the shape where CMS beats a per-key groupBy."""
@@ -3842,6 +3853,7 @@ def branch_frames() -> "dict[str, Callable]":
         "q22_minhash_pipeline": _q22,
         "q09_distinct_union": _plain(q09_branch_frames),
         "q35_range_band_join": _plain(q35_branch_frames),
+        "q103_bloom_crawl": _plain(q103_branch_frames),
     }
 
 
