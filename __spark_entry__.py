@@ -2603,6 +2603,104 @@ def q103_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     return {k: full.where(F.col("kind") == k) for k in ("line", "removed", "fill")}
 
 
+def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup fingerprinting, driver-gated end to end: image
+    dHash/aHash over REAL decoded pixels and audio energy fingerprints
+    over REAL decoded samples, each followed by the recall-lossless
+    Charikar Hamming block-join (``hamming_pairs`` — the same machinery
+    q20's simhash branch uses, now shared across modalities).
+
+    Plants: q75's formula images (pixel(y,x,c) = (x*7+y*13+c*29+did)%256,
+    w = did%16+4, h = did%12+4) encoded as BOTH BMP and PNG per doc — the
+    two encodings of one picture MUST collide at Hamming 0, which is the
+    cross-format image-dedup contract; q77's formula audio (sample(i) =
+    (i*13+did*7)%65536-32768, n = did%50+20) with a rate-rewrapped copy
+    on did%4=0 — identical samples at a different declared rate MUST
+    fingerprint identically. The oracle replays luma, clamped grid-cell
+    sums, cross-multiplied mean compares, frame energies, bit assembly
+    and brute-force Hamming arithmetic in pure integer SQL (blocking is
+    lossless, so operator pairs == brute-force pairs). The audio pair
+    branch compares raw 48-bit fingerprints across clips of unequal
+    n_bits (the operator docstring's equal-n_bits guidance is a user
+    contract; the gate exercises the mechanics).
+
+    Scale: fingerprints are map-only over the binary column (8 bytes per
+    asset on the wire); pairs ship (block, bval, id, fp) only — pixels
+    and samples never shuffle. The reference has no media surface; this
+    is LLM-pipeline depth per the build brief."""
+    imgs = _synth_images(spark, sf_dir, max_id=48, fmts=("bmp", "png"))
+    ih = ops.image_dhash(imgs, id_col="id")
+    b1 = ih.select(
+        F.lit("idhash").alias("kind"),
+        F.col("id").cast("string").alias("k1"),
+        F.col("dhash").cast("string").alias("k2"),
+        F.col("ahash").cast("long").alias("n"),
+    )
+    ipairs = ops.hamming_pairs(
+        ih.select("id", "dhash"), "dhash", id_col="id", bits=49, max_hamming=4
+    )
+    b2 = ipairs.select(
+        F.lit("ipair").alias("kind"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("hamming").cast("long").alias("n"),
+    )
+
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 48)
+
+    def synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 50 + 20
+                i = _np.arange(n, dtype=_np.int64)
+                s = ((i * 13 + did * 7) % 65536 - 32768).astype(_np.int16)
+                ids.append(did * 2)
+                blobs.append(encode_wav(s, 8000))
+                if did % 4 == 0:  # same samples, different declared rate
+                    ids.append(did * 2 + 1)
+                    blobs.append(encode_wav(s, 16000))
+            yield _pd.DataFrame({"id": ids, "content": blobs})
+
+    wavs = docs.mapInPandas(synth, "id long, content binary")
+    af = ops.audio_fingerprint(wavs, id_col="id", frame=8, max_bits=48)
+    b3 = af.select(
+        F.lit("afp").alias("kind"),
+        F.col("id").cast("string").alias("k1"),
+        F.concat_ws(
+            ":", F.col("fingerprint").cast("string"), F.col("n_bits").cast("string")
+        ).alias("k2"),
+        F.col("n_frames").cast("long").alias("n"),
+    )
+    apairs = ops.hamming_pairs(
+        af.select("id", "fingerprint"), "fingerprint",
+        id_col="id", bits=48, max_hamming=2,
+    )
+    b4 = apairs.select(
+        F.lit("apair").alias("kind"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.col("id_b").cast("string").alias("k2"),
+        F.col("hamming").cast("long").alias("n"),
+    )
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
+
+
+def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q104's gate branches for branch-level bench timings (the composite
+    branch-bench convention; each branch's wall includes its shared
+    upstream synth+decode)."""
+    full = q104m_media_dedup(spark, sf_dir)
+    return {k: full.where(F.col("kind") == k) for k in ("idhash", "ipair", "afp", "apair")}
+
+
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
     key (user_id) — the shape where CMS beats a per-key groupBy."""
@@ -3148,7 +3246,7 @@ def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q09 exact distinct-union set op + q96 sketch suite as tagged
     branches: the exact DISTINCT and its approximate replacements
     (KMV / HLL, operators/sketches.py) verify through ONE gate row —
-    the registry is kept deliberately small (51 entries, guarded by
+    the registry is kept deliberately small (52 entries, guarded by
     tests/test_oracle_contract.py::test_registry_fits_driver_window),
     so new operators usually ride existing composed queries."""
     frames = q09_branch_frames(spark, sf_dir)
@@ -3854,6 +3952,7 @@ def branch_frames() -> "dict[str, Callable]":
         "q09_distinct_union": _plain(q09_branch_frames),
         "q35_range_band_join": _plain(q35_branch_frames),
         "q103_bloom_crawl": _plain(q103_branch_frames),
+        "q104_media_dedup": _plain(q104_branch_frames),
     }
 
 
@@ -3931,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-9 addition (appended so the prior 50 keep their
         # window positions): incremental crawl dedup, end-to-end --
         "q103_bloom_crawl": q103m_bloom_crawl,
+        "q104_media_dedup": q104m_media_dedup,
     }
 
 
@@ -4232,6 +4332,122 @@ def _bloom_crawl_oracle(m: int = 65536, k: int = 4) -> str:
         UNION ALL
         SELECT 'fill', 'filter', '',
                (SELECT CAST(count(*) AS BIGINT) FROM fpos)
+    """
+
+
+def _media_dedup_oracle() -> str:
+    """DuckDB replay of :func:`q104m_media_dedup`: the q75 pixel formula
+    → integer luma → clamped 7×8 grid-cell sums → cross-multiplied mean
+    compares → dHash/aHash bit assembly, and the q77 sample formula →
+    8-sample frame energies → delta bits, all in pure integer SQL;
+    Hamming pairs are brute force (the Spark side's block-join is
+    recall-lossless, so the sets are equal by construction) counted from
+    per-bit tables — no xor/popcount vocabulary needed."""
+    luma = (
+        "299 * ((x*7 + y*13 + did) % 256)"
+        " + 587 * ((x*7 + y*13 + 29 + did) % 256)"
+        " + 114 * ((x*7 + y*13 + 58 + did) % 256)"
+    )
+    return f"""
+        WITH idocs AS (
+          SELECT doc_id AS did, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+          FROM documents WHERE doc_id < 48),
+        gi AS (SELECT did, w, h, unnest(generate_series(0, 6)) AS i FROM idocs),
+        gj AS (SELECT did, w, h, i, unnest(generate_series(0, 7)) AS j FROM gi),
+        gb AS (SELECT did, i, j,
+                 (i * h) // 7 AS lo_y,
+                 greatest(((i + 1) * h) // 7, (i * h) // 7 + 1) AS hi_y,
+                 (j * w) // 8 AS lo_x,
+                 greatest(((j + 1) * w) // 8, (j * w) // 8 + 1) AS hi_x
+               FROM gj),
+        gy AS (SELECT did, i, j, lo_x, hi_x,
+                 unnest(generate_series(lo_y, hi_y - 1)) AS y FROM gb),
+        gx AS (SELECT did, i, j, y,
+                 unnest(generate_series(lo_x, hi_x - 1)) AS x FROM gy),
+        cell AS (
+          SELECT did, i, j, SUM({luma}) AS s, COUNT(*) AS cnt
+          FROM gx GROUP BY did, i, j),
+        fy AS (SELECT did, w, unnest(generate_series(0, h - 1)) AS y FROM idocs),
+        fx AS (SELECT did, y, unnest(generate_series(0, w - 1)) AS x FROM fy),
+        tot AS (
+          SELECT did, SUM({luma}) AS ts, COUNT(*) AS tc
+          FROM fx GROUP BY did),
+        dh AS (
+          SELECT a.did,
+                 SUM(CASE WHEN a.s * b.cnt > b.s * a.cnt
+                          THEN (CAST(1 AS BIGINT) << CAST(a.i * 7 + a.j AS INTEGER))
+                          ELSE 0 END) AS dhash
+          FROM cell a JOIN cell b ON a.did = b.did AND a.i = b.i AND b.j = a.j + 1
+          GROUP BY a.did),
+        ah AS (
+          SELECT c.did,
+                 SUM(CASE WHEN c.s * t.tc > t.ts * c.cnt
+                          THEN (CAST(1 AS BIGINT) << CAST(c.i * 8 + c.j AS INTEGER))
+                          ELSE 0 END) AS ahash
+          FROM cell c JOIN tot t ON c.did = t.did
+          GROUP BY c.did),
+        iids AS (SELECT did, did * 2 + f.fi AS id
+                 FROM idocs CROSS JOIN
+                      (SELECT unnest(generate_series(0, 1)) AS fi) f),
+        ihash AS (SELECT iids.id, dh.dhash, ah.ahash
+                  FROM iids JOIN dh USING (did) JOIN ah USING (did)),
+        ibits AS (SELECT id, p, (dhash >> CAST(p AS INTEGER)) & 1 AS bit
+                  FROM ihash CROSS JOIN
+                       (SELECT unnest(generate_series(0, 48)) AS p) ps),
+        ipair AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+          FROM ibits a JOIN ibits b ON a.p = b.p AND a.id < b.id
+          GROUP BY a.id, b.id),
+        adocs AS (SELECT doc_id AS did, doc_id % 50 + 20 AS n
+                  FROM documents WHERE doc_id < 48),
+        asamp AS (SELECT did, unnest(generate_series(0, n - 1)) AS i FROM adocs),
+        aval AS (
+          SELECT did, i // 8 AS frm,
+                 CASE WHEN (i*13 + did*7) % 65536 - 32768 < 0
+                      THEN -((i*13 + did*7) % 65536 - 32768)
+                      ELSE (i*13 + did*7) % 65536 - 32768 END AS v
+          FROM asamp),
+        aener AS (SELECT did, frm, SUM(v) AS e FROM aval GROUP BY did, frm),
+        abit AS (
+          SELECT a.did, a.frm AS k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+          FROM aener a JOIN aener b ON a.did = b.did AND b.frm = a.frm + 1
+          WHERE a.frm < 48),
+        afp0 AS (SELECT did,
+                   SUM(bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))) AS fp
+                 FROM abit GROUP BY did),
+        afpt AS (SELECT m.did, m.nf, m.nf - 1 AS nb, coalesce(f.fp, 0) AS fp
+                 FROM (SELECT did, (n + 7) // 8 AS nf FROM adocs) m
+                 LEFT JOIN afp0 f USING (did)),
+        aids AS (SELECT did, did * 2 AS id FROM adocs
+                 UNION ALL
+                 SELECT did, did * 2 + 1 FROM adocs WHERE did % 4 = 0),
+        afull AS (SELECT aids.id, afpt.fp, afpt.nb, afpt.nf
+                  FROM aids JOIN afpt USING (did)),
+        abits2 AS (SELECT id, p, (fp >> CAST(p AS INTEGER)) & 1 AS bit
+                   FROM afull CROSS JOIN
+                        (SELECT unnest(generate_series(0, 47)) AS p) ps),
+        apair AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+          FROM abits2 a JOIN abits2 b ON a.p = b.p AND a.id < b.id
+          GROUP BY a.id, b.id)
+        SELECT 'idhash' AS kind, CAST(id AS VARCHAR) AS k1,
+               CAST(dhash AS VARCHAR) AS k2, CAST(ahash AS BIGINT) AS n
+        FROM ihash
+        UNION ALL
+        SELECT 'ipair', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
+               CAST(ham AS BIGINT)
+        FROM ipair WHERE ham <= 4
+        UNION ALL
+        SELECT 'afp', CAST(id AS VARCHAR),
+               concat(CAST(fp AS VARCHAR), ':', CAST(nb AS VARCHAR)),
+               CAST(nf AS BIGINT)
+        FROM afull
+        UNION ALL
+        SELECT 'apair', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
+               CAST(ham AS BIGINT)
+        FROM apair WHERE ham <= 2
     """
 
 
@@ -7198,6 +7414,7 @@ def oracle_sql(_gate: bool = True) -> dict[str, str]:
         "q56_bam_region_query": C["q56_bam_region_query"],
         "q57_bcf_region_query": C["q57_bcf_region_query"],
         "q103_bloom_crawl": _bloom_crawl_oracle(),
+        "q104_media_dedup": _media_dedup_oracle(),
     }
     if _gate:
         for _g in _GATE_ROWSTR:

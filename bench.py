@@ -92,8 +92,10 @@ HEADLINE = [
     "q100_cms_heavy_hitters",
     "q101_quantiles_and_sample",
     "q102_merge_intervals",
-    # round-9 addition: incremental crawl dedup end-to-end
+    # round-9 additions: incremental crawl dedup end-to-end, cross-modal
+    # fingerprint dedup
     "q103_bloom_crawl",
+    "q104_media_dedup",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

@@ -283,6 +283,40 @@ def simhash_pairs(
     zero fingerprints from empty docs) behave like any skewed join key:
     AQE skew-split handles them, or pre-filter empty docs.
     """
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits).select(
+        F.col(id_col), F.col("simhash")
+    )
+    return hamming_pairs(
+        sh, hash_col="simhash", id_col=id_col, bits=bits, max_hamming=max_hamming
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "id",
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All (id_a < id_b, hamming) pairs whose ``hash_col`` fingerprints
+    differ in ≤ ``max_hamming`` bits — the generic Charikar block-split
+    join behind :func:`simhash_pairs`, exposed so ANY 64-bit-or-less
+    fingerprint family (simhash, image dHash/aHash, audio energy
+    fingerprints) shares one recall-LOSSLESS Hamming self-join instead of
+    reinventing blocking per modality.
+
+    Pigeonhole: a fingerprint differing in ≤ ``max_hamming`` bits agrees
+    EXACTLY on at least one of ``max_hamming + 1`` disjoint near-equal
+    bit-blocks, so candidates come from one equi-join per block key and
+    the verify is a native xor + bit_count ≤ max_hamming. Pairs emit at
+    their FIRST matching block (map-side check on the carried block-key
+    array — no distinct shuffle).
+
+    Scale: the join ships (block_id, block_val, id, fingerprint) — ~24
+    bytes/row/block, never the underlying text/pixels/samples. Hot blocks
+    (e.g. the all-zero fingerprints of blank assets) are ordinary skewed
+    join keys: AQE skew-split handles them, or pre-filter blanks.
+    """
     nblocks = int(max_hamming) + 1
     if nblocks > bits:
         raise ValueError(
@@ -293,9 +327,7 @@ def simhash_pairs(
     base = bits // nblocks
     widths = [base + (1 if b < bits % nblocks else 0) for b in range(nblocks)]
     offs = [sum(widths[:b]) for b in range(nblocks)]
-    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits).select(
-        F.col(id_col), F.col("simhash").alias("_sh")
-    )
+    sh = df.select(F.col(id_col), F.col(hash_col).alias("_sh"))
     blocks = F.array(
         *[
             F.shiftright(F.col("_sh"), offs[b]).bitwiseAND(

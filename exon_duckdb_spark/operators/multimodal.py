@@ -1244,3 +1244,195 @@ def image_features(
     return df.mapInPandas(
         run, f"{_id_field(df, id_col)}, features array<float>, is_real boolean"
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    bytes_col: str = "content",
+    id_col: str = "id",
+    rows: int = 7,
+    cols: int = 8,
+) -> DataFrame:
+    """Perceptual image fingerprints for NEAR-DUP detection across formats
+    and encoders: (id, dhash, ahash, error) per blob. Re-encoding the same
+    picture (BMP↔PNG↔GIF, or lossless-path JPEG) leaves both hashes
+    identical; small edits flip few bits — pair them up with
+    :func:`~exon_duckdb_spark.operators.dedup.hamming_pairs`. No reference
+    analog (the reference has no media surface); semantics follow the
+    classic dHash/aHash family (Krawetz) with EXACT integer decisions so
+    the SQL oracle can replay every bit.
+
+    Decisions are integer-only so the fingerprint is bit-identical across
+    engines and hosts: luma(y, x) = 299·R + 587·G + 114·B (×1000-scaled
+    gray for 1/2-channel images), the image is cut into a ``rows`` ×
+    ``cols`` floor-boundary grid (cells clamp to ≥1 pixel, so any w,h ≥ 1
+    works — same convention as :func:`image_features`), and every
+    "mean(A) > mean(B)" decision is the cross-multiplied integer compare
+    sum_A·cnt_B > sum_B·cnt_A evaluated in arbitrary-precision Python ints
+    (a 100-megapixel cell sum × count product overflows int64; the plants
+    in the driver gate stay int64-small so the oracle replays them in
+    BIGINT).
+
+    - dhash bit (i, j) at position i·(cols−1)+j: cell(i, j) > cell(i, j+1)
+      — row-wise brightness gradient, ``rows·(cols−1)`` bits.
+    - ahash bit (i, j) at position i·cols+j: cell(i, j) > whole-image mean
+      — ``rows·cols`` bits.
+
+    Both bit counts must stay ≤ 62: the sign bit of the BIGINT is never
+    set, so ordering, xor and popcount agree across engines. Map-only:
+    decode → grid → bits fuse into one stage, pixels never leave the
+    executor.
+    """
+    if rows * cols > 62 or rows * (cols - 1) > 62:
+        raise ValueError(
+            f"rows*cols must be <= 62 to fit a sign-safe BIGINT, got {rows}x{cols}"
+        )
+    if rows < 1 or cols < 2:
+        raise ValueError(f"need rows >= 1 and cols >= 2, got {rows}x{cols}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dhs, ahs, errs = [], [], []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    dhs.append(None)
+                    ahs.append(None)
+                    errs.append(None)
+                    continue
+                try:
+                    arr = imagecodec.decode_blob(bytes(b)).astype(np.int64)
+                    h, w, c = arr.shape
+                    if c >= 3:
+                        luma = (
+                            299 * arr[:, :, 0]
+                            + 587 * arr[:, :, 1]
+                            + 114 * arr[:, :, 2]
+                        )
+                    else:
+                        luma = 1000 * arr[:, :, 0]
+                    sums = [[0] * cols for _ in range(rows)]
+                    cnts = [[0] * cols for _ in range(rows)]
+                    for i in range(rows):
+                        lo_y = (i * h) // rows
+                        hi_y = max(((i + 1) * h) // rows, lo_y + 1)
+                        for j in range(cols):
+                            lo_x = (j * w) // cols
+                            hi_x = max(((j + 1) * w) // cols, lo_x + 1)
+                            block = luma[lo_y:hi_y, lo_x:hi_x]
+                            sums[i][j] = int(block.sum())
+                            cnts[i][j] = int(block.size)
+                    dh = 0
+                    for i in range(rows):
+                        for j in range(cols - 1):
+                            if (
+                                sums[i][j] * cnts[i][j + 1]
+                                > sums[i][j + 1] * cnts[i][j]
+                            ):
+                                dh |= 1 << (i * (cols - 1) + j)
+                    tot_s, tot_c = int(luma.sum()), h * w
+                    ah = 0
+                    for i in range(rows):
+                        for j in range(cols):
+                            if sums[i][j] * tot_c > tot_s * cnts[i][j]:
+                                ah |= 1 << (i * cols + j)
+                    dhs.append(dh)
+                    ahs.append(ah)
+                    errs.append(None)
+                except Exception as exc:  # undecodable blob, not a job failure
+                    dhs.append(None)
+                    ahs.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": pd.array(dhs, dtype="Int64"),
+                    "ahash": pd.array(ahs, dtype="Int64"),
+                    "error": errs,
+                }
+            )
+
+    return df.mapInPandas(
+        run, f"{_id_field(df, id_col)}, dhash long, ahash long, error string"
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    bytes_col: str = "content",
+    id_col: str = "id",
+    frame: int = 8,
+    max_bits: int = 48,
+) -> DataFrame:
+    """Energy-delta audio fingerprints for NEAR-DUP detection across
+    containers and sample rates: (id, fingerprint, n_bits, n_frames,
+    error) per WAV blob, pairable with
+    :func:`~exon_duckdb_spark.operators.dedup.hamming_pairs`.
+
+    The decoded int16 stream (interleaved as stored; PCM / IMA-ADPCM /
+    G.711 all normalize to int16 via :func:`decode_wav`) is cut into
+    consecutive ``frame``-sample windows (the final partial window
+    counts), each scored by its integer energy Σ|x|, and bit k of the
+    fingerprint is set iff energy(k+1) > energy(k) — the sign of the
+    loudness gradient, the 1-D analog of dHash. Integer-only end to end,
+    so the same audio re-wrapped at a different declared sample rate or
+    re-encoded losslessly fingerprints IDENTICALLY, and the SQL oracle
+    replays every bit. ``n_bits`` = min(max_bits, n_frames − 1) — compare
+    fingerprints only within equal n_bits (shorter clips have fewer
+    decisions; ``hamming_pairs`` on mixed lengths would under-count).
+
+    Map-only: decode → frame energies → bits fuse into one stage, samples
+    never leave the executor. ``max_bits`` ≤ 62 keeps the BIGINT sign bit
+    clear.
+    """
+    if not 1 <= max_bits <= 62:
+        raise ValueError(f"max_bits must be in [1, 62], got {max_bits}")
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, nbs, nfs, errs = [], [], [], []
+            for b in pdf[bytes_col]:
+                if b is None:
+                    fps.append(None)
+                    nbs.append(None)
+                    nfs.append(None)
+                    errs.append(None)
+                    continue
+                try:
+                    _rate, _ch, samples = decode_wav(bytes(b))
+                    v = np.abs(samples.astype(np.int64))
+                    nframes = -(-v.size // frame) if v.size else 0
+                    pad = nframes * frame - v.size
+                    if pad:
+                        v = np.concatenate([v, np.zeros(pad, np.int64)])
+                    energy = v.reshape(nframes, frame).sum(axis=1)
+                    nbits = max(min(max_bits, nframes - 1), 0)
+                    fp = 0
+                    for k in range(nbits):
+                        if int(energy[k + 1]) > int(energy[k]):
+                            fp |= 1 << k
+                    fps.append(fp)
+                    nbs.append(nbits)
+                    nfs.append(nframes)
+                    errs.append(None)
+                except Exception as exc:
+                    fps.append(None)
+                    nbs.append(None)
+                    nfs.append(None)
+                    errs.append(str(exc))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                    "n_bits": pd.array(nbs, dtype="Int32"),
+                    "n_frames": pd.array(nfs, dtype="Int64"),
+                    "error": errs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{_id_field(df, id_col)}, fingerprint long, n_bits int, "
+        "n_frames long, error string",
+    )

@@ -1,0 +1,209 @@
+"""Multimodal near-dup fingerprints: image dHash/aHash, audio energy
+fingerprints, and the generic Hamming block-join behind them.
+
+The pinning strategy mirrors the q75/q77 plants: fingerprints are pure
+integer decisions over formula-planted pixels/samples, so every expected
+value here is recomputed independently in plain Python (not by calling the
+operator's own math)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exon_duckdb_spark import operators as ops
+from exon_duckdb_spark.operators import imagecodec as ic
+from exon_duckdb_spark.operators.multimodal import encode_wav
+
+
+def _plant(did: int) -> np.ndarray:
+    """The q75 image plant: pixel(y, x, c) = (x*7 + y*13 + c*29 + did) % 256."""
+    w, h = did % 16 + 4, did % 12 + 4
+    x, y, c = np.arange(w), np.arange(h), np.arange(3)
+    return (
+        (x[None, :, None] * 7 + y[:, None, None] * 13 + c[None, None, :] * 29 + did)
+        % 256
+    ).astype(np.uint8)
+
+
+def _ref_hashes(arr: np.ndarray, rows: int = 7, cols: int = 8) -> tuple[int, int]:
+    """Independent scalar transcription of the dHash/aHash contract."""
+    h, w, c = arr.shape
+    a = arr.astype(int)
+    if c >= 3:
+        luma = [
+            [
+                299 * a[yy][xx][0] + 587 * a[yy][xx][1] + 114 * a[yy][xx][2]
+                for xx in range(w)
+            ]
+            for yy in range(h)
+        ]
+    else:
+        luma = [[1000 * a[yy][xx][0] for xx in range(w)] for yy in range(h)]
+    cell = {}
+    for i in range(rows):
+        lo_y = (i * h) // rows
+        hi_y = max(((i + 1) * h) // rows, lo_y + 1)
+        for j in range(cols):
+            lo_x = (j * w) // cols
+            hi_x = max(((j + 1) * w) // cols, lo_x + 1)
+            s = sum(
+                luma[yy][xx] for yy in range(lo_y, hi_y) for xx in range(lo_x, hi_x)
+            )
+            cell[i, j] = (s, (hi_y - lo_y) * (hi_x - lo_x))
+    dh = 0
+    for i in range(rows):
+        for j in range(cols - 1):
+            sl, cl = cell[i, j]
+            sr, cr = cell[i, j + 1]
+            if sl * cr > sr * cl:
+                dh |= 1 << (i * (cols - 1) + j)
+    tot_s = sum(sum(r) for r in luma)
+    tot_c = h * w
+    ah = 0
+    for i in range(rows):
+        for j in range(cols):
+            s, cnt = cell[i, j]
+            if s * tot_c > tot_s * cnt:
+                ah |= 1 << (i * cols + j)
+    return dh, ah
+
+
+class TestImageDhash:
+    def test_matches_independent_reference(self, spark):
+        rows = [(did, bytearray(ic.encode_bmp(_plant(did)))) for did in range(12)]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = {
+            r["id"]: (r["dhash"], r["ahash"])
+            for r in ops.image_dhash(df).collect()
+        }
+        for did in range(12):
+            assert got[did] == _ref_hashes(_plant(did)), f"doc {did}"
+
+    def test_cross_format_invariance(self, spark):
+        # same pixels through BMP and PNG (all five filter types) must
+        # fingerprint identically — the cross-format dedup contract
+        rows = []
+        for did in range(10):
+            arr = _plant(did)
+            rows.append((did * 2, bytearray(ic.encode_bmp(arr))))
+            rows.append((did * 2 + 1, bytearray(ic.encode_png(arr, filter_type=did % 5))))
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = {r["id"]: (r["dhash"], r["ahash"]) for r in ops.image_dhash(df).collect()}
+        for did in range(10):
+            assert got[did * 2] == got[did * 2 + 1]
+
+    def test_undecodable_yields_error_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not an image")), (2, None)], "id long, content binary"
+        )
+        out = {r["id"]: r for r in ops.image_dhash(df).collect()}
+        assert out[1]["dhash"] is None and out[1]["error"]
+        assert out[2]["dhash"] is None and out[2]["error"] is None
+
+    def test_bit_budget_guard(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b""))], "id long, content binary")
+        with pytest.raises(ValueError, match="62"):
+            ops.image_dhash(df, rows=8, cols=9)
+        with pytest.raises(ValueError, match="cols"):
+            ops.image_dhash(df, rows=1, cols=1)
+
+
+class TestAudioFingerprint:
+    @staticmethod
+    def _ref_fp(samples: list[int], frame: int, max_bits: int) -> tuple[int, int, int]:
+        energies = []
+        for lo in range(0, len(samples), frame):
+            energies.append(sum(abs(s) for s in samples[lo : lo + frame]))
+        nbits = max(min(max_bits, len(energies) - 1), 0)
+        fp = 0
+        for k in range(nbits):
+            if energies[k + 1] > energies[k]:
+                fp |= 1 << k
+        return fp, nbits, len(energies)
+
+    def test_matches_independent_reference(self, spark):
+        rows = []
+        planted = {}
+        for did in range(8):
+            n = did % 50 + 20
+            i = np.arange(n, dtype=np.int64)
+            s = ((i * 13 + did * 7) % 65536 - 32768).astype(np.int16)
+            planted[did] = [int(x) for x in s]
+            rows.append((did, bytearray(encode_wav(s, 8000))))
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = {r["id"]: r for r in ops.audio_fingerprint(df, frame=8).collect()}
+        for did in range(8):
+            fp, nb, nf = self._ref_fp(planted[did], 8, 48)
+            r = got[did]
+            assert (r["fingerprint"], r["n_bits"], r["n_frames"]) == (fp, nb, nf)
+
+    def test_rate_invariance(self, spark):
+        # identical samples re-wrapped at another declared rate: same bits
+        s = ((np.arange(100) * 13) % 65536 - 32768).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(s, 8000))), (2, bytearray(encode_wav(s, 44100)))],
+            "id long, content binary",
+        )
+        a, b = (
+            r["fingerprint"]
+            for r in ops.audio_fingerprint(df).orderBy("id").collect()
+        )
+        assert a == b
+
+    def test_short_clip_zero_bits(self, spark):
+        s = np.array([5, -3], dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(s, 8000)))], "id long, content binary"
+        )
+        r = ops.audio_fingerprint(df, frame=8).collect()[0]
+        assert (r["fingerprint"], r["n_bits"], r["n_frames"]) == (0, 0, 1)
+
+
+class TestHammingPairs:
+    def test_matches_brute_force(self, spark):
+        # deterministic pseudo-random 56-bit fingerprints with planted
+        # near-dups; blocking is recall-LOSSLESS so the operator must
+        # equal the all-pairs scan exactly
+        hashes = {}
+        for i in range(80):
+            h = 0
+            for b in range(56):
+                if (i * 2654435761 + b * 40503) % 97 < 31:
+                    h |= 1 << b
+            hashes[i] = h
+        for i in range(0, 80, 10):  # plant ≤3-bit perturbations
+            hashes[i + 1000] = hashes[i] ^ (1 << (i % 56))
+        df = spark.createDataFrame(
+            [(k, v) for k, v in hashes.items()], "id long, h long"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in ops.hamming_pairs(df, "h", bits=56, max_hamming=3).collect()
+        }
+        want = set()
+        ids = sorted(hashes)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                d = bin(hashes[ids[x]] ^ hashes[ids[y]]).count("1")
+                if d <= 3:
+                    want.add((ids[x], ids[y], d))
+        assert got == want
+        assert len(want) >= 8  # the planted perturbations all surfaced
+
+    def test_simhash_pairs_unchanged_by_refactor(self, spark):
+        # simhash_pairs == simhash ∘ hamming_pairs (the factored form)
+        docs = [(i, f"the quick brown fox {i % 7} jumps over {i % 3}") for i in range(40)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        via_op = {
+            tuple(r) for r in ops.simhash_pairs(df, bits=16, max_hamming=3).collect()
+        }
+        sh = ops.simhash(df, bits=16).select("doc_id", "simhash")
+        via_parts = {
+            tuple(r)
+            for r in ops.hamming_pairs(
+                sh, "simhash", id_col="doc_id", bits=16, max_hamming=3
+            ).collect()
+        }
+        assert via_op == via_parts

@@ -107,7 +107,7 @@ def run_checks(
         finally:
             # the minhash operators persist their signature frames for
             # the duration of the lazy plan (documented lifecycle);
-            # looping 51 queries in one session would otherwise
+            # looping 52 queries in one session would otherwise
             # accumulate MEMORY_AND_DISK entries (ADVICE r7)
             spark.catalog.clearCache()
         spark_t = time.time() - t0
