@@ -2701,6 +2701,59 @@ def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     return {k: full.where(F.col("kind") == k) for k in ("idhash", "ipair", "afp", "apair")}
 
 
+def q105m_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + application, driver-gated end
+    to end (Sennrich et al. 2016; the canonical LLM tokenizer-training
+    job a 100 TB pipeline runs before anything else). Three branches:
+    'merge' = the 8 learned merge rules in selection order with their
+    weighted pair counts (the artifact a tokenizer ships), 'vocab' =
+    every word type's final segmentation + frequency, 'tokens' = the
+    learned tokenizer applied to docs 0-7 (one row per sub-word token,
+    positions pinned).
+
+    The oracle replays training EXACTLY as a K-unrolled CTE chain: per
+    step one weighted pair count over the type table, row_number argmax
+    (count DESC, pair ASC), and ONE leftmost-non-overlapping literal
+    replace — the single-pass semantics Spark replace(), DuckDB
+    replace() and Python str.replace share (operator docstring documents
+    the divergence from lookaround re.sub on boundary-sharing repeats).
+    Everything is JVM-side on the Spark side — no Python UDF: training
+    is K tiny aggregations over the word-TYPE table (the corpus is
+    scanned once for word counts), application is a word-keyed join
+    against the learned segmentation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, vocab = ops.bpe_train(docs, num_merges=8)
+    mrows = [(i + 1, left, right, c) for i, (left, right, c) in enumerate(merges)]
+    b1 = spark.createDataFrame(
+        mrows, "step long, left string, right string, c long"
+    ).select(
+        F.lit("merge").alias("kind"),
+        F.col("step").cast("string").alias("k1"),
+        F.concat_ws(" ", "left", "right").alias("k2"),
+        F.col("c").cast("long").alias("n"),
+    )
+    b2 = vocab.select(
+        F.lit("vocab").alias("kind"),
+        F.col("word").alias("k1"),
+        F.col("sym").alias("k2"),
+        F.col("cnt").cast("long").alias("n"),
+    )
+    b3 = ops.bpe_apply(docs.where(F.col("doc_id") < 8), vocab, merges).select(
+        F.lit("tokens").alias("kind"),
+        F.concat_ws(":", F.col("doc_id"), F.col("wpos")).alias("k1"),
+        F.col("token").alias("k2"),
+        F.col("tpos").cast("long").alias("n"),
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
+def q105_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q105's gate branches for branch-level bench timings (each branch's
+    wall includes the shared training chain upstream)."""
+    full = q105m_bpe_pipeline(spark, sf_dir)
+    return {k: full.where(F.col("kind") == k) for k in ("merge", "vocab", "tokens")}
+
+
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
     key (user_id) — the shape where CMS beats a per-key groupBy."""
@@ -3246,7 +3299,7 @@ def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q09 exact distinct-union set op + q96 sketch suite as tagged
     branches: the exact DISTINCT and its approximate replacements
     (KMV / HLL, operators/sketches.py) verify through ONE gate row —
-    the registry is kept deliberately small (52 entries, guarded by
+    the registry is kept deliberately small (53 entries, guarded by
     tests/test_oracle_contract.py::test_registry_fits_driver_window),
     so new operators usually ride existing composed queries."""
     frames = q09_branch_frames(spark, sf_dir)
@@ -3953,6 +4006,7 @@ def branch_frames() -> "dict[str, Callable]":
         "q35_range_band_join": _plain(q35_branch_frames),
         "q103_bloom_crawl": _plain(q103_branch_frames),
         "q104_media_dedup": _plain(q104_branch_frames),
+        "q105_bpe_pipeline": _plain(q105_branch_frames),
     }
 
 
@@ -4031,6 +4085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window positions): incremental crawl dedup, end-to-end --
         "q103_bloom_crawl": q103m_bloom_crawl,
         "q104_media_dedup": q104m_media_dedup,
+        "q105_bpe_pipeline": q105m_bpe_pipeline,
     }
 
 
@@ -4332,6 +4387,106 @@ def _bloom_crawl_oracle(m: int = 65536, k: int = 4) -> str:
         UNION ALL
         SELECT 'fill', 'filter', '',
                (SELECT CAST(count(*) AS BIGINT) FROM fpos)
+    """
+
+
+def _bpe_oracle(k: int = 8, marker: str = "</w>") -> str:
+    """DuckDB replay of :func:`q105m_bpe_pipeline`: K-unrolled training
+    chain (the q22 CC-unroll technique applied to merge steps) — per
+    step a weighted adjacent-pair count over the padded symbol strings,
+    row_number argmax with the (count DESC, pair ASC) tie-break, and one
+    single-pass literal replace; then the vocab unpad and the doc 0-7
+    token enumeration off the final state."""
+    # DuckDB INLINES CTE references, so the unrolled chain must keep each
+    # level's reference to the previous level at EXACTLY ONE or the
+    # prefix re-evaluates exponentially (a 3-reference form — state + two
+    # scalar subqueries for the chosen merge — hangs at k = 8; even a
+    # 2-reference form is 2^k corpus word counts). The argmax therefore
+    # rides INSIDE the level as a whole-table first_value window over the
+    # exploded pair occurrences (occurrence-weighted totals via
+    # SUM(cnt) OVER (PARTITION BY pair)), the chosen pair and its count
+    # are carried on every row (mpair/mc), and row_number collapses back
+    # to one row per word. Words with no pairs left keep a NULL-pair
+    # sentinel row so they survive the level; the leading CASE ordering
+    # key keeps sentinels out of the argmax.
+    steps = []
+    for t in range(k):
+        steps.append(f"""
+        s{t + 1} AS (
+          SELECT word, cnt,
+                 CASE WHEN bp IS NULL THEN sym
+                      ELSE replace(sym, concat(' ', bp, ' '),
+                                   concat(' ', replace(bp, ' ', ''), ' '))
+                 END AS sym,
+                 bp AS mpair, bc AS mc
+          FROM (
+            SELECT word, cnt, sym,
+                   first_value(pair) OVER (
+                     ORDER BY CASE WHEN pair IS NULL THEN 1 ELSE 0 END ASC,
+                              tot DESC, pair ASC) AS bp,
+                   first_value(tot) OVER (
+                     ORDER BY CASE WHEN pair IS NULL THEN 1 ELSE 0 END ASC,
+                              tot DESC, pair ASC) AS bc,
+                   row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+            FROM (
+              SELECT word, cnt, sym, pos, pair,
+                     SUM(CASE WHEN pair IS NULL THEN NULL ELSE cnt END)
+                       OVER (PARTITION BY pair) AS tot
+              FROM (
+                SELECT word, cnt, sym, pos,
+                       CASE WHEN pos = 0 THEN NULL
+                            ELSE concat(list_extract(l, pos), ' ',
+                                        list_extract(l, pos + 1))
+                       END AS pair
+                FROM (
+                  SELECT word, cnt, sym, l,
+                         unnest(CASE WHEN len(l) >= 4
+                                     THEN generate_series(2, len(l) - 2)
+                                     ELSE generate_series(0, 0) END) AS pos
+                  FROM (SELECT word, cnt, sym, string_split(sym, ' ') AS l
+                        FROM s{t})))))
+          WHERE rn = 1)""")
+    merge_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT 'merge' AS kind, CAST({t + 1} AS VARCHAR) AS k1,"
+        f" mpair AS k2, CAST(mc AS BIGINT) AS n"
+        f" FROM (SELECT mpair, mc, row_number() OVER (ORDER BY word) AS r1"
+        f" FROM s{t + 1}) WHERE r1 = 1"
+        for t in range(k)
+    )
+    return f"""
+        WITH w0 AS (
+          SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        s0 AS (
+          SELECT word, cnt,
+                 concat(' ', array_to_string(string_split(word, ''), ' '),
+                        ' {marker} ') AS sym
+          FROM w0),
+        {",".join(steps)},
+        dw AS (
+          SELECT doc_id, pos - 1 AS wpos, list_extract(l, pos) AS word
+          FROM (
+            SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents WHERE doc_id < 8))
+          WHERE list_extract(l, pos) <> ''),
+        tk AS (
+          SELECT doc_id, wpos, tpos - 2 AS tpos, list_extract(tl, tpos) AS token
+          FROM (
+            SELECT doc_id, wpos, tl, unnest(generate_series(2, len(tl) - 1)) AS tpos
+            FROM (SELECT dw.doc_id, dw.wpos, string_split(sk.sym, ' ') AS tl
+                  FROM dw JOIN s{k} sk USING (word))))
+        {merge_rows}
+        UNION ALL
+        SELECT 'vocab', word, substring(sym, 2, length(sym) - 2),
+               CAST(cnt AS BIGINT)
+        FROM s{k}
+        UNION ALL
+        SELECT 'tokens',
+               concat(CAST(doc_id AS VARCHAR), ':', CAST(wpos AS VARCHAR)),
+               token, CAST(tpos AS BIGINT)
+        FROM tk
     """
 
 
@@ -7415,6 +7570,7 @@ def oracle_sql(_gate: bool = True) -> dict[str, str]:
         "q57_bcf_region_query": C["q57_bcf_region_query"],
         "q103_bloom_crawl": _bloom_crawl_oracle(),
         "q104_media_dedup": _media_dedup_oracle(),
+        "q105_bpe_pipeline": _bpe_oracle(),
     }
     if _gate:
         for _g in _GATE_ROWSTR:

@@ -96,6 +96,7 @@ HEADLINE = [
     # fingerprint dedup
     "q103_bloom_crawl",
     "q104_media_dedup",
+    "q105_bpe_pipeline",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

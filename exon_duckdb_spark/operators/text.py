@@ -18,6 +18,8 @@ __all__ = [
     "token_count",
     "bpe_tokens",
     "bpe_token_count",
+    "bpe_train",
+    "bpe_apply",
     "text_stats",
     "normalize_text",
     "language_id",
@@ -532,4 +534,144 @@ def doc_fingerprint(text: Column | str) -> Column:
         toks,
         F.lit(0).cast("long"),
         lambda acc, w: acc + md5_int(w) % 1000000007,
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    marker: str = "</w>",
+) -> "tuple[list[tuple[str, str, int]], DataFrame]":
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    ``num_merges`` merge rules from corpus word-type frequencies and
+    return ``(merges, vocab)`` — ``merges`` a driver-held list of
+    (left, right, weighted_count) in selection order (K entries, the
+    metadata-sized artifact a tokenizer ships with, same driver-residency
+    rationale as ``kmeans_refine``'s centroids), ``vocab`` a DataFrame
+    (word, cnt, sym) with each word's final space-joined segmentation.
+
+    The classic map-reduce BPE shape: the corpus is touched ONCE (word
+    count, one shuffle); every merge iteration then runs on the
+    vocab-sized type table — pair extraction and the weighted pair count
+    are one tiny aggregation per step, and merge application is a chain
+    of literal string replaces, all JVM-side (no Python UDF anywhere).
+    At 100 TB the type table is millions of rows, so the K iteration
+    jobs are trivial next to the single corpus scan.
+
+    Exactness contract (what the SQL oracle replays bit-for-bit):
+    words split on single spaces; a word's initial state is its
+    characters space-joined plus a final ``marker`` symbol, padded with
+    one space each side; each step picks the (max weighted count, then
+    lexicographically smallest) adjacent symbol pair and applies it as
+    ONE leftmost-non-overlapping literal replace of ``' L R '`` with
+    ``' LR '`` — Python str.replace, Spark replace() and DuckDB
+    replace() all share that semantics. This differs from Sennrich's
+    lookaround re.sub only when a word repeats the merged pair sharing a
+    boundary space (``x y x y``): the second occurrence merges on a
+    later step instead of the same one. Character splitting uses
+    Spark's codepoint regex; astral-plane (non-BMP) characters would
+    split into surrogate halves on the JVM but not in DuckDB — the
+    corpus contract is BMP text (normalize first for emoji-bearing
+    corpora).
+
+    The vocab table is persisted for the duration of training and the
+    returned lazy plan (same documented cache lifecycle as the minhash
+    signature frames): call ``spark.catalog.clearCache()`` when done.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if " " in marker or not marker:
+        raise ValueError(f"marker must be a non-empty space-free token, got {marker!r}")
+    wc = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    state = wc.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split("word", ""), " "),
+            F.lit(" " + marker + " "),
+        ).alias("sym"),
+    ).persist()
+    # adjacent-pair extraction over the padded symbol list: real symbols
+    # sit at positions 2..size-1 (1 and size are the pad empties), so
+    # pairs span positions 2..size-2; sequence(2, size-2) would run
+    # DESCENDING for single-symbol words (Spark sequence(2,1) == [2,1]),
+    # hence the size guard
+    pair_expr = F.when(
+        F.size("_l") >= 4,
+        F.expr(
+            "transform(sequence(2, size(_l) - 2),"
+            " i -> concat(element_at(_l, i), ' ', element_at(_l, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    merges: list[tuple[str, str, int]] = []
+    cur = state
+    for _step in range(num_merges):
+        top = (
+            cur.select("cnt", F.split("sym", " ").alias("_l"))
+            .select("cnt", F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus exhausted (every word fully merged)
+            break
+        pair, c = top[0]["pair"], int(top[0]["c"])
+        left, right = pair.split(" ")
+        merges.append((left, right, c))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(f" {pair} "), F.lit(f" {left}{right} ")),
+        )
+    vocab = cur.select("word", "cnt", F.trim(F.col("sym")).alias("sym"))
+    return merges, vocab
+
+
+def bpe_apply(
+    df: DataFrame,
+    vocab: DataFrame,
+    merges: "list[tuple[str, str, int]] | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    marker: str = "</w>",
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE model: (id, wpos, tpos, token)
+    — one row per sub-word token, positions 0-based (``wpos`` keeps the
+    word's original index among the space-split tokens, so empty runs
+    leave gaps rather than shifting downstream alignment).
+
+    The scalable path is a LOOKUP, not a re-derivation: words join the
+    trained ``vocab`` segmentation table (word-keyed equi-join — Spark
+    broadcasts it while it is small) and only out-of-vocabulary words
+    fall back to replaying the merge chain, which is itself a literal
+    K-replace expression chain — JVM-side, no Python UDF, exactly the
+    semantics :func:`bpe_train` trained with."""
+    dw = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("wpos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    joined = dw.join(vocab.select("word", "sym"), "word", "left")
+    oov = F.concat(
+        F.lit(" "),
+        F.array_join(F.split("word", ""), " "),
+        F.lit(" " + marker + " "),
+    )
+    for left, right, *_ in merges:
+        oov = F.replace(oov, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+    seg = F.coalesce(F.col("sym"), F.trim(oov))
+    return joined.select(
+        F.col(id_col),
+        "wpos",
+        F.posexplode(F.split(seg, " ")).alias("tpos", "token"),
     )
