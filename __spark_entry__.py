@@ -2616,9 +2616,15 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-format image-dedup contract; q77's formula audio (sample(i) =
     (i*13+did*7)%65536-32768, n = did%50+20) with a rate-rewrapped copy
     on did%4=0 — identical samples at a different declared rate MUST
-    fingerprint identically. The oracle replays luma, clamped grid-cell
-    sums, cross-multiplied mean compares, frame energies, bit assembly
-    and brute-force Hamming arithmetic in pure integer SQL (blocking is
+    fingerprint identically; q45's DC-exact MJPEG-AVI videos (did%5+2
+    frames, block(bx,by,f) = 128+2*((bx*5+by*11+did+7f)%60−30)) with a
+    re-MUXED copy at different timing on did%4=0 — same pictures in a
+    different container MUST match slot-for-slot at Hamming 0
+    (video_dhash over sample_frames' real decoded pixels +
+    video_near_dup_pairs' aligned-slot count). The oracle replays luma,
+    clamped grid-cell sums, cross-multiplied mean compares, frame
+    energies, the AVI bucket-midpoint frame selection, bit assembly and
+    brute-force Hamming arithmetic in pure integer SQL (blocking is
     lossless, so operator pairs == brute-force pairs). The audio pair
     branch compares raw 48-bit fingerprints across clips of unequal
     n_bits (the operator docstring's equal-n_bits guidance is a user
@@ -2690,7 +2696,60 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("k2"),
         F.col("hamming").cast("long").alias("n"),
     )
-    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
+
+    def synth_avi(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from exon_duckdb_spark.operators import jpegcodec as _jc
+        from exon_duckdb_spark.operators.multimodal import encode_avi_mjpeg
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 3 + 2) * 8, (did % 2 + 2) * 8
+                bx = _np.arange(w) // 8
+                by = _np.arange(h) // 8
+                frames = [
+                    _jc.encode_jpeg(
+                        (
+                            128
+                            + 2
+                            * ((bx[None, :] * 5 + by[:, None] * 11 + did + 7 * f) % 60 - 30)
+                        ).astype(_np.uint8),
+                        quality=50,
+                    )
+                    for f in range(did % 5 + 2)
+                ]
+                blob = encode_avi_mjpeg(frames, us_per_frame=40000, width=w, height=h)
+                ids.append(did * 2)
+                blobs.append(blob)
+                if did % 4 == 0:  # re-muxed copy: same pictures, new timing
+                    ids.append(did * 2 + 1)
+                    blobs.append(
+                        encode_avi_mjpeg(frames, us_per_frame=33333, width=w, height=h)
+                    )
+            yield _pd.DataFrame({"id": ids, "content": blobs})
+
+    vids = docs.mapInPandas(synth_avi, "id long, content binary")
+    vh = ops.video_dhash(vids, n_frames=4, id_col="id")
+    b5 = vh.select(
+        F.lit("vhash").alias("kind"),
+        F.concat_ws(":", F.col("id"), F.col("frame_index")).alias("k1"),
+        F.col("dhash").cast("string").alias("k2"),
+        F.col("ahash").cast("long").alias("n"),
+    )
+    vpairs = ops.video_near_dup_pairs(
+        vh, id_col="id", bits=49, max_hamming=2, min_frames=4
+    )
+    b6 = vpairs.select(
+        F.lit("vpair").alias("kind"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.concat_ws(":", F.col("id_b"), F.col("n_slots")).alias("k2"),
+        F.col("total_hamming").cast("long").alias("n"),
+    )
+    return (
+        b1.unionByName(b2).unionByName(b3).unionByName(b4)
+        .unionByName(b5).unionByName(b6)
+    )
 
 
 def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
@@ -2698,7 +2757,10 @@ def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     branch-bench convention; each branch's wall includes its shared
     upstream synth+decode)."""
     full = q104m_media_dedup(spark, sf_dir)
-    return {k: full.where(F.col("kind") == k) for k in ("idhash", "ipair", "afp", "apair")}
+    return {
+        k: full.where(F.col("kind") == k)
+        for k in ("idhash", "ipair", "afp", "apair", "vhash", "vpair")
+    }
 
 
 def q105m_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4586,7 +4648,80 @@ def _media_dedup_oracle() -> str:
           SELECT a.id AS id_a, b.id AS id_b,
                  SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
           FROM abits2 a JOIN abits2 b ON a.p = b.p AND a.id < b.id
-          GROUP BY a.id, b.id)
+          GROUP BY a.id, b.id),
+        vdocs AS (
+          SELECT doc_id AS did, (doc_id % 3 + 2) * 8 AS w,
+                 (doc_id % 2 + 2) * 8 AS h, doc_id % 5 + 2 AS nsrc
+          FROM documents WHERE doc_id < 48),
+        vslot AS (
+          SELECT did, w, h, slot, (nsrc * (2 * slot + 1)) // 8 AS src
+          FROM (SELECT did, w, h, nsrc,
+                       unnest(generate_series(0, 3)) AS slot
+                FROM vdocs)),
+        vgi AS (SELECT did, w, h, slot, src,
+                       unnest(generate_series(0, 6)) AS i FROM vslot),
+        vgj AS (SELECT did, w, h, slot, src, i,
+                       unnest(generate_series(0, 7)) AS j FROM vgi),
+        vgb AS (SELECT did, slot, src, i, j,
+                 (i * h) // 7 AS lo_y,
+                 greatest(((i + 1) * h) // 7, (i * h) // 7 + 1) AS hi_y,
+                 (j * w) // 8 AS lo_x,
+                 greatest(((j + 1) * w) // 8, (j * w) // 8 + 1) AS hi_x
+               FROM vgj),
+        vgy AS (SELECT did, slot, src, i, j, lo_x, hi_x,
+                 unnest(generate_series(lo_y, hi_y - 1)) AS y FROM vgb),
+        vgx AS (SELECT did, slot, src, i, j, y,
+                 unnest(generate_series(lo_x, hi_x - 1)) AS x FROM vgy),
+        vcell AS (
+          SELECT did, slot, i, j,
+                 SUM(1000 * (128 + 2 * (((x // 8) * 5 + (y // 8) * 11
+                                         + did + 7 * src) % 60 - 30))) AS s,
+                 COUNT(*) AS cnt
+          FROM vgx GROUP BY did, slot, i, j),
+        vfy AS (SELECT did, w, slot, src,
+                       unnest(generate_series(0, h - 1)) AS y FROM vslot),
+        vfx AS (SELECT did, slot, src, y,
+                       unnest(generate_series(0, w - 1)) AS x FROM vfy),
+        vtot AS (
+          SELECT did, slot,
+                 SUM(1000 * (128 + 2 * (((x // 8) * 5 + (y // 8) * 11
+                                         + did + 7 * src) % 60 - 30))) AS ts,
+                 COUNT(*) AS tc
+          FROM vfx GROUP BY did, slot),
+        vdh AS (
+          SELECT a.did, a.slot,
+                 SUM(CASE WHEN a.s * b.cnt > b.s * a.cnt
+                          THEN (CAST(1 AS BIGINT) << CAST(a.i * 7 + a.j AS INTEGER))
+                          ELSE 0 END) AS dhash
+          FROM vcell a JOIN vcell b
+            ON a.did = b.did AND a.slot = b.slot AND a.i = b.i AND b.j = a.j + 1
+          GROUP BY a.did, a.slot),
+        vah AS (
+          SELECT c.did, c.slot,
+                 SUM(CASE WHEN c.s * t.tc > t.ts * c.cnt
+                          THEN (CAST(1 AS BIGINT) << CAST(c.i * 8 + c.j AS INTEGER))
+                          ELSE 0 END) AS ahash
+          FROM vcell c JOIN vtot t ON c.did = t.did AND c.slot = t.slot
+          GROUP BY c.did, c.slot),
+        vids AS (SELECT did, did * 2 AS id FROM vdocs
+                 UNION ALL
+                 SELECT did, did * 2 + 1 FROM vdocs WHERE did % 4 = 0),
+        vhash AS (SELECT vids.id, vdh.slot, vdh.dhash, vah.ahash
+                  FROM vids JOIN vdh USING (did)
+                  JOIN vah ON vah.did = vdh.did AND vah.slot = vdh.slot),
+        vbits AS (SELECT id, slot, p, (dhash >> CAST(p AS INTEGER)) & 1 AS bit
+                  FROM vhash CROSS JOIN
+                       (SELECT unnest(generate_series(0, 48)) AS p) ps),
+        vsl AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.slot,
+                 SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+          FROM vbits a JOIN vbits b
+            ON a.p = b.p AND a.slot = b.slot AND a.id < b.id
+          GROUP BY a.id, b.id, a.slot),
+        vpair AS (
+          SELECT id_a, id_b, COUNT(*) AS n_slots, SUM(ham) AS th
+          FROM vsl WHERE ham <= 2
+          GROUP BY id_a, id_b)
         SELECT 'idhash' AS kind, CAST(id AS VARCHAR) AS k1,
                CAST(dhash AS VARCHAR) AS k2, CAST(ahash AS BIGINT) AS n
         FROM ihash
@@ -4603,6 +4738,15 @@ def _media_dedup_oracle() -> str:
         SELECT 'apair', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
                CAST(ham AS BIGINT)
         FROM apair WHERE ham <= 2
+        UNION ALL
+        SELECT 'vhash', concat(CAST(id AS VARCHAR), ':', CAST(slot AS VARCHAR)),
+               CAST(dhash AS VARCHAR), CAST(ahash AS BIGINT)
+        FROM vhash
+        UNION ALL
+        SELECT 'vpair', CAST(id_a AS VARCHAR),
+               concat(CAST(id_b AS VARCHAR), ':', CAST(n_slots AS VARCHAR)),
+               CAST(th AS BIGINT)
+        FROM vpair WHERE n_slots >= 4
     """
 
 

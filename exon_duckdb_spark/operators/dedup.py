@@ -297,6 +297,7 @@ def hamming_pairs(
     id_col: str = "id",
     bits: int = 64,
     max_hamming: int = 3,
+    group_col: str | None = None,
 ) -> DataFrame:
     """All (id_a < id_b, hamming) pairs whose ``hash_col`` fingerprints
     differ in ≤ ``max_hamming`` bits — the generic Charikar block-split
@@ -316,6 +317,12 @@ def hamming_pairs(
     bytes/row/block, never the underlying text/pixels/samples. Hot blocks
     (e.g. the all-zero fingerprints of blank assets) are ordinary skewed
     join keys: AQE skew-split handles them, or pre-filter blanks.
+
+    ``group_col`` scopes pairing WITHIN a group (e.g. a video frame slot
+    — :func:`video_near_dup_pairs` pairs per-slot and then counts
+    matching slots): the group key joins the block equi-join, carries
+    through to the output, and NULL-hash rows are dropped (an
+    un-hashable member can't pair).
     """
     nblocks = int(max_hamming) + 1
     if nblocks > bits:
@@ -327,7 +334,12 @@ def hamming_pairs(
     base = bits // nblocks
     widths = [base + (1 if b < bits % nblocks else 0) for b in range(nblocks)]
     offs = [sum(widths[:b]) for b in range(nblocks)]
-    sh = df.select(F.col(id_col), F.col(hash_col).alias("_sh"))
+    gcols = [group_col] if group_col else []
+    sh = df.select(
+        F.col(id_col), *[F.col(g) for g in gcols], F.col(hash_col).alias("_sh")
+    )
+    if group_col:
+        sh = sh.where(F.col("_sh").isNotNull())
     blocks = F.array(
         *[
             F.shiftright(F.col("_sh"), offs[b]).bitwiseAND(
@@ -337,7 +349,8 @@ def hamming_pairs(
         ]
     )
     keyed = sh.select(
-        F.col(id_col), F.col("_sh"), blocks.alias("_blk"),
+        F.col(id_col), *[F.col(g) for g in gcols],
+        F.col("_sh"), blocks.alias("_blk"),
         F.posexplode(blocks).alias("block", "bval"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -350,20 +363,65 @@ def hamming_pairs(
                != F.element_at(F.col("b._blk"), j + 1))
         )
     ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    cond = (
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.bval") == F.col("b.bval"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for g in gcols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .where(first_match)
         .where(ham <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{g}").alias(g) for g in gcols],
             ham.cast("int").alias("hamming"),
         )
+    )
+
+
+def video_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str = "id",
+    frame_col: str = "frame_index",
+    hash_col: str = "dhash",
+    bits: int = 49,
+    max_hamming: int = 4,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Video near-dup pairs from per-frame perceptual fingerprints
+    (:func:`~exon_duckdb_spark.operators.multimodal.video_dhash`): two
+    videos pair when ≥ ``min_frames`` of their ALIGNED sampled slots
+    match within ``max_hamming`` bits. Returns (id_a, id_b, n_slots,
+    total_hamming) — ``n_slots`` matching slots, summed distance for
+    ranking. A re-muxed/re-encoded copy (same pictures, different
+    container timing) matches on every slot at Hamming 0; inserted
+    intros/outros shift slot alignment and lower ``n_slots``, which the
+    threshold absorbs.
+
+    Scale: rides :func:`hamming_pairs` grouped by slot — the self-join
+    key is (slot, block, bval), so candidates only form within the same
+    slot; the follow-up count is a (id_a, id_b)-keyed aggregation over
+    the ≤ n_frames slot hits per candidate pair. NULL-hash slots (coded
+    samples a pure-Python decoder can't open) drop before the join."""
+    slots = hamming_pairs(
+        fp,
+        hash_col,
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        group_col=frame_col,
+    )
+    return (
+        slots.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("int").alias("n_slots"),
+            F.sum("hamming").cast("long").alias("total_hamming"),
+        )
+        .where(F.col("n_slots") >= min_frames)
     )
 
 

@@ -1246,6 +1246,53 @@ def image_features(
     )
 
 
+def _check_hash_grid(rows: int, cols: int) -> None:
+    if rows * cols > 62 or rows * (cols - 1) > 62:
+        raise ValueError(
+            f"rows*cols must be <= 62 to fit a sign-safe BIGINT, got {rows}x{cols}"
+        )
+    if rows < 1 or cols < 2:
+        raise ValueError(f"need rows >= 1 and cols >= 2, got {rows}x{cols}")
+
+
+def _perceptual_hashes(arr: np.ndarray, rows: int, cols: int) -> tuple[int, int]:
+    """The shared dHash/aHash decision core over an (h, w, c) uint8 array —
+    :func:`image_dhash` (encoded blobs) and :func:`video_dhash` (raw
+    sampled frames) must fingerprint identical pixels identically, so the
+    math lives once. Integer luma, clamped floor-boundary grid, and
+    cross-multiplied mean compares in arbitrary-precision Python ints
+    (cell sum × count products overflow int64 at ~100 megapixels)."""
+    arr = arr.astype(np.int64)
+    h, w, c = arr.shape
+    if c >= 3:
+        luma = 299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+    else:
+        luma = 1000 * arr[:, :, 0]
+    sums = [[0] * cols for _ in range(rows)]
+    cnts = [[0] * cols for _ in range(rows)]
+    for i in range(rows):
+        lo_y = (i * h) // rows
+        hi_y = max(((i + 1) * h) // rows, lo_y + 1)
+        for j in range(cols):
+            lo_x = (j * w) // cols
+            hi_x = max(((j + 1) * w) // cols, lo_x + 1)
+            block = luma[lo_y:hi_y, lo_x:hi_x]
+            sums[i][j] = int(block.sum())
+            cnts[i][j] = int(block.size)
+    dh = 0
+    for i in range(rows):
+        for j in range(cols - 1):
+            if sums[i][j] * cnts[i][j + 1] > sums[i][j + 1] * cnts[i][j]:
+                dh |= 1 << (i * (cols - 1) + j)
+    tot_s, tot_c = int(luma.sum()), h * w
+    ah = 0
+    for i in range(rows):
+        for j in range(cols):
+            if sums[i][j] * tot_c > tot_s * cnts[i][j]:
+                ah |= 1 << (i * cols + j)
+    return dh, ah
+
+
 def image_dhash(
     df: DataFrame,
     bytes_col: str = "content",
@@ -1283,12 +1330,7 @@ def image_dhash(
     decode → grid → bits fuse into one stage, pixels never leave the
     executor.
     """
-    if rows * cols > 62 or rows * (cols - 1) > 62:
-        raise ValueError(
-            f"rows*cols must be <= 62 to fit a sign-safe BIGINT, got {rows}x{cols}"
-        )
-    if rows < 1 or cols < 2:
-        raise ValueError(f"need rows >= 1 and cols >= 2, got {rows}x{cols}")
+    _check_hash_grid(rows, cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1300,41 +1342,8 @@ def image_dhash(
                     errs.append(None)
                     continue
                 try:
-                    arr = imagecodec.decode_blob(bytes(b)).astype(np.int64)
-                    h, w, c = arr.shape
-                    if c >= 3:
-                        luma = (
-                            299 * arr[:, :, 0]
-                            + 587 * arr[:, :, 1]
-                            + 114 * arr[:, :, 2]
-                        )
-                    else:
-                        luma = 1000 * arr[:, :, 0]
-                    sums = [[0] * cols for _ in range(rows)]
-                    cnts = [[0] * cols for _ in range(rows)]
-                    for i in range(rows):
-                        lo_y = (i * h) // rows
-                        hi_y = max(((i + 1) * h) // rows, lo_y + 1)
-                        for j in range(cols):
-                            lo_x = (j * w) // cols
-                            hi_x = max(((j + 1) * w) // cols, lo_x + 1)
-                            block = luma[lo_y:hi_y, lo_x:hi_x]
-                            sums[i][j] = int(block.sum())
-                            cnts[i][j] = int(block.size)
-                    dh = 0
-                    for i in range(rows):
-                        for j in range(cols - 1):
-                            if (
-                                sums[i][j] * cnts[i][j + 1]
-                                > sums[i][j + 1] * cnts[i][j]
-                            ):
-                                dh |= 1 << (i * (cols - 1) + j)
-                    tot_s, tot_c = int(luma.sum()), h * w
-                    ah = 0
-                    for i in range(rows):
-                        for j in range(cols):
-                            if sums[i][j] * tot_c > tot_s * cnts[i][j]:
-                                ah |= 1 << (i * cols + j)
+                    arr = imagecodec.decode_blob(bytes(b))
+                    dh, ah = _perceptual_hashes(arr, rows, cols)
                     dhs.append(dh)
                     ahs.append(ah)
                     errs.append(None)
@@ -1435,4 +1444,71 @@ def audio_fingerprint(
         run,
         f"{_id_field(df, id_col)}, fingerprint long, n_bits int, "
         "n_frames long, error string",
+    )
+
+
+def video_dhash(
+    df: DataFrame,
+    bytes_col: str = "content",
+    id_col: str = "id",
+    n_frames: int = 4,
+    rows: int = 7,
+    cols: int = 8,
+    keyframes_only: bool = False,
+) -> DataFrame:
+    """Per-frame perceptual fingerprints for VIDEO near-dup detection:
+    (id, frame_index, dhash, ahash, is_real) — :func:`sample_frames`'s
+    uniform slots hashed with the SAME dHash/aHash decision core as
+    :func:`image_dhash`, so a video and its re-encoded/re-muxed copy
+    (different container timing, lossless frame path) fingerprint
+    identically slot for slot. Feed the result to
+    :func:`~exon_duckdb_spark.operators.dedup.video_near_dup_pairs`.
+
+    Slots whose pixels are REAL (MJPEG-AVI, animated GIF) hash the
+    decoded frame; slots where only the container layer is real (coded
+    H.264 samples, header-only stubs) yield NULL hashes with
+    ``is_real=false`` — hashing coded bytes would pair by encoder
+    artifact, not by picture. Map-only end to end: demux → decode →
+    hash fuse into one stage, pixels never leave the executor; the
+    output is ~16 bytes × n_frames per video."""
+    _check_hash_grid(rows, cols)
+    frames = sample_frames(
+        df,
+        n_frames=n_frames,
+        bytes_col=bytes_col,
+        id_col=id_col,
+        keyframes_only=keyframes_only,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dhs, ahs = [], []
+            for buf, w, h, c, real in zip(
+                pdf["frame"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["is_real"],
+            ):
+                if not real or buf is None or w is None or h is None or c is None:
+                    dhs.append(None)
+                    ahs.append(None)
+                    continue
+                arr = np.frombuffer(bytes(buf), np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                dh, ah = _perceptual_hashes(arr, rows, cols)
+                dhs.append(dh)
+                ahs.append(ah)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "frame_index": pdf["frame_index"],
+                    "dhash": pd.array(dhs, dtype="Int64"),
+                    "ahash": pd.array(ahs, dtype="Int64"),
+                    "is_real": pdf["is_real"],
+                }
+            )
+
+    return frames.mapInPandas(
+        run,
+        f"{_id_field(frames, id_col)}, frame_index int, dhash long, "
+        "ahash long, is_real boolean",
     )

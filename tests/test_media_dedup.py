@@ -207,3 +207,96 @@ class TestHammingPairs:
             ).collect()
         }
         assert via_op == via_parts
+
+
+def _avi_plant(did: int, nframes: int = 4, shift: int = 0):
+    """q45-style DC-exact MJPEG AVI: grayscale 8x8-constant blocks decode
+    bit-exactly at quality 50, so frame pixels are known arithmetically."""
+    import numpy as np
+
+    from exon_duckdb_spark.operators import jpegcodec as jc
+    from exon_duckdb_spark.operators.multimodal import encode_avi_mjpeg
+
+    w, h = (did % 3 + 2) * 8, (did % 2 + 2) * 8
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    frames = [
+        jc.encode_jpeg(
+            (128 + 2 * ((bx[None, :] * 5 + by[:, None] * 11 + did + 7 * f + shift) % 60 - 30)).astype(np.uint8),
+            quality=50,
+        )
+        for f in range(nframes)
+    ]
+    return encode_avi_mjpeg(frames, us_per_frame=40000, width=w, height=h)
+
+
+class TestVideoDhash:
+    def test_frames_hash_like_images(self, spark):
+        # the selected AVI frame's hashes must equal image_dhash of the
+        # SAME pixels routed through an independent BMP encode
+        import numpy as np
+
+        df = spark.createDataFrame(
+            [(did, bytearray(_avi_plant(did))) for did in range(6)],
+            "id long, content binary",
+        )
+        vh = {
+            (r["id"], r["frame_index"]): (r["dhash"], r["ahash"])
+            for r in ops.video_dhash(df, n_frames=4).collect()
+        }
+        rows = []
+        for did in range(6):
+            w, h = (did % 3 + 2) * 8, (did % 2 + 2) * 8
+            bx, by = np.arange(w) // 8, np.arange(h) // 8
+            for i in range(4):
+                src = min(int(4 * (i + 0.5) / 4), 3)
+                gray = (
+                    128 + 2 * ((bx[None, :] * 5 + by[:, None] * 11 + did + 7 * src) % 60 - 30)
+                ).astype(np.uint8)[:, :, None]
+                rows.append((did * 10 + i, bytearray(ic.encode_bmp(
+                    np.repeat(gray, 3, axis=2)))))
+        # NOTE: BMP is 3-channel → luma path differs from grayscale ×1000
+        # only if R=G=B (then 299+587+114 = 1000× the gray value — equal)
+        bdf = spark.createDataFrame(rows, "id long, content binary")
+        ih = {r["id"]: (r["dhash"], r["ahash"]) for r in ops.image_dhash(bdf).collect()}
+        for did in range(6):
+            for i in range(4):
+                assert vh[(did, i)] == ih[did * 10 + i], (did, i)
+
+    def test_remuxed_copy_pairs_at_zero(self, spark):
+        rows = []
+        for did in range(8):
+            rows.append((did * 2, bytearray(_avi_plant(did))))
+            if did % 2 == 0:  # re-encoded copy, same pictures
+                rows.append((did * 2 + 1, bytearray(_avi_plant(did))))
+        df = spark.createDataFrame(rows, "id long, content binary")
+        fp = ops.video_dhash(df, n_frames=4)
+        pairs = {
+            (r["id_a"], r["id_b"]): (r["n_slots"], r["total_hamming"])
+            for r in ops.video_near_dup_pairs(fp, min_frames=4).collect()
+        }
+        for did in range(0, 8, 2):
+            assert pairs[(did * 2, did * 2 + 1)] == (4, 0), did
+
+    def test_min_frames_threshold(self, spark):
+        # crafted fingerprints: videos 1/2 agree on slots 0,1 only (slots
+        # 2,3 differ by >max_hamming bits) — the slot-count gate decides
+        rows = []
+        for slot in range(4):
+            rows.append((1, slot, 100 + slot))
+            rows.append((2, slot, 100 + slot if slot < 2 else (100 + slot) ^ 0b11111))
+        fp = spark.createDataFrame(rows, "id long, frame_index int, dhash long")
+        two = ops.video_near_dup_pairs(fp, max_hamming=1, min_frames=2).collect()
+        assert [(r["id_a"], r["id_b"], r["n_slots"], r["total_hamming"]) for r in two] == [
+            (1, 2, 2, 0)
+        ]
+        three = ops.video_near_dup_pairs(fp, max_hamming=1, min_frames=3).collect()
+        assert three == []
+
+    def test_coded_only_slots_yield_null(self, spark):
+        from exon_duckdb_spark.operators.multimodal import encode_mp4_samples
+
+        blob = encode_mp4_samples([b"xx", b"yyy", b"z"], fps=5, width=8, height=8)
+        df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+        out = ops.video_dhash(df, n_frames=2).collect()
+        assert out and all(r["dhash"] is None and not r["is_real"] for r in out)
