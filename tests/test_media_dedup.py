@@ -300,3 +300,34 @@ class TestVideoDhash:
         df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
         out = ops.video_dhash(df, n_frames=2).collect()
         assert out and all(r["dhash"] is None and not r["is_real"] for r in out)
+
+
+class TestMediaClusterComposition:
+    def test_fingerprint_pairs_drive_cluster_and_keep(self, spark):
+        """The text-dedup cluster/keep machinery accepts media fingerprint
+        pairs unchanged: bmp/png twins + a cross-doc collision collapse to
+        min-id representatives through dedup_clusters + near_dedup_keep_list."""
+        rows = []
+        for did in range(8):
+            arr = _plant(did)
+            rows.append((did * 2, bytearray(ic.encode_bmp(arr))))
+            rows.append((did * 2 + 1, bytearray(ic.encode_png(arr, filter_type=did % 5))))
+        df = spark.createDataFrame(rows, "id long, content binary")
+        fp = ops.image_dhash(df)
+        pairs = ops.hamming_pairs(fp.select("id", "dhash"), "dhash",
+                                  id_col="id", bits=49, max_hamming=0)
+        clusters = ops.dedup_clusters(pairs)
+        lab = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+        for did in range(8):  # each twin pair shares a cluster rooted at the bmp id
+            assert lab[did * 2 + 1] == lab[did * 2]
+        keep = ops.near_dedup_keep_list(
+            df.select(F.col("id").alias("doc_id")), pairs, id_col="doc_id"
+        )
+        kept = {r["doc_id"] for r in keep.collect()}
+        # the keep contract: exactly the min-id member of every cluster
+        # survives, plus any id untouched by a pair (none here if the
+        # plants all collide, which is fine — the set equality decides)
+        all_ids = {did * 2 + fi for did in range(8) for fi in (0, 1)}
+        want = {min(m for m, c in lab.items() if c == cid) for cid in set(lab.values())}
+        want |= all_ids - set(lab)
+        assert kept == want
