@@ -86,6 +86,7 @@ SCALE_SET = [
     "q88_bigram_perplexity",
     "q98_kneser_ney",
     "q80_duplicated_spans",
+    "q105_bpe_pipeline",
     "q07_events_hourly",
     "q10_sessionize",
 ]
