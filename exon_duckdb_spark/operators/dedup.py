@@ -2076,3 +2076,135 @@ def remove_spans(
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
+
+
+def _hamming_blocks_expr(hash_col, bits: int, max_hamming: int):
+    """The shared block decomposition of :func:`hamming_pairs` as a
+    (widths, offsets, array-expression) triple — build, probe and the
+    self-join must split fingerprints identically or pigeonhole recall
+    breaks silently."""
+    nblocks = int(max_hamming) + 1
+    if nblocks > bits:
+        raise ValueError(
+            f"max_hamming+1 ({nblocks}) blocks need at least that many bits ({bits})"
+        )
+    base = bits // nblocks
+    widths = [base + (1 if b < bits % nblocks else 0) for b in range(nblocks)]
+    offs = [sum(widths[:b]) for b in range(nblocks)]
+    col = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    arr = F.array(
+        *[
+            F.shiftright(col, offs[b]).bitwiseAND(F.lit((1 << widths[b]) - 1))
+            for b in range(nblocks)
+        ]
+    )
+    return widths, offs, arr
+
+
+def hamming_index_build(
+    fp: DataFrame,
+    path: str,
+    hash_col: str = "dhash",
+    id_col: str = "id",
+    bits: int = 49,
+    max_hamming: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a Hamming block index over a fingerprint table — the MEDIA
+    analog of :func:`lsh_index_build`: fingerprint the accumulated corpus
+    ONCE (image dHash / audio energy / video frame hashes), then dedup
+    every arriving batch against it with :func:`hamming_index_probe`
+    instead of re-running the corpus self-join. Same daily-crawl pattern,
+    same recall guarantee (the Charikar pigeonhole blocks are lossless
+    for distance ≤ max_hamming, unlike minhash banding's S-curve).
+
+    Layout: parquet partitioned by ``block``, rows ``(bval, id, fp)`` —
+    ~24 B/asset/block, never pixels or samples; one directory per block
+    keeps file counts flat, and dynamic partition pruning skips any block
+    a probe batch happens not to exercise. ``bits``/``max_hamming`` are
+    part of the index layout — probe with the SAME values (the lsh
+    num_hashes/bands convention). NULL fingerprints (undecodable assets)
+    are skipped.
+
+    The fingerprint frame persists across the write: fingerprints usually
+    arrive from a decode UDF (the build's dominant cost), and
+    repartitionByRange's boundary sampling would execute that child plan
+    a second time (the q99 lesson, VERDICT r8 #3)."""
+    nblocks = int(max_hamming) + 1
+    _w, _o, blocks = _hamming_blocks_expr(hash_col, bits, max_hamming)
+    rows = (
+        fp.where(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("fp"),
+            F.posexplode(blocks).alias("block", "bval"),
+        )
+        .persist()
+    )
+    try:
+        rows.repartitionByRange(nblocks, F.col("block")).write.mode(
+            mode
+        ).partitionBy("block").parquet(path)
+    finally:
+        rows.unpersist()
+
+
+def hamming_index_probe(
+    new_fp: DataFrame,
+    index: "DataFrame | str",
+    hash_col: str = "dhash",
+    id_col: str = "id",
+    bits: int = 49,
+    max_hamming: int = 4,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Probe a new batch's fingerprints against a persisted
+    :func:`hamming_index_build` index: (id_new, id_indexed, hamming) for
+    every indexed asset within ``max_hamming`` bits of a batch asset —
+    each pair exactly once (first matching block, the
+    :func:`hamming_pairs` convention).
+
+    Scale: the corpus-sized index NEVER shuffles — ``broadcast_probe``
+    ships the batch's (block, bval) keys to the index partitions, so the
+    probe is one broadcast hash join over a block-pruned parquet scan.
+    Self-pairs are excluded by id, so re-probing an already-ingested
+    batch is clean (idempotent daily re-runs)."""
+    spark = new_fp.sparkSession
+    idx = spark.read.parquet(index) if isinstance(index, str) else index
+    nblocks = int(max_hamming) + 1
+    _w, _o, blocks = _hamming_blocks_expr(hash_col, bits, max_hamming)
+    probe = (
+        new_fp.where(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id_new"),
+            F.col(hash_col).alias("fp_new"),
+            blocks.alias("_blk_new"),
+            F.posexplode(blocks).alias("block", "bval"),
+        )
+    )
+    if broadcast_probe:
+        probe = F.broadcast(probe)
+    # the index row carries only (block, bval, id, fp): rebuild its block
+    # array from fp (a handful of shift/mask expressions — cheaper than
+    # storing nblocks extra columns) for the first-match dedup
+    _w2, _o2, idx_blocks = _hamming_blocks_expr(F.col("fp"), bits, max_hamming)
+    joined = idx.withColumn("_blk_idx", idx_blocks).join(
+        probe, ["block", "bval"]
+    ).where(F.col("id") != F.col("id_new"))
+    first_match = F.lit(True)
+    for j in range(nblocks):
+        first_match = first_match & (
+            (F.col("block") <= F.lit(j))
+            | (F.element_at(F.col("_blk_idx"), j + 1)
+               != F.element_at(F.col("_blk_new"), j + 1))
+        )
+    ham = F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_new")))
+    return (
+        joined.where(first_match)
+        .where(ham <= max_hamming)
+        .select(
+            "id_new",
+            F.col("id").alias("id_indexed"),
+            ham.cast("int").alias("hamming"),
+        )
+    )

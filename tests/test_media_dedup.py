@@ -331,3 +331,79 @@ class TestMediaClusterComposition:
         want = {min(m for m, c in lab.items() if c == cid) for cid in set(lab.values())}
         want |= all_ids - set(lab)
         assert kept == want
+
+
+class TestHammingIndex:
+    @staticmethod
+    def _hashes() -> dict[int, int]:
+        hashes = {}
+        for i in range(60):
+            h = 0
+            for b in range(49):
+                if (i * 2654435761 + b * 40503) % 89 < 30:
+                    h |= 1 << b
+            hashes[i] = h
+        return hashes
+
+    def test_probe_matches_brute_force(self, spark, tmp_path):
+        hashes = self._hashes()
+        # near-dup plants across the index/batch boundary
+        for i in (0, 10, 20):
+            hashes[i + 1] = hashes[i] ^ (1 << (i % 49))
+        corpus = {k: v for k, v in hashes.items() if k % 2 == 0}
+        batch = {k: v for k, v in hashes.items() if k % 2 == 1}
+        cdf = spark.createDataFrame(list(corpus.items()), "id long, dhash long")
+        bdf = spark.createDataFrame(list(batch.items()), "id long, dhash long")
+        path = str(tmp_path / "hidx")
+        ops.hamming_index_build(cdf, path, bits=49, max_hamming=3)
+        got = {
+            (r["id_new"], r["id_indexed"], r["hamming"])
+            for r in ops.hamming_index_probe(bdf, path, bits=49, max_hamming=3).collect()
+        }
+        want = {
+            (bn, cn, bin(bv ^ cv).count("1"))
+            for bn, bv in batch.items()
+            for cn, cv in corpus.items()
+            if bin(bv ^ cv).count("1") <= 3
+        }
+        assert got == want and len(want) >= 3
+
+    def test_reprobe_is_idempotent(self, spark, tmp_path):
+        hashes = self._hashes()
+        df = spark.createDataFrame(list(hashes.items()), "id long, dhash long")
+        path = str(tmp_path / "hidx2")
+        ops.hamming_index_build(df, path, bits=49, max_hamming=2)
+        # probing the SAME set: self-pairs excluded; result == operator
+        # self-join (each unordered pair shows up in both directions)
+        got = {
+            (r["id_new"], r["id_indexed"])
+            for r in ops.hamming_index_probe(df, path, bits=49, max_hamming=2).collect()
+        }
+        assert all(a != b for a, b in got)
+        sym = {(min(a, b), max(a, b)) for a, b in got}
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ops.hamming_pairs(df, "dhash", bits=49, max_hamming=2).collect()
+        }
+        assert sym == pairs
+
+    def test_append_ingest(self, spark, tmp_path):
+        hashes = self._hashes()
+        day1 = {k: v for k, v in hashes.items() if k < 30}
+        day2 = {k: v for k, v in hashes.items() if k >= 30}
+        path = str(tmp_path / "hidx3")
+        d1 = spark.createDataFrame(list(day1.items()), "id long, dhash long")
+        d2 = spark.createDataFrame(list(day2.items()), "id long, dhash long")
+        ops.hamming_index_build(d1, path, bits=49, max_hamming=2)
+        ops.hamming_index_build(d2, path, bits=49, max_hamming=2, mode="append")
+        full = spark.createDataFrame(list(hashes.items()), "id long, dhash long")
+        got = {
+            (r["id_new"], r["id_indexed"])
+            for r in ops.hamming_index_probe(full, path, bits=49, max_hamming=2).collect()
+        }
+        sym = {(min(a, b), max(a, b)) for a, b in got}
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ops.hamming_pairs(full, "dhash", bits=49, max_hamming=2).collect()
+        }
+        assert sym == pairs
