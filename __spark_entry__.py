@@ -2770,9 +2770,34 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_indexed").cast("string").alias("k2"),
         F.col("hamming").cast("long").alias("n"),
     )
+    # STREAMING incremental media dedup: the real image fingerprints
+    # become a file stream (write once, readStream back — the q95
+    # convention lifted to fingerprints) and drain through the
+    # block-bucket stateful operator; finite drain ≡ the batch per-block
+    # self-join, which the oracle replays from the same bit tables
+    import uuid as _uuid
+
+    from exon_duckdb_spark.streaming.events import (
+        run_to_memory_sink,
+        stream_hamming_pairs,
+    )
+
+    fp_dir = _tempfile.mkdtemp(prefix="sfp_") + "/fps"
+    ih.select("id", "dhash").write.mode("overwrite").parquet(fp_dir)
+    fstream = spark.readStream.schema("id long, dhash long").parquet(fp_dir)
+    sp = run_to_memory_sink(
+        stream_hamming_pairs(fstream, bits=49, max_hamming=3),
+        f"smh_{_uuid.uuid4().hex[:8]}",
+    ).dropDuplicates(["block", "bval", "id_a", "id_b"])
+    b8 = sp.select(
+        F.lit("spair").alias("kind"),
+        F.concat_ws(":", F.col("id_a"), F.col("id_b")).alias("k1"),
+        F.concat_ws(":", F.col("block"), F.col("bval")).alias("k2"),
+        F.col("hamming").cast("long").alias("n"),
+    )
     return (
         b1.unionByName(b2).unionByName(b3).unionByName(b4)
-        .unionByName(b5).unionByName(b6).unionByName(b7)
+        .unionByName(b5).unionByName(b6).unionByName(b7).unionByName(b8)
     )
 
 
@@ -2783,7 +2808,9 @@ def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     full = q104m_media_dedup(spark, sf_dir)
     return {
         k: full.where(F.col("kind") == k)
-        for k in ("idhash", "ipair", "afp", "apair", "vhash", "vpair", "hidx")
+        for k in (
+            "idhash", "ipair", "afp", "apair", "vhash", "vpair", "hidx", "spair"
+        )
     }
 
 
@@ -4745,7 +4772,21 @@ def _media_dedup_oracle() -> str:
         vpair AS (
           SELECT id_a, id_b, COUNT(*) AS n_slots, SUM(ham) AS th
           FROM vsl WHERE ham <= 2
-          GROUP BY id_a, id_b)
+          GROUP BY id_a, id_b),
+        sblk AS (
+          SELECT id, j,
+                 CASE j WHEN 0 THEN dhash & 8191
+                        WHEN 1 THEN (dhash >> 13) & 4095
+                        WHEN 2 THEN (dhash >> 25) & 4095
+                        ELSE (dhash >> 37) & 4095 END AS bval
+          FROM ihash CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS j) js),
+        spair AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.j AS block, a.bval, p.ham
+          FROM sblk a
+          JOIN sblk b ON a.j = b.j AND a.bval = b.bval AND a.id < b.id
+          JOIN ipair p ON p.id_a = a.id AND p.id_b = b.id
+          WHERE p.ham <= 3)
         SELECT 'idhash' AS kind, CAST(id AS VARCHAR) AS k1,
                CAST(dhash AS VARCHAR) AS k2, CAST(ahash AS BIGINT) AS n
         FROM ihash
@@ -4781,6 +4822,11 @@ def _media_dedup_oracle() -> str:
             ON a.p = b.p AND a.id % 2 = 1 AND b.id % 2 = 0
           GROUP BY a.id, b.id)
         WHERE ham <= 3
+        UNION ALL
+        SELECT 'spair', concat(CAST(id_a AS VARCHAR), ':', CAST(id_b AS VARCHAR)),
+               concat(CAST(block AS VARCHAR), ':', CAST(bval AS VARCHAR)),
+               CAST(ham AS BIGINT)
+        FROM spair
     """
 
 

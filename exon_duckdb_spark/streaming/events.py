@@ -529,3 +529,106 @@ def run_to_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+HAMMING_PAIRS_SCHEMA = (
+    "block int, bval long, id_a long, id_b long, hamming int"
+)
+_HAMMING_STATE_SCHEMA = "ids array<long>, fps array<long>"
+
+
+def stream_hamming_pairs(
+    fps: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "id",
+    bits: int = 49,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Streaming near-duplicate detection over media FINGERPRINTS:
+    incremental Hamming matching with block-bucket state — every arriving
+    asset (image dHash, audio energy fingerprint, video frame hash) is
+    checked against the corpus seen so far, the media analog of
+    :func:`stream_minhash_pairs` for an ingestion pipeline that can't
+    wait for the nightly batch job.
+
+    Map side splits the fingerprint into the ``max_hamming + 1`` Charikar
+    pigeonhole blocks (the SAME decomposition as the batch
+    ``hamming_pairs`` / persisted ``hamming_index_*`` family, so recall
+    over retained members is LOSSLESS for distance ≤ max_hamming — at
+    least one block of any qualifying pair collides). The stateful stage
+    (``applyInPandasWithState`` keyed on (block, bval)) keeps each
+    bucket's (id, fingerprint) members; an arrival emits (block, bval,
+    id_a, id_b, hamming) against every stored member within
+    ``max_hamming`` bits, then joins the bucket.
+
+    Contracts shared verbatim with ``stream_minhash_pairs`` (see its
+    docstring for the proofs and caveats): docs process in id order
+    within a micro-batch, so a finite drain emits exactly the batch
+    per-block self-join's pairs (the SQL-replayable oracle — one row per
+    COLLIDING BLOCK, dedupe downstream for the once-per-pair view);
+    bucket caps retain the LOWEST-ID ``max_bucket`` members
+    (arrival-order-invariant membership); re-arrivals of retained ids are
+    dropped, evicted-id replays are the documented bounded-extra; NULL
+    fingerprints never enter (undecodable assets can't pair).
+    """
+    from exon_duckdb_spark.operators.dedup import _hamming_blocks_expr
+
+    nblocks = int(max_hamming) + 1
+    _w, _o, blocks = _hamming_blocks_expr(hash_col, bits, max_hamming)
+    keyed = (
+        fps.where(F.col(hash_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(hash_col).alias("_fp"),
+            F.posexplode(blocks).alias("block", "bval"),
+        )
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), list(sigs)
+        else:
+            ids, sigs = [], []
+        seen = set(ids)
+        out = []
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else None
+        rows_iter = () if batch is None or batch.empty else (
+            r for _, r in batch.sort_values("_id").iterrows()
+        )
+        for r in rows_iter:
+            did = int(r["_id"])
+            if did in seen:
+                continue
+            fp = int(r["_fp"])
+            for mid, mfp in zip(ids, sigs):
+                d = bin(fp ^ mfp).count("1")
+                if d <= max_hamming:
+                    a, b = (mid, did) if mid < did else (did, mid)
+                    out.append((key[0], key[1], a, b, d))
+            if len(ids) < max_bucket:
+                ids.append(did)
+                sigs.append(fp)
+                seen.add(did)
+            else:
+                mx = max(range(len(ids)), key=lambda i: ids[i])
+                if did < ids[mx]:
+                    seen.discard(ids[mx])
+                    ids[mx] = did
+                    sigs[mx] = fp
+                    seen.add(did)
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["block", "bval", "id_a", "id_b", "hamming"]
+            )
+
+    return keyed.groupBy("block", "bval").applyInPandasWithState(
+        fn,
+        outputStructType=HAMMING_PAIRS_SCHEMA,
+        stateStructType=_HAMMING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

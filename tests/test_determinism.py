@@ -220,3 +220,69 @@ def test_stream_minhash_cap_keeps_lowest_ids_across_drain_orders(
     # the order-invariant guarantee: all pairs among the retained
     # (lowest-id) members appear under BOTH orders
     assert {(1, 2)} <= asc and {(1, 2)} <= desc
+
+
+def test_stream_hamming_pairs_drain_matches_batch(spark, tmp_path):
+    """stream_hamming_pairs' finite drain ≡ the batch per-block self-join:
+    fingerprint part-files drained one per micro-batch emit the same
+    (block, bval, id_a, id_b, hamming) SET as a single-batch drain AND
+    as a brute-force per-block reference (blocking is pigeonhole-lossless
+    for d ≤ max_hamming, so no qualifying pair may be missing)."""
+    from exon_duckdb_spark.streaming.events import (
+        run_to_memory_sink,
+        stream_hamming_pairs,
+    )
+
+    bits, max_h = 49, 3
+    hashes = {}
+    for i in range(50):
+        h = 0
+        for b in range(bits):
+            if (i * 2654435761 + b * 40503) % 89 < 30:
+                h |= 1 << b
+        hashes[i] = h
+    for i in range(0, 50, 10):
+        hashes[i + 100] = hashes[i] ^ (1 << (i % bits))
+
+    rows = [{"id": k, "dhash": v} for k, v in sorted(hashes.items())]
+    schema = pa.schema([("id", pa.int64()), ("dhash", pa.int64())])
+    out_dir = str(tmp_path / "fp_split")
+    _write_interleaved(rows, schema, out_dir, "fps", 3)
+
+    def drain(max_files):
+        stream = (
+            spark.readStream.schema("id long, dhash long")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(out_dir)
+        )
+        name = f"det_shp_{uuid.uuid4().hex[:8]}"
+        out = run_to_memory_sink(
+            stream_hamming_pairs(stream, bits=bits, max_hamming=max_h), name
+        )
+        return {
+            (r["block"], r["bval"], r["id_a"], r["id_b"], r["hamming"])
+            for r in out.collect()
+        }
+
+    multi = drain(1)
+    single = drain(10)
+    assert multi == single
+
+    # brute-force per-block reference (the same decomposition the
+    # operator family shares)
+    widths = [13, 12, 12, 12]
+    offs = [0, 13, 25, 37]
+    want = set()
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d > max_h:
+                continue
+            for j in range(4):
+                va = (hashes[a] >> offs[j]) & ((1 << widths[j]) - 1)
+                vb = (hashes[b] >> offs[j]) & ((1 << widths[j]) - 1)
+                if va == vb:
+                    want.add((j, va, a, b, d))
+    assert multi == want and len(want) >= 5
