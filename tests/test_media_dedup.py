@@ -407,3 +407,35 @@ class TestHammingIndex:
             for r in ops.hamming_pairs(full, "dhash", bits=49, max_hamming=2).collect()
         }
         assert sym == pairs
+
+
+def test_video_dhash_gif_animation_path(spark):
+    """video_dhash's GIF route: an animated GIF's composited frames hash
+    with the same core as a BMP of the same composited pixels (decode →
+    composite → hash, cross-checked through an independent encode path)."""
+    import numpy as np
+
+    from exon_duckdb_spark.operators import imagecodec as ic2
+
+    frames = []
+    for f in range(4):
+        x, y = np.arange(12), np.arange(8)
+        arr = ((x[None, :, None] * 3 + y[:, None, None] * 5 + f * 40) % 256).astype(
+            np.uint8
+        ).repeat(3, axis=2)
+        frames.append(arr)
+    blob = ic2.encode_gif_frames(frames, delay_cs=10)
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, content binary")
+    vh = {
+        r["frame_index"]: (r["dhash"], r["ahash"], r["is_real"])
+        for r in ops.video_dhash(df, n_frames=4).collect()
+    }
+    assert len(vh) == 4 and all(v[2] for v in vh.values())
+    # independent route: same composited frame pixels through BMP + image_dhash
+    bdf = spark.createDataFrame(
+        [(i, bytearray(ic.encode_bmp(frames[i]))) for i in range(4)],
+        "id long, content binary",
+    )
+    ih = {r["id"]: (r["dhash"], r["ahash"]) for r in ops.image_dhash(bdf).collect()}
+    for i in range(4):
+        assert vh[i][:2] == ih[i], i
