@@ -2867,6 +2867,98 @@ def q105_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     return {k: full.where(F.col("kind") == k) for k in ("merge", "vocab", "tokens")}
 
 
+_Q106_FEATS = ["x0", "x1", "x2", "x3", "x4"]
+
+
+def _q106_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q106's feature frame: quality_filter's driver-green 6dp metrics
+    re-scaled to [0, 1] + the gate's keep flag as the label, restricted to
+    doc_id < 500 (training on a deterministic subset is the documented
+    production shape — DEPLOY's hash_sample note; here it also bounds the
+    oracle's K-unrolled re-scans)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return ops.quality_filter(docs).select(
+        "doc_id",
+        (F.least(F.col("n_tokens"), F.lit(200)) / 200.0).alias("x0"),
+        (F.col("avg_token_len") / 12.0).alias("x1"),
+        F.col("alpha_ratio").alias("x2"),
+        (F.least(F.col("stopword_hits"), F.lit(20)) / 20.0).alias("x3"),
+        F.col("dup_3gram_frac").alias("x4"),
+        F.col("keep").cast("int").alias("y"),
+    )
+
+
+def q106m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training, driver-gated end to end: the
+    FineWeb-Edu / fastText-gate pattern of distilling a hard keep/drop
+    rule into a smooth scorer, here run as full-batch logistic-regression
+    gradient descent INSIDE the engine (quality.py::
+    logistic_regression_train). Features are quality_filter's own
+    driver-green 6dp metrics rescaled to [0,1]; labels are its keep flag.
+
+    Three branches: 'w' = the full 6-iteration weight trajectory (the
+    model artifact, every intermediate pinned), 'score' = per-doc
+    stable-rounded probability + decision for docs 0-199, 'eval' = the
+    confusion-matrix counts of the learned scorer against the hard gate.
+
+    The oracle re-derives TRAINING as a K-unrolled CTE chain: each level
+    is one scan of the feature frame cross-joined with the previous
+    1-row weight state — margins fold features in declared order (both
+    engines left-associate, so the IEEE doubles are identical), errors
+    aggregate through the stable_avg quantized-integer form, and weight
+    updates re-round half-up, so all 36 trajectory values, every
+    probability and all four confusion counts must match bit-for-bit."""
+    feats = _q106_features(spark, sf_dir).persist()
+    traj = ops.logistic_regression_train(
+        feats, _Q106_FEATS, "y", iters=6, lr=2.0
+    )
+    wrows = []
+    for t, (w, b) in enumerate(traj, start=1):
+        for j, wj in enumerate(w):
+            wrows.append((t, f"w{j}", wj))
+        wrows.append((t, "bias", b))
+    b1 = spark.createDataFrame(wrows, "iter long, name string, v double").select(
+        F.lit("w").alias("kind"),
+        F.col("iter").cast("string").alias("k1"),
+        F.col("name").alias("k2"),
+        F.col("v").alias("val"),
+    )
+    w, b = traj[-1]
+    scored = ops.logistic_score(feats, _Q106_FEATS, w, b)
+    b2 = scored.where(F.col("doc_id") < 200).select(
+        F.lit("score").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("pred").cast("string").alias("k2"),
+        F.col("prob").alias("val"),
+    )
+    b3 = (
+        scored.groupBy()
+        .agg(
+            F.sum(((F.col("pred")) & (F.col("y") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("pred")) & (F.col("y") == 0)).cast("long")).alias("fp"),
+            F.sum(((~F.col("pred")) & (F.col("y") == 1)).cast("long")).alias("fn"),
+            F.sum(((~F.col("pred")) & (F.col("y") == 0)).cast("long")).alias("tn"),
+        )
+        .selectExpr(
+            "stack(4, 'tp', tp, 'fp', fp, 'fn', fn, 'tn', tn) as (k1, n)"
+        )
+        .select(
+            F.lit("eval").alias("kind"),
+            "k1",
+            F.lit("").alias("k2"),
+            F.col("n").cast("double").alias("val"),
+        )
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
+def q106_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
+    """q106's gate branches for branch-level bench timings (each branch's
+    wall includes the shared training chain upstream)."""
+    full = q106m_quality_classifier(spark, sf_dir)
+    return {k: full.where(F.col("kind") == k) for k in ("w", "score", "eval")}
+
+
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
     key (user_id) — the shape where CMS beats a per-key groupBy."""
@@ -3412,7 +3504,7 @@ def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q09 exact distinct-union set op + q96 sketch suite as tagged
     branches: the exact DISTINCT and its approximate replacements
     (KMV / HLL, operators/sketches.py) verify through ONE gate row —
-    the registry is kept deliberately small (53 entries, guarded by
+    the registry is kept deliberately small (54 entries, guarded by
     tests/test_oracle_contract.py::test_registry_fits_driver_window),
     so new operators usually ride existing composed queries."""
     frames = q09_branch_frames(spark, sf_dir)
@@ -4120,6 +4212,7 @@ def branch_frames() -> "dict[str, Callable]":
         "q103_bloom_crawl": _plain(q103_branch_frames),
         "q104_media_dedup": _plain(q104_branch_frames),
         "q105_bpe_pipeline": _plain(q105_branch_frames),
+        "q106_quality_classifier": _plain(q106_branch_frames),
     }
 
 
@@ -4199,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_bloom_crawl": q103m_bloom_crawl,
         "q104_media_dedup": q104m_media_dedup,
         "q105_bpe_pipeline": q105m_bpe_pipeline,
+        "q106_quality_classifier": q106m_quality_classifier,
     }
 
 
@@ -4600,6 +4694,85 @@ def _bpe_oracle(k: int = 8, marker: str = "</w>") -> str:
                concat(CAST(doc_id AS VARCHAR), ':', CAST(wpos AS VARCHAR)),
                token, CAST(tpos AS BIGINT)
         FROM tk
+    """
+
+
+def _logistic_oracle(q61_sql: str, k: int = 6, lr: float = 2.0) -> str:
+    """DuckDB replay of :func:`q106m_quality_classifier`: K-unrolled
+    gradient-descent chain — each level scans the feature frame once,
+    cross-joined with the previous 1-row weight state (single reference
+    per level, the q105 linearity lesson), margins left-fold in feature
+    order, errors aggregate via the stable_avg quantized-integer form,
+    and updates re-round half-up. Trajectory emission unnests the 6
+    values per level from ONE reference so prefix re-evaluation stays
+    quadratic-in-K over a 500-doc frame, not exponential."""
+    s = 1_000_000
+
+    def margin(w: str, f: str) -> str:
+        return (
+            f"{w}.wb + {w}.w0*{f}.x0 + {w}.w1*{f}.x1 + {w}.w2*{f}.x2"
+            f" + {w}.w3*{f}.x3 + {w}.w4*{f}.x4"
+        )
+
+    err = f"(1.0/(1.0 + exp(-({margin('w', 'f')}))) - f.y)"
+
+    def upd(cur: str, x: str | None, out: str) -> str:
+        g = (
+            f"SUM(CAST(floor(({err})"
+            + (f" * {x}" if x else "")
+            + f" * {s} + 0.5) AS BIGINT)) / (COUNT(*) * {s}.0)"
+        )
+        return f"floor((min({cur}) - {lr} * ({g})) * {s} + 0.5) / {s}.0 AS {out}"
+
+    steps = []
+    for t in range(1, k + 1):
+        ups = ",\n                 ".join(
+            [upd(f"w.w{j}", f"f.x{j}", f"w{j}") for j in range(5)]
+            + [upd("w.wb", None, "wb")]
+        )
+        steps.append(f"""
+        w{t} AS (
+          SELECT {ups}
+          FROM feats f CROSS JOIN w{t - 1} w)""")
+    traj_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT 'w' AS kind, '{t}' AS k1, name AS k2, v AS val FROM ("
+        f"SELECT unnest(['w0','w1','w2','w3','w4','bias']) AS name,"
+        f" unnest([w0, w1, w2, w3, w4, wb]) AS v FROM w{t})"
+        for t in range(1, k + 1)
+    )
+    return f"""
+        WITH feats AS (
+          SELECT doc_id,
+                 least(n_tokens, 200) / 200.0 AS x0,
+                 avg_token_len / 12.0 AS x1,
+                 alpha_ratio AS x2,
+                 least(stopword_hits, 20) / 20.0 AS x3,
+                 dup_3gram_frac AS x4,
+                 CASE WHEN keep THEN 1.0 ELSE 0.0 END AS y
+          FROM ({q61_sql}) WHERE doc_id < 500),
+        w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                      0.0 AS w4, 0.0 AS wb),
+        {",".join(steps)},
+        scored AS (
+          SELECT f.doc_id, f.y,
+                 floor((1.0/(1.0 + exp(-({margin('w', 'f')})))) * {s} + 0.5)
+                   / {s}.0 AS prob
+          FROM feats f CROSS JOIN w{k} w)
+        {traj_rows}
+        UNION ALL
+        SELECT 'score', CAST(doc_id AS VARCHAR),
+               CAST(prob >= 0.5 AS VARCHAR), prob
+        FROM scored WHERE doc_id < 200
+        UNION ALL
+        SELECT 'eval', m.k1, '', CAST(CASE m.k1
+                 WHEN 'tp' THEN SUM(CASE WHEN prob >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END)
+                 WHEN 'fp' THEN SUM(CASE WHEN prob >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END)
+                 WHEN 'fn' THEN SUM(CASE WHEN prob < 0.5 AND y = 1.0 THEN 1 ELSE 0 END)
+                 ELSE SUM(CASE WHEN prob < 0.5 AND y = 0.0 THEN 1 ELSE 0 END)
+               END AS DOUBLE)
+        FROM scored CROSS JOIN
+             (SELECT unnest(['tp','fp','fn','tn']) AS k1) m
+        GROUP BY m.k1
     """
 
 
@@ -7795,6 +7968,7 @@ def oracle_sql(_gate: bool = True) -> dict[str, str]:
         "q103_bloom_crawl": _bloom_crawl_oracle(),
         "q104_media_dedup": _media_dedup_oracle(),
         "q105_bpe_pipeline": _bpe_oracle(),
+        "q106_quality_classifier": _logistic_oracle(C["q61_quality_filter"]),
     }
     if _gate:
         for _g in _GATE_ROWSTR:

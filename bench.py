@@ -97,6 +97,7 @@ HEADLINE = [
     "q103_bloom_crawl",
     "q104_media_dedup",
     "q105_bpe_pipeline",
+    "q106_quality_classifier",
     # format sources (writer→reader roundtrips + indexed region queries)
     "q47_sam_roundtrip",
     "q49_vcf_roundtrip",

@@ -32,6 +32,8 @@ __all__ = [
     "interpolated_bigram_score",
     "kneser_ney_bigram_score",
     "dsir_importance",
+    "logistic_regression_train",
+    "logistic_score",
     "PII_PATTERNS",
 ]
 
@@ -859,3 +861,107 @@ def pii_scrub(
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select(F.col(id_col), *counts, red.alias("redacted_text"))
+
+
+def _round_py(v: float, digits: int) -> float:
+    """Driver-side twin of :func:`~exon_duckdb_spark.operators.numeric.
+    stable_round`: floor(v·10^d + 0.5)/10^d — half-up toward +∞, the same
+    fixed convention both engines share."""
+    import math
+
+    s = 10**digits
+    return math.floor(v * s + 0.5) / s
+
+
+def logistic_regression_train(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    iters: int = 6,
+    lr: float = 1.0,
+    digits: int = 6,
+) -> "list[tuple[list[float], float]]":
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the in-engine path for learning a document quality
+    classifier (the FineWeb-Edu / fastText-gate pattern: distill a
+    hand-tuned keep/drop rule, or human labels, into a smooth scorer that
+    ranks the whole corpus). Returns the per-iteration trajectory
+    ``[(weights, bias), ...]`` (driver-held, iters × (p+1) floats — the
+    same metadata-residency rationale as ``kmeans_refine``'s centroids);
+    the last entry is the model.
+
+    Exactness contract (what makes the trajectory a gate-able value
+    rather than "ML-ish floats"): the margin folds features in
+    feature_cols ORDER (both engines left-fold the written expression, so
+    the IEEE double is identical), sigmoid errors aggregate through
+    ``stable_avg`` (quantize → exact integer SUM → one division:
+    order/partitioning/engine-independent), and each weight update is
+    re-rounded with the stable half-up convention, so iteration t's
+    weights are a pure function of iteration t-1's — the whole trajectory
+    replays bit-for-bit in the SQL oracle as a K-unrolled chain. The only
+    cross-engine seam is ``exp()``'s final ulp, absorbed by the 10^-d
+    quantization except on exact floor boundaries (probability ~10^-10
+    per addend).
+
+    Scale: one corpus-scan aggregation job per iteration (p+1
+    ``stable_avg`` columns, map-side partial aggregation — no shuffle of
+    rows, only of partial sums); persist the feature frame before calling
+    so the scan doesn't recompute upstream UDF metrics per iteration.
+    Labels may be boolean or numeric 0/1."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not feature_cols:
+        raise ValueError("need at least one feature column")
+    from exon_duckdb_spark.operators.numeric import stable_avg
+
+    y = F.col(label_col).cast("double")
+    w = [0.0] * len(feature_cols)
+    b = 0.0
+    traj: list[tuple[list[float], float]] = []
+    for _ in range(iters):
+        margin = F.lit(b)
+        for wj, c in zip(w, feature_cols):
+            margin = margin + F.lit(wj) * F.col(c).cast("double")
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
+        aggs = [
+            stable_avg(err * F.col(c).cast("double"), digits).alias(f"g{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+        aggs.append(stable_avg(err, digits).alias("gb"))
+        row = df.agg(*aggs).collect()[0]
+        w = [
+            _round_py(wj - lr * float(row[f"g{j}"]), digits)
+            for j, wj in enumerate(w)
+        ]
+        b = _round_py(b - lr * float(row["gb"]), digits)
+        traj.append((list(w), b))
+    return traj
+
+
+def logistic_score(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    weights: "list[float]",
+    bias: float,
+    digits: int = 6,
+    prob_col: str = "prob",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Apply a trained :func:`logistic_regression_train` model: appends
+    ``prob`` (sigmoid of the margin, stable-rounded so both engines agree
+    bit-for-bit) and ``pred`` (prob ≥ 0.5 — decided on the ROUNDED value,
+    the replayable convention). Map-only codegen: the 100 TB corpus scan
+    this model exists for adds zero shuffles."""
+    from exon_duckdb_spark.operators.numeric import stable_round
+
+    if len(weights) != len(feature_cols):
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} features"
+        )
+    margin = F.lit(float(bias))
+    for wj, c in zip(weights, feature_cols):
+        margin = margin + F.lit(float(wj)) * F.col(c).cast("double")
+    prob = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), digits)
+    return df.withColumn(prob_col, prob).withColumn(
+        pred_col, F.col(prob_col) >= 0.5
+    )

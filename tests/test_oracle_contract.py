@@ -1,6 +1,6 @@
 """Full-suite oracle contract check (ADVICE r3 #5).
 
-The driver's correctness gate records every registry entry (53 as of
+The driver's correctness gate records every registry entry (54 as of
 round 9), but only once per round. This test runs the IDENTICAL
 row/schema/value compare over the ENTIRE declared registry at sf0.001 on
 every pytest run, so a regression surfaces at commit time instead of at
@@ -24,15 +24,15 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_registry_fits_driver_window():
     """The driver's correctness gate records every registry entry (the
     window grows with the registry — round 1 recorded 45, rounds 4–8
-    recorded the consolidated 50, round 9 adds q103–q105 → 53). Guard
+    recorded the consolidated 50, round 9 adds q103–q106 → 54). Guard
     the invariants so an addition can't silently land half-wired:
-    - exactly 53 registry entries (bump this deliberately per addition);
+    - exactly 54 registry entries (bump this deliberately per addition);
     - every entry has an oracle_sql twin (no rows-only downgrades)."""
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert len(q) == 53, f"registry has {len(q)} entries; expected 53"
+    assert len(q) == 54, f"registry has {len(q)} entries; expected 54"
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without an oracle twin: {missing}"
 

@@ -60,7 +60,7 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-DRIVER_WINDOW = 53
+DRIVER_WINDOW = 54
 
 
 def run_checks(
@@ -107,7 +107,7 @@ def run_checks(
         finally:
             # the minhash operators persist their signature frames for
             # the duration of the lazy plan (documented lifecycle);
-            # looping 53 queries in one session would otherwise
+            # looping 54 queries in one session would otherwise
             # accumulate MEMORY_AND_DISK entries (ADVICE r7)
             spark.catalog.clearCache()
         spark_t = time.time() - t0
