@@ -4717,10 +4717,13 @@ def _logistic_oracle(q61_sql: str, k: int = 6, lr: float = 2.0) -> str:
     err = f"(1.0/(1.0 + exp(-({margin('w', 'f')}))) - f.y)"
 
     def upd(cur: str, x: str | None, out: str) -> str:
+        # divide by COUNT of the ADDEND, not COUNT(*): stable_avg skips
+        # NULL addends like AVG — identical on this corpus (no NULL
+        # features), but the twin must share the convention exactly
+        addend = f"({err})" + (f" * {x}" if x else "")
         g = (
-            f"SUM(CAST(floor(({err})"
-            + (f" * {x}" if x else "")
-            + f" * {s} + 0.5) AS BIGINT)) / (COUNT(*) * {s}.0)"
+            f"SUM(CAST(floor({addend} * {s} + 0.5) AS BIGINT))"
+            f" / (COUNT({addend}) * {s}.0)"
         )
         return f"floor((min({cur}) - {lr} * ({g})) * {s} + 0.5) / {s}.0 AS {out}"
 
