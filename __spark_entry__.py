@@ -2949,14 +2949,22 @@ def q106m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double").alias("val"),
         )
     )
-    return b1.unionByName(b2).unionByName(b3)
+    b4 = ops.auc_score(scored, "prob", "y").select(
+        F.lit("auc").alias("kind"),
+        F.lit("auc").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("auc").alias("val"),
+    )
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
 
 
 def q106_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     """q106's gate branches for branch-level bench timings (each branch's
     wall includes the shared training chain upstream)."""
     full = q106m_quality_classifier(spark, sf_dir)
-    return {k: full.where(F.col("kind") == k) for k in ("w", "score", "eval")}
+    return {
+        k: full.where(F.col("kind") == k) for k in ("w", "score", "eval", "auc")
+    }
 
 
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4776,6 +4784,19 @@ def _logistic_oracle(q61_sql: str, k: int = 6, lr: float = 2.0) -> str:
         FROM scored CROSS JOIN
              (SELECT unnest(['tp','fp','fn','tn']) AS k1) m
         GROUP BY m.k1
+        UNION ALL
+        SELECT 'auc', 'auc', '', CAST(num2 AS DOUBLE) / (2.0 * P * N)
+        FROM (
+          SELECT SUM(np * (2 * cb + nn)) AS num2, SUM(np) AS P, SUM(nn) AS N
+          FROM (
+            SELECT v, np, nn,
+                   coalesce(SUM(nn) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM (
+              SELECT prob AS v,
+                     SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+                     SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS nn
+              FROM scored GROUP BY prob)))
     """
 
 

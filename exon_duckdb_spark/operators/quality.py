@@ -34,6 +34,7 @@ __all__ = [
     "dsir_importance",
     "logistic_regression_train",
     "logistic_score",
+    "auc_score",
     "PII_PATTERNS",
 ]
 
@@ -964,4 +965,57 @@ def logistic_score(
     prob = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), digits)
     return df.withColumn(prob_col, prob).withColumn(
         pred_col, F.col(prob_col) >= 0.5
+    )
+
+
+def auc_score(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "y",
+) -> DataFrame:
+    """Exact ROC-AUC of a scorer against binary labels as a 1-row frame
+    (auc double, n_pos long, n_neg long) — the evaluation a classifier
+    pipeline (:func:`logistic_regression_train`) runs corpus-wide.
+
+    Computed by the rank-sum identity over the DISTINCT-score histogram,
+    not a corpus sort: AUC = Σ_v n_pos(v)·(2·cum_neg(<v) + n_neg(v)) /
+    (2·P·N), where ties contribute the conventional ½. Everything up to
+    the single final division is INTEGER arithmetic on counts, so the
+    value is exact and bit-identical across engines/partitionings — no
+    float summation order anywhere. Scale: one groupBy on the score value
+    (histogram-sized — scores are stable-rounded to 10^-d, so ≤ 10^d·range
+    distinct values regardless of corpus size, the
+    ``histogram_quantiles`` bound) and one window over that histogram;
+    the corpus itself never sorts and never shuffles beyond the count
+    aggregation. Degenerate inputs (no positives or no negatives) yield
+    NULL auc rather than a misleading number."""
+    from pyspark.sql import Window
+
+    h = (
+        df.groupBy(F.col(prob_col).alias("_v"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("np"),
+            F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = F.col("np") * (
+        2 * F.coalesce(F.sum("nn").over(w), F.lit(0)) + F.col("nn")
+    )
+    return (
+        h.select(contrib.alias("c"), "np", "nn")
+        .agg(
+            F.sum("c").alias("num2"),
+            F.sum("np").alias("n_pos"),
+            F.sum("nn").alias("n_neg"),
+        )
+        .select(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("num2")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            ).alias("auc"),
+            "n_pos",
+            "n_neg",
+        )
     )

@@ -114,3 +114,39 @@ class TestLogisticRegression:
         agree = scored.where(scored["pred"].cast("int") == scored["y"]).count()
         assert agree / n >= 0.8, (agree, n)
         spark.catalog.clearCache()
+
+
+class TestAucScore:
+    def test_matches_sklearn_free_reference(self, spark):
+        # independent O(P*N) pairwise reference with half-credit ties
+        rows = []
+        for i in range(120):
+            p = ((i * 37) % 97) / 100.0
+            y = 1 if ((i * 53) % 100) < (30 + 50 * p) else 0
+            rows.append((p, y))
+        df = spark.createDataFrame(rows, "prob double, y int")
+        got = ops.auc_score(df).collect()[0]
+        pos = [p for p, y in rows if y == 1]
+        neg = [p for p, y in rows if y == 0]
+        num = sum(
+            1.0 if pp > pn else (0.5 if pp == pn else 0.0)
+            for pp in pos
+            for pn in neg
+        )
+        want = num / (len(pos) * len(neg))
+        assert abs(got["auc"] - want) < 1e-12
+        assert (got["n_pos"], got["n_neg"]) == (len(pos), len(neg))
+
+    def test_perfect_and_random(self, spark):
+        perfect = spark.createDataFrame(
+            [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "prob double, y int"
+        )
+        assert ops.auc_score(perfect).collect()[0]["auc"] == 1.0
+        constant = spark.createDataFrame(
+            [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "prob double, y int"
+        )
+        assert ops.auc_score(constant).collect()[0]["auc"] == 0.5
+
+    def test_degenerate_is_null(self, spark):
+        onlypos = spark.createDataFrame([(0.9, 1), (0.3, 1)], "prob double, y int")
+        assert ops.auc_score(onlypos).collect()[0]["auc"] is None
