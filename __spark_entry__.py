@@ -253,6 +253,81 @@ def _gate_trace(name: str, sf_dir: str, out: DataFrame, kind_col: str = "kind") 
 
 
 # ---------------------------------------------------------------------------
+# Representation-free gate output (VERDICT r9 #1)
+#
+# q20/q22 were driver-red for five rounds with rows+schema green while the
+# round-9 digest gates PROVED the values equal on both engines (err:null ==
+# the driver's DuckDB silently passed every pinned per-branch digest) and
+# the driver's own GATE_TRACE rewrite changed only timestamps (Spark-side
+# sha256s byte-identical). The residual divergence therefore lives in how
+# the driver's comparator *represents* rows before hashing (float
+# formatting, NULL encoding, type tags, column order — all invisible from
+# here). These helpers remove representation from the contract entirely:
+# each emitted row collapses to ONE non-null VARCHAR column whose value is
+# `kind ':' md5(rowstr)` — hex digits and the branch tag, nothing else —
+# with the identical byte-for-byte formula on both engines (md5 is already
+# proven bit-identical cross-engine throughout operators/hashing.py).
+# NULLs fold through an explicit chr(1) sentinel; DOUBLE measures are
+# quantized to fixed-point BIGINT via floor(val*scale + 0.5) BEFORE the
+# fold — floor on an identical IEEE double is rule-independent, unlike
+# round(), whose half-way tie handling is an engine policy. Outcome is
+# diagnostic either way: green isolates the five-round red to value
+# representation; red on a pure-ASCII single column leaves only the
+# comparator's multiset hashing itself (VERDICT r9 decision table).
+# ---------------------------------------------------------------------------
+
+# per-query numeric column + fixed-point scale (None = integer column,
+# emitted via plain CAST). Scales: q22's doubles are jaccard ratios in
+# [0,1] plus doc-id/char counts < 1e6 -> micro-units; q106's are weight
+# trajectories / probabilities |v| < 100 -> nano-units (1e11 < 2^53, every
+# quantized product exact).
+_SIG_COLLAPSE = {
+    "q20_dedup_suite": ("n", None),
+    "q22_minhash_pipeline": ("val", 1_000_000),
+    "q106_quality_classifier": ("val", 1_000_000_000),
+}
+
+_SIG_SENTINEL = "\x01"
+
+
+def _sig_collapse(out: DataFrame, num_col: str, scale: "int | None") -> DataFrame:
+    """Collapse (kind, k1, k2, <num>) gate rows to the single `sig` column
+    (Spark side; byte-twin of :func:`_sig_collapse_sql`)."""
+    if scale is None:
+        num = F.col(num_col).cast("string")
+    else:
+        num = F.floor(F.col(num_col) * float(scale) + F.lit(0.5)).cast("string")
+    sent = F.lit(_SIG_SENTINEL)
+    rowstr = F.concat(
+        F.col("kind"), F.lit("|"),
+        F.coalesce(F.col("k1"), sent), F.lit("|"),
+        F.coalesce(F.col("k2"), sent), F.lit("|"),
+        F.coalesce(num, sent),
+    )
+    return out.select(
+        F.concat(F.col("kind"), F.lit(":"), F.md5(rowstr)).alias("sig")
+    )
+
+
+def _sig_collapse_sql(inner_sql: str, num_col: str, scale: "int | None") -> str:
+    """DuckDB twin of :func:`_sig_collapse`. Applied OUTSIDE the digest
+    gate, so the gate still sees the 4-column branch rows and the pinned
+    GATE_EXPECTED constants stay valid."""
+    if scale is None:
+        num = f"CAST({num_col} AS VARCHAR)"
+    else:
+        num = (
+            f"CAST(CAST(floor({num_col} * {scale} + 0.5) AS BIGINT) AS VARCHAR)"
+        )
+    return f"""
+        SELECT concat(kind, ':', md5(concat(
+                 kind, '|', coalesce(k1, chr(1)), '|',
+                 coalesce(k2, chr(1)), '|', coalesce({num}, chr(1))))) AS sig
+        FROM ({inner_sql})
+    """
+
+
+# ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.5 — host-engine parity)
 # ---------------------------------------------------------------------------
 
@@ -2955,15 +3030,23 @@ def q106m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("k2"),
         F.col("auc").alias("val"),
     )
-    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
+    out = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+    # round 10: q106 enters the driver's 50-row window (VERDICT r9 #2);
+    # like q20/q22 it emits the representation-free single `sig` column
+    # with the DOUBLE trajectory/probability values quantized to
+    # nano-unit BIGINT before the fold (VERDICT r9 #1's lesson — only
+    # exact integer/string bytes reach the driver's comparator)
+    return _sig_collapse(out, *_SIG_COLLAPSE["q106_quality_classifier"])
 
 
 def q106_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
     """q106's gate branches for branch-level bench timings (each branch's
-    wall includes the shared training chain upstream)."""
+    wall includes the shared training chain upstream). Branch tags live
+    in the sig prefix after the round-10 collapse."""
     full = q106m_quality_classifier(spark, sf_dir)
     return {
-        k: full.where(F.col("kind") == k) for k in ("w", "score", "eval", "auc")
+        k: full.where(F.split(F.col("sig"), ":").getItem(0) == k)
+        for k in ("w", "score", "eval", "auc")
     }
 
 
@@ -3290,7 +3373,12 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     r7 gate forensics (GATE_TRACE diff + construct-vocabulary audit)
     identified as version-dependent in the driver's DuckDB (VERDICT r7
     #1a). Same verification power (content + position + count), zero
-    ordered-aggregate dependence on either engine."""
+    ordered-aggregate dependence on either engine.
+
+    Round 10: the emitted rows collapse to the single `sig` column
+    (:func:`_sig_collapse` — VERDICT r9 #1). The GATE_TRACE sidecar still
+    records the full 4-column branch rows (the collapse is a pure
+    function of the same materialized frame)."""
     from exon_duckdb_spark.operators.dedup import _materialize
 
     frames = q20_branch_frames(spark, sf_dir)
@@ -3300,7 +3388,7 @@ def q20m_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(frames[key])
     out = _materialize(out)
     _gate_trace("q20_dedup_suite", sf_dir, out)
-    return out
+    return _sig_collapse(out, *_SIG_COLLAPSE["q20_dedup_suite"])
 
 
 def q20_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
@@ -3512,9 +3600,10 @@ def q09m_distinct_and_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q09 exact distinct-union set op + q96 sketch suite as tagged
     branches: the exact DISTINCT and its approximate replacements
     (KMV / HLL, operators/sketches.py) verify through ONE gate row —
-    the registry is kept deliberately small (54 entries, guarded by
-    tests/test_oracle_contract.py::test_registry_fits_driver_window),
-    so new operators usually ride existing composed queries."""
+    the registry is kept deliberately small (54 entries, first 50 inside
+    the driver's capped window; guarded by tests/test_oracle_contract.py
+    ::test_registry_shape_and_window), so new operators usually ride
+    existing composed queries."""
     frames = q09_branch_frames(spark, sf_dir)
     keys = list(frames)
     out = frames[keys[0]]
@@ -3565,7 +3654,11 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build the band index over 90% of the corpus, probe the held-out 10%
     batch against it — the daily-crawl dedup shape, broadcast-probe join,
     index never shuffles). Pairs compute once and feed every downstream
-    stage. Writes the GATE_TRACE forensic sidecar (:func:`_gate_trace`)."""
+    stage. Writes the GATE_TRACE forensic sidecar (:func:`_gate_trace`).
+
+    Round 10: emits the single `sig` column (:func:`_sig_collapse` —
+    VERDICT r9 #1) with the nullable DOUBLE `val` quantized to micro-unit
+    BIGINT before the fold (the prime representation suspect)."""
     import shutil
     import tempfile
 
@@ -3582,7 +3675,7 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         out = _materialize(out)
         _gate_trace("q22_minhash_pipeline", sf_dir, out)
-        return out
+        return _sig_collapse(out, *_SIG_COLLAPSE["q22_minhash_pipeline"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4225,9 +4318,19 @@ def branch_frames() -> "dict[str, Callable]":
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract registry — round-4 consolidated form (+ the round-6
-    sketch suite, entry 51: the driver records every registry entry, so
-    the window grows with the registry — round 1 recorded 45).
+    """Contract registry — round-4 consolidated form.
+
+    ORDER IS LOAD-BEARING: the driver's correctness gate records exactly
+    the FIRST 50 entries (CORRECTNESS_r06–r09 each hold 50 rows while the
+    registry grew 50→54 — the "window grows with the registry" assumption
+    was falsified by round 9's evidence; VERDICT r9 structural finding).
+    Round 10 therefore rotates the four round-9 flagship operators
+    (q103 crawl-bloom, q104 media dedup, q105 BPE, q106 classifier) INTO
+    the window, displacing the four simplest long-green roundtrips
+    (q48 bed / q50 hmm / q51 genbank / q52 mzml — driver-green rounds
+    4–9, still locally oracle-verified every pytest run via
+    tests/test_oracle_contract.py) to slots 51–54; they rotate back once
+    the new gates have a driver-green round on record.
 
     Covers every distinct operator the round-3 registry declared across
     81 queries (round-3 verdict #1). Redundant relational variants and
@@ -4279,28 +4382,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_frame_sample": q45_frame_sample,
         "q75_image_pipeline": q75m_image_pipeline,
         "q77_audio_decode": q77_audio_decode,
+        # -- round-9 flagship operators, rotated INTO the 50-row driver
+        # window this round (VERDICT r9 #2) --
+        "q103_bloom_crawl": q103m_bloom_crawl,
+        "q104_media_dedup": q104m_media_dedup,
+        "q105_bpe_pipeline": q105m_bpe_pipeline,
+        "q106_quality_classifier": q106m_quality_classifier,
         # -- format sources (writer→reader roundtrips + indexed queries) --
         "q30_fasta_roundtrip": q30_fasta_roundtrip,
         "q34_fastq_roundtrip": q34_fastq_roundtrip,
         "q43_gff_roundtrip": q43_gff_roundtrip,
         "q46_gtf_roundtrip": q46_gtf_roundtrip,
         "q47_sam_roundtrip": q47_sam_roundtrip,
-        "q48_bed_roundtrip": q48_bed_roundtrip,
         "q49_vcf_roundtrip": q49_vcf_roundtrip,
-        "q50_hmm_roundtrip": q50_hmm_roundtrip,
-        "q51_genbank_roundtrip": q51_genbank_roundtrip,
-        "q52_mzml_roundtrip": q52_mzml_roundtrip,
         "q53_bam_roundtrip": q53_bam_roundtrip,
         "q54_bcf_roundtrip": q54_bcf_roundtrip,
         "q55_vcf_region_query": q55_vcf_region_query,
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
-        # -- round-9 addition (appended so the prior 50 keep their
-        # window positions): incremental crawl dedup, end-to-end --
-        "q103_bloom_crawl": q103m_bloom_crawl,
-        "q104_media_dedup": q104m_media_dedup,
-        "q105_bpe_pipeline": q105m_bpe_pipeline,
-        "q106_quality_classifier": q106m_quality_classifier,
+        # -- slots 51-54: OUTSIDE the driver window this round (rotated
+        # out for q103–q106; driver-green rounds 4–9, still fully
+        # oracle-verified locally on every pytest run) --
+        "q48_bed_roundtrip": q48_bed_roundtrip,
+        "q50_hmm_roundtrip": q50_hmm_roundtrip,
+        "q51_genbank_roundtrip": q51_genbank_roundtrip,
+        "q52_mzml_roundtrip": q52_mzml_roundtrip,
     }
 
 
@@ -7150,18 +7256,19 @@ def _digest_gate(name: str, inner_sql: str) -> str:
     """
 
 
-def oracle_sql(_gate: bool = True) -> dict[str, str]:
-    """Composed oracles for the 51 contract queries (50 round-4
-    consolidated + round-9's q103_bloom_crawl).
+def oracle_sql(_gate: bool = True, _collapse: bool = True) -> dict[str, str]:
+    """Composed oracles for the 54 contract queries.
 
     Each merged entry wraps the fine-grained component SQL from
     :func:`_component_sql` in the SAME tagged-union / cross-join / 1:1-join
     shape as its Spark twin, so column names and normalized values match
     hash-for-hash.
 
-    ``_gate=False`` (tools/gen_gate_digests.py only) returns the raw
-    q20/q22 texts without the digest gate, for computing the expected
-    constants the gate embeds.
+    ``_gate=False`` returns the q20/q22 texts without the digest gate;
+    ``_collapse=False`` additionally skips the round-10 single-column sig
+    collapse (tools/gen_gate_digests.py and the digest-freshness test use
+    ``_gate=False, _collapse=False`` to reach the raw 4-column branch
+    rows the pinned constants digest).
     """
     C = _component_sql()
 
@@ -7997,4 +8104,11 @@ def oracle_sql(_gate: bool = True) -> dict[str, str]:
     if _gate:
         for _g in _GATE_ROWSTR:
             _O[_g] = _digest_gate(_g, _O[_g])
+    # round-10 representation-free collapse (VERDICT r9 #1): applied
+    # OUTSIDE the digest gates so the pinned per-branch GATE_EXPECTED
+    # constants keep verifying the full 4-column values; the driver's
+    # comparator then hashes nothing but `kind ':' md5-hex`.
+    if _collapse:
+        for _g, (_num, _scale) in _SIG_COLLAPSE.items():
+            _O[_g] = _sig_collapse_sql(_O[_g], _num, _scale)
     return _O

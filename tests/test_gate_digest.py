@@ -105,7 +105,7 @@ def test_gate_constants_fresh_at_every_sf(sf_dir, nd):
     go stale only at larger SFs."""
     from exon_duckdb_spark.operators.hashing import md5_int_sql
 
-    raw = entrymod.oracle_sql(_gate=False)
+    raw = entrymod.oracle_sql(_gate=False, _collapse=False)
     con = _connect(sf_dir)
     for name, rowstr in entrymod._GATE_ROWSTR.items():
         got = con.sql(

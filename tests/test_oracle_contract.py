@@ -1,10 +1,12 @@
 """Full-suite oracle contract check (ADVICE r3 #5).
 
-The driver's correctness gate records every registry entry (54 as of
-round 9), but only once per round. This test runs the IDENTICAL
-row/schema/value compare over the ENTIRE declared registry at sf0.001 on
-every pytest run, so a regression surfaces at commit time instead of at
-the next driver gate.
+The driver's correctness gate records exactly the FIRST 50 registry
+entries (the window is CAPPED — it does not grow with the registry;
+VERDICT r9's structural finding), and only once per round. This test
+runs the IDENTICAL row/schema/value compare over the ENTIRE declared
+registry — windowed AND local-only entries — at sf0.001 on every pytest
+run, so a regression surfaces at commit time instead of at the next
+driver gate.
 
 sf0.001 keeps the wall cost to Spark per-query overhead; the driver and
 judge re-run the same compare at sf0.01.
@@ -21,18 +23,36 @@ from tools.check_oracle import run_checks
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_registry_fits_driver_window():
-    """The driver's correctness gate records every registry entry (the
-    window grows with the registry — round 1 recorded 45, rounds 4–8
-    recorded the consolidated 50, round 9 adds q103–q106 → 54). Guard
-    the invariants so an addition can't silently land half-wired:
+def test_registry_shape_and_window():
+    """The driver's correctness gate records exactly the FIRST 50
+    registry entries — the window is CAPPED at 50 and does NOT grow with
+    the registry (CORRECTNESS_r06–r09 each hold 50 rows while the
+    registry grew 50→54; the pre-round-10 docstring here claimed the
+    opposite and was falsified by that evidence — VERDICT r9). Guard the
+    invariants so an addition can't silently land half-wired:
     - exactly 54 registry entries (bump this deliberately per addition);
+    - DRIVER_WINDOW states the true cap (50);
+    - round 10's window rotation holds: q103–q106 sit INSIDE the first
+      50 slots, the four displaced roundtrips outside;
     - every entry has an oracle_sql twin (no rows-only downgrades)."""
     import __spark_entry__ as entrymod
+
+    from tools.check_oracle import DRIVER_WINDOW
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert len(q) == 54, f"registry has {len(q)} entries; expected 54"
+    assert DRIVER_WINDOW == 50
+    names = list(q)
+    windowed = set(names[:DRIVER_WINDOW])
+    for new in ("q103_bloom_crawl", "q104_media_dedup",
+                "q105_bpe_pipeline", "q106_quality_classifier"):
+        assert new in windowed, f"{new} fell outside the driver window"
+    for rotated in ("q48_bed_roundtrip", "q50_hmm_roundtrip",
+                    "q51_genbank_roundtrip", "q52_mzml_roundtrip"):
+        assert rotated not in windowed, (
+            f"{rotated} should be outside the window this round"
+        )
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without an oracle twin: {missing}"
 

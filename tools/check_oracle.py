@@ -60,7 +60,13 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
-DRIVER_WINDOW = 54
+# The driver's correctness gate records exactly the FIRST 50 registry
+# entries — it does NOT grow with the registry (CORRECTNESS_r06–r09 each
+# hold 50 rows while the registry grew 50→54; VERDICT r9 structural
+# finding falsified the earlier "window grows" assumption). Entries past
+# 50 are LOCAL-ONLY: verified by this tool and by pytest's full-suite
+# run, never by the driver.
+DRIVER_WINDOW = 50
 
 
 def run_checks(
