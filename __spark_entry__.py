@@ -2583,13 +2583,94 @@ def q99_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="lshb_")
+    tmp = tempfile.mkdtemp(
+        prefix="lshb_", dir=os.environ.get("SPARK_GRAFT_SCRATCH") or None
+    )
     try:
         ops.lsh_index_build(docs.where(F.col("doc_id") % 10 != 0), f"{tmp}/idx")
         out = ops.lsh_index_probe(docs.where(F.col("doc_id") % 10 == 0), f"{tmp}/idx")
         from exon_duckdb_spark.operators.dedup import _materialize
 
         return _materialize(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q99_stage_times(spark: SparkSession, sf_dir: str, passes: int = 2) -> "dict[str, float]":
+    """Stage-separated q99 walls (VERDICT r9 #3): the builder's round-9
+    close measured the composite at 2.06 s while the driver's BENCH_r09
+    recorded 6.75 s — same code, so one of the stages pays an
+    environment cost the composite number can't localize. bench.py emits
+    this dict under ``branches["q99_lsh_index_probe"]``:
+
+    - ``sig``    signature compute over the 90% corpus (shingle+minhash
+                 pandas UDF through the noop sink — no disk involved);
+    - ``write``  the band-partitioned parquet write of the SAME persisted
+                 signature frame (isolates temp-dir/disk cost; a fresh
+                 subdir per pass, so a driver bench that pays cold-dir
+                 creation shows it here);
+    - ``probe``  the broadcast probe join against the on-disk index
+                 (parquet scan + join, read side of the disk);
+    - ``files``  parquet data-file count of one write (layout cap check:
+                 repartitionByRange keeps it ~1 per band — a large value
+                 means the small-files regression returned).
+
+    Each stage is warmed once and timed ``passes`` times (minimum), the
+    same discipline as run_queries. ``SPARK_GRAFT_SCRATCH`` relocates the
+    scratch dir (default tempfile tmp) so a slow-/tmp hypothesis is
+    directly testable."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from exon_duckdb_spark.operators.dedup import lsh_index_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(
+        prefix="lshb_stage_", dir=os.environ.get("SPARK_GRAFT_SCRATCH") or None
+    )
+    out: "dict[str, float]" = {}
+
+    def _best(fn) -> float:
+        fn()  # warm
+        best = None
+        for _ in range(max(passes, 1)):
+            t0 = _time.time()
+            fn()
+            dt = _time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+
+    try:
+        rows = lsh_index_rows(corpus)
+        out["sig"] = _best(
+            lambda: rows.write.mode("overwrite").format("noop").save()
+        )
+        cached = rows.persist()
+        cached.write.mode("overwrite").format("noop").save()  # materialize
+        n_write = [0]
+
+        def _write():
+            n_write[0] += 1
+            path = f"{tmp}/idx_{n_write[0]}"
+            cached.repartitionByRange(4, F.col("band")).write.mode(
+                "overwrite"
+            ).partitionBy("band").parquet(path)
+
+        out["write"] = _best(_write)
+        last = f"{tmp}/idx_{n_write[0]}"
+        out["files"] = float(
+            len(glob.glob(f"{last}/**/*.parquet", recursive=True))
+        )
+        probe = ops.lsh_index_probe(batch, last)
+        out["probe"] = _best(
+            lambda: probe.write.mode("overwrite").format("noop").save()
+        )
+        cached.unpersist()
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -2701,9 +2782,11 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     energies, the AVI bucket-midpoint frame selection, bit assembly and
     brute-force Hamming arithmetic in pure integer SQL (blocking is
     lossless, so operator pairs == brute-force pairs). The audio pair
-    branch compares raw 48-bit fingerprints across clips of unequal
-    n_bits (the operator docstring's equal-n_bits guidance is a user
-    contract; the gate exercises the mechanics).
+    branches come in two forms: 'apair' compares raw 48-bit fingerprints
+    across clips of unequal n_bits (the mechanics gate), while 'apairg'
+    is the docstring-correct equal-n_bits grouped call
+    (``hamming_pairs(group_col='n_bits')`` — the canonical usage;
+    ADVICE r9).
 
     Scale: fingerprints are map-only over the binary column (8 bytes per
     asset on the wire); pairs ship (block, bval, id, fp) only — pixels
@@ -2774,6 +2857,21 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("apair").alias("kind"),
         F.col("id_a").cast("string").alias("k1"),
         F.col("id_b").cast("string").alias("k2"),
+        F.col("hamming").cast("long").alias("n"),
+    )
+    # equal-n_bits pairing — the docstring's actual usage contract
+    # (unequal-length clips have zero high bits and would compare as
+    # near-dups on padding); the raw 'apair' branch above stays as the
+    # mechanics gate, this one demonstrates and verifies the correct
+    # grouped call (ADVICE r9)
+    apairsg = ops.hamming_pairs(
+        af.select("id", "fingerprint", "n_bits"), "fingerprint",
+        id_col="id", bits=48, max_hamming=2, group_col="n_bits",
+    )
+    b4g = apairsg.select(
+        F.lit("apairg").alias("kind"),
+        F.col("id_a").cast("string").alias("k1"),
+        F.concat_ws(":", F.col("id_b"), F.col("n_bits")).alias("k2"),
         F.col("hamming").cast("long").alias("n"),
     )
 
@@ -2871,7 +2969,7 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("long").alias("n"),
     )
     return (
-        b1.unionByName(b2).unionByName(b3).unionByName(b4)
+        b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b4g)
         .unionByName(b5).unionByName(b6).unionByName(b7).unionByName(b8)
     )
 
@@ -2884,7 +2982,8 @@ def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     return {
         k: full.where(F.col("kind") == k)
         for k in (
-            "idhash", "ipair", "afp", "apair", "vhash", "vpair", "hidx", "spair"
+            "idhash", "ipair", "afp", "apair", "apairg",
+            "vhash", "vpair", "hidx", "spair",
         )
     }
 
@@ -5106,6 +5205,13 @@ def _media_dedup_oracle() -> str:
         SELECT 'apair', CAST(id_a AS VARCHAR), CAST(id_b AS VARCHAR),
                CAST(ham AS BIGINT)
         FROM apair WHERE ham <= 2
+        UNION ALL
+        SELECT 'apairg', CAST(p.id_a AS VARCHAR),
+               concat(CAST(p.id_b AS VARCHAR), ':', CAST(fa.nb AS VARCHAR)),
+               CAST(p.ham AS BIGINT)
+        FROM apair p JOIN afull fa ON fa.id = p.id_a
+                     JOIN afull fb ON fb.id = p.id_b
+        WHERE p.ham <= 2 AND fa.nb = fb.nb
         UNION ALL
         SELECT 'vhash', concat(CAST(id AS VARCHAR), ':', CAST(slot AS VARCHAR)),
                CAST(dhash AS VARCHAR), CAST(ahash AS BIGINT)

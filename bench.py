@@ -233,6 +233,12 @@ def main() -> None:
         passes=passes,
     )
     branches = run_branches(spark, sf_dir)
+    # stage-separated q99 walls (VERDICT r9 #3): sig compute / parquet
+    # write / probe join / file count, to localize the builder-vs-driver
+    # bench discrepancy on this query
+    branches["q99_lsh_index_probe"] = entrymod.q99_stage_times(
+        spark, sf_dir, passes=2
+    )
     calib_end = calibrate(spark)
     calib = {k: min(calib[k], calib_end[k]) for k in calib}
     total = round(sum(times.values()), 3)

