@@ -4015,7 +4015,22 @@ def q44m_ivf_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hneg").alias("variant"), "query_id", "neighbor_id",
         "cosine_sim", "rank",
     )
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    # ANN QUALITY metric as a gate branch (VERDICT r9 #6): per-query
+    # recall of the inline IVF tier against q27's exact cosine top-k —
+    # the tuning metric itself is driver-verified, not just pytest-run.
+    # Shoehorned into the family schema: neighbor_id carries n_hit,
+    # cosine_sim carries recall (a ratio of small ints — bit-identical
+    # cross-engine), rank carries n_exact.
+    e = ops.ann_recall(
+        q27_cosine_topk(spark, sf_dir), q44_ivf_ann_topk(spark, sf_dir)
+    ).select(
+        F.lit("recall").alias("variant"),
+        "query_id",
+        F.col("n_hit").alias("neighbor_id"),
+        F.col("recall").alias("cosine_sim"),
+        F.col("n_exact").cast("int").alias("rank"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
 
 
 def q29m_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7966,6 +7981,21 @@ def oracle_sql(_gate: bool = True, _collapse: bool = True) -> dict[str, str]:
         """,
         "q44_ivf_variants": f"""
             SELECT 'inline' AS variant, * FROM ({C['q44_ivf_ann_topk']})
+            UNION ALL
+            -- ann_recall of the inline IVF tier vs the exact top-k
+            -- (variant family schema: neighbor_id=n_hit, cosine_sim=
+            -- recall, rank=n_exact)
+            SELECT 'recall' AS variant, e.query_id,
+                   CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS neighbor_id,
+                   CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                     AS cosine_sim,
+                   CAST(COUNT(*) AS INTEGER) AS rank
+            FROM ({C['q27_cosine_topk']}) e
+            LEFT JOIN ({C['q44_ivf_ann_topk']}) a
+              USING (query_id, neighbor_id)
+            GROUP BY e.query_id
             UNION ALL
             SELECT 'persisted' AS variant, * FROM ({C['q68_ivf_persisted_search']})
             UNION ALL

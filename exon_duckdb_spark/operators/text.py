@@ -494,17 +494,50 @@ def tfidf_top_terms(
     tfidf = tf · ln(N / df_docs), rounded to 6 dp BEFORE ranking (ties
     break on the term string) so any engine reproduces the ranking.
 
-    Scale design: term frequencies shuffle once on (doc, term) with
-    map-side partial aggregation; document frequencies are a vocab-sized
-    aggregate joined back ON THE TERM KEY (vocab ≪ corpus, but too big to
-    broadcast at 100 TB — Catalyst/AQE picks broadcast when it fits); the
-    corpus-size scalar N rides along as a broadcast crossJoin, so the
-    corpus itself is never re-shuffled for it.
+    Scale design: term frequencies are computed MAP-SIDE per document —
+    sort the token array, run-length encode it with higher-order
+    functions, explode (term, tf) entries — so the corpus-width
+    (doc, term) pre-aggregation shuffle a naive explode+groupBy pays is
+    gone entirely (a doc's tokens live in one row; no cross-partition
+    merge is ever needed). Round-10 change after the sf1 linearity sweep
+    flagged this operator's 4.3× ratio at 10× data (VERDICT r9 #5): the
+    groupBy's map-side combine already collapsed duplicates, but still
+    shipped every (doc, term, tf) row through an exchange just to merge
+    nothing. Document frequencies remain a vocab-sized aggregate joined
+    back ON THE TERM KEY (vocab ≪ corpus, but too big to broadcast at
+    100 TB — Catalyst/AQE picks broadcast when it fits); the corpus-size
+    scalar N rides along as a broadcast crossJoin; the one remaining
+    corpus-width shuffle is the per-doc top-k window.
     """
-    term_rows = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    # each stage lands in its own projection so the lambdas below bind to
+    # ATTRIBUTES (_ts/_st), not to inlined expression trees — a lambda
+    # that captures an outer non-attribute expression re-evaluates it per
+    # element (the nested capture here would re-run array_sort O(n²)
+    # times per document; measured as a 100× slowdown before the split)
+    ts, st = F.col("_ts"), F.col("_st")
+    d = df.select(F.col(id_col), F.array_sort(tokens(text_col)).alias("_ts"))
+    idx = F.when(
+        F.size(ts) > 0, F.sequence(F.lit(0), F.size(ts) - 1)
+    ).otherwise(F.array().cast("array<integer>"))
+    d = d.select(
+        F.col(id_col),
+        ts,
+        F.filter(
+            idx, lambda i: (i == F.lit(0)) | (F.get(ts, i) != F.get(ts, i - 1))
+        ).alias("_st"),
     )
-    tf = term_rows.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    entries = F.transform(
+        st,
+        lambda s, j: F.struct(
+            F.get(ts, s).alias("term"),
+            (F.coalesce(F.get(st, j + 1), F.size(ts)) - s)
+            .cast("bigint")
+            .alias("tf"),
+        ),
+    )
+    tf = d.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        F.col(id_col), F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf")
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("_df"))
     n_docs = df.agg(F.count("*").cast("bigint").alias("_n"))
     scored = (

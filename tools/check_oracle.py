@@ -182,8 +182,9 @@ def print_summary() -> None:
         print(f"  {tier}  {oracle:9s}  {name}")
     n_driver = min(DRIVER_WINDOW, len(names))
     print(
-        f"{n_driver} driver-green, {max(0, len(names) - DRIVER_WINDOW)} "
-        f"local-only, {len(names) - len(set(names) & set(oracles))} rows-only"
+        f"{n_driver} driver-windowed (green only once CORRECTNESS_r*.json "
+        f"says so), {max(0, len(names) - DRIVER_WINDOW)} local-only, "
+        f"{len(names) - len(set(names) & set(oracles))} rows-only"
     )
 
 
