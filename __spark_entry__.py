@@ -2745,7 +2745,9 @@ def q103m_bloom_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_fill").cast("long").alias("n"),
         )
     )
-    return b1.unionByName(b2).unionByName(b3)
+    out = b1.unionByName(b2).unionByName(b3)
+    _gate_trace("q103_bloom_crawl", sf_dir, out)
+    return out
 
 
 def q103_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
@@ -2968,10 +2970,12 @@ def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.col("block"), F.col("bval")).alias("k2"),
         F.col("hamming").cast("long").alias("n"),
     )
-    return (
+    out = (
         b1.unionByName(b2).unionByName(b3).unionByName(b4).unionByName(b4g)
         .unionByName(b5).unionByName(b6).unionByName(b7).unionByName(b8)
     )
+    _gate_trace("q104_media_dedup", sf_dir, out)
+    return out
 
 
 def q104_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
@@ -3031,7 +3035,9 @@ def q105m_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("k2"),
         F.col("tpos").cast("long").alias("n"),
     )
-    return b1.unionByName(b2).unionByName(b3)
+    out = b1.unionByName(b2).unionByName(b3)
+    _gate_trace("q105_bpe_pipeline", sf_dir, out)
+    return out
 
 
 def q105_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame]":
@@ -3134,7 +3140,9 @@ def q106m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like q20/q22 it emits the representation-free single `sig` column
     # with the DOUBLE trajectory/probability values quantized to
     # nano-unit BIGINT before the fold (VERDICT r9 #1's lesson — only
-    # exact integer/string bytes reach the driver's comparator)
+    # exact integer/string bytes reach the driver's comparator). The
+    # GATE_TRACE sidecar records the full 4-column branch rows.
+    _gate_trace("q106_quality_classifier", sf_dir, out)
     return _sig_collapse(out, *_SIG_COLLAPSE["q106_quality_classifier"])
 
 
@@ -7293,6 +7301,27 @@ _GATE_ROWSTR = {
         " '|', coalesce(CAST(n AS VARCHAR), chr(1)))"
     ),
     "q22_minhash_pipeline": (
+        "concat(kind, '|', coalesce(k1, chr(1)), '|', coalesce(k2, chr(1)),"
+        " '|', coalesce(printf('%.9e', val), chr(1)))"
+    ),
+    # round 10: the four queries rotated into the driver window get the
+    # same self-verifying oracle gates — their values have never been
+    # evaluated by the driver's DuckDB, so a first-round divergence
+    # would otherwise be a black-box hash_match=false; with the gate it
+    # becomes a named engine version + the diverging branch in `err`.
+    "q103_bloom_crawl": (
+        "concat(kind, '|', coalesce(k1, chr(1)), '|', coalesce(k2, chr(1)),"
+        " '|', coalesce(CAST(n AS VARCHAR), chr(1)))"
+    ),
+    "q104_media_dedup": (
+        "concat(kind, '|', coalesce(k1, chr(1)), '|', coalesce(k2, chr(1)),"
+        " '|', coalesce(CAST(n AS VARCHAR), chr(1)))"
+    ),
+    "q105_bpe_pipeline": (
+        "concat(kind, '|', coalesce(k1, chr(1)), '|', coalesce(k2, chr(1)),"
+        " '|', coalesce(CAST(n AS VARCHAR), chr(1)))"
+    ),
+    "q106_quality_classifier": (
         "concat(kind, '|', coalesce(k1, chr(1)), '|', coalesce(k2, chr(1)),"
         " '|', coalesce(printf('%.9e', val), chr(1)))"
     ),

@@ -24,7 +24,18 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-GATED = ["q20_dedup_suite", "q22_minhash_pipeline"]
+# round 10 extends the gate to the four queries rotated into the driver
+# window (q103–q106) — their oracles had never been evaluated by the
+# driver's DuckDB, so a first-round divergence needs the same named
+# diagnostics q20/q22 earned in round 9
+GATED = [
+    "q20_dedup_suite",
+    "q22_minhash_pipeline",
+    "q103_bloom_crawl",
+    "q104_media_dedup",
+    "q105_bpe_pipeline",
+    "q106_quality_classifier",
+]
 
 
 def _connect(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
