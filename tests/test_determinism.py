@@ -39,7 +39,13 @@ def _norm_rows(df):
 
 
 @pytest.mark.parametrize(
-    "qname", ["q20_dedup_suite", "q22_minhash_pipeline", "q09_distinct_union"]
+    "qname",
+    [
+        "q20_dedup_suite",
+        "q22_minhash_pipeline",
+        "q09_distinct_union",
+        "q106_quality_classifier",
+    ],
 )
 def test_gate_queries_repeat_run_stable(spark, qname):
     import __spark_entry__ as entrymod

@@ -50,7 +50,8 @@ VARIANTS: dict[str, dict[str, str]] = {
 }
 
 # the historically sensitive rows: the two r5 flakes plus every row that
-# carries float aggregation, sketches, sampling, or streaming branches
+# carries float aggregation, sketches, sampling, or streaming branches,
+# plus the four queries rotated into the driver window in round 10
 DEFAULT_QUERIES = [
     "q20_dedup_suite",
     "q22_minhash_pipeline",
@@ -61,6 +62,10 @@ DEFAULT_QUERIES = [
     "q35_range_band_join",
     "q58_sampled_mix_report",
     "q78_perplexity_score",
+    "q103_bloom_crawl",
+    "q104_media_dedup",
+    "q105_bpe_pipeline",
+    "q106_quality_classifier",
 ]
 
 
