@@ -3157,6 +3157,13 @@ def q106_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
     }
 
 
+def q107_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: content-defined chunking over documents (rolling-hash
+    boundaries + max-split; operators/text.py::cdc_chunks) — one map
+    pass, no shuffle; the gate twin lives in q70's 'cdc' branch."""
+    return ops.cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 def q100_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only: Count-Min table + point estimates over a HIGH-cardinality
     key (user_id) — the shape where CMS beats a per-key groupBy."""
@@ -4261,8 +4268,11 @@ def q66m_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q70m_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-prep pair: q71 overlapping token-window chunking + q70
-    sequence packing, tagged."""
+    """Training-prep trio: q71 overlapping token-window chunking + q70
+    sequence packing + round-10's content-defined chunking
+    (operators/text.py::cdc_chunks — Rabin-style rolling-hash boundaries,
+    the dedup-stable chunking; its oracle replays the identical hash, cut
+    and max-split arithmetic), tagged."""
     a = q70_pack_sequences(spark, sf_dir).select(
         F.lit("pack").alias("kind"),
         "doc_id",
@@ -4281,7 +4291,16 @@ def q70m_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").cast("bigint").alias("idx"),
         F.col("chunk_text").alias("payload"),
     )
-    return a.unionByName(b)
+    c = ops.cdc_chunks(_t(spark, sf_dir, "documents")).select(
+        F.lit("cdc").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("aux"),
+        F.col("n_chars").alias("n_tok"),
+        F.col("start").alias("off"),
+        F.col("chunk_id").cast("bigint").alias("idx"),
+        F.md5("chunk_text").alias("payload"),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q85_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4535,6 +4554,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect, ANSI where possible)
 # ---------------------------------------------------------------------------
+
+
+def _cdc_sql() -> str:
+    """DuckDB replay of cdc_chunks over documents (defaults: window 8,
+    avg 64, max 128) — built next to the operator so the rolling-hash
+    constants can't drift apart (operators/text.py::cdc_chunks_sql)."""
+    from exon_duckdb_spark.operators.text import cdc_chunks_sql
+
+    return cdc_chunks_sql()
 
 
 def _sketch_suite_oracle() -> str:
@@ -8205,6 +8233,10 @@ def oracle_sql(_gate: bool = True, _collapse: bool = True) -> dict[str, str]:
             SELECT 'chunk', doc_id, CAST(NULL AS VARCHAR), n_chunk_tokens,
                    tok_start, CAST(chunk_id AS BIGINT), chunk_text
             FROM ({C['q71_chunk_documents']})
+            UNION ALL
+            SELECT 'cdc', doc_id, CAST(NULL AS VARCHAR), n_chars,
+                   start, CAST(chunk_id AS BIGINT), md5(chunk_text)
+            FROM ({_cdc_sql()})
         """,
         "q73_pq_pipeline": f"""
             SELECT 'code' AS kind, vec_id AS k1, array_to_string(code, ',') AS k2,

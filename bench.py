@@ -68,6 +68,7 @@ HEADLINE = [
     "q65_paragraph_dedup",
     "q66_top_ngrams",
     "q71_chunk_documents",
+    "q107_cdc_chunks",
     "q72_tfidf_top_terms",
     "q73_pq_codes",
     "q74_pq_search",

@@ -482,6 +482,199 @@ def chunk_documents(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    avg_size: int = 64,
+    max_size: int = 128,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style rolling hash): chunk
+    boundaries land where the content's local hash satisfies a condition,
+    not at fixed offsets — so an insertion early in a document shifts
+    only the chunk it lands in, and every later chunk re-aligns
+    byte-identically. That boundary stability is why dedup-oriented
+    pipelines (and storage systems — LBFS, restic, casync) chunk this
+    way: content-addressed chunk hashes survive edits, where fixed-window
+    chunking (:func:`chunk_documents`) shifts every downstream chunk.
+
+    Mechanics: h(i) = Σ_j code(c[i+j])·31^(window−1−j) over each
+    ``window``-char sliding window (codes are Unicode code points, no
+    intermediate modulus — 8 terms of ≤ 31^7·0x10FFFF fit int64); a cut
+    lands after the window whenever ``h % avg_size == avg_size − 1``
+    (expected chunk length ≈ avg_size with the geometric tail CDC
+    implies), and any span longer than ``max_size`` splits at fixed
+    ``max_size`` steps — a stateless rule, computed per span, so the
+    whole operator stays a single map pass (classic FastCDC-style MIN
+    enforcement is a sequential scan per doc; the max-split keeps worst
+    cases bounded without giving up SQL replayability). Everything is
+    JVM higher-order functions over attribute-bound arrays (no Python
+    UDF, no shuffle); at 100 TB this is one scan with output = input
+    text + ~16 B/chunk metadata.
+
+    Returns (id_col, chunk_id, start, n_chars, chunk_text); `start` is a
+    0-based character offset, chunk_id is per-document dense from 0.
+    """
+    if window < 1 or avg_size < 2 or max_size < 1:
+        raise ValueError("require window >= 1, avg_size >= 2, max_size >= 1")
+    # interpreted-HOF-bound (the rolling hash doesn't codegen), so an
+    # under-split input hands the whole corpus to one core — fan out on
+    # the usual guard (no-op on any real multi-split layout)
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
+    cd = F.col("_cd")
+    n = F.size(cd)
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c)).alias(
+            "_cd"
+        ),
+    )
+    # candidate window positions 0..n-window (guarded: sequence(0, neg)
+    # DESCENDS in Spark). Each lambda binds to the _cd ATTRIBUTE — the
+    # tfidf lesson: capturing a non-attribute expression re-evaluates it
+    # per element.
+    idx = F.when(
+        n >= window, F.sequence(F.lit(0), n - window)
+    ).otherwise(F.array().cast("array<integer>"))
+    pw = [31 ** (window - 1 - j) for j in range(window)]
+
+    def h(i):
+        expr = F.lit(0).cast("long")
+        for j in range(window):
+            expr = expr + F.get(cd, i + j).cast("long") * F.lit(pw[j])
+        return expr
+
+    d = d.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.col("_cd"),
+        F.filter(
+            idx, lambda i: (h(i) % avg_size) == F.lit(avg_size - 1)
+        ).alias("_bp"),
+    )
+    # cut list: 0, every boundary's window end strictly inside the text, n
+    cuts = F.concat(
+        F.array(F.lit(0)),
+        F.transform(
+            F.filter(F.col("_bp"), lambda i: (i + window) < F.size(F.col("_cd"))),
+            lambda i: i + window,
+        ),
+        F.array(F.size(F.col("_cd"))),
+    )
+    d = d.select(F.col(id_col), F.col("_t"), cuts.alias("_cut"))
+    cut = F.col("_cut")
+    m = F.size(cut)
+    spanidx = F.when(
+        m >= 2, F.sequence(F.lit(0), m - 2)
+    ).otherwise(F.array().cast("array<integer>"))
+    spans = F.flatten(
+        F.transform(
+            spanidx,
+            lambda j: F.transform(
+                F.sequence(
+                    F.get(cut, j), F.get(cut, j + 1) - 1, F.lit(max_size)
+                ),
+                lambda s: F.struct(
+                    s.cast("long").alias("start"),
+                    F.least(
+                        F.lit(max_size).cast("long"),
+                        (F.get(cut, j + 1) - s).cast("long"),
+                    ).alias("len"),
+                ),
+            ),
+        )
+    )
+    # Explode a trivial INDEX sequence and get() into the carried span
+    # array, instead of posexplode(_sp) directly: Generate re-evaluates
+    # its generator child per emitted row, and with _sp's HOF chain
+    # inlined there that measured ~0.5 s per 400-char document (~40×
+    # this form, which keeps the generator O(1) and reads _sp as a
+    # materialized column value).
+    d = d.select(F.col(id_col), F.col("_t"), spans.alias("_sp")).select(
+        F.col(id_col),
+        F.col("_t"),
+        F.col("_sp"),
+        F.explode(
+            # _sp is never empty (cuts always bracket [0, n] and spans of
+            # a strictly increasing cut list are nonempty), but guard the
+            # descending-sequence gotcha anyway
+            F.when(
+                F.size(F.col("_sp")) > 0,
+                F.sequence(F.lit(0), F.size(F.col("_sp")) - 1),
+            ).otherwise(F.array().cast("array<integer>"))
+        ).alias("chunk_id"),
+    )
+    s = F.get(F.col("_sp"), F.col("chunk_id"))
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        s.getField("start").alias("start"),
+        s.getField("len").alias("n_chars"),
+        F.expr(
+            "substr(_t, get(_sp, chunk_id).start + 1, get(_sp, chunk_id).len)"
+        ).alias("chunk_text"),
+    )
+
+
+def cdc_chunks_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    avg_size: int = 64,
+    max_size: int = 128,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks` — identical rolling-hash, cut and
+    max-split arithmetic over 1-based list/substr primitives."""
+    pw = [31 ** (window - 1 - j) for j in range(window)]
+    hsum = " + ".join(
+        f"CAST(cd[i + {j + 1}] AS BIGINT) * {pw[j]}" for j in range(window)
+    )
+    return f"""
+        WITH __cdc_base AS (
+          SELECT {id_col}, {text_col} AS t,
+                 list_transform(string_split({text_col}, ''),
+                                c -> ascii(c)) AS cd
+          FROM {source}
+        ),
+        __cdc_cuts AS (
+          SELECT {id_col}, t,
+                 list_concat(list_concat(
+                   [CAST(0 AS BIGINT)],
+                   list_transform(
+                     list_filter(
+                       list_filter(generate_series(0, len(cd) - {window}),
+                                   i -> ({hsum}) % {avg_size}
+                                        = {avg_size - 1}),
+                       i -> i + {window} < len(cd)),
+                     i -> i + {window})),
+                   [CAST(len(cd) AS BIGINT)]) AS cut
+          FROM __cdc_base
+        ),
+        __cdc_spans AS (
+          SELECT {id_col}, t,
+                 flatten(list_transform(generate_series(1, len(cut) - 1),
+                   j -> list_transform(
+                          generate_series(cut[j], cut[j+1] - 1, {max_size}),
+                          s -> {{'start': s,
+                                 'len': least({max_size}, cut[j+1] - s)}})))
+                   AS sp
+          FROM __cdc_cuts
+        )
+        SELECT {id_col}, CAST(j - 1 AS INTEGER) AS chunk_id,
+               sp[j].start AS start, sp[j].len AS n_chars,
+               substr(t, CAST(sp[j].start AS INTEGER) + 1,
+                      CAST(sp[j].len AS INTEGER)) AS chunk_text
+        FROM (SELECT {id_col}, t, sp,
+                     unnest(generate_series(1, len(sp))) AS j
+              FROM __cdc_spans)
+    """
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,
