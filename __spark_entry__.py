@@ -4170,7 +4170,40 @@ def q62m_pii_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "n_contaminated",
             "contamination",
+            # round-10 web-hygiene columns: a messy planted URL per doc
+            # (case variance, www, default + explicit ports, trailing
+            # slash, tracking params, fragment) canonicalized by
+            # operators/text.py::url_normalize, its host key, and the
+            # URL-first dedup decision (first doc_id per normalized URL
+            # — the pass crawl pipelines run before any content hash)
+            ops.url_normalize(_plant_url(F.col("doc_id"))).alias("norm_url"),
+            ops.url_host(_plant_url(F.col("doc_id"))).alias("host"),
         )
+        .withColumn(
+            "url_kept",
+            F.min("doc_id").over(Window.partitionBy("norm_url"))
+            == F.col("doc_id"),
+        )
+    )
+
+
+def _plant_url(did: F.Column) -> F.Column:
+    """Deterministic messy URL per doc_id — every branch exercises one
+    normalization step; ports pair with schemes so ':80' is always
+    http (even doc_id) and ':443' always https (odd)."""
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (did % 17).cast("string"), F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":443"))
+        .when(did % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/p"), (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), (did % 3).cast("string"),
+        F.lit("&b=2&a=1"),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
 
 
@@ -4563,6 +4596,33 @@ def _cdc_sql() -> str:
     from exon_duckdb_spark.operators.text import cdc_chunks_sql
 
     return cdc_chunks_sql()
+
+
+_URL_PLANT_SQL = """concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END,
+  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+  'Site', CAST(doc_id % 17 AS VARCHAR), '.Example.COM',
+  CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+       WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END,
+  '/Path/p', CAST(doc_id % 7 AS VARCHAR),
+  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+  '?utm_source=feed&id=', CAST(doc_id % 3 AS VARCHAR), '&b=2&a=1',
+  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"""
+
+
+def _url_plant_norm_sql() -> str:
+    """DuckDB replay of q62's planted-URL canonicalization
+    (operators/text.py::url_normalize over :data:`_URL_PLANT_SQL` —
+    the SQL twin of :func:`_plant_url`)."""
+    from exon_duckdb_spark.operators.text import url_normalize_sql
+
+    return url_normalize_sql(_URL_PLANT_SQL)
+
+
+def _url_plant_host_sql() -> str:
+    from exon_duckdb_spark.operators.text import url_host_sql
+
+    return url_host_sql(_URL_PLANT_SQL)
 
 
 def _sketch_suite_oracle() -> str:
@@ -8170,15 +8230,25 @@ def oracle_sql(_gate: bool = True, _collapse: bool = True) -> dict[str, str]:
             rep AS (SELECT doc_id, count(*) AS n_grams,
                            sum(CASE WHEN {md5_int_sql("g")} IN (SELECT h FROM bgh)
                                     THEN 1 ELSE 0 END) AS n_contaminated
-                    FROM cg2 GROUP BY doc_id)
-            SELECT s.doc_id, n_email, n_ipv4, n_phone,
-                   md5(redacted_text) AS redacted_md5,
-                   (s.doc_id NOT IN (SELECT doc_id FROM bad)) AS kept,
-                   CAST(COALESCE(r.n_grams, 0) AS BIGINT) AS n_grams,
-                   CAST(COALESCE(r.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-                   round(COALESCE(r.n_contaminated * 1.0 / r.n_grams, 0.0), 6)
-                     AS contamination
-            FROM scrub s LEFT JOIN rep r ON s.doc_id = r.doc_id
+                    FROM cg2 GROUP BY doc_id),
+            base AS (
+              SELECT s.doc_id, n_email, n_ipv4, n_phone,
+                     md5(redacted_text) AS redacted_md5,
+                     (s.doc_id NOT IN (SELECT doc_id FROM bad)) AS kept,
+                     CAST(COALESCE(r.n_grams, 0) AS BIGINT) AS n_grams,
+                     CAST(COALESCE(r.n_contaminated, 0) AS BIGINT)
+                       AS n_contaminated,
+                     round(COALESCE(r.n_contaminated * 1.0 / r.n_grams, 0.0), 6)
+                       AS contamination
+              FROM scrub s LEFT JOIN rep r ON s.doc_id = r.doc_id),
+            urls AS (
+              SELECT base.*, {_url_plant_norm_sql()} AS norm_url,
+                     {_url_plant_host_sql()} AS host
+              FROM base)
+            SELECT u.*,
+                   (doc_id = min(doc_id) OVER (PARTITION BY norm_url))
+                     AS url_kept
+            FROM urls u
         """,
         "q64_bm25_multi": bm25_multi,
         "q66_term_stats": f"""

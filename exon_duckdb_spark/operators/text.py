@@ -482,6 +482,128 @@ def chunk_documents(
     )
 
 
+_URL_TRACKING = "(utm_[^=&]*|gclid|fbclid|ref)(=[^&]*)?"
+
+
+def url_normalize(url, strip_www: bool = True) -> Column:
+    """Canonicalize a URL for crawl-pipeline dedup — the URL-first dedup
+    pass Common-Crawl-scale pipelines run before any content hashing:
+    lowercase the scheme and host (ONLY — path and query stay
+    case-sensitive), drop the fragment, strip default ports (:80 for
+    http, :443 for https), optionally fold a leading ``www.``, drop
+    tracking parameters (utm_*, gclid, fbclid, ref), sort the surviving
+    query params for a canonical order, and trim redundant trailing
+    slashes off non-root paths. Inputs without a ``scheme://`` prefix
+    pass through trimmed and otherwise untouched (not-a-URL is the
+    caller's concern, not silently mangled data).
+
+    Pure Column expression chain — regexp character classes shared by
+    Java regex (Spark) and RE2 (DuckDB), no lookaround/backrefs — so the
+    SQL twin (:func:`url_normalize_sql`) replays byte-for-byte and the
+    whole pass stays inside whole-stage codegen except the param
+    filter/sort HOFs. Percent-encoding is preserved as-is (decoding
+    unreserved escapes is engine-divergent; canonical-escape folding is
+    a documented non-goal).
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    if strip_www:
+        auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    # everything after the authority, fragment dropped
+    pq = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1), r"#.*$", ""
+    )
+    path = F.regexp_extract(pq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(f"^{_URL_TRACKING}$"),
+        )
+    )
+    qjoin = F.concat_ws("&", params)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qjoin == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoin)),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_host(url, strip_www: bool = True) -> Column:
+    """The lowercased host (port stripped) of a URL — the grouping key for
+    per-domain caps (:func:`per_source_cap` with the host as the source
+    column) and domain-level crawl stats. '' for non-URLs."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    has = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1) != ""
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    if strip_www:
+        auth = F.regexp_replace(auth, r"^www\.", "")
+    host = F.regexp_replace(auth, r":[0-9]+$", "")
+    return F.when(has, host).otherwise(F.lit(""))
+
+
+def url_normalize_sql(expr: str, strip_www: bool = True) -> str:
+    """DuckDB twin of :func:`url_normalize` over the SQL expression
+    ``expr`` — same regex steps (RE2-safe patterns), same param
+    filter/sort. DuckDB's regexp_replace is first-match-only by default,
+    which coincides with Spark's replace-all for every pattern used here
+    (each is anchored or consumes to end-of-string)."""
+    www = r"regexp_replace(%s, '^www\.', '')" if strip_www else "%s"
+    u = f"trim({expr})"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')"
+    auth0 = www % f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '')"
+        f" ELSE {auth0} END"
+    )
+    pq = (
+        f"regexp_replace(regexp_extract({rest}, '^[^/?#]*(.*)$', 1),"
+        f" '#.*$', '')"
+    )
+    path0 = f"regexp_replace(regexp_extract({pq}, '^([^?]*)', 1), '/+$', '')"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    query = f"regexp_extract({pq}, '\\?(.*)$', 1)"
+    # coalesce: DuckDB array_to_string([]) is NULL where Spark's
+    # concat_ws is '' (the q80 oracle's documented asymmetry)
+    qjoin = (
+        f"coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p,"
+        f" '^{_URL_TRACKING}$'))), '&'), '')"
+    )
+    rebuilt = (
+        f"concat({scheme}, '://', {auth}, {path},"
+        f" CASE WHEN {qjoin} = '' THEN '' ELSE concat('?', {qjoin}) END)"
+    )
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"
+
+
+def url_host_sql(expr: str, strip_www: bool = True) -> str:
+    """DuckDB twin of :func:`url_host`."""
+    www = r"regexp_replace(%s, '^www\.', '')" if strip_www else "%s"
+    u = f"trim({expr})"
+    scheme = f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')"
+    auth = www % f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    host = f"regexp_replace({auth}, ':[0-9]+$', '')"
+    return f"CASE WHEN {scheme} = '' THEN '' ELSE {host} END"
+
+
 def cdc_chunks(
     df: DataFrame,
     text_col: str = "text",
