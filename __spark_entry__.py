@@ -4491,20 +4491,108 @@ def branch_frames() -> "dict[str, Callable]":
     }
 
 
+# -- driver-window rotation (VERDICT r10 next-round #1) ----------------------
+# The driver's correctness gate records exactly the FIRST 50 registry
+# entries and does NOT grow with the registry (CORRECTNESS_r06–r10 each
+# hold 50 rows while the registry grew 50→54; VERDICT r9 structural
+# finding), so with 54 declared queries 4 always sit outside the window.
+# Round 10 hand-rotated (q103–q106 in, q48/q50/q51/q52 out) and the
+# rotate-back lived only in a docstring (ADVICE r10 flagged it). The tail
+# is now COMPUTED from the committed CORRECTNESS_r*.json history: the pool
+# members whose driver-green record is MOST RECENT sit out, because they
+# are the ones that can afford an unwitnessed round. With an 8-member pool
+# this alternates the two halves every round with no manual step: r10
+# greened q103–q106, so r11 windows q48/q50/q51/q52; the r11 file greens
+# those, so r12 windows q103–q106 again — every pool entry is
+# driver-witnessed at least every second round, forever. A pool member
+# that went RED in its window keeps its old last-green round and therefore
+# STAYS windowed until it greens again. tests/test_window_rotation.py pins
+# the current-round expectation and asserts the no-entry-unwitnessed-
+# more-than-two-rounds invariant against the history files themselves;
+# PARITY.md carries the human-readable rotation ledger.
+ROTATION_POOL = (
+    "q48_bed_roundtrip",
+    "q50_hmm_roundtrip",
+    "q51_genbank_roundtrip",
+    "q52_mzml_roundtrip",
+    "q103_bloom_crawl",
+    "q104_media_dedup",
+    "q105_bpe_pipeline",
+    "q106_quality_classifier",
+)
+DRIVER_WINDOW = 50
+
+
+def _correctness_history() -> "list[tuple[int, dict]]":
+    """(round, parsed rows) per committed CORRECTNESS_r*.json, ascending.
+
+    Unreadable/malformed files are skipped — with NO readable history the
+    rotation degenerates to pool order, which still yields a valid (if
+    arbitrary) 50-entry window; the canary test fails loudly in that case
+    rather than letting the degradation pass silently."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            out.append((int(m.group(1)), rows))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _row_green(row) -> bool:
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match", True))
+        and not row.get("err")
+    )
+
+
+def rotation_last_green() -> "dict[str, int]":
+    """Pool member → most recent round with a driver-green row (absent =
+    never driver-witnessed)."""
+    last: dict[str, int] = {}
+    for rnd, rows in _correctness_history():
+        for name in ROTATION_POOL:
+            if _row_green(rows.get(name)):
+                last[name] = rnd
+    return last
+
+
+def rotation_tail(n: int | None = None) -> "tuple[str, ...]":
+    """The ``n`` pool members rotated OUT of the driver window this round:
+    most-recently-green first (they can afford the unwitnessed round);
+    never-witnessed members sort last (= always windowed); name tiebreak
+    keeps the order deterministic."""
+    if n is None:
+        n = max(0, len(queries()) - DRIVER_WINDOW)
+    last = rotation_last_green()
+    ranked = sorted(ROTATION_POOL, key=lambda name: (-last.get(name, -1), name))
+    return tuple(ranked[:n])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry — round-4 consolidated form.
 
     ORDER IS LOAD-BEARING: the driver's correctness gate records exactly
-    the FIRST 50 entries (CORRECTNESS_r06–r09 each hold 50 rows while the
-    registry grew 50→54 — the "window grows with the registry" assumption
-    was falsified by round 9's evidence; VERDICT r9 structural finding).
-    Round 10 therefore rotates the four round-9 flagship operators
-    (q103 crawl-bloom, q104 media dedup, q105 BPE, q106 classifier) INTO
-    the window, displacing the four simplest long-green roundtrips
-    (q48 bed / q50 hmm / q51 genbank / q52 mzml — driver-green rounds
-    4–9, still locally oracle-verified every pytest run via
-    tests/test_oracle_contract.py) to slots 51–54; they rotate back once
-    the new gates have a driver-green round on record.
+    the FIRST 50 entries (see ROTATION_POOL above). The registry is
+    declared in natural section order below; the four :func:`rotation_tail`
+    members are then moved to slots 51–54, so which queries sit outside
+    the window is decided by the committed driver history, not by edits
+    to this dict.
 
     Covers every distinct operator the round-3 registry declared across
     81 queries (round-3 verdict #1). Redundant relational variants and
@@ -4516,7 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multi-query BM25 form. The fine-grained q* functions remain available
     for bench.py and direct use.
     """
-    return {
+    reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- host-engine relational surface --
         "q01_pricing_summary": q01m_pricing_and_filter,
         "q02_order_windows": q02m_order_windows,
@@ -4556,32 +4644,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_frame_sample": q45_frame_sample,
         "q75_image_pipeline": q75m_image_pipeline,
         "q77_audio_decode": q77_audio_decode,
-        # -- round-9 flagship operators, rotated INTO the 50-row driver
-        # window this round (VERDICT r9 #2) --
+        # -- round-9 flagship operators (rotation pool, second half) --
         "q103_bloom_crawl": q103m_bloom_crawl,
         "q104_media_dedup": q104m_media_dedup,
         "q105_bpe_pipeline": q105m_bpe_pipeline,
         "q106_quality_classifier": q106m_quality_classifier,
-        # -- format sources (writer→reader roundtrips + indexed queries) --
+        # -- format sources (writer→reader roundtrips + indexed queries;
+        # the four simplest roundtrips form the rotation pool's first
+        # half) --
         "q30_fasta_roundtrip": q30_fasta_roundtrip,
         "q34_fastq_roundtrip": q34_fastq_roundtrip,
         "q43_gff_roundtrip": q43_gff_roundtrip,
         "q46_gtf_roundtrip": q46_gtf_roundtrip,
         "q47_sam_roundtrip": q47_sam_roundtrip,
+        "q48_bed_roundtrip": q48_bed_roundtrip,
         "q49_vcf_roundtrip": q49_vcf_roundtrip,
+        "q50_hmm_roundtrip": q50_hmm_roundtrip,
+        "q51_genbank_roundtrip": q51_genbank_roundtrip,
+        "q52_mzml_roundtrip": q52_mzml_roundtrip,
         "q53_bam_roundtrip": q53_bam_roundtrip,
         "q54_bcf_roundtrip": q54_bcf_roundtrip,
         "q55_vcf_region_query": q55_vcf_region_query,
         "q56_bam_region_query": q56_bam_region_query,
         "q57_bcf_region_query": q57_bcf_region_query,
-        # -- slots 51-54: OUTSIDE the driver window this round (rotated
-        # out for q103–q106; driver-green rounds 4–9, still fully
-        # oracle-verified locally on every pytest run) --
-        "q48_bed_roundtrip": q48_bed_roundtrip,
-        "q50_hmm_roundtrip": q50_hmm_roundtrip,
-        "q51_genbank_roundtrip": q51_genbank_roundtrip,
-        "q52_mzml_roundtrip": q52_mzml_roundtrip,
     }
+    # move this round's rotation tail (computed from the committed driver
+    # history — see ROTATION_POOL) to the slots past the 50-entry window;
+    # every entry stays declared, oracle-twinned, and locally verified on
+    # every pytest run (tests/test_oracle_contract.py) either way
+    tail = rotation_tail(max(0, len(reg) - DRIVER_WINDOW))
+    ordered = {k: v for k, v in reg.items() if k not in tail}
+    ordered.update({k: reg[k] for k in tail})
+    return ordered
 
 
 # ---------------------------------------------------------------------------

@@ -637,6 +637,16 @@ def cdc_chunks(
 
     Returns (id_col, chunk_id, start, n_chars, chunk_text); `start` is a
     0-based character offset, chunk_id is per-document dense from 0.
+
+    Known artifact (ADVICE r10): a zero-length document emits one phantom
+    chunk ``(start=0, n_chars=1, chunk_text='')`` — ``split('','')``
+    yields ``['']`` and ``ascii('')`` is 0, so the char-code array has
+    one element the text does not. For that row only, ``n_chars`` does
+    not equal ``len(chunk_text)`` and chunk/char totals over corpora with
+    empty docs are inflated by one unit per empty doc. The behavior is
+    cross-engine consistent (the DuckDB twin replays it bit-for-bit) and
+    pinned by tests/test_cdc.py::test_edges; callers that care should
+    filter ``length(text) > 0`` before chunking.
     """
     if window < 1 or avg_size < 2 or max_size < 1:
         raise ValueError("require window >= 1, avg_size >= 2, max_size >= 1")

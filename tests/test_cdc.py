@@ -97,4 +97,7 @@ def test_insertion_realigns_boundaries(spark):
     fixed1 = {base[i:i + 64] for i in range(0, len(base), 64)}
     fixed2 = {ins[i:i + 64] for i in range(0, len(ins), 64)}
     prefix_only = {c for c in (fixed1 & fixed2) if c in base[:40]}
-    assert fixed1 & fixed2 == prefix_only or not (fixed1 & fixed2 - prefix_only)
+    # ADVICE r10: the single intended check — every shared fixed-window
+    # chunk predates the insertion point (the old two-clause form was
+    # redundant: its first clause implied the second)
+    assert (fixed1 & fixed2) <= prefix_only

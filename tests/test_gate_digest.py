@@ -47,6 +47,21 @@ def _connect(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def test_every_sig_collapsed_query_is_digest_gated():
+    """ADVICE r10: collapsing a query's output to one md5 ``sig`` column
+    makes a value regression opaque to the driver's comparator (just a
+    hash mismatch) — the named per-branch diagnostics live entirely in
+    the digest gate. So a collapsed query may never ship ungated: every
+    _SIG_COLLAPSE entry must have GATE_EXPECTED constants (and be in the
+    GATED list this suite exercises)."""
+    collapsed = set(entrymod._SIG_COLLAPSE)
+    assert collapsed <= set(gate_digests.GATE_EXPECTED), (
+        "sig-collapsed query without digest-gate constants: "
+        f"{sorted(collapsed - set(gate_digests.GATE_EXPECTED))}"
+    )
+    assert collapsed <= set(GATED)
+
+
 def test_gate_expected_covers_all_sfs():
     # every gated query carries constants for all three driver SFs,
     # keyed by the events-table cardinality

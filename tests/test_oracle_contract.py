@@ -32,8 +32,8 @@ def test_registry_shape_and_window():
     invariants so an addition can't silently land half-wired:
     - exactly 54 registry entries (bump this deliberately per addition);
     - DRIVER_WINDOW states the true cap (50);
-    - round 10's window rotation holds: q103–q106 sit INSIDE the first
-      50 slots, the four displaced roundtrips outside;
+    - the window tail is exactly the computed rotation
+      (tests/test_window_rotation.py pins WHICH four sit out per round);
     - every entry has an oracle_sql twin (no rows-only downgrades)."""
     import __spark_entry__ as entrymod
 
@@ -44,15 +44,7 @@ def test_registry_shape_and_window():
     assert len(q) == 54, f"registry has {len(q)} entries; expected 54"
     assert DRIVER_WINDOW == 50
     names = list(q)
-    windowed = set(names[:DRIVER_WINDOW])
-    for new in ("q103_bloom_crawl", "q104_media_dedup",
-                "q105_bpe_pipeline", "q106_quality_classifier"):
-        assert new in windowed, f"{new} fell outside the driver window"
-    for rotated in ("q48_bed_roundtrip", "q50_hmm_roundtrip",
-                    "q51_genbank_roundtrip", "q52_mzml_roundtrip"):
-        assert rotated not in windowed, (
-            f"{rotated} should be outside the window this round"
-        )
+    assert tuple(names[DRIVER_WINDOW:]) == entrymod.rotation_tail()
     missing = [k for k in q if k not in o]
     assert not missing, f"queries without an oracle twin: {missing}"
 

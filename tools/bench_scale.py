@@ -403,6 +403,24 @@ def bitext_scaled(spark, sf_dir, n_rows):
     return bitext_margin_pairs(emb, 0, 1, k=4, topk=nn)
 
 
+def bitext_rp_scaled(spark, sf_dir, n_rows):
+    """One-round overlap entry (ADVICE r10): rounds 6–9 measured the
+    bitext series under the rp_topk backend before bitext_ivf_backend
+    replaced it — this keeps the OLD backend's number alongside the new
+    one for a single round so the linearity series has a splice point
+    (same label family, both backends measured at the same SFs). Retire
+    after BENCH_sf1 refreshes with both rows recorded."""
+    from exon_duckdb_spark.operators.similarity import (
+        bitext_margin_pairs,
+        rp_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    # byte-identical to the rounds-6–9 form (git a69e415) so the splice
+    # point really measures the same plan
+    return bitext_margin_pairs(emb, 0, 1, k=4, topk=rp_topk)
+
+
 def hamming_index_scaled(spark, sf_dir, n_rows):
     """Persisted media-fingerprint index daily-ingest at scale (VERDICT
     r9 #6): build the Hamming block index over 90% of per-doc 49-bit
@@ -452,6 +470,7 @@ EMB_SET = {
     "per_source_cap": per_source_cap_scaled,
     "leakage_safe_split": leakage_split_scaled,
     "bitext_ivf_backend": bitext_scaled,
+    "bitext_rp_backend": bitext_rp_scaled,
     "hamming_index_probe": hamming_index_scaled,
 }
 
