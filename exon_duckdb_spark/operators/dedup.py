@@ -222,7 +222,7 @@ def minhash_band_est_pairs(
 
     keyed = df.select(
         F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+        _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
     ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
     # persist: the band self-join reads the Arrow signature pass from both
     # sides (same rationale + lifecycle caveat as minhash_lsh_pairs)
@@ -506,7 +506,7 @@ def lsh_index_rows(
     discrepancy)."""
     keyed = df.select(
         F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+        _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
     ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
     assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
     return assign.select(
@@ -545,7 +545,7 @@ def lsh_index_probe(
     idx = spark.read.parquet(index) if isinstance(index, str) else index
     keyed = new_df.select(
         F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f"),
+        _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
     ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
     probe = _band_assignments(
         keyed, id_col, num_hashes, bands, carry=("_mh",)
@@ -1108,12 +1108,71 @@ def _distinct_char_ngrams_udf(n: int):
     return grams
 
 
-def _shingle_minhash_udf(shingle: int, num_hashes: int):
+def _minhash_minima_bulk(A, B, digests: bytes, lens: list) -> list:
+    """Shared tail of the two minhash kernels: 4-byte md5 prefixes
+    (concatenated, row-segmented by ``lens``) → per-row k affine minima.
+
+    One ``frombuffer`` converts ALL digests to int64 (replacing an
+    ``int.from_bytes`` per gram), one (k × total) affine matrix replaces a
+    per-row (k × n) matmul, and ``np.minimum.reduceat`` computes every
+    row's minima in a single C pass (the per-row numpy calls dominated the
+    old kernel on short documents — ~50 grams/row means the matrix work
+    was cheaper than the Python call setting it up). Zero-length rows
+    yield ``[None] * k`` (= array_min over an empty array), matching the
+    SQL twin. Returns a list of per-row minima lists.
+    """
+    import numpy as np
+
+    k = A.shape[0]
+    if not digests:
+        return [[None] * k for _ in lens]
+    hs_all = np.frombuffer(digests, dtype=">u4").astype(np.int64)
+    lens_a = np.asarray(lens, dtype=np.int64)
+    nz = lens_a > 0
+    starts = np.concatenate(([0], np.cumsum(lens_a)[:-1]))[nz]
+    # per-coefficient 1D in-place passes, NOT one (k × total) matrix: the
+    # matrix form allocates ~4 multi-MB temporaries per batch, and with 32
+    # Python workers hammering RAM concurrently it measured SLOWER than
+    # the per-row kernel it replaced (memory-bandwidth-bound; the
+    # single-threaded micro-bench, with the whole bus to itself, said the
+    # opposite — measure under real worker concurrency). One (total,)
+    # int64 buffer stays cache-resident across the k passes.
+    total = int(lens_a.sum())
+    buf = np.empty(total, dtype=np.int64)
+    mins = np.empty((int(nz.sum()), k), dtype=np.int64)
+    for j in range(k):
+        np.multiply(hs_all, int(A[j, 0]), out=buf)
+        buf += int(B[j, 0])
+        buf %= MERSENNE31
+        mins[:, j] = np.minimum.reduceat(buf, starts)
+    cols = mins.tolist()
+    out, j, none_row = [], 0, [None] * k
+    for good in nz:
+        if good:
+            out.append(cols[j])
+            j += 1
+        else:
+            out.append(none_row)
+    return out
+
+
+def _shingle_minhash_udf(shingle: int, num_hashes: int, with_ws: bool = True):
     """Arrow UDF: text → (distinct word-shingle set, minhash vector).
 
     Mirrors tokens() (split on single space, empties kept) and
-    _shingles_of exactly; hashes replicate md5_int32 with a per-batch
-    cache. Empty shingle sets yield NULL minhashes (= array_min over []).
+    _shingles_of exactly; hashes replicate md5_int32 (first 4 md5 bytes)
+    through a per-batch digest cache, then one bulk ``frombuffer`` +
+    ``np.minimum.reduceat`` pass computes every row's k affine minima
+    (:func:`_minhash_minima_bulk` — measured 1.4× the per-row-matrix
+    kernel at sf0.1, bit-identical output). Empty shingle sets yield NULL
+    minhashes (= array_min over []).
+
+    ``with_ws=False`` emits empty word-set arrays: three of the four
+    callers (lsh_index_rows / lsh_index_probe / minhash_band_estimate)
+    read only ``mh``, and Spark cannot prune struct fields out of a
+    pandas-UDF result — without the flag every indexed/probed document
+    serializes its full distinct-shingle string set through Arrow just to
+    be projected away (the q99 sig stage's dominant byte volume).
     """
     import hashlib as _hl
 
@@ -1135,19 +1194,15 @@ def _shingle_minhash_udf(shingle: int, num_hashes: int):
             StructField("mh", ArrayType(LongType())),
         ]
     )
+    empty: list = []
 
     @F.pandas_udf(out_type)
     def f(s):
-        cache: dict[str, int] = {}
-
-        def h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                v = int.from_bytes(_hl.md5(g.encode()).digest()[:4], "big")
-                cache[g] = v
-            return v
-
-        out_w, out_m = [], []
+        md5 = _hl.md5
+        cache: dict[str, bytes] = {}
+        cget = cache.get
+        out_w, lens = [], []
+        dig = bytearray()
         for x in s:
             toks = x.split(" ")
             if shingle == 1:
@@ -1157,12 +1212,18 @@ def _shingle_minhash_udf(shingle: int, num_hashes: int):
                     " ".join(toks[i : i + shingle])
                     for i in range(max(len(toks) - shingle + 1, 0))
                 ]
-            out_w.append(list(dict.fromkeys(sh)))
-            if sh:
-                hs = np.array([h(g) for g in sh], dtype=np.int64)
-                out_m.append(((A * hs[None, :] + B) % MERSENNE31).min(axis=1).tolist())
-            else:
-                out_m.append([None] * len(coeffs))
+            # minima over the DISTINCT set == minima over the multiset,
+            # so only row-distinct shingles are hashed
+            dw = list(dict.fromkeys(sh))
+            out_w.append(dw if with_ws else empty)
+            lens.append(len(dw))
+            for g in dw:
+                d = cget(g)
+                if d is None:
+                    d = md5(g.encode()).digest()[:4]
+                    cache[g] = d
+                dig += d
+        out_m = _minhash_minima_bulk(A, B, bytes(dig), lens)
         return pd.DataFrame({"ws": out_w, "mh": out_m})
 
     return f
@@ -1204,29 +1265,33 @@ def _grams_minhash_udf(n: int, num_hashes: int, with_gh: bool = True):
 
     @F.pandas_udf(out_type)
     def f(s):
-        cache: dict[str, int] = {}
-
-        def h(g: str) -> int:
-            v = cache.get(g)
-            if v is None:
-                v = int.from_bytes(_hl.md5(g.encode()).digest()[:4], "big")
-                cache[g] = v
-            return v
-
-        out_g, out_m = [], []
+        md5 = _hl.md5
+        cache: dict[str, bytes] = {}
+        cget = cache.get
+        lens = []
+        dig = bytearray()
         for x in s:
-            grams = list({x[i : i + n] for i in range(max(len(x) - n + 1, 0))})
-            if grams:
-                hs = np.array([h(g) for g in grams], dtype=np.int64)
-                # verify runs on the DISTINCT 32-bit gram-hash set — the
-                # exact space the minhash signatures estimate; ~10× lighter
-                # than shipping gram strings (8-byte longs, no string
-                # serialization through the exchanges)
-                out_g.append(np.unique(hs).tolist() if with_gh else [])
-                out_m.append(((A * hs[None, :] + B) % MERSENNE31).min(axis=1).tolist())
-            else:
-                out_g.append([])
-                out_m.append([None] * len(coeffs))
+            grams = {x[i : i + n] for i in range(max(len(x) - n + 1, 0))}
+            lens.append(len(grams))
+            for g in grams:
+                d = cget(g)
+                if d is None:
+                    d = md5(g.encode()).digest()[:4]
+                    cache[g] = d
+                dig += d
+        out_m = _minhash_minima_bulk(A, B, bytes(dig), lens)
+        if with_gh:
+            # verify runs on the DISTINCT 32-bit gram-hash set — the
+            # exact space the minhash signatures estimate; ~10× lighter
+            # than shipping gram strings (8-byte longs, no string
+            # serialization through the exchanges)
+            hs_all = np.frombuffer(bytes(dig), dtype=">u4").astype(np.int64)
+            out_g, pos = [], 0
+            for ln in lens:
+                out_g.append(np.unique(hs_all[pos : pos + ln]).tolist())
+                pos += ln
+        else:
+            out_g = [[] for _ in lens]
         return pd.DataFrame({"gh": out_g, "mh": out_m})
 
     return f
