@@ -5681,7 +5681,7 @@ def _char_lsh_pairs_oracle(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
-    max_bucket: int = 64,
+    max_bucket: int = 32,
     verify: str = "jaccard",
     max_dist: int = 10,
 ) -> str:
