@@ -502,8 +502,19 @@ def main() -> None:
     spark = get_session(app_name="bench_scale")
     build_scale_dir(spark, scale_dir)
     build_scale_embeddings(spark, scale_dir)
+    # host calibration (same probes as bench.py, min-merged start/end):
+    # the x10 RATIOS are host-sensitive — a slower CPU inflates the
+    # compute-dominated sf1 side relative to the overhead-dominated sf0.1
+    # side (round 11 measured every untouched entry drift +0.2-1.0 ratio
+    # on a host whose calib_cpu read 1.5-5x the round-10 record) — so a
+    # cross-round ratio comparison must check these numbers first
+    from bench import calibrate
+
+    calib = calibrate(spark)
     t01 = run_set(spark, SF01)
     t1 = run_set(spark, scale_dir)
+    calib_end = calibrate(spark)
+    calib = {k: min(calib[k], calib_end[k]) for k in calib}
     queries = {
         name: {
             "sf0.1_sec": t01[name],
@@ -520,6 +531,7 @@ def main() -> None:
         "value": round(sum(t1.values()) / max(sum(t01.values()), 1e-9), 2),
         "unit": "x (10x data)",
         "queries": queries,
+        **calib,
     }
     print(json.dumps(doc))
     with open(out_json, "w") as fh:
