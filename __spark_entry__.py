@@ -3150,9 +3150,17 @@ def q106m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench passes under SPARK_GRAFT_BENCH_CACHE); the GD training chain
     # below re-runs in full inside every timed pass — training IS the
     # operator under test
+    # coalesce(2): the feature frame is ~500 rows but inherits the
+    # corpus scan's partitioning, so each of the 6 sequential gradient
+    # jobs paid ~32-task scheduling for sub-KB of data — the training
+    # wall was job latency, not math (VERDICT r10 #4's q106 remainder).
+    # Values are partition-independent by stable_avg's contract, so the
+    # trajectory/scores/gate hashes are unchanged; at corpus scale a
+    # caller would keep natural partitioning (see
+    # logistic_regression_train's scale note).
     feats = _bench_fixture(
         ("q106_feats", sf_dir),
-        lambda: _q106_features(spark, sf_dir).persist(),
+        lambda: _q106_features(spark, sf_dir).coalesce(2).persist(),
         materialize=True,
     )
     traj = ops.logistic_regression_train(

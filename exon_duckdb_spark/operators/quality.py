@@ -908,6 +908,12 @@ def logistic_regression_train(
     ``stable_avg`` columns, map-side partial aggregation — no shuffle of
     rows, only of partial sums); persist the feature frame before calling
     so the scan doesn't recompute upstream UDF metrics per iteration.
+    For SMALL feature frames (distilling from a labeled subset), also
+    ``coalesce`` before calling: the iterations are sequential jobs, so a
+    tiny frame spread over the corpus scan's partition count pays per-task
+    scheduling K times for sub-MB of data (round 11 measured this as the
+    dominant q106 wall; values are partition-independent by stable_avg's
+    contract, so coalescing never changes the trajectory).
     Labels may be boolean or numeric 0/1."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -924,12 +930,24 @@ def logistic_regression_train(
         for wj, c in zip(w, feature_cols):
             margin = margin + F.lit(wj) * F.col(c).cast("double")
         err = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
+        # project err ONCE, then aggregate over the named column: embedding
+        # the full margin+sigmoid tree inside all p+1 stable_avg columns
+        # multiplied the expression tree ~p-fold and made per-iteration
+        # Catalyst analysis the training wall on small frames (round 11:
+        # q106 measured ~0.9 s per 500-row gradient job before this, with
+        # the plan itself sub-ms to execute). Same arithmetic, same
+        # per-row doubles — the trajectory is bit-unchanged.
+        proj = df.select(
+            err.alias("_err"),
+            *[F.col(c).cast("double").alias(f"_f{j}")
+              for j, c in enumerate(feature_cols)],
+        )
         aggs = [
-            stable_avg(err * F.col(c).cast("double"), digits).alias(f"g{j}")
-            for j, c in enumerate(feature_cols)
+            stable_avg(F.col("_err") * F.col(f"_f{j}"), digits).alias(f"g{j}")
+            for j in range(len(feature_cols))
         ]
-        aggs.append(stable_avg(err, digits).alias("gb"))
-        row = df.agg(*aggs).collect()[0]
+        aggs.append(stable_avg(F.col("_err"), digits).alias("gb"))
+        row = proj.agg(*aggs).collect()[0]
         w = [
             _round_py(wj - lr * float(row[f"g{j}"]), digits)
             for j, wj in enumerate(w)
