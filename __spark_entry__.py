@@ -3536,9 +3536,15 @@ def q14m_sam_cigar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly), so the gate witnesses registration, execution, and
     content; the oracle folds the same rows from a VALUES list built off
     the identical constant."""
-    from exon_duckdb_spark.functions.register import register_table_functions
+    from exon_duckdb_spark.functions.register import (
+        _make_acknowledgements_udtf,
+    )
 
-    register_table_functions(spark)  # idempotent re-register
+    # register ONLY the TVF this query reads (re-registering the whole
+    # 15-UDTF table surface per plan build was needless session mutation)
+    spark.udtf.register(
+        "exondb_third_party_acknowledgements", _make_acknowledgements_udtf()
+    )
     ack = spark.sql(
         """
         SELECT count(*) AS ack_n,
@@ -4606,6 +4612,7 @@ def branch_frames() -> "dict[str, Callable]":
 # the current-round expectation and asserts the no-entry-unwitnessed-
 # more-than-two-rounds invariant against the history files themselves;
 # PARITY.md carries the human-readable rotation ledger.
+_HISTORY_CACHE: "list[tuple[int, dict]] | None" = None
 ROTATION_POOL = (
     "q48_bed_roundtrip",
     "q50_hmm_roundtrip",
@@ -4625,7 +4632,15 @@ def _correctness_history() -> "list[tuple[int, dict]]":
     Unreadable/malformed files are skipped — with NO readable history the
     rotation degenerates to pool order, which still yields a valid (if
     arbitrary) 50-entry window; the canary test fails loudly in that case
-    rather than letting the degradation pass silently."""
+    rather than letting the degradation pass silently.
+
+    Memoized per process: queries() is called repeatedly (bench lookups,
+    test suites), and the history files are immutable within a process
+    lifetime — without the memo every call re-globbed and re-parsed ~10
+    JSON files."""
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is not None:
+        return _HISTORY_CACHE
     import glob
     import json
     import re
@@ -4644,6 +4659,7 @@ def _correctness_history() -> "list[tuple[int, dict]]":
         if isinstance(rows, dict):
             out.append((int(m.group(1)), rows))
     out.sort(key=lambda t: t[0])
+    _HISTORY_CACHE = out
     return out
 
 
@@ -4785,8 +4801,13 @@ def _ack_values_sql() -> str:
     sides cannot drift."""
     from exon_duckdb_spark.functions.core import THIRD_PARTY_ACKNOWLEDGEMENTS
 
+    def q(s: str) -> str:
+        return s.replace("'", "''")  # a future O'Reilly-style name must not
+        # break the VALUES literal while the Spark side keeps working
+
     rows = ", ".join(
-        f"('{n}', '{l}', '{u}')" for n, l, u in THIRD_PARTY_ACKNOWLEDGEMENTS
+        f"('{q(n)}', '{q(l)}', '{q(u)}')"
+        for n, l, u in THIRD_PARTY_ACKNOWLEDGEMENTS
     )
     return (
         f"SELECT * FROM (VALUES {rows}) AS t(name, license, url)"

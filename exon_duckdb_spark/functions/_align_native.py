@@ -218,10 +218,24 @@ _tried = False
 
 
 def _cache_dir() -> str:
+    # per-uid, mode-0700 default: a FIXED world-shared /tmp path would let
+    # another local user pre-create the directory and plant a .so at the
+    # predictable hash name (the source is public), which CDLL would then
+    # load into every worker — classic tmp-dir preload. The uid suffix +
+    # 0700 + the ownership check in _build() close that on multi-user
+    # hosts; SPARK_GRAFT_NATIVE_DIR overrides for clusters (point it at
+    # node-local, user-owned disk).
     d = os.environ.get("SPARK_GRAFT_NATIVE_DIR") or os.path.join(
-        tempfile.gettempdir(), "exon_align_native"
+        tempfile.gettempdir(), f"exon_align_native_{os.getuid()}"
     )
-    os.makedirs(d, exist_ok=True)
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise PermissionError(
+            f"native cache dir {d} is not exclusively owned by this user; "
+            "refusing to load compiled code from it "
+            "(set SPARK_GRAFT_NATIVE_DIR to a user-owned directory)"
+        )
     return d
 
 

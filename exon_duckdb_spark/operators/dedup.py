@@ -1632,8 +1632,15 @@ def ngram_jaccard_pairs(
     measured cap 64→32 cutting the 10×-corpus wall 6.6→2.9 s and the
     sf1/sf0.1 ratio 2.75→1.34 with the verified pair set IDENTICAL at
     both scales, 256 and 2554 pairs; band buckets past 32 were md5-draw
-    collision tails, not duplicate families — the heavy-tail lesson in
-    tools/bench_scale.py's header) bounds the heavy tail of band-bucket sizes
+    collision tails, not duplicate families, on those corpora — the
+    heavy-tail lesson in tools/bench_scale.py's header. The trade is
+    real on boilerplate-heavy crawls though: a GENUINE near-dup family
+    larger than the cap keeps only its ``max_bucket`` smallest ids as
+    pair-emitting representatives, so members past the cap escape this
+    operator — which is why pipelines run :func:`exact_dedup` and
+    :func:`paragraph_dedup` first to collapse template families, and why
+    ``max_bucket=None`` exists to disable the cap when recall outranks
+    the quadratic-bucket guard) bounds the heavy tail of band-bucket sizes
     BEFORE the self-join: each (band, bh) bucket is deterministically
     truncated to its ``max_bucket`` smallest ids (``row_number`` in the
     same exchange the join reuses), so one unlucky minhash draw — a pool

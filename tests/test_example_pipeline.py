@@ -46,9 +46,18 @@ def test_funnel_is_monotone(built):
 
 
 def test_no_exact_duplicates_survive(built):
+    """Exact dedup runs BEFORE the PII scrub, so distinctness is only
+    guaranteed for surviving docs the scrub left untouched — two distinct
+    texts may legitimately collide after both redact to the same tagged
+    form. The fixture currently contains no PII, but the assertion must
+    not depend on that."""
     clean, _, _ = built
-    n = clean.count()
-    assert clean.select("text").distinct().count() == n
+    unscrubbed = clean.where(
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) == 0
+    )
+    n = unscrubbed.count()
+    assert n > 0
+    assert unscrubbed.select("text").distinct().count() == n
 
 
 def test_decontamination_really_removed_benchmark_overlap(built, spark):
