@@ -733,7 +733,13 @@ def q28_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on the whole gram set; 16 hashes / 4 bands puts the collision
     S-curve midpoint at ~0.71, matched to the 0.6 threshold)."""
     docs = _t(spark, sf_dir, "documents")
-    return ops.ngram_jaccard_pairs(docs, n=5, threshold=0.6, num_hashes=16, bands=4)
+    # max_bucket=32 pinned HERE (not the library default, which stays 64 —
+    # ADVICE r11): the r11 sf1 grid measured the 32-cap's pair set
+    # identical on this corpus with the 10x wall 2.25x lower; the oracle
+    # twin (_char_lsh_pairs_oracle) replays the same 32-cap truncation.
+    return ops.ngram_jaccard_pairs(
+        docs, n=5, threshold=0.6, num_hashes=16, bands=4, max_bucket=32
+    )
 
 
 def q89_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,7 +751,7 @@ def q89_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's levenshtein, pinning the two engines' distance functions
     against each other."""
     docs = _t(spark, sf_dir, "documents")
-    return ops.edit_distance_pairs(docs, max_dist=10)
+    return ops.edit_distance_pairs(docs, max_dist=10, max_bucket=32)
 
 
 def q28m_chargram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,7 +765,7 @@ def q28m_chargram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops.chargram_near_dup_pairs(
         docs, n=5, jaccard_threshold=0.6, max_dist=10, num_hashes=16, bands=4,
-        containment_threshold=0.9,
+        containment_threshold=0.9, max_bucket=32,
     )
 
 
@@ -2799,9 +2805,13 @@ def q103_branch_frames(spark: SparkSession, sf_dir: str) -> "dict[str, DataFrame
 _BENCH_FRAME_CACHE: "dict[tuple, DataFrame]" = {}
 
 
-def _bench_fixture(key: tuple, builder, materialize: bool = False):
+def _bench_fixture(spark, key: tuple, builder, materialize: bool = False):
     if not os.environ.get("SPARK_GRAFT_BENCH_CACHE"):
         return builder()
+    # session-scoped key (ADVICE r11): a cached DataFrame is bound to the
+    # SparkSession that built it — if a test fixture stops and recreates
+    # the session in-process, returning the old frame fails on first use
+    key = key + (spark.sparkContext.applicationId,)
     df = _BENCH_FRAME_CACHE.get(key)
     if df is None:
         df = builder()
@@ -2813,9 +2823,17 @@ def _bench_fixture(key: tuple, builder, materialize: bool = False):
     return df
 
 
+def bench_cached_queries() -> "list[str]":
+    """Distinct fixture-cache keys hit this process (short query tags,
+    e.g. 'q104') — bench.py publishes these in its JSON doc so readers
+    can see exactly which rows used a memoized input fixture (ADVICE
+    r11: the methodology change must be visible in the artifact)."""
+    return sorted({k[0] for k in _BENCH_FRAME_CACHE})
+
+
 def q104m_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bench_fixture(
-        ("q104", sf_dir), lambda: _q104m_media_dedup_impl(spark, sf_dir)
+        spark, ("q104", sf_dir), lambda: _q104m_media_dedup_impl(spark, sf_dir)
     )
 
 
@@ -3159,6 +3177,7 @@ def q106m_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caller would keep natural partitioning (see
     # logistic_regression_train's scale note).
     feats = _bench_fixture(
+        spark,
         ("q106_feats", sf_dir),
         lambda: _q106_features(spark, sf_dir).coalesce(2).persist(),
         materialize=True,
@@ -4613,6 +4632,15 @@ def branch_frames() -> "dict[str, Callable]":
 # more-than-two-rounds invariant against the history files themselves;
 # PARITY.md carries the human-readable rotation ledger.
 _HISTORY_CACHE: "list[tuple[int, dict]] | None" = None
+# The rotation reads ONLY committed history up to this round (ADVICE r11
+# medium): the driver writes CORRECTNESS_r{N}.json for the CURRENT round
+# mid-round, after the final commit — if the glob picked that file up, the
+# tail (and therefore queries() ordering) would flip for later processes in
+# the same working tree, and the canary suite would redden on filesystem
+# state rather than on a reviewed edit. Bump this constant together with
+# tests/test_window_rotation.py::PINNED_TAIL at round open (a git-tracked
+# assertion in that file enforces the pairing).
+ROTATION_PIN_ROUND = 11
 ROTATION_POOL = (
     "q48_bed_roundtrip",
     "q50_hmm_roundtrip",
@@ -4627,7 +4655,10 @@ DRIVER_WINDOW = 50
 
 
 def _correctness_history() -> "list[tuple[int, dict]]":
-    """(round, parsed rows) per committed CORRECTNESS_r*.json, ascending.
+    """(round, parsed rows) per committed CORRECTNESS_r*.json, ascending,
+    capped at ROTATION_PIN_ROUND so a round file the driver writes
+    mid-round (untracked until its own commit) can never reorder the
+    registry for processes that follow it in the same tree.
 
     Unreadable/malformed files are skipped — with NO readable history the
     rotation degenerates to pool order, which still yields a valid (if
@@ -4649,7 +4680,7 @@ def _correctness_history() -> "list[tuple[int, dict]]":
     out = []
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
-        if not m:
+        if not m or int(m.group(1)) > ROTATION_PIN_ROUND:
             continue
         try:
             with open(p) as f:

@@ -1,6 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+The stdout line is deliberately kept under ~1.9 KB (per-query rows keyed
+by qNN tag, branches omitted) because the driver records only a ~2 KB
+stdout tail; the COMPLETE record — full query names, branch timings,
+q99 stages — is written to ./BENCH.json every run (VERDICT r11 #3).
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect). Every headline query first runs once UNTIMED (plan
@@ -250,20 +254,46 @@ def main() -> None:
     calib_end = calibrate(spark)
     calib = {k: min(calib[k], calib_end[k]) for k in calib}
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "branches": branches,
-                "sf": sf,
-                "passes": passes,
-                **calib,
-            }
-        )
-    )
+    doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "branches": branches,
+        "sf": sf,
+        "passes": passes,
+        # methodology disclosure (ADVICE r11): which composite rows used a
+        # memoized input fixture under SPARK_GRAFT_BENCH_CACHE — without
+        # this, cross-round comparisons can't see the r11 change that
+        # stopped timing q104's fixture synthesis
+        "bench_cache": int(bool(os.environ.get("SPARK_GRAFT_BENCH_CACHE"))),
+        "cached_fixtures": entrymod.bench_cached_queries(),
+        **calib,
+    }
+    # full record to a fixed-path artifact (VERDICT r11 #3): BENCH_r10 and
+    # r11 both recorded `parsed: null` because the driver keeps only a
+    # ~2 KB stdout tail and the single JSON line had outgrown it — totals
+    # and the first ~35 query rows fell off the front. The complete doc
+    # lives here (committed per round) ...
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH.json"), "w") as f:
+        json.dump(doc, f, separators=(",", ":"))
+        f.write("\n")
+    # ... and stdout carries a line SIZED TO SURVIVE the tail cap: same
+    # totals/calibration, per-query rows keyed by their unique qNN tag
+    # (branch timings only in the artifact). Falls back to full names if
+    # the tags ever collide.
+    short = {name.split("_", 1)[0]: t for name, t in times.items()}
+    compact = dict(doc, queries=short if len(short) == len(times) else times)
+    compact.pop("branches")
+    compact["artifact"] = "BENCH.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the stdout record outgrow the cap again
+        compact["queries"] = {k: v for k, v in sorted(
+            compact["queries"].items(), key=lambda kv: -kv[1])[:40]}
+        compact["queries_truncated_to_slowest"] = 40
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1406,7 +1406,7 @@ def edit_distance_pairs(
     n: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int = 32,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs under EDIT-DISTANCE semantics: the same
     char-n-gram minhash band blocking as :func:`ngram_jaccard_pairs`
@@ -1509,7 +1509,7 @@ def chargram_near_dup_pairs(
     max_dist: int = 10,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int = 32,
+    max_bucket: int = 64,
     containment_threshold: float = 0.9,
 ) -> DataFrame:
     """Three near-dup verifies over ONE char-gram band-blocking pass.
@@ -1608,7 +1608,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket: int | None = 32,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Character n-gram Jaccard near-dup pairs, blocked by MinHash bands of
     the gram set.
@@ -1628,19 +1628,23 @@ def ngram_jaccard_pairs(
     still share every band by design — run :func:`exact_dedup` first so
     literal duplicates don't re-pair here.
 
-    ``max_bucket`` (default 32 — round 11: the sf1 knob experiment
-    measured cap 64→32 cutting the 10×-corpus wall 6.6→2.9 s and the
-    sf1/sf0.1 ratio 2.75→1.34 with the verified pair set IDENTICAL at
-    both scales, 256 and 2554 pairs; band buckets past 32 were md5-draw
-    collision tails, not duplicate families, on those corpora — the
-    heavy-tail lesson in tools/bench_scale.py's header. The trade is
-    real on boilerplate-heavy crawls though: a GENUINE near-dup family
-    larger than the cap keeps only its ``max_bucket`` smallest ids as
+    ``max_bucket`` (LIBRARY default 64 — round 12 restored it after the
+    round-11 default flip to 32 was flagged as a silent behavior break
+    for existing callers, ADVICE r11: a GENUINE near-dup family larger
+    than the cap keeps only its ``max_bucket`` smallest ids as
     pair-emitting representatives, so members past the cap escape this
-    operator — which is why pipelines run :func:`exact_dedup` and
-    :func:`paragraph_dedup` first to collapse template families, and why
-    ``max_bucket=None`` exists to disable the cap when recall outranks
-    the quadratic-bucket guard) bounds the heavy tail of band-bucket sizes
+    operator. The gated queries and benchmarks pass ``max_bucket=32``
+    EXPLICITLY at their call sites (__spark_entry__.py q28/q89/q28m):
+    the round-11 sf1 knob experiment measured cap 64→32 cutting the
+    10×-corpus wall 6.6→2.9 s and the sf1/sf0.1 ratio 2.75→1.34 with the
+    verified pair set IDENTICAL at both scales, 256 and 2554 pairs —
+    band buckets past 32 were md5-draw collision tails, not duplicate
+    families, ON THOSE CORPORA; the heavy-tail lesson in
+    tools/bench_scale.py's header. On boilerplate-heavy crawls run
+    :func:`exact_dedup` and :func:`paragraph_dedup` first to collapse
+    template families, and use ``max_bucket=None`` to disable the cap
+    when recall outranks the quadratic-bucket guard) bounds the heavy
+    tail of band-bucket sizes
     BEFORE the self-join: each (band, bh) bucket is deterministically
     truncated to its ``max_bucket`` smallest ids (``row_number`` in the
     same exchange the join reuses), so one unlucky minhash draw — a pool

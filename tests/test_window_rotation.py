@@ -19,16 +19,21 @@ reviewed event, never a drive-by.
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 import __spark_entry__ as entrymod
 
-# the four entries expected OUTSIDE the window this round (round 11:
-# q103–q106 were driver-greened in round 10, so they sit out while
-# q48/q50/q51/q52 — last witnessed r09 — rotate back in)
+# the four entries expected OUTSIDE the window this round (round 12:
+# q48/q50/q51/q52 were driver-greened in round 11, so they sit out while
+# q103–q106 — last witnessed r10 — rotate back in for their second
+# driver witnessing)
 PINNED_TAIL = (
-    "q103_bloom_crawl",
-    "q104_media_dedup",
-    "q105_bpe_pipeline",
-    "q106_quality_classifier",
+    "q48_bed_roundtrip",
+    "q50_hmm_roundtrip",
+    "q51_genbank_roundtrip",
+    "q52_mzml_roundtrip",
 )
 # the full declared registry — membership pin, order-independent
 PINNED_ALL = frozenset({
@@ -100,6 +105,78 @@ def test_no_entry_unwitnessed_more_than_two_rounds():
             f"{name} is outside the driver window and has no green row in "
             f"the last two rounds ({[r for r, _ in recent]})"
         )
+
+
+def test_rotation_pin_matches_committed_history():
+    """ROTATION_PIN_ROUND must equal the newest GIT-TRACKED correctness
+    round (ADVICE r11 medium): the rotation may only read committed
+    history, and the pin may only advance together with this file's
+    PINNED_TAIL. An untracked CORRECTNESS_r{pin+1}.json written by the
+    driver mid-round must neither advance the rotation nor fail this
+    test; a committed one without a pin bump must fail it."""
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pytest.skip("git unavailable — pin/commit pairing not checkable")
+    if out.returncode != 0 or not out.stdout.strip():
+        pytest.skip("not a git checkout — pin/commit pairing not checkable")
+    rounds = [
+        int(m.group(1))
+        for line in out.stdout.splitlines()
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", line))
+    ]
+    assert max(rounds) == entrymod.ROTATION_PIN_ROUND, (
+        f"committed history reaches r{max(rounds)} but ROTATION_PIN_ROUND "
+        f"is {entrymod.ROTATION_PIN_ROUND} — advance the pin AND "
+        f"PINNED_TAIL together (plus the PARITY ledger row)"
+    )
+    # and the history the rotation actually reads must honor the pin even
+    # if newer (driver-written, untracked) files exist on disk
+    hist_rounds = [r for r, _ in entrymod._correctness_history()]
+    assert hist_rounds, "no readable committed history"
+    assert max(hist_rounds) <= entrymod.ROTATION_PIN_ROUND
+
+
+def test_no_pool_member_ages_past_two_rounds():
+    """VERDICT r11 #7: the two-round invariant as an enforced property —
+    every ROTATION_POOL member's last driver-green round in committed
+    history is at most 2 rounds older than the pin, OR the member sits in
+    the current window (about to be witnessed)."""
+    last = entrymod.rotation_last_green()
+    window = set(list(entrymod.queries())[: entrymod.DRIVER_WINDOW])
+    for name in entrymod.ROTATION_POOL:
+        age = entrymod.ROTATION_PIN_ROUND - last.get(name, -(10**6))
+        assert age <= 2 or name in window, (
+            f"{name} last driver-green r{last.get(name)} "
+            f"(age {age} vs pin r{entrymod.ROTATION_PIN_ROUND}) and not "
+            f"in this round's window — rotation invariant broken"
+        )
+
+
+def test_age_assertion_catches_synthetic_stale_history(monkeypatch):
+    """The age check is live: with a synthetic history where q48 last
+    greened 3 rounds before the pin AND the rotation (wrongly) benches
+    it, the invariant must flag it."""
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    pin = entrymod.ROTATION_PIN_ROUND
+    fake_hist = [
+        (pin - 3, {n: dict(green) for n in entrymod.ROTATION_POOL}),
+        (pin, {n: dict(green) for n in entrymod.ROTATION_POOL
+               if n != "q48_bed_roundtrip"}),
+    ]
+    monkeypatch.setattr(entrymod, "_correctness_history", lambda: fake_hist)
+    last = entrymod.rotation_last_green()
+    assert pin - last["q48_bed_roundtrip"] == 3
+    # the rotation itself self-heals: the stale member must be windowed
+    assert "q48_bed_roundtrip" not in entrymod.rotation_tail(4)
 
 
 def test_red_pool_member_stays_windowed(monkeypatch):
