@@ -2632,9 +2632,11 @@ def q99_stage_times(spark: SparkSession, sf_dir: str, passes: int = 2) -> "dict[
     - ``sig``    signature compute over the 90% corpus (shingle+minhash
                  pandas UDF through the noop sink — no disk involved);
     - ``write``  the band-partitioned parquet write of the SAME persisted
-                 signature frame (isolates temp-dir/disk cost; a fresh
-                 subdir per pass, so a driver bench that pays cold-dir
-                 creation shows it here);
+                 signature frame, through the deterministic band→partition
+                 hash mapping the build itself uses since round 12
+                 (isolates temp-dir/disk cost; a fresh subdir per pass, so
+                 a driver bench that pays cold-dir creation shows it
+                 here);
     - ``probe``  the broadcast probe join against the on-disk index
                  (parquet scan + join, read side of the disk);
     - ``files``  parquet data-file count of one write (layout cap check:
@@ -2679,10 +2681,14 @@ def q99_stage_times(spark: SparkSession, sf_dir: str, passes: int = 2) -> "dict[
         cached.write.mode("overwrite").format("noop").save()  # materialize
         n_write = [0]
 
+        from exon_duckdb_spark.operators.dedup import _band_partition_count
+
+        p_bands = _band_partition_count(4)
+
         def _write():
             n_write[0] += 1
             path = f"{tmp}/idx_{n_write[0]}"
-            cached.repartitionByRange(4, F.col("band")).write.mode(
+            cached.repartition(p_bands, F.col("band")).write.mode(
                 "overwrite"
             ).partitionBy("band").parquet(path)
 

@@ -110,6 +110,51 @@ def test_lsh_index_build_probe_roundtrip(docs, spark, tmp_path):
     assert any(d.startswith("band=") for d in os.listdir(path))
 
 
+def test_murmur3_int32_matches_spark_hash(spark):
+    """_murmur3_int32 must replicate Spark's hash() for IntegerType
+    bit-for-bit — lsh_index_build pre-computes band→partition routing
+    from it, so a divergence would silently degrade file layout (never
+    correctness: partitionBy routes by value regardless)."""
+    from exon_duckdb_spark.operators.dedup import _murmur3_int32
+
+    rows = (
+        spark.range(-8, 64)
+        .select(F.col("id").cast("int").alias("x"))
+        .select("x", F.hash("x").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert r["h"] == _murmur3_int32(r["x"])
+
+
+def test_band_partition_count_separates_bands():
+    """Every band value must land in its own shuffle partition under
+    pmod(murmur3(band), P) for the P the helper picks."""
+    from exon_duckdb_spark.operators.dedup import (
+        _band_partition_count,
+        _murmur3_int32,
+    )
+
+    for bands in range(2, 17):
+        p = _band_partition_count(bands)
+        assert p is not None and p >= bands
+        assert len({_murmur3_int32(b) % p for b in range(bands)}) == bands
+
+
+def test_lsh_index_build_one_file_per_band(docs, spark, tmp_path):
+    """The deterministic hash routing (round 12, replacing the sampled
+    range partitioner) must keep the one-parquet-file-per-band layout
+    the small-files fix established."""
+    import glob
+    import os
+
+    path = str(tmp_path / "idx")
+    ops.lsh_index_build(docs, path, num_hashes=4, bands=2, shingle=1)
+    for band_dir in sorted(glob.glob(f"{path}/band=*")):
+        files = [f for f in os.listdir(band_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, (band_dir, files)
+
+
 def test_simhash_similarity(docs):
     out = {r["doc_id"]: r["simhash"] for r in ops.simhash(docs, bits=16).collect()}
     assert out[1] == out[2]
