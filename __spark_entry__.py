@@ -3935,8 +3935,29 @@ def q22_branch_frames(
     composite's wall."""
     docs = _t(spark, sf_dir, "documents")
     sig = ops.minhash_signature(docs, num_hashes=8)
-    pairs = ops.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=4, threshold=0.8, shingle=3
+    # ONE signature UDF pass serves every 16-hash shingle-3 consumer in
+    # the composite (VERDICT r11 #4): exact-verify pairs, the bandest
+    # screen, the index build over the 90% slice AND the 10% probe batch
+    # all derive from this persisted minhash_keyed frame (mh values are
+    # with_ws-independent; Catalyst prunes wordset out of estimate-only
+    # scans). Previously each consumer ran its own corpus-wide UDF pass
+    # (~3x per composite evaluation). Values byte-identical — the frame
+    # is the same UDF output the consumers computed privately.
+    keyed16 = ops.minhash_keyed(
+        docs, num_hashes=16, shingle=3, with_ws=True
+    ).persist()
+    from exon_duckdb_spark.operators.dedup import _materialize
+
+    # pairs rows are tiny (id_a, id_b, jaccard) but their plan — band
+    # self-join + exact verify — is the composite's most expensive
+    # subtree; checkpointing once means the pair branch, the CC edge
+    # derivation and every cluster consumer read materialized rows
+    # instead of re-running the join (values unchanged by construction)
+    pairs = _materialize(
+        ops.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.8, shingle=3,
+            keyed=keyed16,
+        )
     )
     # CC runs ONCE: the cluster table feeds keep-list, split and
     # representative selection (each would otherwise re-iterate it)
@@ -3974,7 +3995,9 @@ def q22_branch_frames(
         F.col("lang").alias("k2"),
         F.lit(None).cast("double").alias("val"),
     )
-    e = q104_minhash_band_est_pairs(spark, sf_dir).select(
+    e = ops.minhash_band_est_pairs(
+        docs, num_hashes=16, bands=4, shingle=3, threshold=0.5, keyed=keyed16
+    ).select(
         F.lit("bandest").alias("kind"),
         F.col("id_a").cast("string").alias("k1"),
         F.concat_ws(
@@ -4000,6 +4023,7 @@ def q22_branch_frames(
         num_hashes=16,
         bands=4,
         shingle=3,
+        keyed=keyed16.where(F.col("doc_id") % 10 != 0),
     )
     inc = ops.lsh_index_probe(
         docs.where(F.col("doc_id") % 10 == 0),
@@ -4008,6 +4032,7 @@ def q22_branch_frames(
         bands=4,
         shingle=3,
         threshold=0.5,
+        keyed=keyed16.where(F.col("doc_id") % 10 == 0),
     )
     i = inc.select(
         F.lit("incr").alias("kind"),

@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_stats",
     "minhash_signature",
+    "minhash_keyed",
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
@@ -120,6 +121,43 @@ def minhash_signature(
     return base.select(*sel)
 
 
+def minhash_keyed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle: int = 1,
+    with_ws: bool = True,
+) -> DataFrame:
+    """The shared MinHash signature frame ``(id, [wordset,] _mh)`` every
+    word-shingle minhash consumer derives from: one fused Arrow pass
+    (shingles + all k affine minima, :func:`_shingle_minhash_udf`).
+
+    Exposed (round 12, VERDICT r11 #4) so a pipeline running SEVERAL
+    signature consumers over one corpus — exact-verify pairs, the
+    band-estimate screen, a persisted index build AND its probe batch —
+    computes the UDF ONCE: persist the returned frame, slice it
+    (``.where(...)``) per consumer, and pass it via the consumers'
+    ``keyed=`` parameter. ``mh`` values are independent of ``with_ws``,
+    so one ``with_ws=True`` frame serves estimate-only consumers too
+    (Catalyst prunes the unused wordset column out of the cache scan).
+    The caller owns persistence and lifetime."""
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df, id_col)
+    cols = [F.col(id_col)]
+    keyed = df.select(
+        F.col(id_col),
+        _shingle_minhash_udf(shingle, num_hashes, with_ws=with_ws)(
+            text_col
+        ).alias("_f"),
+    )
+    if with_ws:
+        cols.append(F.col("_f.ws").alias("wordset"))
+    cols.append(F.col("_f.mh").alias("_mh"))
+    return keyed.select(*cols)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -128,6 +166,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle: int = 1,
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard verify.
 
@@ -142,24 +181,23 @@ def minhash_lsh_pairs(
     Lifecycle note: the signature frame is persisted (both join sides read
     it) and must outlive the returned lazy DataFrame, so it is NOT
     unpersisted here; loops over many corpora in one session should
-    ``spark.catalog.clearCache()`` between iterations.
+    ``spark.catalog.clearCache()`` between iterations. ``keyed`` accepts
+    a precomputed :func:`minhash_keyed` frame (must carry ``wordset``,
+    i.e. ``with_ws=True``) so multi-consumer pipelines run the signature
+    UDF once; the caller then owns persistence.
     """
     # Fused Arrow pass (same rationale as ngram_jaccard_pairs): shingles AND
     # all k minhashes in one UDF with a per-batch shingle-hash cache + numpy
     # affine minima; persisted because band keys and both verify-join sides
     # read it. minhash_signature (the public signature operator) keeps the
     # pure-expression path.
-    from exon_duckdb_spark.operators.relational import ensure_parallelism
+    if keyed is None:
+        from pyspark import StorageLevel
 
-    df = ensure_parallelism(df, id_col)
-    keyed = df.select(
-        F.col(id_col), _shingle_minhash_udf(shingle, num_hashes)(text_col).alias("_f")
-    ).select(
-        F.col(id_col), F.col("_f.ws").alias("wordset"), F.col("_f.mh").alias("_mh")
-    )
-    from pyspark import StorageLevel
-
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        keyed = minhash_keyed(
+            df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, shingle=shingle,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _earliest_band_pairs(
         _band_assignments(keyed, id_col, num_hashes, bands, with_all=True),
         id_col,
@@ -196,6 +234,7 @@ def minhash_band_est_pairs(
     bands: int = 4,
     shingle: int = 3,
     threshold: float = 0.5,
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """Band-collision pairs with SIGNATURE-ESTIMATE verify: one row per
     colliding ``(band, bh)`` bucket, ``est_jaccard`` = fraction of equal
@@ -218,15 +257,20 @@ def minhash_band_est_pairs(
     output (the LSH-then-estimate screen a 100 TB first pass runs before
     any exact verify).
     """
-    from pyspark import StorageLevel
+    if keyed is None:
+        from pyspark import StorageLevel
 
-    keyed = df.select(
-        F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
-    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
-    # persist: the band self-join reads the Arrow signature pass from both
-    # sides (same rationale + lifecycle caveat as minhash_lsh_pairs)
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        keyed = df.select(
+            F.col(id_col),
+            _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
+        ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+        # persist: the band self-join reads the Arrow signature pass from
+        # both sides (same rationale + lifecycle caveat as
+        # minhash_lsh_pairs); a caller-supplied minhash_keyed frame skips
+        # the UDF here entirely (``keyed=``, caller owns persistence)
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        keyed = keyed.select(F.col(id_col), "_mh")
     assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
     a = assign.select(
         "band", "bh", F.col(id_col).alias("id_a"), F.col("_mh").alias("mh_a")
@@ -476,6 +520,7 @@ def lsh_index_build(
     bands: int = 4,
     shingle: int = 3,
     mode: str = "overwrite",
+    keyed: "DataFrame | None" = None,
 ) -> None:
     """Persist a MinHash-LSH band index for INCREMENTAL dedup: build once
     over the accumulated corpus, probe every new batch against it with
@@ -493,7 +538,7 @@ def lsh_index_build(
     """
     out_cols = lsh_index_rows(
         df, text_col=text_col, id_col=id_col,
-        num_hashes=num_hashes, bands=bands, shingle=shingle,
+        num_hashes=num_hashes, bands=bands, shingle=shingle, keyed=keyed,
     )
     # cluster rows by band before the partitioned write: without it every
     # shuffle partition writes a sliver into every band dir (bands ×
@@ -536,16 +581,22 @@ def lsh_index_rows(
     num_hashes: int = 16,
     bands: int = 4,
     shingle: int = 3,
+    keyed: "DataFrame | None" = None,
 ) -> DataFrame:
     """The ``(band, bh, id, mh)`` signature frame :func:`lsh_index_build`
     writes — exposed so the bench can time signature compute and the
     partitioned parquet write as separate stages (VERDICT r9 #3: the
     composite q99 wall could not localize a 3× builder/driver bench
-    discrepancy)."""
-    keyed = df.select(
-        F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
-    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    discrepancy). ``keyed`` accepts a precomputed :func:`minhash_keyed`
+    frame (sliced to this corpus) so a pipeline sharing signatures
+    across consumers runs the UDF once (VERDICT r11 #4)."""
+    if keyed is None:
+        keyed = df.select(
+            F.col(id_col),
+            _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
+        ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    else:
+        keyed = keyed.select(F.col(id_col), "_mh")
     assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
     return assign.select(
         F.col("band"),
@@ -565,6 +616,7 @@ def lsh_index_probe(
     shingle: int = 3,
     threshold: float = 0.5,
     broadcast_probe: bool = True,
+    keyed: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe a new batch against a persisted :func:`lsh_index_build` index:
     emits ``(band, bh, id_new, id_indexed, est_jaccard)`` per colliding
@@ -581,10 +633,13 @@ def lsh_index_probe(
     index probes cleanly (idempotent re-runs)."""
     spark = new_df.sparkSession
     idx = spark.read.parquet(index) if isinstance(index, str) else index
-    keyed = new_df.select(
-        F.col(id_col),
-        _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
-    ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    if keyed is None:
+        keyed = new_df.select(
+            F.col(id_col),
+            _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
+        ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+    else:
+        keyed = keyed.select(F.col(id_col), "_mh")
     probe = _band_assignments(
         keyed, id_col, num_hashes, bands, carry=("_mh",)
     ).select(

@@ -110,6 +110,67 @@ def test_lsh_index_build_probe_roundtrip(docs, spark, tmp_path):
     assert any(d.startswith("band=") for d in os.listdir(path))
 
 
+def test_minhash_keyed_shared_frame_equivalence(docs, spark, tmp_path):
+    """Every consumer fed a precomputed minhash_keyed frame must emit
+    exactly the rows it computes with its private UDF pass (round 12:
+    the shared-signature path q22's composite uses)."""
+    keyed = ops.minhash_keyed(docs, num_hashes=4, shingle=1).persist()
+    try:
+        base_pairs = {
+            tuple(r)
+            for r in ops.minhash_lsh_pairs(
+                docs, num_hashes=4, bands=2, threshold=0.5, shingle=1
+            ).collect()
+        }
+        shared_pairs = {
+            tuple(r)
+            for r in ops.minhash_lsh_pairs(
+                docs, num_hashes=4, bands=2, threshold=0.5, shingle=1,
+                keyed=keyed,
+            ).collect()
+        }
+        assert base_pairs == shared_pairs and base_pairs
+        base_est = {
+            tuple(r)
+            for r in ops.minhash_band_est_pairs(
+                docs, num_hashes=4, bands=2, shingle=1, threshold=0.5
+            ).collect()
+        }
+        shared_est = {
+            tuple(r)
+            for r in ops.minhash_band_est_pairs(
+                docs, num_hashes=4, bands=2, shingle=1, threshold=0.5,
+                keyed=keyed,
+            ).collect()
+        }
+        assert base_est == shared_est and base_est
+        # index build + probe through sliced views of the same frame
+        p1, p2 = str(tmp_path / "own"), str(tmp_path / "shared")
+        corpus = docs.where(F.col("doc_id") != 3)
+        batch = docs.where(F.col("doc_id") == 3)
+        ops.lsh_index_build(corpus, p1, num_hashes=4, bands=2, shingle=1)
+        ops.lsh_index_build(
+            corpus, p2, num_hashes=4, bands=2, shingle=1,
+            keyed=keyed.where(F.col("doc_id") != 3),
+        )
+        got1 = {
+            tuple(r)
+            for r in ops.lsh_index_probe(
+                batch, p1, num_hashes=4, bands=2, shingle=1, threshold=0.5
+            ).collect()
+        }
+        got2 = {
+            tuple(r)
+            for r in ops.lsh_index_probe(
+                batch, p2, num_hashes=4, bands=2, shingle=1, threshold=0.5,
+                keyed=keyed.where(F.col("doc_id") == 3),
+            ).collect()
+        }
+        assert got1 == got2 and got1
+    finally:
+        keyed.unpersist()
+
+
 def test_murmur3_int32_matches_spark_hash(spark):
     """_murmur3_int32 must replicate Spark's hash() for IntegerType
     bit-for-bit — lsh_index_build pre-computes band→partition routing

@@ -66,8 +66,16 @@ SCALE_SET = [
     "q23_simhash",
     "q24_text_stats",
     "q26_doc_fingerprint",
+    # the char-gram near-dup family, COMPONENT-ATTRIBUTED (VERDICT r11
+    # #2): q28 = jaccard-only verify, q89 = edit-only verify, q28m = the
+    # fused jaccard+containment+edit composite over ONE blocking pass
+    # (what the driver's correctness gate runs as q28). Recording all
+    # three same-run pins which component any ratio drift belongs to —
+    # the blocking stage is shared, so composite ≈ blocking + the sum of
+    # verify predicates.
     "q28_ngram_jaccard_pairs",
     "q89_edit_distance_pairs",
+    "q28m_chargram_pairs",
     "q90_boilerplate_lines",
     "q91_dsir_importance",
     "q94_normalize_text",
@@ -470,7 +478,12 @@ EMB_SET = {
     "per_source_cap": per_source_cap_scaled,
     "leakage_safe_split": leakage_split_scaled,
     "bitext_ivf_backend": bitext_scaled,
-    "bitext_rp_backend": bitext_rp_scaled,
+    # bitext_rp_backend retired (round 12, as PARITY's splice note
+    # committed): the r11 file recorded both backends side by side
+    # (ivf 2.64x vs rp 2.98x); the IVF composition is the prescribed
+    # scale path and rp_topk's own scaling stays covered by
+    # rp_projected_topk. bitext_rp_scaled remains above for anyone
+    # re-measuring the splice.
     "hamming_index_probe": hamming_index_scaled,
 }
 
