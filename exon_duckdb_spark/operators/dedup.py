@@ -591,6 +591,12 @@ def lsh_index_rows(
     frame (sliced to this corpus) so a pipeline sharing signatures
     across consumers runs the UDF once (VERDICT r11 #4)."""
     if keyed is None:
+        # deliberately NO ensure_parallelism here: an interleaved A/B at
+        # sf0.1 (round 12) measured the fan-out REGRESSING this stage
+        # (min 1.16 -> 1.50 s) — the signature UDF is ~12 ms of CPU, so
+        # the stage wall is task orchestration and a repartition only
+        # adds a shuffle plus 32 task overheads; on a real multi-split
+        # layout the scan is already parallel
         keyed = df.select(
             F.col(id_col),
             _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
