@@ -2817,9 +2817,14 @@ def _bench_fixture(spark, key: tuple, builder, materialize: bool = False):
     # session-scoped key (ADVICE r11): a cached DataFrame is bound to the
     # SparkSession that built it — if a test fixture stops and recreates
     # the session in-process, returning the old frame fails on first use
-    key = key + (spark.sparkContext.applicationId,)
+    app = spark.sparkContext.applicationId
+    key = key + (app,)
     df = _BENCH_FRAME_CACHE.get(key)
     if df is None:
+        # drop frames from dead sessions: they can never be returned
+        # again (wrong appId) and only pin dead-JVM references
+        for k in [k for k in _BENCH_FRAME_CACHE if k[-1] != app]:
+            del _BENCH_FRAME_CACHE[k]
         df = builder()
         _BENCH_FRAME_CACHE[key] = df
         if materialize:
