@@ -2640,8 +2640,9 @@ def q99_stage_times(spark: SparkSession, sf_dir: str, passes: int = 2) -> "dict[
     - ``probe``  the broadcast probe join against the on-disk index
                  (parquet scan + join, read side of the disk);
     - ``files``  parquet data-file count of one write (layout cap check:
-                 repartitionByRange keeps it ~1 per band — a large value
-                 means the small-files regression returned).
+                 the deterministic murmur3 band→partition routing keeps
+                 it ~1 per band — a large value means the small-files
+                 regression returned).
 
     Each stage is warmed once and timed ``passes`` times (minimum), the
     same discipline as run_queries. ``SPARK_GRAFT_SCRATCH`` relocates the
@@ -3927,7 +3928,8 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_branch_frames(
-    spark: SparkSession, sf_dir: str, idx_dir: str
+    spark: SparkSession, sf_dir: str, idx_dir: str,
+    materialize_pairs: bool = True,
 ) -> "dict[str, DataFrame]":
     """The q22 composite's branch DataFrames keyed by gate tag — the unit
     bench.py times individually (branch-level bench, VERDICT r6 #5 /
@@ -3937,7 +3939,14 @@ def q22_branch_frames(
     building the dict runs connected components once (clusters feed
     keep/split/rep), so per-branch walls measure each branch's own
     compute beyond the shared cluster table and do NOT sum to the
-    composite's wall."""
+    composite's wall.
+
+    ``materialize_pairs`` (round 12): the composite checkpoints the
+    pairs subtree at build time so its band-join+verify executes once
+    across all consumers; the BRANCH BENCH passes False so the 'pair'
+    branch keeps timing its own join+verify compute (otherwise that row
+    would silently become a checkpoint scan and read as a phantom
+    speedup against r11)."""
     docs = _t(spark, sf_dir, "documents")
     sig = ops.minhash_signature(docs, num_hashes=8)
     # ONE signature UDF pass serves every 16-hash shingle-3 consumer in
@@ -3958,12 +3967,12 @@ def q22_branch_frames(
     # subtree; checkpointing once means the pair branch, the CC edge
     # derivation and every cluster consumer read materialized rows
     # instead of re-running the join (values unchanged by construction)
-    pairs = _materialize(
-        ops.minhash_lsh_pairs(
-            docs, num_hashes=16, bands=4, threshold=0.8, shingle=3,
-            keyed=keyed16,
-        )
+    pairs = ops.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, shingle=3,
+        keyed=keyed16,
     )
+    if materialize_pairs:
+        pairs = _materialize(pairs)
     # CC runs ONCE: the cluster table feeds keep-list, split and
     # representative selection (each would otherwise re-iterate it)
     clusters = ops.dedup_clusters(pairs)
@@ -4633,7 +4642,12 @@ def branch_frames() -> "dict[str, Callable]":
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="lshidx_bench_")
-        frames = q22_branch_frames(spark, sf_dir, f"{tmp}/idx")
+        # materialize_pairs=False: the branch bench must time the pair
+        # branch's own join+verify, not a checkpoint scan (see
+        # q22_branch_frames)
+        frames = q22_branch_frames(
+            spark, sf_dir, f"{tmp}/idx", materialize_pairs=False
+        )
         return frames, lambda: shutil.rmtree(tmp, ignore_errors=True)
 
     return {

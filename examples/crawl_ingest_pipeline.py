@@ -108,6 +108,12 @@ def ingest_day(
     and per-stage keep counts. The surviving signatures are APPENDED to
     the on-disk index as a side effect, so tomorrow's probe sees today's
     survivors.
+
+    Lifecycle: the cleaned batch and its signature frame stay persisted
+    (the funnel counts, the probe, the index append and the RETURNED
+    lazy survivors all read them — without the persists stages 1-2
+    re-execute per action); call ``spark.catalog.clearCache()`` between
+    days, the same convention as minhash_lsh_pairs.
     """
     funnel: dict[str, int] = {"raw": batch.count()}
 
@@ -128,7 +134,7 @@ def ingest_day(
     )
     cleaned = filtered.where(F.col("clean_text") != "").select(
         "doc_id", F.col("clean_text").alias("text")
-    )
+    ).persist()
     funnel["boilerplate"] = cleaned.count()
 
     # 3. near-dup vs the accumulated corpus: ONE signature pass for the
@@ -154,7 +160,6 @@ def ingest_day(
         num_hashes=NUM_HASHES, bands=BANDS, shingle=SHINGLE,
         mode="append", keyed=keyed.join(surv_ids, "doc_id"),
     )
-    keyed.unpersist()
     return survivors, bloom_next, funnel
 
 

@@ -128,6 +128,7 @@ def minhash_keyed(
     num_hashes: int = 8,
     shingle: int = 1,
     with_ws: bool = True,
+    parallel: bool = True,
 ) -> DataFrame:
     """The shared MinHash signature frame ``(id, [wordset,] _mh)`` every
     word-shingle minhash consumer derives from: one fused Arrow pass
@@ -141,10 +142,13 @@ def minhash_keyed(
     ``keyed=`` parameter. ``mh`` values are independent of ``with_ws``,
     so one ``with_ws=True`` frame serves estimate-only consumers too
     (Catalyst prunes the unused wordset column out of the cache scan).
-    The caller owns persistence and lifetime."""
-    from exon_duckdb_spark.operators.relational import ensure_parallelism
+    The caller owns persistence and lifetime. ``parallel=False`` skips
+    the single-split fan-out guard — right for consumers whose UDF wall
+    is orchestration-bound (see the measured note in lsh_index_rows)."""
+    if parallel:
+        from exon_duckdb_spark.operators.relational import ensure_parallelism
 
-    df = ensure_parallelism(df, id_col)
+        df = ensure_parallelism(df, id_col)
     cols = [F.col(id_col)]
     keyed = df.select(
         F.col(id_col),
@@ -156,6 +160,20 @@ def minhash_keyed(
         cols.append(F.col("_f.ws").alias("wordset"))
     cols.append(F.col("_f.mh").alias("_mh"))
     return keyed.select(*cols)
+
+
+def _check_keyed(keyed: DataFrame, id_col: str, *need: str) -> None:
+    """Fail fast with a readable message when a caller-supplied
+    ``keyed=`` frame is missing the columns the consumer requires —
+    otherwise the mistake surfaces as an unresolved-column
+    AnalysisException deep inside a join, nowhere near the cause."""
+    missing = [c for c in (id_col, *need) if c not in keyed.columns]
+    if missing:
+        raise ValueError(
+            f"keyed frame is missing column(s) {missing}; pass a "
+            f"minhash_keyed(...) result with matching id_col"
+            + (" and with_ws=True" if "wordset" in missing else "")
+        )
 
 
 def minhash_lsh_pairs(
@@ -198,6 +216,8 @@ def minhash_lsh_pairs(
             df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, shingle=shingle,
         ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        _check_keyed(keyed, id_col, "wordset", "_mh")
     cand = _earliest_band_pairs(
         _band_assignments(keyed, id_col, num_hashes, bands, with_all=True),
         id_col,
@@ -260,16 +280,16 @@ def minhash_band_est_pairs(
     if keyed is None:
         from pyspark import StorageLevel
 
-        keyed = df.select(
-            F.col(id_col),
-            _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
-        ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
         # persist: the band self-join reads the Arrow signature pass from
         # both sides (same rationale + lifecycle caveat as
         # minhash_lsh_pairs); a caller-supplied minhash_keyed frame skips
         # the UDF here entirely (``keyed=``, caller owns persistence)
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        keyed = minhash_keyed(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            shingle=shingle, with_ws=False, parallel=False,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
+        _check_keyed(keyed, id_col, "_mh")
         keyed = keyed.select(F.col(id_col), "_mh")
     assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
     a = assign.select(
@@ -591,17 +611,18 @@ def lsh_index_rows(
     frame (sliced to this corpus) so a pipeline sharing signatures
     across consumers runs the UDF once (VERDICT r11 #4)."""
     if keyed is None:
-        # deliberately NO ensure_parallelism here: an interleaved A/B at
-        # sf0.1 (round 12) measured the fan-out REGRESSING this stage
-        # (min 1.16 -> 1.50 s) — the signature UDF is ~12 ms of CPU, so
-        # the stage wall is task orchestration and a repartition only
-        # adds a shuffle plus 32 task overheads; on a real multi-split
-        # layout the scan is already parallel
-        keyed = df.select(
-            F.col(id_col),
-            _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
-        ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+        # parallel=False deliberately: an interleaved A/B at sf0.1
+        # (round 12) measured the single-split fan-out REGRESSING this
+        # stage (min 1.16 -> 1.50 s) — the signature UDF is ~12 ms of
+        # CPU, so the stage wall is task orchestration and a repartition
+        # only adds a shuffle plus 32 task overheads; on a real
+        # multi-split layout the scan is already parallel
+        keyed = minhash_keyed(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            shingle=shingle, with_ws=False, parallel=False,
+        )
     else:
+        _check_keyed(keyed, id_col, "_mh")
         keyed = keyed.select(F.col(id_col), "_mh")
     assign = _band_assignments(keyed, id_col, num_hashes, bands, carry=("_mh",))
     return assign.select(
@@ -640,11 +661,13 @@ def lsh_index_probe(
     spark = new_df.sparkSession
     idx = spark.read.parquet(index) if isinstance(index, str) else index
     if keyed is None:
-        keyed = new_df.select(
-            F.col(id_col),
-            _shingle_minhash_udf(shingle, num_hashes, with_ws=False)(text_col).alias("_f"),
-        ).select(F.col(id_col), F.col("_f.mh").alias("_mh"))
+        keyed = minhash_keyed(
+            new_df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, shingle=shingle,
+            with_ws=False, parallel=False,
+        )
     else:
+        _check_keyed(keyed, id_col, "_mh")
         keyed = keyed.select(F.col(id_col), "_mh")
     probe = _band_assignments(
         keyed, id_col, num_hashes, bands, carry=("_mh",)

@@ -983,10 +983,11 @@ def sample_frames(
     rows (id, frame_index, timestamp_s, width, height, channels,
     frame binary, is_real boolean).
 
-    REAL pixels for MJPEG-in-AVI, MJPEG-in-MP4 (QuickTime 'jpeg'/'mjpa'
-    sample entries — every sample is a complete JFIF image, decoded
-    through the same pure-numpy T.81 codec) and for ANIMATED GIF — the
-    GIF path
+    REAL pixels for MJPEG-in-AVI, MJPEG-in-MP4 (QuickTime 'jpeg' sample
+    entries — every sample a complete JFIF frame, decoded through the
+    same pure-numpy T.81 codec; interlaced 'mjpa'/'mjpb' field pairs
+    are excluded and stay on the coded-bytes path) and for ANIMATED
+    GIF — the GIF path
     composites every frame per the GIF89a spec (GCE delays, transparency,
     disposal 0/1/2/3; :func:`imagecodec.decode_gif_frames`), timestamps
     are cumulative delays (all-zero delays fall back to the de-facto
@@ -1124,8 +1125,12 @@ def sample_frames(
                     # this container×codec combination is within the
                     # pure-numpy T.81 codec's reach — REAL pixels, the
                     # MP4 analog of the MJPEG-AVI path (round 12).
-                    # H.264/HEVC samples keep the honest is_real=false.
-                    mjpeg = mp4["codec"] in ("jpeg", "mjpa", "mjpb", "MJPG")
+                    # Deliberately NOT 'mjpa'/'mjpb': Motion-JPEG A/B
+                    # stores two interlaced FIELD images per sample, so
+                    # a plain JFIF decode would emit a half-height field
+                    # marked is_real=true — those stay on the honest
+                    # coded-bytes path, as do H.264/HEVC samples.
+                    mjpeg = mp4["codec"] in ("jpeg", "MJPG")
                     for i in range(n_frames):
                         if keyframes_only:
                             chosen = syncs[

@@ -171,6 +171,22 @@ def test_minhash_keyed_shared_frame_equivalence(docs, spark, tmp_path):
         keyed.unpersist()
 
 
+def test_keyed_frame_validated_early(docs, spark):
+    """A wrong keyed= frame must fail fast with a readable message, not
+    an unresolved-column AnalysisException deep inside a join."""
+    mh_only = ops.minhash_keyed(docs, num_hashes=4, shingle=1, with_ws=False)
+    with pytest.raises(ValueError, match="wordset"):
+        ops.minhash_lsh_pairs(
+            docs, num_hashes=4, bands=2, threshold=0.5, shingle=1,
+            keyed=mh_only,
+        )
+    with pytest.raises(ValueError, match="missing column"):
+        ops.minhash_band_est_pairs(
+            docs, num_hashes=4, bands=2, shingle=1,
+            keyed=docs.select("doc_id"),
+        )
+
+
 def test_murmur3_int32_matches_spark_hash(spark):
     """_murmur3_int32 must replicate Spark's hash() for IntegerType
     bit-for-bit — lsh_index_build pre-computes band→partition routing
