@@ -2689,7 +2689,15 @@ def q99_stage_times(spark: SparkSession, sf_dir: str, passes: int = 2) -> "dict[
         def _write():
             n_write[0] += 1
             path = f"{tmp}/idx_{n_write[0]}"
-            cached.repartition(p_bands, F.col("band")).write.mode(
+            # mirror lsh_index_build's fallback (ADVICE r12): a None
+            # partition count must fall back to range partitioning (the
+            # frame is already persisted here), not TypeError
+            routed = (
+                cached.repartition(p_bands, F.col("band"))
+                if p_bands is not None
+                else cached.repartitionByRange(4, F.col("band"))
+            )
+            routed.write.mode(
                 "overwrite"
             ).partitionBy("band").parquet(path)
 
@@ -3910,8 +3918,9 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="lshidx_")
+    release = lambda: None  # noqa: E731
     try:
-        frames = q22_branch_frames(spark, sf_dir, f"{tmp}/idx")
+        frames, release = q22_branch_frames(spark, sf_dir, f"{tmp}/idx")
         keys = list(frames)
         out = frames[keys[0]]
         for key in keys[1:]:
@@ -3924,22 +3933,31 @@ def q22m_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gate_trace("q22_minhash_pipeline", sf_dir, out)
         return _sig_collapse(out, *_SIG_COLLAPSE["q22_minhash_pipeline"])
     finally:
+        # rows are pinned by the eager checkpoint above, so the shared
+        # keyed16 cache can be released here — every gate/bench
+        # evaluation previously leaked one persisted signature frame for
+        # the session lifetime (ADVICE r12)
+        release()
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q22_branch_frames(
     spark: SparkSession, sf_dir: str, idx_dir: str,
     materialize_pairs: bool = True,
-) -> "dict[str, DataFrame]":
+) -> "tuple[dict[str, DataFrame], Callable[[], None]]":
     """The q22 composite's branch DataFrames keyed by gate tag — the unit
     bench.py times individually (branch-level bench, VERDICT r6 #5 /
-    r7 #3). ``idx_dir`` receives the persisted LSH band index the 'incr'
-    branch probes; the caller owns its lifetime and must materialize
-    'incr' before removing it. Unlike q20's branches these share work:
-    building the dict runs connected components once (clusters feed
-    keep/split/rep), so per-branch walls measure each branch's own
-    compute beyond the shared cluster table and do NOT sum to the
-    composite's wall.
+    r7 #3), plus a ``release()`` callable that unpersists the shared
+    keyed16 signature cache (ADVICE r12: without it every evaluation of
+    the composite leaked one persisted frame for the session lifetime).
+    Call ``release()`` only after the returned frames are materialized
+    or discarded. ``idx_dir`` receives the persisted LSH band index the
+    'incr' branch probes; the caller owns its lifetime and must
+    materialize 'incr' before removing it. Unlike q20's branches these
+    share work: building the dict runs connected components once
+    (clusters feed keep/split/rep), so per-branch walls measure each
+    branch's own compute beyond the shared cluster table and do NOT sum
+    to the composite's wall.
 
     ``materialize_pairs`` (round 12): the composite checkpoints the
     pairs subtree at build time so its band-join+verify executes once
@@ -4058,7 +4076,7 @@ def q22_branch_frames(
         ).alias("k2"),
         F.col("est_jaccard").alias("val"),
     )
-    return {
+    frames = {
         "sig": a,
         "pair": b,
         "cluster": c,
@@ -4068,6 +4086,7 @@ def q22_branch_frames(
         "rep": h,
         "incr": i,
     }
+    return frames, lambda: keyed16.unpersist()
 
 
 def q24m_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4645,10 +4664,15 @@ def branch_frames() -> "dict[str, Callable]":
         # materialize_pairs=False: the branch bench must time the pair
         # branch's own join+verify, not a checkpoint scan (see
         # q22_branch_frames)
-        frames = q22_branch_frames(
+        frames, release = q22_branch_frames(
             spark, sf_dir, f"{tmp}/idx", materialize_pairs=False
         )
-        return frames, lambda: shutil.rmtree(tmp, ignore_errors=True)
+
+        def _cleanup():
+            release()
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        return frames, _cleanup
 
     return {
         "q20_dedup_suite": _plain(q20_branch_frames),
@@ -4690,7 +4714,7 @@ _HISTORY_CACHE: "list[tuple[int, dict]] | None" = None
 # state rather than on a reviewed edit. Bump this constant together with
 # tests/test_window_rotation.py::PINNED_TAIL at round open (a git-tracked
 # assertion in that file enforces the pairing).
-ROTATION_PIN_ROUND = 11
+ROTATION_PIN_ROUND = 12
 ROTATION_POOL = (
     "q48_bed_roundtrip",
     "q50_hmm_roundtrip",

@@ -288,10 +288,21 @@ def main() -> None:
     compact.pop("branches")
     compact["artifact"] = "BENCH.json"
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never let the stdout record outgrow the cap again
+    # never let the stdout record outgrow the ~2 KB tail cap again: shrink
+    # the per-query row count until the line fits (ADVICE r12: a single
+    # truncation to 40 rows could still exceed the cap in the full-name
+    # fallback branch), dropping to totals-only as the last resort
+    n_rows = 40
+    while len(line) > 1900 and n_rows > 0:
         compact["queries"] = {k: v for k, v in sorted(
-            compact["queries"].items(), key=lambda kv: -kv[1])[:40]}
-        compact["queries_truncated_to_slowest"] = 40
+            (short if len(short) == len(times) else times).items(),
+            key=lambda kv: -kv[1])[:n_rows]}
+        compact["queries_truncated_to_slowest"] = n_rows
+        line = json.dumps(compact, separators=(",", ":"))
+        n_rows -= 5
+    if len(line) > 1900:
+        compact["queries"] = {}
+        compact["queries_truncated_to_slowest"] = 0
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()

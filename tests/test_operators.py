@@ -110,6 +110,62 @@ def test_lsh_index_build_probe_roundtrip(docs, spark, tmp_path):
     assert any(d.startswith("band=") for d in os.listdir(path))
 
 
+def test_lsh_index_build_file_count_scales(spark, tmp_path):
+    """VERDICT r12 #3: index write parallelism scales with corpus size —
+    ``files_per_band`` fans each band dir out over that many write tasks
+    (deterministic (band, salt) murmur3 routing, no sampling job), the
+    auto path derives it from the plan-size estimate, and index CONTENTS
+    are identical to the one-file-per-band layout in every case."""
+    import glob
+    import os as _os
+
+    big = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 97).cast("string"),
+            F.lit(" w"), F.col("id").cast("string"),
+            F.lit(" x"), (F.col("id") % 13).cast("string"),
+        ).alias("text"),
+    )
+
+    def files_per_dir(p):
+        return {
+            d: len(glob.glob(f"{p}/{d}/*.parquet"))
+            for d in _os.listdir(p)
+            if d.startswith("band=")
+        }
+
+    def rows(p):
+        return sorted(
+            (r["band"], r["bh"], r["id"], tuple(r["mh"]))
+            for r in spark.read.parquet(p)
+            .select(F.col("band").cast("int"), "bh", "id", "mh")
+            .collect()
+        )
+
+    p1, p4 = str(tmp_path / "f1"), str(tmp_path / "f4")
+    ops.lsh_index_build(big, p1, num_hashes=4, bands=2, shingle=1,
+                        files_per_band=1)
+    ops.lsh_index_build(big, p4, num_hashes=4, bands=2, shingle=1,
+                        files_per_band=4)
+    f1, f4 = files_per_dir(p1), files_per_dir(p4)
+    assert set(f1) == set(f4) and all(v == 1 for v in f1.values())
+    # 300 bh keys spread over 4 salts: every band dir gains parallel files
+    assert all(1 < v <= 4 for v in f4.values())
+    assert rows(p1) == rows(p4)
+    # auto path: a small target_file_bytes must force >1 file per band
+    # from the plan-time size estimate alone, contents still identical
+    pa = str(tmp_path / "auto")
+    ops.lsh_index_build(big, pa, num_hashes=4, bands=2, shingle=1,
+                        target_file_bytes=2048)
+    assert all(v > 1 for v in files_per_dir(pa).values())
+    assert rows(pa) == rows(p1)
+    # default 512 MB target at this scale keeps the one-file layout
+    pd = str(tmp_path / "dflt")
+    ops.lsh_index_build(big, pd, num_hashes=4, bands=2, shingle=1)
+    assert all(v == 1 for v in files_per_dir(pd).values())
+
+
 def test_minhash_keyed_shared_frame_equivalence(docs, spark, tmp_path):
     """Every consumer fed a precomputed minhash_keyed frame must emit
     exactly the rows it computes with its private UDF pass (round 12:
@@ -185,6 +241,28 @@ def test_keyed_frame_validated_early(docs, spark):
             docs, num_hashes=4, bands=2, shingle=1,
             keyed=docs.select("doc_id"),
         )
+    # signature-parameter mismatch (ADVICE r12 medium): a keyed frame
+    # built with different num_hashes/shingle than the consumer call
+    # must raise, not silently drop pairs via NULL-skipping band keys
+    with pytest.raises(ValueError, match="num_hashes=4"):
+        ops.minhash_lsh_pairs(
+            docs, num_hashes=8, bands=2, threshold=0.5, shingle=1,
+            keyed=ops.minhash_keyed(docs, num_hashes=4, shingle=1),
+        )
+    with pytest.raises(ValueError, match="shingle=1"):
+        ops.minhash_band_est_pairs(
+            docs, num_hashes=4, bands=2, shingle=3,
+            keyed=ops.minhash_keyed(
+                docs, num_hashes=4, shingle=1, with_ws=False
+            ),
+        )
+    # a frame without the metadata stamp (hand-built) skips the check
+    # but still validates column presence (explicit empty metadata
+    # replaces the stamp — plain .alias() would propagate it)
+    bare = ops.minhash_keyed(
+        docs, num_hashes=4, shingle=1, with_ws=False
+    ).select("doc_id", F.col("_mh").alias("_mh", metadata={}))
+    ops.lsh_index_rows(docs, num_hashes=8, bands=2, shingle=3, keyed=bare)
 
 
 def test_murmur3_int32_matches_spark_hash(spark):
