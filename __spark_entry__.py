@@ -373,12 +373,22 @@ def q02_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join region→nation→customer→orders→lineitem with broadcast dims."""
+    """Star join region→nation→customer→orders→lineitem with broadcast dims.
+
+    The fact side fans out through ``ensure_parallelism`` (guide §2.5:
+    repartition immediately after an under-split read): the bench's
+    single-file lineitem hands scan+4 join probes+partial agg to ONE
+    task, and the broadcast joins keep it single-task to the final
+    exchange. Interleaved A/B at sf0.1 (min of 6 alternated runs, r13):
+    1.71 s → 1.01 s. On any multi-split layout (every real deployment)
+    the guard makes this a NO-OP — no added exchange. Aggregates are
+    order-proof (integer-space money sums), so results are
+    partition-independent."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    li = ops.ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -550,8 +560,11 @@ def q19_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q36_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dim join on part (TPC-H Q14 shape): per-brand revenue.
-    Part is dimension-sized relative to lineitem at every SF → broadcast."""
-    li = _t(spark, sf_dir, "lineitem")
+    Part is dimension-sized relative to lineitem at every SF → broadcast.
+    Fact side fans out when under-split (same rationale + A/B evidence as
+    q03_revenue_by_nation: 1.23 s → 0.82 s at sf0.1; no-op on real
+    multi-split layouts)."""
+    li = ops.ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_partkey")
     part = _t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -567,8 +580,11 @@ def q36_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q37_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5/Q9 shape: lineitem → supplier → nation, volume per nation."""
-    li = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q5/Q9 shape: lineitem → supplier → nation, volume per nation.
+    Fact side fans out when under-split (same rationale + A/B evidence as
+    q03_revenue_by_nation: 1.23 s → 0.88 s at sf0.1; no-op on real
+    multi-split layouts)."""
+    li = ops.ensure_parallelism(_t(spark, sf_dir, "lineitem"), "l_suppkey")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     return (

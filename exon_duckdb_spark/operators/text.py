@@ -807,33 +807,13 @@ def cdc_chunks_sql(
     """
 
 
-def tfidf_top_terms(
-    df: DataFrame,
-    k: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _tfidf_tf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Top-``k`` TF-IDF terms per document — keyword extraction for corpus
-    exploration, topic tagging, and retrieval indexing.
-
-    tfidf = tf · ln(N / df_docs), rounded to 6 dp BEFORE ranking (ties
-    break on the term string) so any engine reproduces the ranking.
-
-    Scale design: term frequencies are computed MAP-SIDE per document —
-    sort the token array, run-length encode it with higher-order
-    functions, explode (term, tf) entries — so the corpus-width
-    (doc, term) pre-aggregation shuffle a naive explode+groupBy pays is
-    gone entirely (a doc's tokens live in one row; no cross-partition
-    merge is ever needed). Round-10 change after the sf1 linearity sweep
-    flagged this operator's 4.3× ratio at 10× data (VERDICT r9 #5): the
-    groupBy's map-side combine already collapsed duplicates, but still
-    shipped every (doc, term, tf) row through an exchange just to merge
-    nothing. Document frequencies remain a vocab-sized aggregate joined
-    back ON THE TERM KEY (vocab ≪ corpus, but too big to broadcast at
-    100 TB — Catalyst/AQE picks broadcast when it fits); the corpus-size
-    scalar N rides along as a broadcast crossJoin; the one remaining
-    corpus-width shuffle is the per-doc top-k window.
-    """
+    """:func:`tfidf_top_terms` stage 1: the map-side (doc, term, tf)
+    frame. Exposed so tools/bench_scale.py can attribute the operator's
+    scale ratio to its stages (VERDICT r12 #4); query results flow only
+    through :func:`tfidf_top_terms`."""
     # each stage lands in its own projection so the lambdas below bind to
     # ATTRIBUTES (_ts/_st), not to inlined expression trees — a lambda
     # that captures an outer non-attribute expression re-evaluates it per
@@ -860,12 +840,20 @@ def tfidf_top_terms(
             .alias("tf"),
         ),
     )
-    tf = d.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+    return d.select(F.col(id_col), F.explode(entries).alias("_e")).select(
         F.col(id_col), F.col("_e.term").alias("term"), F.col("_e.tf").alias("tf")
     )
+
+
+def _tfidf_scored(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`tfidf_top_terms` stages 1+2: tf frame joined with document
+    frequencies and the corpus-size scalar, scored, PRE-window."""
+    tf = _tfidf_tf(df, text_col=text_col, id_col=id_col)
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("_df"))
     n_docs = df.agg(F.count("*").cast("bigint").alias("_n"))
-    scored = (
+    return (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -875,6 +863,38 @@ def tfidf_top_terms(
             F.round(F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6).alias("tfidf"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — keyword extraction for corpus
+    exploration, topic tagging, and retrieval indexing.
+
+    tfidf = tf · ln(N / df_docs), rounded to 6 dp BEFORE ranking (ties
+    break on the term string) so any engine reproduces the ranking.
+
+    Scale design: term frequencies are computed MAP-SIDE per document —
+    sort the token array, run-length encode it with higher-order
+    functions, explode (term, tf) entries — so the corpus-width
+    (doc, term) pre-aggregation shuffle a naive explode+groupBy pays is
+    gone entirely (a doc's tokens live in one row; no cross-partition
+    merge is ever needed). Round-10 change after the sf1 linearity sweep
+    flagged this operator's 4.3× ratio at 10× data (VERDICT r9 #5): the
+    groupBy's map-side combine already collapsed duplicates, but still
+    shipped every (doc, term, tf) row through an exchange just to merge
+    nothing. Document frequencies remain a vocab-sized aggregate joined
+    back ON THE TERM KEY (vocab ≪ corpus, but too big to broadcast at
+    100 TB — Catalyst/AQE picks broadcast when it fits); the corpus-size
+    scalar N rides along as a broadcast crossJoin; the one remaining
+    corpus-width shuffle is the per-doc top-k window. Stages are exposed
+    as :func:`_tfidf_tf` / :func:`_tfidf_scored` for the linearity
+    bench's component attribution (VERDICT r12 #4).
+    """
+    scored = _tfidf_scored(df, text_col=text_col, id_col=id_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(
