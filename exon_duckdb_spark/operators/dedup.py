@@ -379,11 +379,19 @@ def simhash_pairs(
     block of the fingerprint, so the shuffle carries (block_id, block_val,
     id, fingerprint) — ~24 bytes/doc/block, never text. Hot blocks (all-
     zero fingerprints from empty docs) behave like any skewed join key:
-    AQE skew-split handles them, or pre-filter empty docs.
+    AQE skew-split handles them, or pre-filter empty docs. Under-split
+    inputs fan out first (``ensure_parallelism`` — no-op on any real
+    multi-split layout): the fingerprint pass is token-hash heavy, and a
+    single-file corpus otherwise computes it on one core (r13 interleaved
+    A/B at sf0.1, 8 alternations: fan wins at every order statistic,
+    min 1.63→1.47 s, median 2.05→1.79 s).
     """
-    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits).select(
-        F.col(id_col), F.col("simhash")
-    )
+    from exon_duckdb_spark.operators.relational import ensure_parallelism
+
+    sh = simhash(
+        ensure_parallelism(df, id_col), text_col=text_col, id_col=id_col,
+        bits=bits,
+    ).select(F.col(id_col), F.col("simhash"))
     return hamming_pairs(
         sh, hash_col="simhash", id_col=id_col, bits=bits, max_hamming=max_hamming
     )
