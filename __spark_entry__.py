@@ -3982,7 +3982,6 @@ def q22_branch_frames(
     would silently become a checkpoint scan and read as a phantom
     speedup against r11)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = ops.minhash_signature(docs, num_hashes=8)
     # ONE signature UDF pass serves every 16-hash shingle-3 consumer in
     # the composite (VERDICT r11 #4): exact-verify pairs, the bandest
     # screen, the index build over the 90% slice AND the 10% probe batch
@@ -3994,6 +3993,25 @@ def q22_branch_frames(
     keyed16 = ops.minhash_keyed(
         docs, num_hashes=16, shingle=3, with_ws=True
     ).persist()
+    try:
+        return _q22_branch_frames_built(spark, sf_dir, idx_dir, docs, keyed16,
+                                        materialize_pairs)
+    except BaseException:
+        # the persist above is this function's resource: a failure while
+        # BUILDING the branch frames (e.g. inside lsh_index_build, which
+        # runs a job) must not leak the cached signature frame for the
+        # session lifetime — the exact leak the release() plumbing fixed
+        # (ADVICE r13; the caller's release guard only covers failures
+        # before this function returns its callable)
+        keyed16.unpersist()
+        raise
+
+
+def _q22_branch_frames_built(
+    spark: SparkSession, sf_dir: str, idx_dir: str,
+    docs: DataFrame, keyed16: DataFrame, materialize_pairs: bool,
+) -> "tuple[dict[str, DataFrame], Callable[[], None]]":
+    sig = ops.minhash_signature(docs, num_hashes=8)
     from exon_duckdb_spark.operators.dedup import _materialize
 
     # pairs rows are tiny (id_a, id_b, jaccard) but their plan — band

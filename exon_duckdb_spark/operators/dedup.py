@@ -575,7 +575,7 @@ def _band_partition_count(bands: int, max_search: int = 512) -> "int | None":
 
 def _route_partition_count(
     bands: int, files_per_band: int, max_search: int = 8192
-) -> "int | None":
+) -> int:
     """:func:`_band_partition_count` generalized to the (band, salt)
     routing key ``band * files_per_band + salt`` (salt in
     0..files_per_band-1). For small route domains (≤ 64 values) this
@@ -586,8 +586,9 @@ def _route_partition_count(
     write task holds ~Poisson(1) route values, so file counts land
     within a small factor of the target and no task collects more than a
     few groups — the sliver-per-partition explosion the f=1 search
-    exists to prevent cannot recur. None only when the small-domain
-    search fails (callers fall back to range partitioning on band)."""
+    exists to prevent cannot recur. Always returns an int (ADVICE r13):
+    when the small-domain search fails, P = n — residual collisions
+    merely merge files within a band dir, never cross band dirs."""
     n = bands * files_per_band
     if n > 64:
         return n
@@ -608,14 +609,22 @@ def _estimated_plan_rows(df: DataFrame, id_col: str) -> "int | None":
     unknown-size fallbacks (Long.MaxValue scaled by width ratios, e.g.
     local relations behind a UDF) sit far above."""
     try:
-        jbytes = (
+        jstats = (
             df.select(F.col(id_col))
             ._jdf.queryExecution()
             .optimizedPlan()
             .stats()
-            .sizeInBytes()
         )
-        est = int(str(jbytes))
+        # exact row count when the plan carries one (CBO/ANALYZE'd tables,
+        # local relations) — preferred over the width-scaled byte estimate,
+        # whose default column widths (StringType = 20 B) can be an order
+        # of magnitude off for string ids (ADVICE r13)
+        jrc = jstats.rowCount()
+        if jrc.isDefined():
+            rc = int(str(jrc.get()))
+            if rc > 0:
+                return rc
+        est = int(str(jstats.sizeInBytes()))
     except Exception:  # pragma: no cover - py4j estate varies by version
         return None
     if est <= 0 or est >= (1 << 50):  # unknown/defaulted stats
@@ -679,9 +688,10 @@ def lsh_index_build(
     # shuffle → partitioned write; the signature UDF materializes exactly
     # once and nothing is cached (VERDICT r11 #4 — at corpus scale this
     # also retires a signatures-sized persist that would spill). One task
-    # per (band, salt) ⇒ ``files_per_band`` files per band dir. A route
-    # domain whose hashes can't be separated within the search bound
-    # falls back to the persisted range-partition form.
+    # per (band, salt) ⇒ ``files_per_band`` files per band dir. Only the
+    # f == 1 band-key search can fail to separate (returning None) and
+    # fall back to the persisted range-partition form; the f > 1 route
+    # search always yields an int (ADVICE r13).
     if files_per_band is None:
         est_rows = _estimated_plan_rows(df if keyed is None else keyed, id_col)
         row_bytes = 16 + 8 * int(num_hashes)

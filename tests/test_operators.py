@@ -265,6 +265,26 @@ def test_keyed_frame_validated_early(docs, spark):
     ops.lsh_index_rows(docs, num_hashes=8, bands=2, shingle=3, keyed=bare)
 
 
+def test_keyed_frame_stamp_survives_parquet(docs, spark, tmp_path):
+    """The num_hashes/shingle stamp is COLUMN metadata, which parquet
+    round-trips — so a persisted keyed frame re-read in a later job still
+    raises on mismatched reuse (ADVICE r13: this is the intended behavior
+    change for persisted frames; pre-stamp frames that relied on silent
+    mismatched reuse were silently dropping pairs)."""
+    p = str(tmp_path / "keyed")
+    ops.minhash_keyed(docs, num_hashes=4, shingle=1, with_ws=False)\
+        .write.parquet(p)
+    back = spark.read.parquet(p)
+    meta = back.schema["_mh"].metadata or {}
+    assert int(meta.get("num_hashes")) == 4 and int(meta.get("shingle")) == 1
+    with pytest.raises(ValueError, match="num_hashes=4"):
+        ops.minhash_band_est_pairs(
+            docs, num_hashes=8, bands=2, shingle=1, keyed=back
+        )
+    # matched reuse of the round-tripped frame still passes validation
+    ops.lsh_index_rows(docs, num_hashes=4, bands=2, shingle=1, keyed=back)
+
+
 def test_murmur3_int32_matches_spark_hash(spark):
     """_murmur3_int32 must replicate Spark's hash() for IntegerType
     bit-for-bit — lsh_index_build pre-computes band→partition routing
