@@ -919,42 +919,98 @@ def logistic_regression_train(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not feature_cols:
         raise ValueError("need at least one feature column")
-    from exon_duckdb_spark.operators.numeric import stable_avg
+    # One parameterized spark.sql call per iteration instead of ~200
+    # Column-DSL py4j round trips (r14 q106 attribution: the event log
+    # showed the 6-iteration wall was ~0.5 s of DRIVER think time per
+    # iteration against ~0.05 s of task execution, and the think time was
+    # dominated by Python-side expression construction). The SQL text is
+    # the SAME unresolved tree the Column form built — margin left-folds
+    # in feature_cols order, stable_avg's quantize → three-lane integer
+    # SUM → one division (_stable_avg_spark_sql is its literal SQL twin)
+    # — and the weights bind as parameter markers (exact doubles, no
+    # literal rendering), so the analyzed plan and every per-row IEEE op
+    # are identical: the trajectory is bit-unchanged (pinned by
+    # test_logistic_regression_sql_form_parity and the q106 gate sha).
+    # The chain stays one corpus-scan aggregation job per iteration —
+    # the 100 TB shape is untouched; only the per-iteration driver
+    # constant shrank (measured 3.9 -> 1.5 s for q106's 6x500-row chain,
+    # interleaved min-of-6).
+    def _qi(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
-    y = F.col(label_col).cast("double")
+    margin = ":b"
+    for j, c in enumerate(feature_cols):
+        margin = f"{margin} + :w{j} * CAST({_qi(c)} AS DOUBLE)"
+    err = (
+        "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + EXP(-("
+        + margin
+        + f"))) - CAST({_qi(label_col)} AS DOUBLE)"
+    )
+    inner = ", ".join(
+        [f"({err}) AS _err"]
+        + [
+            f"CAST({_qi(c)} AS DOUBLE) AS _f{j}"
+            for j, c in enumerate(feature_cols)
+        ]
+    )
+    aggs = ", ".join(
+        [
+            _stable_avg_spark_sql(f"_err * _f{j}", digits) + f" AS g{j}"
+            for j in range(len(feature_cols))
+        ]
+        + [_stable_avg_spark_sql("_err", digits) + " AS gb"]
+    )
+    sql = f"SELECT {aggs} FROM (SELECT {inner} FROM {{df}}) _gd_proj"
+    spark = df.sparkSession
     w = [0.0] * len(feature_cols)
     b = 0.0
     traj: list[tuple[list[float], float]] = []
-    for _ in range(iters):
-        margin = F.lit(b)
-        for wj, c in zip(w, feature_cols):
-            margin = margin + F.lit(wj) * F.col(c).cast("double")
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
-        # project err ONCE, then aggregate over the named column: embedding
-        # the full margin+sigmoid tree inside all p+1 stable_avg columns
-        # multiplied the expression tree ~p-fold and made per-iteration
-        # Catalyst analysis the training wall on small frames (round 11:
-        # q106 measured ~0.9 s per 500-row gradient job before this, with
-        # the plan itself sub-ms to execute). Same arithmetic, same
-        # per-row doubles — the trajectory is bit-unchanged.
-        proj = df.select(
-            err.alias("_err"),
-            *[F.col(c).cast("double").alias(f"_f{j}")
-              for j, c in enumerate(feature_cols)],
-        )
-        aggs = [
-            stable_avg(F.col("_err") * F.col(f"_f{j}"), digits).alias(f"g{j}")
-            for j in range(len(feature_cols))
-        ]
-        aggs.append(stable_avg(F.col("_err"), digits).alias("gb"))
-        row = proj.agg(*aggs).collect()[0]
-        w = [
-            _round_py(wj - lr * float(row[f"g{j}"]), digits)
-            for j, wj in enumerate(w)
-        ]
-        b = _round_py(b - lr * float(row["gb"]), digits)
-        traj.append((list(w), b))
+    # AQE off for the training sub-jobs only (restored after): each
+    # iteration is a GLOBAL aggregate — partial agg at the scan, then a
+    # single-partition exchange of one partial-sum row per task — so
+    # adaptive re-planning has nothing to improve at any scale, and its
+    # per-iteration cost (materialize the shuffle stage as its own job,
+    # re-plan, submit the final stage as a second job) is pure sequential
+    # latency × iters. Interleaved A/B (7 alternations, sf0.1 6-iter
+    # chain): 2.41 s AQE-on vs 2.21 s AQE-off, every pair in favor;
+    # trajectory bit-identical (AQE never changes values).
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_old = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        for _ in range(iters):
+            args = {"b": b}
+            for j, wj in enumerate(w):
+                args[f"w{j}"] = wj
+            row = spark.sql(sql, args, df=df).collect()[0]
+            w = [
+                _round_py(wj - lr * float(row[f"g{j}"]), digits)
+                for j, wj in enumerate(w)
+            ]
+            b = _round_py(b - lr * float(row["gb"]), digits)
+            traj.append((list(w), b))
+    finally:
+        spark.conf.set(aqe_key, aqe_old)
     return traj
+
+
+def _stable_avg_spark_sql(expr: str, digits: int) -> str:
+    """Spark-SQL text twin of :func:`~exon_duckdb_spark.operators.numeric.
+    stable_avg`'s Column tree (NOT the DuckDB twin ``stable_avg_sql`` —
+    this one reproduces the three-lane long-sum form so the parsed tree
+    matches the Column DSL's node for node). Kept private to the
+    training loop; everything else keeps building the Column form."""
+    s = f"{float(10 ** digits)!r}D"
+    q = f"FLOOR(({expr}) * {s} + 0.5D)"
+    a = f"FLOOR({q} / 68719476736.0D)"
+    b = f"FLOOR(({q} - {a} * 68719476736.0D) / 262144.0D)"
+    c = f"CAST({q} - {a} * 68719476736.0D - {b} * 262144.0D AS LONG)"
+    total = (
+        f"CAST(SUM(CAST({a} AS LONG)) AS DECIMAL(38,0)) * 68719476736"
+        f" + CAST(SUM(CAST({b} AS LONG)) AS DECIMAL(38,0)) * 262144"
+        f" + CAST(SUM({c}) AS DECIMAL(38,0))"
+    )
+    return f"CAST(({total}) / (COUNT({expr}) * {s}) AS DOUBLE)"
 
 
 def logistic_score(

@@ -60,6 +60,22 @@ class TestLogisticRegression:
         ref = _ref_train(rows, iters=5)
         assert traj == ref
 
+    def test_sql_form_quoting_and_digits(self, spark):
+        """The r14 one-SQL-call training loop must (a) quote feature and
+        label identifiers (spaces, dashes — valid DataFrame column names)
+        and (b) honor non-default ``digits`` in the stable_avg twin; the
+        trajectory still matches the scalar reference bit-for-bit."""
+        rows = _toy_rows()[:60]
+        df = spark.createDataFrame(
+            [(x[0], x[1], y) for x, y in rows],
+            "`feat 0` double, `feat-1` double, `the label` int",
+        )
+        traj = ops.logistic_regression_train(
+            df, ["feat 0", "feat-1"], "the label", iters=3, digits=4
+        )
+        ref = _ref_train(rows, iters=3, digits=4)
+        assert traj == ref
+
     def test_learns_the_band(self, spark):
         rows = _toy_rows()
         df = spark.createDataFrame(
