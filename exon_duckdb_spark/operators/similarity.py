@@ -143,6 +143,11 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (_norm(a) * _norm(b))
 
@@ -434,52 +439,63 @@ def bm25_topk_multi(
     tokenizer is skipped, letting callers share one tokenization pass
     across operators (:func:`hybrid_topk`'s single-corpus-pass shape).
     """
-    from exon_duckdb_spark.operators.text import tokens
-
-    qterms = queries.select(
-        "query_id", F.explode(F.array_distinct("terms")).alias("term")
-    )
-    vocab = qterms.select("term").distinct()
+    # The dataflow below is the Column-API shape this function shipped
+    # with through r13, expressed as two parameterized spark.sql calls
+    # around the partition_topk reducer (r14, guide §5 driver-side work:
+    # the Column form cost ~700 Py4J round-trips of driver build time PER
+    # CALL — ~0.5 s/pass on q84 — for an identical expression tree).
+    # Float-parity rules of the translation: every derived constant
+    # (k1+1, 1−b) is computed in PYTHON and bound as a typed parameter —
+    # never re-derived in SQL text — and ln/round/avg map to the same
+    # Catalyst nodes as F.log/F.round/F.avg, so scores are bit-identical
+    # (proven exact-equal on the full sf0.1 corpus before the switch; the
+    # q84/q64m gate shas pin it at every SF).
+    spark = df.sparkSession
+    qid = _bt(id_col)
     pretokenized = dict(df.dtypes).get(text_col, "").startswith("array")
-    toks_expr = F.col(text_col) if pretokenized else tokens(text_col)
-    toksed = df.select(F.col(id_col), toks_expr.alias("_toks")).select(
-        F.col(id_col), "_toks", F.size("_toks").alias("_dl")
-    )
-    stats = toksed.agg(F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl"))
-    tf = (
-        toksed.select(F.col(id_col), "_dl", F.explode("_toks").alias("term"))
-        .join(F.broadcast(vocab), "term")
-        .groupBy(id_col, "term", "_dl")
-        .agg(F.count("*").alias("_tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    idf = F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
-    term_score = (
-        idf
-        * (F.col("_tf") * (k1 + 1.0))
-        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            F.col(id_col),
-            F.round(term_score * 1e6, 0).cast("bigint").alias("_s_micro"),
-        )
-        .groupBy("query_id", id_col)
-        .agg((F.sum("_s_micro") / 1e6).alias("bm25"))
-        .where(F.col("bm25") > 0.0)
+    toks_sql = _bt(text_col) if pretokenized else f"split({_bt(text_col)}, ' ')"
+    args = {
+        "c1": k1 + 1.0, "k1": k1, "c2": 1.0 - b, "b": b,
+        "m": 1e6, "half": 0.5, "one": 1.0, "zero": 0.0, "k": k,
+    }
+    scored = spark.sql(
+        f"""
+        WITH qterms AS (
+          SELECT query_id, explode(array_distinct(terms)) AS term FROM {{queries}}
+        ),
+        toksed AS (
+          SELECT {qid}, _toks, size(_toks) AS _dl
+          FROM (SELECT {qid}, {toks_sql} AS _toks FROM {{df}})
+        ),
+        stats AS (SELECT count(*) AS _n, avg(_dl) AS _avgdl FROM toksed),
+        tf AS (
+          SELECT /*+ BROADCAST(vocab) */ {qid}, term, _dl, count(*) AS _tf
+          FROM (SELECT {qid}, _dl, explode(_toks) AS term FROM toksed)
+          JOIN (SELECT DISTINCT term FROM qterms) AS vocab USING (term)
+          GROUP BY {qid}, term, _dl
+        ),
+        dfreq AS (SELECT term, count(*) AS _df FROM tf GROUP BY term)
+        SELECT query_id, {qid}, SUM(_s_micro) / :m AS bm25 FROM (
+          SELECT /*+ BROADCAST(qterms, dfreq, stats) */ query_id, {qid},
+            CAST(round(ln(:one + (_n - _df + :half) / (_df + :half))
+                 * (_tf * :c1) / (_tf + :k1 * (:c2 + :b * _dl / _avgdl))
+                 * :m, 0) AS BIGINT) AS _s_micro
+          FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+          CROSS JOIN stats
+        ) GROUP BY query_id, {qid} HAVING bm25 > :zero
+        """,
+        args, df=df, queries=queries.select("query_id", "terms"),
     )
     capped = partition_topk(scored, k, "query_id", "bm25", id_col, ascending=False)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), F.col(id_col).asc()
-    )
-    return (
-        capped.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "bm25", "rank")
+    return spark.sql(
+        f"""
+        SELECT query_id, {qid}, bm25, rank FROM (
+          SELECT query_id, {qid}, bm25, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, {qid} ASC) AS INT) AS rank
+          FROM {{capped}}
+        ) WHERE rank <= :k
+        """,
+        args, capped=capped,
     )
 
 
@@ -595,6 +611,113 @@ def _fold_dot_udf():
     return pair_dot
 
 
+def _hybrid_base(
+    corpus: DataFrame, text_col: str, vec_col: str, id_col: str
+) -> DataFrame:
+    """:func:`hybrid_topk` stage 1 — the one corpus projection both
+    branches consume: (id, tokens, vec, norm). Split out (r14) so
+    tools/bench_scale.py can time each branch in isolation, the same
+    stage-attribution treatment q72/q88 got in r13; composition in
+    hybrid_topk is plan-identical to the previous inline body."""
+    from exon_duckdb_spark.operators.text import tokens
+
+    return corpus.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
+
+
+def _hybrid_lex(
+    base: DataFrame, queries: DataFrame, fetch: int, id_col: str,
+    k1: float, b: float,
+) -> DataFrame:
+    """:func:`hybrid_topk` lexical branch: BM25 top-``fetch`` per query
+    off the pre-tokenized base projection → (query_id, id, lex_rank)."""
+    return bm25_topk_multi(
+        base,
+        queries.select("query_id", "terms"),
+        k=fetch,
+        text_col="_toks",
+        id_col=id_col,
+        k1=k1,
+        b=b,
+    ).select("query_id", F.col(id_col), F.col("rank").alias("lex_rank"))
+
+
+def _hybrid_dense(
+    base: DataFrame, queries: DataFrame, fetch: int, id_col: str
+) -> DataFrame:
+    """:func:`hybrid_topk` dense branch: broadcast exact cosine with the
+    map-side :func:`partition_topk` reducer → (query_id, id, dense_rank).
+
+    SQL-consolidated like :func:`bm25_topk_multi` (r14) — identical
+    expression tree, one driver round-trip per call instead of hundreds;
+    the zip_with/aggregate fold is the same left-to-right double fold as
+    :func:`dot`/:func:`_norm` (bit-parity proven exact-equal on sf0.1)."""
+    spark = base.sparkSession
+    qid = _bt(id_col)
+    args = {"zero": 0.0, "fetch": fetch}
+    scored = spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(q) */ query_id, {qid},
+          round(aggregate(zip_with(query_vec, nvec,
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                :zero, (acc, v) -> acc + v) / (qn * nn), 6) AS cosine_sim
+        FROM (SELECT {qid}, nvec, nn FROM {{base}})
+        CROSS JOIN (
+          SELECT query_id, query_vec,
+            sqrt(aggregate(query_vec, :zero,
+                 (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS qn
+          FROM {{queries}}
+        ) AS q
+        """,
+        args, base=base, queries=queries,
+    )
+    scored = partition_topk(
+        scored, fetch, "query_id", "cosine_sim", id_col, ascending=False
+    )
+    return spark.sql(
+        f"""
+        SELECT query_id, {qid}, dense_rank FROM (
+          SELECT query_id, {qid}, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, {qid} ASC) AS dense_rank
+          FROM {{scored}}
+        ) WHERE dense_rank <= :fetch
+        """,
+        args, scored=scored,
+    )
+
+
+def _hybrid_fuse(
+    lex: DataFrame, dense: DataFrame, k: int, rrf_k: int, id_col: str
+) -> DataFrame:
+    """:func:`hybrid_topk` fusion: RRF over the union of the two branch
+    shortlists (both ≤ fetch rows per query — bounded at any corpus
+    scale), final top-``k`` per query. SQL-consolidated (r14), same
+    expression tree as the former Column form."""
+    spark = lex.sparkSession
+    qid = _bt(id_col)
+    args = {"one": 1.0, "zero": 0.0, "rrfk": rrf_k, "k": k}
+    return spark.sql(
+        f"""
+        SELECT query_id, {qid}, rrf, lex_rank, dense_rank, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, {qid} ASC) AS rank
+          FROM (
+            SELECT query_id, {qid},
+              round(coalesce(:one / (:rrfk + lex_rank), :zero)
+                  + coalesce(:one / (:rrfk + dense_rank), :zero), 6) AS rrf,
+              lex_rank, dense_rank
+            FROM {{lex}} FULL OUTER JOIN {{dense}} USING (query_id, {qid})
+          )
+        ) WHERE rank <= :k
+        """,
+        args, lex=lex, dense=dense,
+    )
+
+
 def hybrid_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -655,67 +778,15 @@ def hybrid_topk(
 
     Returns (query_id, ``id_col``, rrf, lex_rank, dense_rank, rank ≤ k).
     """
-    from exon_duckdb_spark.operators.text import tokens
-
     fetch = fetch_k or 4 * k
-    base = corpus.select(
-        F.col(id_col),
-        tokens(text_col).alias("_toks"),
-        F.col(vec_col).alias("nvec"),
-        _norm(F.col(vec_col)).alias("nn"),
-    )
+    base = _hybrid_base(corpus, text_col, vec_col, id_col)
     if cache_corpus:
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    lex = bm25_topk_multi(
-        base,
-        queries.select("query_id", "terms"),
-        k=fetch,
-        text_col="_toks",
-        id_col=id_col,
-        k1=k1,
-        b=b,
-    ).select("query_id", F.col(id_col), F.col("rank").alias("lex_rank"))
-
-    q = queries.select(
-        "query_id",
-        F.col("query_vec"),
-        _norm(F.col("query_vec")).alias("qn"),
-    )
-    c = base.select(F.col(id_col), "nvec", "nn")
-    sim = dot(F.col("query_vec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", F.col(id_col), F.round(sim, 6).alias("cosine_sim")
-    )
-    scored = partition_topk(
-        scored, fetch, "query_id", "cosine_sim", id_col, ascending=False
-    )
-    wd = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    dense = (
-        scored.withColumn("dense_rank", F.row_number().over(wd))
-        .where(F.col("dense_rank") <= fetch)
-        .select("query_id", F.col(id_col), "dense_rank")
-    )
-
-    fused = lex.join(dense, ["query_id", id_col], "full_outer")
-    rrf = F.round(
-        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)),
-        6,
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf").desc(), F.col(id_col).asc()
-    )
-    out = (
-        fused.select(
-            "query_id", F.col(id_col), rrf.alias("rrf"), "lex_rank", "dense_rank"
-        )
-        .withColumn("rank", F.row_number().over(wf))
-        .where(F.col("rank") <= k)
-    )
+    lex = _hybrid_lex(base, queries, fetch, id_col, k1, b)
+    dense = _hybrid_dense(base, queries, fetch, id_col)
+    out = _hybrid_fuse(lex, dense, k, rrf_k, id_col)
     if cache_corpus:
         # the result is <= k rows per query — eagerly materialize it so the
         # projection cache can be dropped NOW instead of leaking for the

@@ -513,10 +513,50 @@ def bigram_tf2_build(spark, sf_dir, n_rows):
     )
 
 
+def _q84_inputs(spark, sf_dir):
+    """q84's exact corpus/queries construction (embedded slice + driver
+    query literals), shared by the hybrid stage rows below."""
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qv = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    queries = entrymod._bm25_queries_df(spark).join(qv, "query_id")
+    return corpus, queries
+
+
+def hybrid_stage_lex(spark, sf_dir, n_rows):
+    """q84 lexical branch in isolation: base projection + BM25 top-40 per
+    query (UNPERSISTED twin — every timed pass re-runs the corpus pass).
+    full − lex − dense ≈ the RRF fusion + fixed stage-cascade cost."""
+    from exon_duckdb_spark.operators.similarity import _hybrid_base, _hybrid_lex
+
+    corpus, queries = _q84_inputs(spark, sf_dir)
+    base = _hybrid_base(corpus, "text", "embedding", "doc_id")
+    return _hybrid_lex(base, queries, 40, "doc_id", 1.2, 0.75)
+
+
+def hybrid_stage_dense(spark, sf_dir, n_rows):
+    """q84 dense branch in isolation: base projection + broadcast cosine
+    + partition_topk + rank window (UNPERSISTED twin)."""
+    from exon_duckdb_spark.operators.similarity import _hybrid_base, _hybrid_dense
+
+    corpus, queries = _q84_inputs(spark, sf_dir)
+    base = _hybrid_base(corpus, "text", "embedding", "doc_id")
+    return _hybrid_dense(base, queries, 40, "doc_id")
+
+
 STAGE_SET = {
     "q72_stage_tf_pass": tfidf_tf_pass,
     "q72_stage_df_scored": tfidf_df_scored,
     "q88_stage_tf2_build": bigram_tf2_build,
+    "q84_stage_lex": hybrid_stage_lex,
+    "q84_stage_dense": hybrid_stage_dense,
 }
 
 
