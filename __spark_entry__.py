@@ -1092,12 +1092,16 @@ def q31_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_duckdb_spark.streaming.events import (
         read_events_stream,
         run_to_memory_sink,
+        scaled_state_partitions,
         sessionize_stream,
     )
 
     stream = read_events_stream(spark, sf_dir)
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory_sink(sessionize_stream(stream, 30), name)
+    out = run_to_memory_sink(
+        sessionize_stream(stream, 30), name,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -1115,12 +1119,16 @@ def q38_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_duckdb_spark.streaming.events import (
         read_events_stream,
         run_to_memory_sink,
+        scaled_state_partitions,
         windowed_counts,
     )
 
     stream = read_events_stream(spark, sf_dir)
     name = f"win_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory_sink(windowed_counts(stream), name, output_mode="complete")
+    out = run_to_memory_sink(
+        windowed_counts(stream), name, output_mode="complete",
+        state_partitions=scaled_state_partitions(spark, sf_dir),
+    )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
@@ -1170,7 +1178,12 @@ def q86_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_minutes=30,
     )
     name = f"attr_{uuid.uuid4().hex[:8]}"
-    out = run_to_memory_sink(joined, name, output_mode="append")
+    from exon_duckdb_spark.streaming.events import scaled_state_partitions
+
+    out = run_to_memory_sink(
+        joined, name, output_mode="append",
+        state_partitions=scaled_state_partitions(spark, sf_dir),
+    )
     return out.select(
         "user_id",
         "click_id",
@@ -1950,13 +1963,15 @@ def q59_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exon_duckdb_spark.streaming.events import (
         read_events_stream,
         run_to_memory_sink,
+        scaled_state_partitions,
         stream_dedup,
     )
 
     stream = read_events_stream(spark, sf_dir)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     out = run_to_memory_sink(
-        stream_dedup(stream, ["user_id", "event_type"], watermark="240 hours"), name
+        stream_dedup(stream, ["user_id", "event_type"], watermark="240 hours"), name,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
     )
     # Post-drain distinct pins the oracle contract under ANY drain split:
     # a multi-file drain can legally re-admit a key whose first occurrence
@@ -3066,6 +3081,7 @@ def _q104m_media_dedup_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from exon_duckdb_spark.streaming.events import (
         run_to_memory_sink,
+        scaled_state_partitions,
         stream_hamming_pairs,
     )
 
@@ -3075,6 +3091,7 @@ def _q104m_media_dedup_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = run_to_memory_sink(
         stream_hamming_pairs(fstream, bits=49, max_hamming=3),
         f"smh_{_uuid.uuid4().hex[:8]}",
+        state_partitions=scaled_state_partitions(spark, fp_dir, "*.parquet"),
     ).dropDuplicates(["block", "bval", "id_a", "id_b"])
     b8 = sp.select(
         F.lit("spair").alias("kind"),
@@ -3742,6 +3759,12 @@ def q95_stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_documents_stream(spark, sf_dir)
     name = f"smp_{uuid.uuid4().hex[:8]}"
+    # deliberately NOT scaled_state_partitions (r14 measured rejection):
+    # this state stage is compute-bound Python (per-bucket pairwise
+    # signature estimates in applyInPandasWithState), and shrinking its
+    # task count to the drained-bytes heuristic cost 6/6 interleaved
+    # pairs (min 5.92 -> 8.94 s at sf0.1) — the opposite profile of the
+    # commit-bound JVM state stages (q31/q38/q59/q86) where scaling wins.
     out = run_to_memory_sink(
         stream_minhash_pairs(
             stream, num_hashes=16, bands=4, shingle=3, threshold=0.5

@@ -121,6 +121,21 @@ def parse_sf(sf_dir: str) -> float:
     return float(m[-1]) if m else 0.0
 
 
+# The five Structured Streaming pipelines (file stream → stateful operator
+# → availableNow drain to a memory sink), timed END-TO-END including the
+# drain (r14, VERDICT r13 #2: the streaming surface previously had zero
+# timed coverage). Reported under the separate "streaming" key of the
+# BENCH.json artifact — like "branches", NOT part of the headline
+# total/queries, so round-over-round headline comparisons stay intact.
+STREAMING = [
+    "q31_stream_sessionize",
+    "q38_stream_windowed_counts",
+    "q86_stream_attribution",
+    "q59_stream_dedup",
+    "q95_stream_minhash_pairs",
+]
+
+
 def make_lookup():
     """Query resolver shared with tools/bench_scale.py: fine-grained q*
     module attributes first (keeps timings comparable round-over-round),
@@ -251,6 +266,7 @@ def main() -> None:
     branches["q99_lsh_index_probe"] = entrymod.q99_stage_times(
         spark, sf_dir, passes=2
     )
+    streaming = run_queries(spark, sf_dir, STREAMING, passes=2)
     calib_end = calibrate(spark)
     calib = {k: min(calib[k], calib_end[k]) for k in calib}
     total = round(sum(times.values()), 3)
@@ -260,6 +276,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "branches": branches,
+        "streaming": streaming,
         "sf": sf,
         "passes": passes,
         # methodology disclosure (ADVICE r11): which composite rows used a
@@ -286,6 +303,7 @@ def main() -> None:
     short = {name.split("_", 1)[0]: t for name, t in times.items()}
     compact = dict(doc, queries=short if len(short) == len(times) else times)
     compact.pop("branches")
+    compact.pop("streaming")
     compact["artifact"] = "BENCH.json"
     line = json.dumps(compact, separators=(",", ":"))
     # never let the stdout record outgrow the ~2 KB tail cap again: shrink

@@ -12,6 +12,7 @@ for testing (the window/agg expressions are identical in both modes).
 from __future__ import annotations
 
 import datetime
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -468,7 +469,55 @@ def stream_minhash_pairs(
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def scaled_state_partitions(
+    spark: SparkSession,
+    src_dir: str,
+    pattern: str = "events*.parquet",
+    bytes_per_partition: int = 256 * 1024,
+    floor: int = 8,
+) -> int:
+    """State-store partition count sized to the DRAINED source volume
+    (guide §2: derive partitioning from input size, never a constant
+    tuned for one deployment).
+
+    Every stateful streaming operator commits one state-store delta per
+    partition per micro-batch, and a stream-stream join commits FOUR
+    stores per partition — measured at ~50-100 ms per store commit on
+    local disk, that fixed cost dominates a small drain (q86's interval
+    join: 9.0 s at 32 partitions vs 2.7 s at 4, identical rows). Compute
+    inside the stateful stage scales the other way (q95's Python
+    signature state: 12.8 s at 4 partitions vs 9.2 s at 8), hence the
+    ``floor`` — and a state stage that is COMPUTE-bound Python rather
+    than commit-bound should not use this helper at all (q95 measured
+    3 s/pass slower at the scaled count, 6/6 interleaved pairs; its call
+    site keeps the session value and says why). The cap is the
+    session's ``spark.sql.shuffle.partitions``
+    — the knob a cluster submit sizes to 2-3 tasks/core
+    (:func:`~exon_duckdb_spark.session.cluster_conf`) — so at any real
+    data volume ``bytes // bytes_per_partition`` crosses the cap and
+    this is exactly the session value, i.e. a no-op at 100 TB; only the
+    small-drain regime gets fewer, fuller state partitions."""
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(src_dir, pattern))
+        if os.path.isfile(p)
+    )
+    # a bare file path (the test datasets ship events.parquet as ONE file)
+    single = os.path.join(src_dir, pattern.replace("*", ""))
+    if not total and os.path.isfile(single):
+        total = os.path.getsize(single)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, max(floor, -(-total // bytes_per_partition))))
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: "int | None" = None,
+) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table; returns the
     batch DataFrame of results (test/inspection helper).
 
@@ -476,6 +525,15 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
     deterministic drain: in append mode a window only emits once the
     watermark passes its end, so the trailing windows of a finite input
     never surface.
+
+    ``state_partitions`` (usually :func:`scaled_state_partitions`) scopes
+    ``spark.sql.shuffle.partitions`` around query START only — Structured
+    Streaming pins the value into the checkpoint's offset metadata at the
+    first batch, so every batch of this drain uses it and nothing else in
+    the session is affected (conf restored before returning). Emitted
+    rows are partitioning-independent for every operator in this module
+    (verified: identical drains at 4/8/32 across the five declared
+    streaming queries); ``None`` keeps the session value.
 
     Callers use ``<prefix>_<uuid>`` names so repeated invocations (bench
     warm + N timed passes) don't collide; each sink would otherwise stay
@@ -492,14 +550,22 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
                     spark.catalog.dropTempView(t.name)
                 except Exception:
                     pass  # concurrent drop / not a temp view: harmless
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(int(state_partitions)))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, old)
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -88,6 +88,45 @@ class TestStreaming:
         for uid, n_closed in closed.items():
             assert n_closed == batch[uid] - 1
 
+    def test_scaled_state_partitions_formula(self, spark):
+        """r14 state-partition sizing: floor for tiny drains, session
+        shuffle partitions as the cap (so at data scale it is a no-op),
+        and the bare-single-file fallback the test datasets need."""
+        from exon_duckdb_spark.streaming.events import scaled_state_partitions
+
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # events.parquet is a single FILE here (glob-miss fallback path);
+        # its size (~221 KB at sf0.01) is under floor*256KB, so the floor
+        # binds, then the session cap binds over the floor of 8
+        got = scaled_state_partitions(spark, SF_DIR)
+        assert got == min(cap, 8)
+        # byte scaling engages past floor*bytes_per_partition, cap still wins
+        assert scaled_state_partitions(
+            spark, SF_DIR, bytes_per_partition=1, floor=1
+        ) == cap
+        # missing source: never returns < 1
+        assert scaled_state_partitions(spark, "/nonexistent_dir_xyz") >= 1
+
+    def test_state_partitions_do_not_change_drain_rows(self, spark):
+        """Pins the r14 invariant scaled_state_partitions relies on: the
+        emitted row multiset is identical at any state partition count
+        (here 2 vs the session default 4) for a stateful drain."""
+        stream = read_events_stream(spark, SF_DIR)
+        a = sorted(
+            map(tuple, run_to_memory_sink(
+                sessionize_stream(stream, 30), "sess_sp_a",
+                state_partitions=2,
+            ).collect())
+        )
+        stream = read_events_stream(spark, SF_DIR)
+        b = sorted(
+            map(tuple, run_to_memory_sink(
+                sessionize_stream(stream, 30), "sess_sp_b"
+            ).collect())
+        )
+        assert a == b
+        # the scoped conf was restored
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
 
     def test_stream_dedup(self, spark):
         stream = read_events_stream(spark, SF_DIR)
